@@ -1,0 +1,366 @@
+"""Markdown -> element-stream extraction kernel (SURVEY.md M1-M6).
+
+Behavioral spec: /root/reference/src/pdf_extractor/markdown_extractor.py:200-642
+(`extract_from_markdown`). Re-implemented from scratch as a line-based
+block scanner (markdown-it is unavailable offline; the reference used its
+token stream only as a block segmenter). Semantics kept:
+
+  - text blocks: consecutive paragraphs / list items accumulate into ONE
+    text element; a gap of >= 2 blank lines flushes (the reference's
+    ``token.map[0] > last_line + 1`` rule, markdown_extractor.py:317-319)
+  - headings: update the section hierarchy; explicit ``N.N.`` numeric
+    prefixes are honored, otherwise per-level auto-counters numbered with
+    counters below the level reset (markdown_extractor.py:337-357)
+  - section hierarchy: a *correct* hierarchical stack (path of titles
+    root -> current), md5 title hashes — the fixture-validated behavior
+    (SURVEY.md §1.4; the reference's importable fallback was a flat list)
+  - page markers ``<!-- page: N -->`` switch current_page and flush
+    (markdown_extractor.py:373-379)
+  - images ``![alt](src)`` on their own line flush text and emit an
+    image element (markdown_extractor.py:383-435)
+  - pipe-table runs parse via parse_markdown_table; invalid tables are
+    dropped silently (markdown_extractor.py:437-519)
+  - fenced code emits a code element with code_type from the fence info
+    string (markdown_extractor.py:524-562)
+  - every element carries the envelope {type, content, line_span,
+    token_count, section_id, section_path, section_hash_path, page,
+    metadata} (markdown_extractor.py:289-304)
+
+Determinism deltas vs the reference (deliberate, SURVEY.md §7.4):
+  - ``extraction_date`` is the caller-supplied warc_ts, never wall clock
+  - token counts use the deterministic tokenizer in textutils.py
+  - heading elements ARE emitted (the golden fixture
+    BHT_CV32A65X_expected.json contains heading nodes with token counts;
+    the markdown_extractor path only tracked hierarchy)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from pdf_extractor_ray.kernel.textutils import (
+    clean_section_title,
+    hash_string,
+    token_count,
+)
+
+__all__ = [
+    "SectionHierarchy",
+    "parse_markdown_table",
+    "parse_markdown_image",
+    "extract_from_markdown_text",
+]
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_SECTION_NUM_RE = re.compile(r"(\d+(?:\.\d+)*\.?)\s*(.*)")
+_PAGE_MARKER_RE = re.compile(r"<!--\s*page:\s*(\d+)\s*-->")
+_IMAGE_RE = re.compile(r"!\[(.*?)\]\((.*?)\)")
+_TABLE_LINE_RE = re.compile(r"\|.*\|")
+_TABLE_SEP_CELL_RE = re.compile(r"[-: ]+")
+_LIST_ITEM_RE = re.compile(r"^(\s*)(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
+_FENCE_RE = re.compile(r"^(`{3,}|~{3,})\s*(.*)$")
+
+
+class SectionHierarchy:
+    """Hierarchical section path: a stack of (level, display, hash).
+
+    ``update`` pops every entry at the same or deeper level, then pushes
+    the new section, so ``get_titles()`` returns the root->current path
+    (single entry for an h1-only document, matching the golden fixture).
+    """
+
+    def __init__(self) -> None:
+        self._stack: list[tuple[int, str, str]] = []
+
+    def update(self, number: str, title: str, level: int) -> None:
+        while self._stack and self._stack[-1][0] >= level:
+            self._stack.pop()
+        display = f"{number}. {title}" if number else title
+        self._stack.append((level, display, hash_string(title)))
+
+    def get_titles(self) -> list[str]:
+        return [entry[1] for entry in self._stack]
+
+    def get_hashes(self) -> list[str]:
+        return [entry[2] for entry in self._stack]
+
+
+def parse_markdown_table(content: str) -> Optional[dict[str, Any]]:
+    """``| a | b |`` header + ``|---|---|`` separator + rows -> {headers,
+    rows}; rows whose arity differs from the header are dropped; None on
+    any structural failure."""
+    lines = [line.strip() for line in content.strip().split("\n") if line.strip()]
+    if len(lines) < 2:
+        return None
+    headers = [h.strip() for h in lines[0].strip("|").split("|") if h.strip()]
+    if not headers:
+        return None
+    separator = lines[1].strip("|").split("|")
+    if not all(_TABLE_SEP_CELL_RE.fullmatch(s.strip()) for s in separator):
+        return None
+    rows = []
+    for line in lines[2:]:
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) == len(headers):
+            rows.append(cells)
+    return {"headers": headers, "rows": rows}
+
+
+def parse_markdown_image(content: str) -> Optional[dict[str, str]]:
+    """``![alt](src)`` -> {alt, src}; None when not an image."""
+    match = _IMAGE_RE.match(content.strip())
+    if match:
+        return {"alt": match.group(1).strip(), "src": match.group(2).strip()}
+    return None
+
+
+def extract_from_markdown_text(
+    markdown_content: str,
+    url: str = "",
+    repo_link: str = "",
+    extraction_date: str = "",
+    table_cache: Optional[list[dict[str, Any]]] = None,
+    default_code_type: str = "md",
+) -> list[dict[str, Any]]:
+    """Extract the element stream from a markdown string.
+
+    Returns a list of element dicts with the reference envelope. Pure and
+    deterministic: same input -> same output, byte for byte.
+    """
+    hierarchy = SectionHierarchy()
+    elements: list[dict[str, Any]] = []
+    section_counts = [0] * 6
+    current_page = 1
+
+    text_content: list[str] = []
+    text_start_line = 0
+    text_last_line = 0
+
+    def envelope(
+        etype: str,
+        content: str,
+        line_span: tuple[int, int],
+        page: int,
+        metadata: dict[str, Any],
+    ) -> dict[str, Any]:
+        return {
+            "file_path": url,
+            "repo_link": repo_link,
+            "extraction_date": extraction_date,
+            "type": etype,
+            "content": content,
+            "line_span": [line_span[0], line_span[1]],
+            "token_count": token_count(content),
+            "section_id": hash_string(content),
+            "section_path": hierarchy.get_titles(),
+            "section_hash_path": hierarchy.get_hashes(),
+            "page": page,
+            "metadata": metadata,
+        }
+
+    def flush_text() -> None:
+        nonlocal text_content, text_start_line
+        if text_content:
+            content = "\n".join(text_content).strip()
+            if content:
+                elements.append(
+                    envelope(
+                        "text", content, (text_start_line, text_last_line),
+                        current_page, {},
+                    )
+                )
+            text_content = []
+            text_start_line = 0
+
+    def emit_table(table_lines: list[str], start: int, end: int) -> None:
+        content = "\n".join(table_lines)
+        table_data = parse_markdown_table(content)
+        if table_data is None:
+            return
+        validation: dict[str, Any] = {"valid": True, "issues": [], "source": "markdown"}
+        if table_cache:
+            # Semi-join vs the cached table records for this document:
+            # valid iff any cache entry on the same page overlaps
+            # (IoU > 0.5) or carries no bbox (markdown_extractor.py:474-493).
+            from pdf_extractor_ray.kernel.tables import calculate_iou
+
+            bbox = validation.get("bbox")
+            ok = any(
+                t.get("page") == current_page
+                and (
+                    bbox is None
+                    or t.get("bbox") is None
+                    or calculate_iou(list(t["bbox"]), list(bbox)) > 0.5
+                )
+                for t in table_cache
+            )
+            if not ok:
+                validation["issues"].append("No matching table in table_cache")
+                validation["valid"] = False
+        elements.append(
+            envelope(
+                "table", content, (start, end), current_page,
+                {"table": table_data, "validation": validation},
+            )
+        )
+
+    lines = markdown_content.split("\n")
+    n = len(lines)
+    i = 0
+    blank_run = 0  # blank lines seen since the last content line
+
+    in_table = False
+    table_lines: list[str] = []
+    table_start_line = 0
+
+    while i < n:
+        raw = lines[i]
+        lineno = i + 1  # 1-based
+        stripped = raw.strip()
+
+        if not stripped:
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            blank_run += 1
+            i += 1
+            continue
+
+        # >= 2 blank lines between blocks flushes the accumulated text
+        if blank_run >= 2:
+            flush_text()
+        gap_flushed = blank_run >= 2
+        blank_run = 0
+
+        # fenced code block
+        fence = _FENCE_RE.match(stripped)
+        if fence:
+            flush_text()
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            marker, info = fence.group(1), fence.group(2).strip()
+            code_lines: list[str] = []
+            start = lineno
+            i += 1
+            while i < n and not lines[i].strip().startswith(marker):
+                code_lines.append(lines[i])
+                i += 1
+            end = min(i + 1, n)
+            i += 1  # skip closing fence
+            code = "\n".join(code_lines).strip()
+            code_type = info.split()[0].lower() if info else default_code_type
+            elements.append(
+                envelope(
+                    "code", code, (start, end), current_page,
+                    {
+                        "code_type": code_type,
+                        "code_metadata": {"language": code_type, "length": len(code)},
+                    },
+                )
+            )
+            continue
+
+        # page marker
+        page_match = _PAGE_MARKER_RE.match(stripped)
+        if page_match:
+            flush_text()
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            current_page = int(page_match.group(1))
+            i += 1
+            continue
+
+        # heading
+        heading = _HEADING_RE.match(stripped)
+        if heading:
+            flush_text()
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            level = len(heading.group(1))
+            raw_title = heading.group(2).strip()
+            cleaned = clean_section_title(raw_title, to_ascii=True)
+            num_match = _SECTION_NUM_RE.match(raw_title)
+            if num_match and num_match.group(1):
+                section_number = num_match.group(1).rstrip(".")
+                cleaned = clean_section_title(
+                    num_match.group(2) or "Unnamed Section", to_ascii=True
+                )
+            else:
+                for j in range(level, len(section_counts)):
+                    section_counts[j] = 0
+                section_counts[level - 1] += 1
+                parts = [
+                    str(section_counts[j])
+                    for j in range(level)
+                    if section_counts[j] > 0
+                ]
+                section_number = ".".join(parts) if parts else str(level)
+            hierarchy.update(section_number, cleaned, level)
+            display = f"{section_number}. {cleaned}"
+            elements.append(
+                envelope(
+                    "heading", display, (lineno, lineno), current_page,
+                    {"level": level, "section_number": section_number},
+                )
+            )
+            i += 1
+            continue
+
+        # image on its own line
+        if _IMAGE_RE.match(stripped):
+            flush_text()
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            image_data = parse_markdown_image(stripped)
+            metadata = {
+                "alt": image_data["alt"] if image_data else "",
+                "src": image_data["src"] if image_data else "",
+                "source": "markdown",
+            }
+            elements.append(
+                envelope("image", stripped, (lineno, lineno), current_page, metadata)
+            )
+            i += 1
+            continue
+
+        # table line
+        if _TABLE_LINE_RE.match(stripped):
+            flush_text()
+            if not in_table:
+                in_table = True
+                table_start_line = lineno
+                table_lines = []
+            table_lines.append(stripped)
+            i += 1
+            continue
+        elif in_table:
+            emit_table(table_lines, table_start_line, lineno - 1)
+            in_table = False
+            table_lines = []
+
+        # plain text: paragraph line or list item (marker stripped, one
+        # entry per item — mirrors the reference's per-inline append)
+        item = _LIST_ITEM_RE.match(raw)
+        content_line = item.group(2) if item else stripped
+        if not text_content:
+            text_start_line = lineno
+        elif gap_flushed:
+            text_start_line = lineno
+        text_content.append(content_line)
+        text_last_line = lineno
+        i += 1
+
+    if in_table:
+        emit_table(table_lines, table_start_line, n)
+    flush_text()
+    return elements

@@ -1,0 +1,265 @@
+"""PDF-layout extraction kernel over "pdf-shaped" payloads.
+
+Real PDF parsing libraries (PyMuPDF/Camelot/pdfminer) are unavailable in
+this environment, so PDF payloads in the corpus are *synthetic
+structured layout records*: JSON documents of pages -> blocks with
+bboxes, text spans, and table cell grids (FIXTURES.md F1). This kernel
+implements the reference's layout-processing semantics over that shape:
+
+  - reading-order reconstruction: blocks sorted top-to-bottom then
+    left-to-right by bbox (the order PyMuPDF's "text" extraction yields;
+    corpus_utils.py:121-131 concatenates pages in that order)
+  - text-span merging: a text block's spans joined into one paragraph
+  - table cell-grid detection: {row, col, text} cells -> dense
+    list[list[str]] grid, the TableData shape of
+    context7/pdf_extractor/type_definitions.py:37-45, with positional
+    ids (context7/marker_processor.py:110-125 — uuid4 in the top-level
+    copy is deliberately replaced for determinism, SURVEY.md §7.4)
+  - quality metrics subset: completeness / consistency / whitespace /
+    accuracy -> confidence, drop below LOW_CONFIDENCE_THRESHOLD=75.0
+    (table_extraction.py:411-433, context7/config.py:37)
+  - surrounding-text capture: nearest text block fully above / below the
+    table bbox on the same page (table_extraction.py:447-451)
+  - multi-page table merge fold (improved_table_merger semantics, see
+    kernel/tables.py)
+
+The kernel renders the page stream to markdown (with ``<!-- page: N -->``
+markers) and reuses ``extract_from_markdown_text`` so every lane emits
+the same element envelope; rich table records are then attached to the
+table elements positionally.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from pdf_extractor_ray.kernel.markdown_extract import extract_from_markdown_text
+from pdf_extractor_ray.kernel.tables import (
+    parse_table_data,
+    process_and_merge_tables,
+)
+
+__all__ = ["parse_pdf_shaped", "extract_pdf_document", "table_quality"]
+
+LOW_CONFIDENCE_THRESHOLD = 75.0
+
+
+def _reading_order(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Top-to-bottom, then left-to-right by bbox origin (y rounded to
+    whole points so same-line blocks order by x)."""
+    def key(b: dict[str, Any]):
+        bbox = b.get("bbox") or [0.0, 0.0, 0.0, 0.0]
+        return (round(float(bbox[1])), float(bbox[0]))
+
+    return sorted(blocks, key=key)
+
+
+def _cells_to_grid(cells: list[dict[str, Any]]) -> list[list[str]]:
+    """Sparse {row, col, text} cells -> dense row-major grid ('' fill)."""
+    if not cells:
+        return []
+    n_rows = max(int(c["row"]) for c in cells) + 1
+    n_cols = max(int(c["col"]) for c in cells) + 1
+    grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+    for c in cells:
+        grid[int(c["row"])][int(c["col"])] = str(c.get("text", ""))
+    return grid
+
+
+def table_quality(data: list[list[str]], accuracy: float) -> dict[str, float]:
+    """Quality metric subset: completeness (non-empty cell ratio),
+    consistency (modal-arity row ratio), whitespace ratio, and their
+    blend with the parser-reported accuracy into a confidence score."""
+    if not data:
+        return {
+            "completeness": 0.0, "consistency": 0.0,
+            "whitespace": 0.0, "accuracy": accuracy, "confidence": 0.0,
+        }
+    n_cells = sum(len(r) for r in data)
+    non_empty = sum(1 for r in data for c in r if c.strip())
+    completeness = non_empty / n_cells if n_cells else 0.0
+    arities = [len(r) for r in data]
+    modal = max(set(arities), key=arities.count)
+    consistency = sum(1 for a in arities if a == modal) / len(arities)
+    total_chars = sum(len(c) for r in data for c in r)
+    ws_chars = sum(c.count(" ") for r in data for c in r)
+    whitespace = 1.0 - (ws_chars / total_chars if total_chars else 0.0)
+    confidence = (
+        0.25 * completeness * 100
+        + 0.25 * consistency * 100
+        + 0.1 * whitespace * 100
+        + 0.4 * accuracy
+    )
+    return {
+        "completeness": round(completeness, 4),
+        "consistency": round(consistency, 4),
+        "whitespace": round(whitespace, 4),
+        "accuracy": accuracy,
+        "confidence": round(confidence, 2),
+    }
+
+
+def _nearest_text(
+    blocks: list[dict[str, Any]], bbox: list[float], above: bool
+) -> str:
+    """Nearest text block strictly above (or below) the given bbox."""
+    best: Optional[tuple[float, str]] = None
+    for b in blocks:
+        if b.get("type") != "text":
+            continue
+        bb = b.get("bbox") or [0, 0, 0, 0]
+        text = " ".join(s.get("text", "") for s in b.get("spans", [])).strip()
+        if not text:
+            continue
+        if above and bb[3] <= bbox[1]:
+            dist = bbox[1] - bb[3]
+        elif not above and bb[1] >= bbox[3]:
+            dist = bb[1] - bbox[3]
+        else:
+            continue
+        if best is None or dist < best[0]:
+            best = (dist, text)
+    return best[1] if best else ""
+
+
+def parse_pdf_shaped(payload: str | bytes) -> Optional[dict[str, Any]]:
+    """Parse a pdf-shaped JSON payload; None when it isn't one."""
+    try:
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8")
+        doc = json.loads(payload)
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(doc, dict) or doc.get("kind") != "pdf":
+        return None
+    return doc
+
+
+def extract_pdf_document(
+    doc: dict[str, Any],
+    url: str = "",
+    repo_link: str = "",
+    extraction_date: str = "",
+    merge_strategy: str = "conservative",
+    min_confidence: float = LOW_CONFIDENCE_THRESHOLD,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Extract (elements, table_records) from a parsed pdf-shaped doc.
+
+    Table records carry the rich fields (bbox, accuracy, quality,
+    above/below text, merge provenance); the element stream carries the
+    same tables as pipe-markdown content with the record attached in
+    ``metadata["record"]``.
+    """
+    pages = doc.get("pages") or []
+    table_records: list[dict[str, Any]] = []
+    page_blocks: dict[int, list[dict[str, Any]]] = {}
+
+    for page in pages:
+        page_no = int(page.get("page_number", 1))
+        blocks = _reading_order(page.get("blocks") or [])
+        page_blocks[page_no] = blocks
+        t_idx = 0
+        for block in blocks:
+            if block.get("type") != "table":
+                continue
+            grid = _cells_to_grid(block.get("cells") or [])
+            if not grid:
+                continue
+            accuracy = float(block.get("accuracy", 100.0))
+            quality = table_quality(grid, accuracy)
+            bbox = [float(v) for v in (block.get("bbox") or [0, 0, 0, 0])]
+            record = {
+                "id": f"table_{page_no}_{t_idx}",
+                "page": page_no,
+                "data": grid,
+                "accuracy": accuracy,
+                "bbox": bbox,
+                "rows": len(grid),
+                "cols": len(grid[0]) if grid else 0,
+                "quality": quality,
+                "quality_issues": [],
+                "above_text": _nearest_text(blocks, bbox, above=True),
+                "below_text": _nearest_text(blocks, bbox, above=False),
+            }
+            if quality["confidence"] < min_confidence:
+                record["quality_issues"].append(
+                    f"low_confidence:{quality['confidence']}"
+                )
+            t_idx += 1
+            table_records.append(record)
+
+    # Drop low-confidence tables (reference drops below the floor,
+    # table_extraction.py:429-433) then merge multi-page continuations.
+    kept = [t for t in table_records if not t["quality_issues"]]
+    merged = process_and_merge_tables(kept, merge_strategy)
+
+    # Render pages to markdown in reading order; merged continuation
+    # tables render once, at their anchor position.
+    anchor_ids = {t["id"] for t in merged}
+    merged_by_id = {t["id"]: t for t in merged}
+    md_lines: list[str] = []
+    for page in pages:
+        page_no = int(page.get("page_number", 1))
+        md_lines.append(f"<!-- page: {page_no} -->")
+        t_idx = 0
+        for block in _reading_order(page.get("blocks") or []):
+            btype = block.get("type")
+            if btype == "heading":
+                level = int(block.get("level", 1))
+                md_lines.append("#" * level + " " + str(block.get("text", "")).strip())
+            elif btype == "text":
+                text = " ".join(
+                    s.get("text", "") for s in block.get("spans") or []
+                ).strip()
+                if text:
+                    md_lines.append(text)
+            elif btype == "image":
+                alt = str(block.get("alt", "")).strip()
+                src = str(block.get("src", "")).strip()
+                md_lines.append(f"![{alt}]({src})")
+            elif btype == "table":
+                tid = f"table_{page_no}_{t_idx}"
+                t_idx += 1
+                rec = merged_by_id.get(tid)
+                if tid not in anchor_ids or rec is None:
+                    continue  # dropped or merged into an earlier anchor
+                grid = rec["data"]
+                if not grid:
+                    continue
+                lines = ["| " + " | ".join(grid[0]) + " |"]
+                lines.append("|" + "---|" * len(grid[0]))
+                for row in grid[1:]:
+                    lines.append("| " + " | ".join(row) + " |")
+                md_lines.append("\n".join(lines))
+        md_lines.append("")  # page break -> double blank line flushes text
+
+    markdown = "\n\n".join(md_lines)
+    elements = extract_from_markdown_text(
+        markdown,
+        url=url,
+        repo_link=repo_link,
+        extraction_date=extraction_date,
+    )
+
+    # Attach rich records to table elements positionally (both walks are
+    # page-then-reading-order, so the i-th table element is the i-th
+    # surviving anchor record).
+    anchors = [t for t in merged]
+    table_elements = [e for e in elements if e["type"] == "table"]
+    for element, record in zip(table_elements, anchors):
+        element["metadata"]["record"] = {
+            "id": record["id"],
+            "page": record["page"],
+            "bbox": record["bbox"],
+            "accuracy": record["accuracy"],
+            "rows": record["rows"],
+            "cols": record["cols"],
+            "is_multi_page": bool(record.get("is_multi_page", False)),
+            "page_range": record.get("page_range", str(record["page"])),
+            "quality": record["quality"],
+            "above_text": record["above_text"],
+            "below_text": record["below_text"],
+            "parsed": parse_table_data(record["data"]),
+        }
+    return elements, merged

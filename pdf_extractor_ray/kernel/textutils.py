@@ -1,0 +1,104 @@
+"""Scalar text helpers shared by every extraction lane.
+
+Reference semantics (behavioral spec, not code):
+  - clean_section_title: /root/reference/src/pdf_extractor/markdown_extractor.py:116-140
+    (ftfy NFC fix -> drop Unicode category-C chars -> optional NFKD ascii
+    fold -> strip; empty -> "Unnamed Section"). ftfy is unavailable in
+    this environment, so the NFC normalization step uses
+    unicodedata.normalize("NFC", ...) — for the well-formed synthetic
+    corpus the two agree; mojibake *repair* beyond NFC is out of scope
+    and documented here.
+  - hash_string: md5 hexdigest, markdown_extractor.py:79-82.
+  - token counting: the reference uses tiktoken's gpt-4 (cl100k_base)
+    encoder (markdown_extractor.py:237). tiktoken is unavailable
+    offline, so token_count() is a deterministic GPT-2-style
+    pre-tokenizer regex count — stable across runs and platforms, which
+    is what the per-url byte-identity invariant needs.
+  - latin-1 decode fallback: corpus_utils.py:156-162.
+  - word-set Jaccard similarity: marker_processor.py:280-300.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+__all__ = [
+    "clean_section_title",
+    "hash_string",
+    "token_count",
+    "decode_bytes",
+    "text_similarity",
+    "normalize_text",
+]
+
+# GPT-2-style pre-tokenizer (public domain pattern, simplified): English
+# contractions, letter runs, digit runs (<=3), punctuation runs, spaces.
+_TOKEN_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]{1,3}"
+    r"| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
+_MD5 = hashlib.md5
+
+
+def hash_string(text: str) -> str:
+    """md5 hexdigest of ``text`` (section/content ids)."""
+    return _MD5(text.encode("utf-8", errors="replace")).hexdigest()
+
+
+def token_count(text: str) -> int:
+    """Deterministic token count (tiktoken stand-in; see module docstring)."""
+    if not text:
+        return 0
+    return len(_TOKEN_RE.findall(text))
+
+
+def clean_section_title(title: str, to_ascii: bool = False) -> str:
+    """Normalize a section title; empty results become "Unnamed Section"."""
+    try:
+        cleaned = unicodedata.normalize("NFC", title)
+        cleaned = "".join(c for c in cleaned if unicodedata.category(c)[0] != "C")
+        if to_ascii:
+            cleaned = (
+                unicodedata.normalize("NFKD", cleaned)
+                .encode("ascii", "ignore")
+                .decode("ascii")
+            )
+        cleaned = cleaned.strip()
+        return cleaned if cleaned else "Unnamed Section"
+    except Exception:
+        return "Unnamed Section"
+
+
+def decode_bytes(payload: bytes) -> str:
+    """utf-8 decode with latin-1 fallback (corpus loader semantics)."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
+_WORD_STRIP_RE = re.compile(r"[^\w\s]")
+
+
+def text_similarity(text1: str, text2: str) -> float:
+    """Word-set Jaccard similarity in [0, 1]."""
+    words1 = set(_WORD_STRIP_RE.sub("", text1.lower()).split())
+    words2 = set(_WORD_STRIP_RE.sub("", text2.lower()).split())
+    if not words1 or not words2:
+        return 0.0
+    return len(words1 & words2) / len(words1 | words2)
+
+
+def normalize_text(text: str) -> str:
+    """NFC-normalize and strip control chars (except \\n and \\t)."""
+    text = unicodedata.normalize("NFC", text)
+    return "".join(
+        c for c in text if c in "\n\t" or unicodedata.category(c)[0] != "C"
+    )
