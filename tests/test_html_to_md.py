@@ -1,0 +1,97 @@
+"""HTML -> markdown conversion (boilerplate-strip lane, SURVEY.md M18/S2)."""
+
+from pdf_extractor_ray.kernel.extract import extract_document
+from pdf_extractor_ray.kernel.html_to_md import html_to_markdown, strip_html_tags
+
+REFERENCE_CORPUS_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<title>HTML Corpus</title>
+</head>
+<body>
+
+<h1>HTML Corpus Content</h1>
+
+<p>This is a paragraph in the <b>HTML</b> corpus.</p>
+<p>Another paragraph with a <a href="#">link</a>.</p>
+<ul>
+  <li>List item 1</li>
+  <li>List item 2</li>
+</ul>
+<script>console.log("This should be removed");</script>
+</body>
+</html>"""
+
+
+class TestHtmlToMarkdown:
+    def test_reference_corpus_script_removed(self):
+        # tests/corpus/test_corpus.html: <script> must be absent
+        md = html_to_markdown(REFERENCE_CORPUS_HTML)
+        assert "This should be removed" not in md
+        assert "console.log" not in md
+        assert "# HTML Corpus Content" in md
+        assert "This is a paragraph in the **HTML** corpus." in md
+        assert "- List item 1" in md
+        assert "link" in md and "href" not in md
+
+    def test_style_and_head_dropped(self):
+        md = html_to_markdown(
+            "<html><head><title>T</title><style>p{color:red}</style></head>"
+            "<body><p>visible</p></body></html>"
+        )
+        assert "color" not in md
+        assert "T" not in md.split()  # title lives in <head>
+        assert "visible" in md
+
+    def test_heading_levels(self):
+        md = html_to_markdown("<h1>A</h1><h2>B</h2><h3>C</h3>")
+        assert "# A" in md and "## B" in md and "### C" in md
+
+    def test_table_to_pipe_markdown(self):
+        md = html_to_markdown(
+            "<table><tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>"
+        )
+        assert "| A | B |" in md
+        assert "|---|---|" in md
+        assert "| 1 | 2 |" in md
+
+    def test_pre_code_fenced_with_language(self):
+        md = html_to_markdown(
+            '<pre><code class="language-python">def f():\n    pass</code></pre>'
+        )
+        assert md.startswith("```python\n")
+        assert "def f():" in md
+
+    def test_img_to_markdown(self):
+        md = html_to_markdown('<img alt="diag" src="x.png">')
+        assert md == "![diag](x.png)"
+
+    def test_entities_unescaped(self):
+        md = html_to_markdown("<p>a &amp; b &lt; c</p>")
+        assert md == "a & b < c"
+
+    def test_page_comment_preserved_others_dropped(self):
+        md = html_to_markdown("<!-- page: 2 --><p>x</p><!-- tracking pixel -->")
+        assert "<!-- page: 2 -->" in md
+        assert "tracking" not in md
+
+    def test_empty(self):
+        assert html_to_markdown("") == ""
+
+
+class TestStripHtmlTags:
+    def test_strips(self):
+        assert strip_html_tags("a <b>bold</b> c") == "a bold c"
+
+
+class TestHtmlLaneEndToEnd:
+    def test_html_document_extraction(self):
+        out = extract_document("u", "2025", REFERENCE_CORPUS_HTML.encode(), "", "en")
+        assert out["kind"] == "html"
+        assert out["status"] == "ok"
+        assert out["n_heading"] == 1
+        assert out["n_text"] >= 1
+        assert "This should be removed" not in out["extracted_text"]
+        # list items folded into text per the markdown gap rule
+        assert "List item 1" in out["extracted_text"]

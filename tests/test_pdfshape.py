@@ -1,0 +1,152 @@
+"""PDF-layout kernel: reading order, cell grids, quality, merge."""
+
+import json
+
+from pdf_extractor_ray.kernel.extract import extract_document
+from pdf_extractor_ray.kernel.pdfshape import (
+    extract_pdf_document,
+    parse_pdf_shaped,
+    table_quality,
+)
+
+
+def table_block(page_y, headers, rows, accuracy=98.0):
+    cells = [{"row": 0, "col": c, "text": h} for c, h in enumerate(headers)]
+    for r, row in enumerate(rows, start=1):
+        for c, v in enumerate(row):
+            cells.append({"row": r, "col": c, "text": v})
+    height = 14.0 * (len(rows) + 1)
+    return {
+        "type": "table",
+        "bbox": [72.0, page_y, 540.0, page_y + height],
+        "cells": cells,
+        "accuracy": accuracy,
+    }
+
+
+def make_doc(merge=True):
+    headers = ["Signal", "IO", "Type"]
+    other = ["X", "Y"]
+    p1 = {
+        "page_number": 1,
+        "blocks": [
+            {"type": "heading", "level": 1, "bbox": [72, 40, 540, 58], "text": "1. Intro"},
+            {"type": "text", "bbox": [72, 70, 540, 90],
+             "spans": [{"text": "Above the table."}]},
+            table_block(100, headers, [["clk", "in", "logic"]]),
+            {"type": "text", "bbox": [72, 200, 540, 220],
+             "spans": [{"text": "Below the table."}]},
+        ],
+    }
+    p2_headers = headers if merge else other
+    p2_rows = [["rst", "in", "logic"]] if merge else [["1", "2"]]
+    p2 = {
+        "page_number": 2,
+        "blocks": [
+            table_block(60, p2_headers, p2_rows),
+            {"type": "text", "bbox": [72, 300, 540, 320],
+             "spans": [{"text": "Trailing text."}]},
+        ],
+    }
+    return {"kind": "pdf", "pages": [p1, p2]}
+
+
+class TestParsePdfShaped:
+    def test_valid(self):
+        raw = json.dumps(make_doc()).encode()
+        assert parse_pdf_shaped(raw)["kind"] == "pdf"
+
+    def test_not_pdf(self):
+        assert parse_pdf_shaped(b'{"a": 1}') is None
+        assert parse_pdf_shaped(b"not json") is None
+
+
+class TestReadingOrderAndSpans:
+    def test_blocks_ordered_top_to_bottom(self):
+        elements, _ = extract_pdf_document(make_doc())
+        contents = [e["content"] for e in elements if e["page"] == 1]
+        i_above = next(i for i, c in enumerate(contents) if "Above" in c)
+        i_table = next(i for i, c in enumerate(contents) if c.startswith("|"))
+        i_below = next(i for i, c in enumerate(contents) if "Below" in c)
+        assert i_above < i_table < i_below
+
+    def test_spans_merged(self):
+        doc = {
+            "kind": "pdf",
+            "pages": [{
+                "page_number": 1,
+                "blocks": [{
+                    "type": "text", "bbox": [0, 0, 10, 10],
+                    "spans": [{"text": "Part one."}, {"text": "Part two."}],
+                }],
+            }],
+        }
+        elements, _ = extract_pdf_document(doc)
+        assert elements[0]["content"] == "Part one. Part two."
+
+
+class TestMultiPageMerge:
+    def test_continuation_merges(self):
+        elements, tables = extract_pdf_document(make_doc(merge=True))
+        assert len(tables) == 1
+        assert tables[0]["is_multi_page"] is True
+        assert tables[0]["page_range"] == "1-2"
+        assert tables[0]["rows"] == 3  # header + 1 + 1 (dup header dropped)
+        table_els = [e for e in elements if e["type"] == "table"]
+        assert len(table_els) == 1
+        rec = table_els[0]["metadata"]["record"]
+        assert rec["is_multi_page"] is True
+        assert rec["page_range"] == "1-2"
+
+    def test_different_headers_stay_separate(self):
+        _, tables = extract_pdf_document(make_doc(merge=False))
+        assert len(tables) == 2
+        assert all(not t.get("is_multi_page") for t in tables)
+
+    def test_none_strategy(self):
+        _, tables = extract_pdf_document(make_doc(merge=True), merge_strategy="none")
+        assert len(tables) == 2
+
+
+class TestSurroundingText:
+    def test_above_below_captured(self):
+        _, tables = extract_pdf_document(make_doc())
+        assert tables[0]["above_text"] == "Above the table."
+        assert tables[0]["below_text"] == "Below the table."
+
+
+class TestQuality:
+    def test_full_table_high_confidence(self):
+        q = table_quality([["A", "B"], ["1", "2"]], accuracy=100.0)
+        assert q["completeness"] == 1.0
+        assert q["consistency"] == 1.0
+        assert q["confidence"] > 90
+
+    def test_sparse_table_low_completeness(self):
+        q = table_quality([["A", "B"], ["", ""], ["", ""]], accuracy=100.0)
+        assert q["completeness"] < 0.5
+
+    def test_low_accuracy_table_dropped(self):
+        doc = make_doc(merge=False)
+        doc["pages"][0]["blocks"][2]["accuracy"] = 10.0  # tanks confidence
+        _, tables = extract_pdf_document(doc)
+        assert all(t["page"] != 1 for t in tables)
+
+    def test_empty(self):
+        assert table_quality([], 0.0)["confidence"] == 0.0
+
+
+class TestPdfLaneEndToEnd:
+    def test_through_extract_document(self):
+        raw = json.dumps(make_doc()).encode()
+        out = extract_document("u", "2025", raw, "", "en")
+        assert out["kind"] == "pdf"
+        assert out["status"] == "ok"
+        assert out["n_table"] == 1
+        assert out["n_heading"] >= 1
+        rec = json.loads(
+            next(
+                e["metadata_json"] for e in out["elements"] if e["type"] == "table"
+            )
+        )["record"]
+        assert rec["page_range"] == "1-2"
