@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the corpus-level training-data operators); each takes an
+``sf_dir`` and returns a Dataset / DataFrame / Arrow table.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, same value semantics —
+float aggregates are compared as integer centi-units via
+``floor(x*100 + 0.5)`` on BOTH sides so value hashes are exact).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in the library code these call.
 """
 
 from __future__ import annotations
@@ -18,27 +18,645 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+# ----------------------------------------------------------------- util
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _docs_with_dups(sf_dir: str) -> ray.data.Dataset:
+    """documents plus an injected exact copy of every 10th doc (id
+    +1_000_000) — gives the dedup operators real duplicates to find.
+    Mirrored exactly by the oracle's UNION ALL."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dups = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(dups["doc_id"], 1_000_000),
+                "text": dups["text"],
+            }
+        )
+
+    return docs.union(docs.map_batches(dup_rows, batch_format="pyarrow"))
+
+
+_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _cents(col):
+    """float -> exact integer centi-units: floor(x*100 + 0.5)."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
+def _pages_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministically wrap each document's text in an HTML page so
+    the extraction pipeline has a pages-table input derived from sf_dir
+    (no external data)."""
+    import datetime
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        from pdf_extractor_ray.sources.corpus import PAGES_SCHEMA
+
+        rows = []
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            body = (
+                f"<html><head><title>doc {doc_id}</title></head><body>"
+                f"<h1>Document {doc_id}</h1><p>{text}</p>"
+                f"<script>tracker({doc_id});</script></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://docs.example.org/{doc_id:08d}",
+                    "warc_ts": datetime.datetime(2025, 1, 1)
+                    + datetime.timedelta(seconds=int(doc_id)),
+                    "html": body.encode("utf-8"),
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: extraction pipeline over pages derived from sf0.001."""
+    from pdf_extractor_ray.pipelines import extract_pages
+
+    pages = _pages_from_documents("/root/testdata/sf0.001")
+    ds = extract_pages(pages)
+    return ds.select_columns(
+        [
+            "url", "kind", "status", "n_elements", "n_text", "n_heading",
+            "n_table", "n_code", "n_image", "n_tokens",
+        ]
+    )
+
+
+# -------------------------------------------------------------- queries
+
+
+def _q_extract_corpus(sf_dir: str):
+    from pdf_extractor_ray.pipelines import extract_pages
+
+    ds = extract_pages(_pages_from_documents(sf_dir))
+    return ds.select_columns(
+        [
+            "url", "kind", "status", "n_elements", "n_text", "n_heading",
+            "n_table", "n_code", "n_image", "n_tokens",
+        ]
+    )
+
+
+def _q_extract_synthetic(sf_dir: str):
+    """Extraction over the self-generated mixed corpus (HTML +
+    pdf-shaped + edge cases); per-kind rollup. Rows scale mildly with sf
+    via the events table size as a proxy knob."""
+    from pdf_extractor_ray.pipelines import extract_pages
+    from pdf_extractor_ray.sources.corpus import pages_table
+
+    n = 1000
+    pages = ray.data.from_arrow(pages_table(0, n))
+    ds = extract_pages(pages)
+    return ds.groupby("kind").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_elements", alias_name="n_elements"),
+        Sum("n_table", alias_name="n_tables"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(_docs_with_dups(sf_dir))
+
+
+def _q_dedup_exact_rows(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(_docs_with_dups(sf_dir))
+    return out.select_columns(["doc_id", "text_hash"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(_docs_with_dups(sf_dir), threshold=0.8)
+    return out.select_columns(["doc_a", "doc_b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(_docs_with_dups(sf_dir), max_hamming=3)
+
+
+def _q_dedup_ngram(sf_dir: str):
+    """Pairwise exact 3-gram Jaccard within each source group."""
+    from pdf_extractor_ray.functions.dedup import ngram_jaccard
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        recs = sorted(zip(group["doc_id"], group["text"]))
+        out = []
+        for (ida, ta), (idb, tb) in itertools.combinations(recs, 2):
+            j = ngram_jaccard(ta, tb)
+            if j >= 0.2:
+                out.append((ida, idb))
+        return pd.DataFrame(
+            {"doc_a": [p[0] for p in out], "doc_b": [p[1] for p in out]}
+        )
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+def _load_query_vectors(sf_dir: str, n: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    ids = df["vec_id"].tolist()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return ids, mat
+
+
+def _q_knn_brute(sf_dir: str):
+    from pdf_extractor_ray.functions.similarity import knn_bruteforce
+
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        return batch  # self-match removed after ranking instead
+
+    out = knn_bruteforce(emb, mat, ids, k=6)
+
+    def strip_self(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["neighbor_id"] != group["query_id"]].head(5).copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        out.groupby("query_id")
+        .map_groups(strip_self, batch_format="pandas")
+        .select_columns(["query_id", "neighbor_id", "rank"])
+    )
+
+
+def _q_dedup_embedding(sf_dir: str):
+    """Nearest neighbor (top-1, self excluded) per probe vector —
+    embedding-cosine near-dup candidates."""
+    from pdf_extractor_ray.functions.similarity import knn_bruteforce
+
+    ids, mat = _load_query_vectors(sf_dir, 20)
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_bruteforce(emb, mat, ids, k=2)
+
+    def top1(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["neighbor_id"] != group["query_id"]].head(1)
+        return g[["query_id", "neighbor_id"]]
+
+    return out.groupby("query_id").map_groups(top1, batch_format="pandas")
+
+
+def _q_knn_lsh(sf_dir: str):
+    from pdf_extractor_ray.functions.similarity import knn_lsh
+
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_lsh(emb, mat, ids, k=5, dim=mat.shape[1])
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _stats_ds(sf_dir: str) -> ray.data.Dataset:
+    from pdf_extractor_ray.functions.textstats import doc_stats_batch
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def _q_text_stats(sf_dir: str):
+    return _stats_ds(sf_dir).groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_words", alias_name="sum_words"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_punct", alias_name="sum_punct"),
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    return (
+        _stats_ds(sf_dir)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _q_quality_hist(sf_dir: str):
+    return (
+        _stats_ds(sf_dir)
+        .groupby(["lang", "quality_class"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    return _stats_ds(sf_dir).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_q1_pricing(sf_dir: str):
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": _cents(batch["l_quantity"]),
+                "base_c": _cents(batch["l_extendedprice"]),
+                "disc_c": _cents(disc),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_base_c=("base_c", "sum"),
+            sum_disc_c=("disc_c", "sum"),
+            n_rows=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def _q_q3_top_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    customer = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+
+    from pdf_extractor_ray.functions.relational import broadcast_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev_c": _cents(disc)}
+        )
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    seg_orders = orders.merge(
+        customer.loc[customer["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )[["o_orderkey"]].rename(columns={"o_orderkey": "l_orderkey"})
+    joined = broadcast_join(per_order, seg_orders, on="l_orderkey")
+    return joined.sort(
+        ["revenue_c", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def _q_events_window(sf_dir: str):
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()), 3600.0)), pa.int64()),
+            3600,
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value_c": _cents(batch["value"]),
+            }
+        )
+
+    return (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="sum_value_c"),
+        )
+    )
+
+
+def _q_distinct_users(sf_dir: str):
+    from pdf_extractor_ray.functions.relational import distinct_users_per_type
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+    return distinct_users_per_type(events)
+
+
+def _q_brand_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+
+    from pdf_extractor_ray.functions.relational import broadcast_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return pa.table(
+            {"l_partkey": batch["l_partkey"], "rev_c": _cents(disc)}
+        )
+
+    per_part = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+    )
+    joined = broadcast_join(
+        per_part,
+        part.rename(columns={"p_partkey": "l_partkey"})[["l_partkey", "p_brand"]],
+        on="l_partkey",
+    )
+    per_brand = joined.groupby("p_brand").aggregate(
+        Sum("revenue_c", alias_name="revenue_c")
+    )
+    return per_brand.sort(
+        ["revenue_c", "p_brand"], descending=[True, False]
+    ).limit(5)
+
+
+def _q_media_features(sf_dir: str):
+    from pdf_extractor_ray.functions.multimodal import media_features
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media_features(media, decoder="fake")
+    return out.select_columns(["media_id", "n_bytes", "n_chunks"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_corpus": _q_extract_corpus,
+        "extract_synthetic": _q_extract_synthetic,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_rows": _q_dedup_exact_rows,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "quality_hist": _q_quality_hist,
+        "fingerprint": _q_fingerprint,
+        "q1_pricing": _q_q1_pricing,
+        "q3_top_orders": _q_q3_top_orders,
+        "events_window": _q_events_window,
+        "distinct_users": _q_distinct_users,
+        "brand_topk": _q_brand_topk,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle
+
+_STATS_EXPR = """
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|that|for)\\b')) AS stop_en,
+    len(regexp_extract_all(lower(text), '\\b(?:le|la|les|de|des|et|est|dans)\\b')) AS stop_fr,
+    len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist|mit|von|für)\\b')) AS stop_de
+"""
+
+_PRED_LANG_EXPR = """
+    CASE WHEN greatest(stop_en, stop_fr, stop_de) = 0 THEN 'und'
+         WHEN stop_en >= stop_fr AND stop_en >= stop_de THEN 'en'
+         WHEN stop_fr >= stop_de THEN 'fr'
+         ELSE 'de' END AS pred_lang
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": f"""
+            WITH d AS ({_DUP_SQL})
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS dup_count
+            FROM d GROUP BY 1
+        """,
+        "dedup_exact_rows": f"""
+            WITH d AS ({_DUP_SQL}),
+                 r AS (SELECT doc_id, md5(text) AS text_hash,
+                              row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                       FROM d)
+            SELECT doc_id, text_hash FROM r WHERE rn = 1
+        """,
+        "dedup_embedding": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 20),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.qid),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id FROM r WHERE rn = 1
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.qid),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
+        """,
+        "text_stats": f"""
+            WITH s AS (SELECT lang, {_STATS_EXPR} FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_words) AS sum_words,
+                   sum(n_tokens) AS sum_tokens,
+                   sum(n_punct) AS sum_punct
+            FROM s GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT lang, {_STATS_EXPR} FROM documents),
+                 p AS (SELECT lang, {_PRED_LANG_EXPR} FROM s)
+            SELECT lang, pred_lang, count(*) AS n_docs
+            FROM p GROUP BY lang, pred_lang
+        """,
+        "quality_hist": """
+            WITH s AS (SELECT lang,
+                              len(regexp_extract_all(text, '\\S+')) AS n_words
+                       FROM documents),
+                 c AS (SELECT lang,
+                              CASE WHEN n_words >= 200 THEN 'long'
+                                   WHEN n_words >= 30 THEN 'ok'
+                                   ELSE 'short' END AS quality_class
+                       FROM s)
+            SELECT lang, quality_class, count(*) AS n_docs
+            FROM c GROUP BY lang, quality_class
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_c
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT rev.l_orderkey, rev.revenue_c
+            FROM rev
+            JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            ORDER BY revenue_c DESC, rev.l_orderkey
+            LIMIT 10
+        """,
+        "events_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+            FROM events
+            GROUP BY event_type, window_start
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "brand_topk": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS rev_c
+                FROM lineitem
+            )
+            SELECT p.p_brand, sum(rev_c) AS revenue_c
+            FROM rev JOIN part p ON p.p_partkey = rev.l_partkey
+            GROUP BY p.p_brand
+            ORDER BY revenue_c DESC, p_brand
+            LIMIT 5
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   greatest(1, CAST(ceil(octet_length(encode(text))/65536.0) AS INT)) AS n_chunks
+            FROM documents
+        """,
+        # extract_corpus / extract_synthetic / dedup_minhash /
+        # dedup_simhash / dedup_ngram / knn_lsh: not SQL-expressible
+        # (per-document extraction kernels, sketch-based approximation)
+        # -> driver records the weaker rows-only check.
+    }

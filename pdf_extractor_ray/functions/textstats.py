@@ -1,0 +1,101 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Every per-document statistic here is defined twice on purpose — once in
+Python (this module, used inside ``map_batches``) and once in ANSI SQL
+(__ray_entry__.oracle_sql) — with *identical* semantics, so the driver's
+DuckDB comparison validates the distributed implementation value-for-
+value. That forces the definitions to stay in RE2-compatible regex
+territory (no lookahead, ASCII classes):
+
+    n_words        count of \\S+ runs
+    n_tokens       count of [A-Za-z0-9]+|[^A-Za-z0-9\\s]  (BPE-ish split)
+    n_punct        count of [^A-Za-z0-9\\s]
+    stop_{en,fr,de} count of language stopword hits (\\b-delimited)
+    pred_lang      argmax of the three stopword counts, ties en>fr>de,
+                   all-zero -> 'und'
+    fingerprint    md5(lower -> collapse \\s+ to ' ' -> trim)
+    quality_class  'long'/'ok'/'short' by n_words vs (200, 30)
+
+The stage is a stateless ``map_batches`` task (compiled regexes are
+module-level; per-batch work is C-level regex scans per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+__all__ = ["doc_stats_batch", "STOPWORDS", "QUALITY_LONG", "QUALITY_SHORT"]
+
+_WORD_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9\s]")
+_WS_RE = re.compile(r"\s+")
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von", "für"),
+}
+_STOP_RES = {
+    lang: re.compile(r"\b(?:" + "|".join(words) + r")\b")
+    for lang, words in STOPWORDS.items()
+}
+
+QUALITY_LONG = 200
+QUALITY_SHORT = 30
+
+
+def _doc_stats(text: str) -> dict:
+    text = text or ""
+    lower = text.lower()
+    n_words = len(_WORD_RE.findall(text))
+    n_tokens = len(_TOKEN_RE.findall(text))
+    n_punct = len(_PUNCT_RE.findall(text))
+    stops = {lang: len(rx.findall(lower)) for lang, rx in _STOP_RES.items()}
+    best = max(stops.values())
+    if best == 0:
+        pred = "und"
+    else:  # tie-break en > fr > de (fixed order, mirrored in SQL CASE)
+        pred = next(l for l in ("en", "fr", "de") if stops[l] == best)
+    fingerprint = hashlib.md5(
+        _WS_RE.sub(" ", lower).strip().encode("utf-8")
+    ).hexdigest()
+    if n_words >= QUALITY_LONG:
+        quality = "long"
+    elif n_words >= QUALITY_SHORT:
+        quality = "ok"
+    else:
+        quality = "short"
+    return {
+        "n_words": n_words,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "stop_en": stops["en"],
+        "stop_fr": stops["fr"],
+        "stop_de": stops["de"],
+        "pred_lang": pred,
+        "fingerprint": fingerprint,
+        "quality_class": quality,
+    }
+
+
+def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append the per-document stats columns to an Arrow batch."""
+    stats = [_doc_stats(t) for t in batch[text_col].to_pylist()]
+    for name, typ in (
+        ("n_words", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_punct", pa.int64()),
+        ("stop_en", pa.int64()),
+        ("stop_fr", pa.int64()),
+        ("stop_de", pa.int64()),
+        ("pred_lang", pa.string()),
+        ("fingerprint", pa.string()),
+        ("quality_class", pa.string()),
+    ):
+        batch = batch.append_column(name, pa.array([s[name] for s in stats], typ))
+    return batch
