@@ -5,7 +5,7 @@ Behavioral spec: the reference converts HTML with
 ``bleach.clean(text, tags=[], strip=True)``
 (/root/reference/src/pdf_extractor/llm_integration/utils/corpus_utils.py:138-147).
 Neither library is available offline, so this module re-implements the
-needed subset on the stdlib ``html.parser``:
+needed subset:
 
   - <script>/<style>/<head>/<template>/<noscript> contents dropped
     entirely (the reference test corpus requires the <script> body to be
@@ -21,101 +21,143 @@ needed subset on the stdlib ``html.parser``:
   - pre > code -> fenced code block, language from ``class="language-x"``
   - img -> ``![alt](src)``
   - HTML comments preserved ONLY when they are page markers
-    ``<!-- page: N -->`` (the multi-page PDF-to-markdown convention the
-    markdown extractor understands, markdown_extractor.py:373-379)
-  - entities unescaped (stdlib HTMLParser convert_charrefs)
+    ``<!-- page: N -->`` (the multi-page convention the markdown
+    extractor understands, markdown_extractor.py:373-379)
+  - entities unescaped
 
-Output is deterministic markdown suitable for
-``extract_from_markdown_text``; collapsing of inter-block whitespace is
-normalized to single blank lines between blocks.
+Implementation note: tokenization is a single compiled-regex pass over
+the document (tags / comments / doctype), not the stdlib HTMLParser —
+the stdlib parser walks Python-level char by char and dominated the
+extraction profile (~2/3 of per-document CPU). Raw-text elements
+(script/style/...) are skipped with a direct ``str.find`` to their
+closing tag, so their content is never tokenized at all.
 """
 
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape
 
 __all__ = ["html_to_markdown", "strip_html_tags"]
 
-_SKIP_CONTENT = {"script", "style", "head", "template", "noscript"}
+_RAW_TEXT = ("script", "style", "template", "noscript")
+_SKIP_CONTENT = {"head"}
 _BLOCK_BREAK = {"p", "div", "section", "article", "main", "body", "blockquote"}
+_VOID = {"br", "img", "hr", "meta", "link", "input", "col", "area", "base",
+         "embed", "param", "source", "track", "wbr"}
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
+_ANY_WS_RE = re.compile(r"\s+")
 _PAGE_COMMENT_RE = re.compile(r"^\s*page:\s*\d+\s*$")
 _LANG_CLASS_RE = re.compile(r"language-([\w+-]+)")
 _TAG_RE = re.compile(r"<[^>]+>")
 
+# One pass: comments | doctype/decls | closing tags | opening tags.
+_TOKEN_RE = re.compile(
+    r"<!--(.*?)-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\s*/\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
+    r"|<\s*([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r"|<\?[^>]*>",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+)
 
-class _MarkdownHTMLParser(HTMLParser):
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    out = {}
+    for m in _ATTR_RE.finditer(raw):
+        out[m.group(1).lower()] = m.group(3) or m.group(4) or m.group(5) or ""
+    return out
+
+
+class _Builder:
+    """Accumulates markdown blocks from tag/data events (semantics
+    identical to the previous HTMLParser-based implementation)."""
+
+    __slots__ = (
+        "blocks", "_inline", "_skip_depth", "_heading_level", "_in_pre",
+        "_pre_parts", "_code_lang", "_in_li", "_in_table", "_row_cells",
+        "_table_rows", "_in_cell",
+    )
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[str] = []
         self._inline: list[str] = []
         self._skip_depth = 0
         self._heading_level = 0
         self._in_pre = False
-        self._pre_lines: list[str] = []
+        self._pre_parts: list[str] = []
         self._code_lang = ""
-        self._list_depth = 0
         self._in_li = False
-        # table state
         self._in_table = False
         self._row_cells: list[str] = []
         self._table_rows: list[list[str]] = []
         self._in_cell = False
 
-    # -- helpers -------------------------------------------------------
     def _flush_inline(self) -> None:
+        if not self._inline:
+            return
         text = _WS_RE.sub(" ", "".join(self._inline)).strip()
-        self._inline = []
+        self._inline.clear()
         if text:
             self.blocks.append(text)
 
-    def _append_text(self, text: str) -> None:
+    def data(self, text: str) -> None:
+        if self._skip_depth:
+            return
         if self._in_pre:
-            self._pre_lines.append(text)
+            self._pre_parts.append(text)
         elif self._in_cell:
             self._row_cells[-1] += text
         else:
             self._inline.append(text)
 
-    # -- parser hooks --------------------------------------------------
-    def handle_starttag(self, tag: str, attrs: list) -> None:
+    def comment(self, text: str) -> None:
+        if self._skip_depth:
+            return
+        if _PAGE_COMMENT_RE.match(text):
+            self._flush_inline()
+            self.blocks.append(f"<!--{text}-->")
+
+    def start(self, tag: str, raw_attrs: str) -> None:
         if tag in _SKIP_CONTENT:
             self._skip_depth += 1
             return
         if self._skip_depth:
             return
-        attrd = dict(attrs)
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             self._flush_inline()
             self._heading_level = int(tag[1])
         elif tag == "pre":
             self._flush_inline()
             self._in_pre = True
-            self._pre_lines = []
+            self._pre_parts = []
             self._code_lang = ""
         elif tag == "code":
             if self._in_pre:
-                m = _LANG_CLASS_RE.search(attrd.get("class") or "")
+                m = _LANG_CLASS_RE.search(_parse_attrs(raw_attrs).get("class", ""))
                 if m:
                     self._code_lang = m.group(1)
             else:
-                self._append_text("`")
+                self.data("`")
         elif tag in ("b", "strong"):
-            self._append_text("**")
+            self.data("**")
         elif tag in ("i", "em"):
-            self._append_text("*")
+            self.data("*")
         elif tag == "br":
-            self._append_text("\n")
+            self.data("\n")
         elif tag in ("ul", "ol"):
             self._flush_inline()
-            self._list_depth += 1
         elif tag == "li":
             self._flush_inline()
             self._in_li = True
         elif tag == "img":
-            alt = (attrd.get("alt") or "").strip()
-            src = (attrd.get("src") or "").strip()
+            attrs = _parse_attrs(raw_attrs)
+            alt = unescape(attrs.get("alt", "")).strip()
+            src = unescape(attrs.get("src", "")).strip()
             self._flush_inline()
             self.blocks.append(f"![{alt}]({src})")
         elif tag == "table":
@@ -130,10 +172,7 @@ class _MarkdownHTMLParser(HTMLParser):
         elif tag in _BLOCK_BREAK:
             self._flush_inline()
 
-    def handle_startendtag(self, tag: str, attrs: list) -> None:
-        self.handle_starttag(tag, attrs)
-
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         if tag in _SKIP_CONTENT:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -141,28 +180,27 @@ class _MarkdownHTMLParser(HTMLParser):
             return
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             text = _WS_RE.sub(" ", "".join(self._inline)).strip()
-            self._inline = []
+            self._inline.clear()
             if text:
                 self.blocks.append("#" * self._heading_level + " " + text)
             self._heading_level = 0
         elif tag == "pre":
             self._in_pre = False
-            code = "".join(self._pre_lines).strip("\n")
+            code = "".join(self._pre_parts).strip("\n")
             self.blocks.append(f"```{self._code_lang}\n{code}\n```")
-            self._pre_lines = []
+            self._pre_parts = []
         elif tag == "code":
             if not self._in_pre:
-                self._append_text("`")
+                self.data("`")
         elif tag in ("b", "strong"):
-            self._append_text("**")
+            self.data("**")
         elif tag in ("i", "em"):
-            self._append_text("*")
+            self.data("*")
         elif tag in ("ul", "ol"):
             self._flush_inline()
-            self._list_depth = max(0, self._list_depth - 1)
         elif tag == "li":
             text = _WS_RE.sub(" ", "".join(self._inline)).strip()
-            self._inline = []
+            self._inline.clear()
             if text:
                 self.blocks.append(f"- {text}")
             self._in_li = False
@@ -170,8 +208,9 @@ class _MarkdownHTMLParser(HTMLParser):
             self._in_cell = False
         elif tag == "tr" and self._in_table:
             if self._row_cells:
-                cells = [_WS_RE.sub(" ", c).strip() for c in self._row_cells]
-                self._table_rows.append(cells)
+                self._table_rows.append(
+                    [_WS_RE.sub(" ", c).strip() for c in self._row_cells]
+                )
             self._row_cells = []
         elif tag == "table":
             self._in_table = False
@@ -185,29 +224,47 @@ class _MarkdownHTMLParser(HTMLParser):
         elif tag in _BLOCK_BREAK:
             self._flush_inline()
 
-    def handle_data(self, data: str) -> None:
-        if self._skip_depth:
-            return
-        self._append_text(data)
-
-    def handle_comment(self, data: str) -> None:
-        if self._skip_depth:
-            return
-        if _PAGE_COMMENT_RE.match(data):
-            self._flush_inline()
-            self.blocks.append(f"<!--{data}-->")
-
-    def close(self) -> None:  # flush trailing inline text
-        super().close()
-        self._flush_inline()
-
 
 def html_to_markdown(html: str) -> str:
     """Convert an HTML document to deterministic markdown text."""
-    parser = _MarkdownHTMLParser()
-    parser.feed(html)
-    parser.close()
-    return "\n\n".join(parser.blocks)
+    b = _Builder()
+    lower = None  # lazily-built lowercase copy for raw-text end scans
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if text:
+                b.data(unescape(text) if "&" in text else text)
+            break
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            b.data(unescape(text) if "&" in text else text)
+        pos = m.end()
+        comment, close_tag, open_tag, attrs = m.group(1), m.group(2), m.group(3), m.group(4)
+        if comment is not None:
+            b.comment(comment)
+        elif close_tag is not None:
+            b.end(close_tag.lower())
+        elif open_tag is not None:
+            tag = open_tag.lower()
+            if tag in _RAW_TEXT:
+                # skip raw content wholesale: find the closing tag
+                if lower is None:
+                    lower = html.lower()
+                end = lower.find(f"</{tag}", pos)
+                if end == -1:
+                    break
+                pos = lower.find(">", end)
+                pos = n if pos == -1 else pos + 1
+                continue
+            self_closing = attrs.rstrip().endswith("/")
+            b.start(tag, attrs)
+            if self_closing and tag not in _VOID:
+                b.end(tag)
+    b._flush_inline()
+    return "\n\n".join(b.blocks)
 
 
 def strip_html_tags(text: str) -> str:

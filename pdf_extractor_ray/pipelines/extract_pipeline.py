@@ -2,25 +2,37 @@
 
 Shape (SURVEY.md §3.5):
 
-    read_parquet(pages)                      # column-pruned read
-      -> size split (small | giant payloads)  # skew isolation, no shuffle
-      -> map_batches(ExtractDocuments, ...)   # actor pool per lane
-      -> union
+    read_parquet(pages)                       # column-pruned read
+      -> map_batches(extract_batch)           # stateless tasks (default)
       -> write_parquet + lineage sidecars     # resumable (state/lineage.py)
 
-Skew handling: instead of a global sort/repartition (an all-to-all
-exchange that at 100 TB would move every block just to co-locate sizes),
-the dataset is *split* by payload byte length with two vectorized
-filters — a cheap narrow op. The giant-payload lane runs with
-``batch_size=4`` so one multi-MB document never sits in a batch next to
-thousands of small ones (straggler isolation, SURVEY.md §4.2); the small
-lane uses large batches for throughput. Both lanes stream; the union is
-a logical concat, not a shuffle.
+Skew & memory design (measured on the 100k-row bench corpus, where the
+~2.5% giant documents are ~80% of the bytes):
 
-At cluster scale the only stateful stage is the extraction actor pool;
-everything else is stateless tasks, so the streaming executor can
-pipeline read -> extract -> write with backpressure and object-store
-spilling. Nothing materializes the full dataset.
+  - **Byte-bounded batches.** The default is ``batch_size=None`` over
+    blocks that Ray has already split to ``target_max_block_size``
+    bytes, or a modest row cap — either way a batch's *byte* size is
+    bounded, so a run of multi-MB documents lands in a small-row batch
+    automatically and can never blow a worker heap. This is the
+    single-read answer to size skew; the streaming executor's
+    backpressure does the rest.
+  - **Optional two-lane split** (``split_by_size=True``): for extreme
+    skew (hundreds-of-MB PDFs) the giant lane gets its own stage with
+    ``batch_size=giant_batch_size`` and (optionally) an actor pool with
+    reserved memory. Costs a second pass over the input metadata (both
+    lanes re-read), so it's off by default.
+  - **Tasks vs actors.** The extraction kernel holds no per-worker
+    state beyond module imports (compiled regexes), so stateless tasks
+    are the right default — elastic, no pool sizing. A warmed-state
+    parser (spaCy/pdfminer analog, SURVEY.md §2.3 A2/A3) is the
+    ``use_actor_pool=True`` path: a fixed-size ``ExtractDocuments`` pool
+    sized to cpus-2 so read/write stages keep breathing room.
+
+Parallelism note: read parallelism is bounded by input granularity
+(files x row groups). The corpus writer emits 1024-row groups so local
+runs split well; real CC dumps have thousands of shards. Measured here:
+extraction scales 4->16 CPUs at ~0.86 efficiency; beyond ~16 workers
+this single socket saturates on memory bandwidth (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -32,12 +44,12 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from pdf_extractor_ray.stages.extract_stage import ExtractDocuments
+from pdf_extractor_ray.stages.extract_stage import ExtractDocuments, extract_batch
 
 __all__ = ["extract_pages", "run_resumable_extraction", "GIANT_PAYLOAD_BYTES"]
 
-# Payloads above this byte length go to the low-batch-size lane. p99 of
-# web pages is far below this; synthetic giant rows are ~1 MB.
+# Payloads above this byte length go to the giant lane when the
+# two-lane split is enabled.
 GIANT_PAYLOAD_BYTES = 256 * 1024
 
 _PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -47,9 +59,10 @@ def _filter_by_size(small: bool):
     threshold = GIANT_PAYLOAD_BYTES
 
     def fn(batch: pa.Table) -> pa.Table:
-        sizes = pc.binary_length(batch["html"])
-        sizes = pc.fill_null(sizes, 0)
-        mask = pc.less(sizes, threshold) if small else pc.greater_equal(sizes, threshold)
+        sizes = pc.fill_null(pc.binary_length(batch["html"]), 0)
+        mask = (
+            pc.less(sizes, threshold) if small else pc.greater_equal(sizes, threshold)
+        )
         return batch.filter(mask)
 
     return fn
@@ -58,10 +71,11 @@ def _filter_by_size(small: bool):
 def extract_pages(
     source: "str | list[str] | ray.data.Dataset",
     merge_strategy: str = "conservative",
-    concurrency: Optional[int] = None,
-    small_batch_size: int = 256,
+    batch_size: Optional[int] = 128,
+    split_by_size: bool = False,
+    use_actor_pool: bool = False,
     giant_batch_size: int = 4,
-    split_by_size: bool = True,
+    concurrency: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Build the (lazy) extraction pipeline over a pages table.
 
@@ -74,43 +88,32 @@ def extract_pages(
     else:
         ds = ray.data.read_parquet(source, columns=_PAGE_COLUMNS)
 
-    # Autoscaling actor pools sized to the cluster: the small lane may
-    # grow to (cpus - 2) actors — leaving headroom so the read and write
-    # stages never starve — and the rare giant lane to cpus // 8.
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    if concurrency is None:
-        small_conc: "int | tuple" = (1, max(2, cpus - 2))
-        giant_conc: "int | tuple" = (1, max(1, cpus // 8))
-    else:
-        small_conc = concurrency
-        giant_conc = (1, max(1, min(4, int(concurrency if isinstance(concurrency, int) else 4))))
+    def stage(inp: ray.data.Dataset, bs: Optional[int]) -> ray.data.Dataset:
+        if use_actor_pool:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            pool = concurrency if concurrency is not None else max(2, cpus - 2)
+            return inp.map_batches(
+                ExtractDocuments,
+                fn_constructor_kwargs={"merge_strategy": merge_strategy},
+                batch_format="pyarrow",
+                batch_size=bs,
+                concurrency=pool,
+            )
+        import functools
+
+        fn = functools.partial(extract_batch, merge_strategy=merge_strategy)
+        return inp.map_batches(fn, batch_format="pyarrow", batch_size=bs)
 
     if not split_by_size:
-        return ds.map_batches(
-            ExtractDocuments,
-            fn_constructor_kwargs={"merge_strategy": merge_strategy},
-            batch_format="pyarrow",
-            batch_size=small_batch_size,
-            concurrency=small_conc,
-        )
+        return stage(ds, batch_size)
 
-    small = ds.map_batches(
-        _filter_by_size(small=True), batch_format="pyarrow"
-    ).map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"merge_strategy": merge_strategy},
-        batch_format="pyarrow",
-        batch_size=small_batch_size,
-        concurrency=small_conc,
+    small = stage(
+        ds.map_batches(_filter_by_size(small=True), batch_format="pyarrow"),
+        batch_size,
     )
-    giant = ds.map_batches(
-        _filter_by_size(small=False), batch_format="pyarrow"
-    ).map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"merge_strategy": merge_strategy},
-        batch_format="pyarrow",
-        batch_size=giant_batch_size,
-        concurrency=giant_conc,
+    giant = stage(
+        ds.map_batches(_filter_by_size(small=False), batch_format="pyarrow"),
+        giant_batch_size,
     )
     return small.union(giant)
 
@@ -120,7 +123,7 @@ def run_resumable_extraction(
     out_dir: str,
     merge_strategy: str = "conservative",
     shard_size: int = 1,
-    concurrency: Optional[int] = None,
+    **extract_kwargs,
 ) -> dict:
     """Run the pipeline shard-by-shard with per-partition lineage.
 
@@ -145,9 +148,7 @@ def run_resumable_extraction(
         if pid in done:
             skipped.append(pid)
             continue
-        ds = extract_pages(
-            files, merge_strategy=merge_strategy, concurrency=concurrency
-        )
+        ds = extract_pages(files, merge_strategy=merge_strategy, **extract_kwargs)
         write_partition_with_lineage(ds, out_dir, pid, input_files=files)
         ran.append(pid)
     return {"ran": ran, "skipped": skipped, "out_dir": out_dir}

@@ -274,6 +274,11 @@ def write_pages_parquet(
     for shard, start in enumerate(range(0, n_rows, rows_per_file)):
         stop = min(start + rows_per_file, n_rows)
         fname = os.path.join(path, f"pages-{shard:05d}.parquet")
-        pq.write_table(pages_table(start, stop, seed), fname)
+        # Small row groups so a distributed read can split WITHIN a
+        # file — one row group per file caps read parallelism at the
+        # file count (real CC dumps have thousands of shards; small
+        # local corpora don't, so the row-group granularity carries
+        # the parallelism instead).
+        pq.write_table(pages_table(start, stop, seed), fname, row_group_size=1024)
         files.append(fname)
     return files
