@@ -221,22 +221,11 @@ def _q_knn_brute(sf_dir: str):
 
     ids, mat = _load_query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-
-    def drop_self(batch: pa.Table) -> pa.Table:
-        return batch  # self-match removed after ranking instead
-
-    out = knn_bruteforce(emb, mat, ids, k=6)
-
-    def strip_self(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group["neighbor_id"] != group["query_id"]].head(5).copy()
-        g["rank"] = range(1, len(g) + 1)
-        return g
-
-    return (
-        out.groupby("query_id")
-        .map_groups(strip_self, batch_format="pandas")
-        .select_columns(["query_id", "neighbor_id", "rank"])
-    )
+    out = knn_bruteforce(emb, mat, ids, k=6)  # pandas (bounded candidates)
+    out = out[out["neighbor_id"] != out["query_id"]]
+    out = out.groupby("query_id", as_index=False).head(5).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]]
 
 
 def _q_dedup_embedding(sf_dir: str):
@@ -246,13 +235,10 @@ def _q_dedup_embedding(sf_dir: str):
 
     ids, mat = _load_query_vectors(sf_dir, 20)
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_bruteforce(emb, mat, ids, k=2)
-
-    def top1(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group["neighbor_id"] != group["query_id"]].head(1)
-        return g[["query_id", "neighbor_id"]]
-
-    return out.groupby("query_id").map_groups(top1, batch_format="pandas")
+    out = knn_bruteforce(emb, mat, ids, k=2)  # pandas (bounded candidates)
+    out = out[out["neighbor_id"] != out["query_id"]]
+    out = out.groupby("query_id", as_index=False).head(1)
+    return out[["query_id", "neighbor_id"]].reset_index(drop=True)
 
 
 def _q_knn_lsh(sf_dir: str):
@@ -260,8 +246,8 @@ def _q_knn_lsh(sf_dir: str):
 
     ids, mat = _load_query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_lsh(emb, mat, ids, k=5, dim=mat.shape[1])
-    return out.select_columns(["query_id", "neighbor_id", "rank"])
+    out = knn_lsh(emb, mat, ids, k=5, dim=mat.shape[1])  # pandas
+    return out[["query_id", "neighbor_id", "rank"]]
 
 
 def _stats_ds(sf_dir: str) -> ray.data.Dataset:
@@ -358,32 +344,46 @@ def _q_q3_top_orders(sf_dir: str):
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
 
-    from pdf_extractor_ray.functions.relational import broadcast_join
+    # Broadcast semi-join BEFORE the aggregation: only lineitems of
+    # BUILDING-segment orders enter the shuffle (~1/5 of keys), the
+    # rest never leave their batch.
+    seg_keys = np.sort(
+        orders.merge(
+            customer.loc[customer["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )["o_orderkey"].to_numpy()
+    )
+    keys_ref = ray.put(seg_keys)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        disc = pc.multiply(
-            batch["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-        )
-        t = pa.table(
-            {"l_orderkey": batch["l_orderkey"], "rev_c": _cents(disc)}
-        )
-        df = t.to_pandas()
-        g = df.groupby("l_orderkey", as_index=False).agg(revenue_c=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+    class Partial:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, ok)
+            idx[idx >= len(self.keys)] = 0
+            mask = self.keys[idx] == ok
+            batch = batch.filter(pa.array(mask))
+            disc = pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            )
+            df = pa.table(
+                {"l_orderkey": batch["l_orderkey"], "rev_c": _cents(disc)}
+            ).to_pandas()
+            g = df.groupby("l_orderkey", as_index=False).agg(
+                revenue_c=("rev_c", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
 
     per_order = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
+        lineitem.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
-    seg_orders = orders.merge(
-        customer.loc[customer["c_mktsegment"] == "BUILDING", ["c_custkey"]],
-        left_on="o_custkey",
-        right_on="c_custkey",
-    )[["o_orderkey"]].rename(columns={"o_orderkey": "l_orderkey"})
-    joined = broadcast_join(per_order, seg_orders, on="l_orderkey")
-    return joined.sort(
+    return per_order.sort(
         ["revenue_c", "l_orderkey"], descending=[True, False]
     ).limit(10)
 

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 __all__ = [
     "md5_hex",
@@ -187,23 +187,39 @@ def minhash_candidates(
             }
         )
 
-    def pairs(group):  # pandas group: one (band, band_hash) bucket
-        ids = sorted(group["doc_id"].tolist())[:max_bucket]
-        out = list(itertools.combinations(ids, 2))
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hashes = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((hashes % 128).astype("int64"))
+        )
+
+    def pairs(group):  # pandas group: one hash bucket of band rows
         import pandas as pd
 
-        if not out:
+        seen: set[tuple] = set()
+        for (_, _), sub in group.groupby(["band", "band_hash"]):
+            ids = sorted(sub["doc_id"].tolist())[:max_bucket]
+            seen.update(itertools.combinations(ids, 2))
+        if not seen:
             return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out = sorted(seen)
         return pd.DataFrame(
             {"doc_a": [p[0] for p in out], "doc_b": [p[1] for p in out]}
         )
 
-    bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    # The shuffle key is a COARSE bucket (128 of them), not the raw
+    # (band, band_hash): a corpus has millions of tiny band groups and
+    # per-group task overhead dwarfs the work — the fine grouping
+    # happens in pandas inside each bucket. Same result, ~100x fewer
+    # groups. Cross-bucket duplicate pairs (same pair from bands in
+    # different buckets) are possible; callers dedupe the (small)
+    # verified output.
+    bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow"
     )
-    # distinct pairs (a pair can collide in several bands)
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -255,7 +271,14 @@ def minhash_dedup_pairs(
 
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    verified = cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+    def dedupe_pairs(batch):  # drop cross-bucket duplicate pairs
+        return batch.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    # The verified output is small (near-dup pairs); a single-partition
+    # dedupe is fine at any scale because verification already pruned.
+    return verified.repartition(1).map_batches(dedupe_pairs, batch_format="pandas")
 
 
 # -------------------------------------------------------------- simhash
@@ -314,29 +337,45 @@ def simhash_dedup_pairs(
             }
         )
 
-    def pairs(group):
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bands_np = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band16 = batch["band16"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(((bands_np * 65536 + band16) % 128).astype("int64"))
+        )
+
+    def pairs(group):  # one coarse bucket; fine grouping in pandas
         import pandas as pd
 
-        recs = sorted(
-            zip(group["doc_id"].tolist(), group["simhash"].tolist())
-        )[:200]
-        out = []
-        for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
-            ham = bin((int(sa) & 0xFFFFFFFFFFFFFFFF) ^ (int(sb) & 0xFFFFFFFFFFFFFFFF)).count("1")
-            if ham <= max_hamming:
-                out.append((ida, idb, ham))
+        out: dict[tuple, int] = {}
+        for (_, _), sub in group.groupby(["band", "band16"]):
+            recs = sorted(zip(sub["doc_id"].tolist(), sub["simhash"].tolist()))[:200]
+            for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
+                key = (ida, idb)
+                if key in out:
+                    continue
+                ham = bin(
+                    (int(sa) & 0xFFFFFFFFFFFFFFFF)
+                    ^ (int(sb) & 0xFFFFFFFFFFFFFFFF)
+                ).count("1")
+                if ham <= max_hamming:
+                    out[key] = ham
         if not out:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        items = sorted(out.items())
         return pd.DataFrame(
             {
-                "doc_a": [p[0] for p in out],
-                "doc_b": [p[1] for p in out],
-                "hamming": [p[2] for p in out],
+                "doc_a": [k[0] for k, _ in items],
+                "doc_b": [k[1] for k, _ in items],
+                "hamming": [v for _, v in items],
             }
         )
 
-    bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby(["band", "band16"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    def dedupe_pairs(batch):  # cross-bucket duplicates (hamming equal)
+        return batch.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow"
     )
+    cand = bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return cand.repartition(1).map_batches(dedupe_pairs, batch_format="pandas")

@@ -93,16 +93,28 @@ def knn_bruteforce(
                 }
             )
 
-    def final_topk(group):  # per-query merge of per-batch candidates
-        group = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        group = group.copy()
-        group["rank"] = range(1, len(group) + 1)
-        return group
-
     cand = ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8))
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _merge_topk(cand, k)
+
+
+def _merge_topk(cand: ray.data.Dataset, k: int):
+    """Final per-query top-k over the per-batch candidates.
+
+    The candidate set is bounded by Q x k x n_batches rows regardless of
+    corpus size (that's the point of emitting per-batch top-k), so this
+    merge runs on the driver — a shuffle would cost more than the data.
+    """
+    import pandas as pd
+
+    df = cand.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df
 
 
 def knn_lsh(
@@ -183,13 +195,5 @@ def knn_lsh(
                 }
             )
 
-    def final_topk(group):
-        group = group.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        group = group.copy()
-        group["rank"] = range(1, len(group) + 1)
-        return group
-
     cand = ds.map_batches(BucketFilterTopK, batch_format="pyarrow", concurrency=(1, 8))
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _merge_topk(cand, k)
