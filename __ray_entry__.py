@@ -466,6 +466,88 @@ def _q_brand_topk(sf_dir: str):
     ).limit(5)
 
 
+def _q_url_dedup(sf_dir: str):
+    """Exact url-dedup: urls synthesized as doc_id % 200 so collision
+    groups exist at every sf (mirrored by the oracle's printf)."""
+    from pdf_extractor_ray.functions.dedup import key_dedup_summary
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://example.org/page-{i % 200}" for i in ids]
+        return pa.table({"url": pa.array(urls, pa.string()), "doc_id": batch["doc_id"]})
+
+    pages = docs.map_batches(add_url, batch_format="pyarrow")
+    return key_dedup_summary(pages, key_col="url", id_col="doc_id")
+
+
+def _q_word_topk(sf_dir: str):
+    from pdf_extractor_ray.functions.textstats import word_topk
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return word_topk(docs, k=20)
+
+
+def _q_sessionize(sf_dir: str):
+    from pdf_extractor_ray.functions.relational import sessionize_users
+
+    events = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return sessionize_users(events, gap_s=1800)
+
+
+def _q_asof_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.relational import latest_order_asof
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id", "ts"]
+    )
+    orders = pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    return latest_order_asof(events, orders)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from pdf_extractor_ray.functions.similarity import knn_ivf
+
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_ivf(emb, mat, ids, k=5, n_cells=16, nprobe=4)  # pandas
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_element_types(sf_dir: str):
+    """Element-type histogram over the extraction output (SURVEY.md §2.5
+    G2): explode the nested elements column inside each batch, partial-
+    count per type, tiny final groupby."""
+    from pdf_extractor_ray.pipelines import extract_pages
+
+    ds = extract_pages(_pages_from_documents(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for elements in batch["elements"].to_pylist():
+            for el in elements or []:
+                counts[el["type"]] += 1
+        return pa.table(
+            {
+                "element_type": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("element_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def _q_media_features(sf_dir: str):
     from pdf_extractor_ray.functions.multimodal import media_features
 
@@ -496,6 +578,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "url_dedup": _q_url_dedup,
+        "word_topk": _q_word_topk,
+        "sessionize": _q_sessionize,
+        "asof_orders": _q_asof_orders,
+        "element_types": _q_element_types,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "quality_hist": _q_quality_hist,
@@ -574,9 +662,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": f"""
             WITH s AS (SELECT lang, {_STATS_EXPR} FROM documents)
             SELECT lang, count(*) AS n_docs,
-                   sum(n_words) AS sum_words,
-                   sum(n_tokens) AS sum_tokens,
-                   sum(n_punct) AS sum_punct
+                   CAST(sum(n_words) AS BIGINT) AS sum_words,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_punct) AS BIGINT) AS sum_punct
             FROM s GROUP BY lang
         """,
         "lang_id": f"""
@@ -604,9 +692,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
-                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_c,
+                   CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -614,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": """
             WITH rev AS (
                 SELECT l_orderkey,
-                       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_c
+                       CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
                 FROM lineitem GROUP BY l_orderkey
             )
             SELECT rev.l_orderkey, rev.revenue_c
@@ -629,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS window_start,
                    count(*) AS n_events,
-                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sum_value_c
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events
             GROUP BY event_type, window_start
         """,
@@ -643,11 +731,51 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS rev_c
                 FROM lineitem
             )
-            SELECT p.p_brand, sum(rev_c) AS revenue_c
+            SELECT p.p_brand, CAST(sum(rev_c) AS BIGINT) AS revenue_c
             FROM rev JOIN part p ON p.p_partkey = rev.l_partkey
             GROUP BY p.p_brand
             ORDER BY revenue_c DESC, p_brand
             LIMIT 5
+        """,
+        "url_dedup": """
+            WITH p AS (SELECT 'https://example.org/page-' || (doc_id % 200) AS url,
+                              doc_id
+                       FROM documents)
+            SELECT url, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+            FROM p GROUP BY url
+        """,
+        "word_topk": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                       FROM documents)
+            SELECT word, count(*) AS n FROM w
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "sessionize": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id
+        """,
+        "asof_orders": """
+            WITH r AS (SELECT o_custkey, o_orderdate,
+                              max(o_totalprice) AS o_totalprice
+                       FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_type,
+                   count(*) AS n_events,
+                   count(r.o_totalprice) AS n_matched,
+                   CAST(coalesce(sum(CAST(floor(r.o_totalprice*100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS sum_price_c
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+            GROUP BY e.event_type
         """,
         "media_features": """
             SELECT doc_id AS media_id,
@@ -655,8 +783,9 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, CAST(ceil(octet_length(encode(text))/65536.0) AS INT)) AS n_chunks
             FROM documents
         """,
-        # extract_corpus / extract_synthetic / dedup_minhash /
-        # dedup_simhash / dedup_ngram / knn_lsh: not SQL-expressible
+        # extract_corpus / extract_synthetic / element_types /
+        # dedup_minhash / dedup_simhash / dedup_ngram / knn_lsh /
+        # knn_ivf: not SQL-expressible
         # (per-document extraction kernels, sketch-based approximation)
         # -> driver records the weaker rows-only check.
     }

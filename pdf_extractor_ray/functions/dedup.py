@@ -41,6 +41,7 @@ __all__ = [
     "md5_hex",
     "exact_dedup_summary",
     "exact_dedup",
+    "key_dedup_summary",
     "minhash_signature",
     "minhash_candidates",
     "minhash_dedup_pairs",
@@ -117,6 +118,35 @@ def exact_dedup(
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_hash")
         .map_groups(first, batch_format="pandas")
+    )
+
+
+def key_dedup_summary(
+    ds: ray.data.Dataset, key_col: str = "url", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact dedup on a key column (url-dedup, SURVEY.md §7.1 step 8):
+    per distinct key, the kept (minimum) id and the duplicate count.
+
+    Same shuffle shape as ``exact_dedup_summary`` but keyed on the raw
+    column value — the per-batch partial (vectorized pandas groupby)
+    collapses each batch to one row per distinct key before the hash
+    exchange, so the all-to-all carries keys, not rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({key_col: batch[key_col], id_col: batch[id_col]}).to_pandas()
+        g = df.groupby(key_col, as_index=False).agg(
+            keep_doc_id=(id_col, "min"), dup_count=(id_col, "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("dup_count", alias_name="dup_count"),
+        )
     )
 
 

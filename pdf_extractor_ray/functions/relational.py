@@ -15,12 +15,23 @@ Patterns demonstrated (each is the scale-path shape, not the easy one):
   - tumbling window: event-time bucketed aggregate (groupby over
     floor(ts)) — Ray Data has no watermarks; batch semantics are exact
     for a bounded table
+  - sessionization: gap-based sessions need every row of one user
+    co-located AND time-sorted — shuffled by a COARSE user bucket
+    (cheap hash exchange of narrow rows), with the per-user sort +
+    gap fold vectorized in pandas inside each bucket group
+  - as-of join: latest order at-or-before each event's timestamp —
+    the order side rides as a broadcast (``ray.put`` once), probed per
+    batch with ``pd.merge_asof`` (vectorized backward search); the
+    event side never shuffles. At 100 TB with a huge right side, swap
+    the broadcast for hash-partitioning both sides on the key and a
+    sort-merge within each partition.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,6 +47,8 @@ __all__ = [
     "events_tumbling_window",
     "distinct_users_per_type",
     "brand_revenue_topk",
+    "sessionize_users",
+    "latest_order_asof",
 ]
 
 
@@ -200,3 +213,116 @@ def brand_revenue_topk(
         Sum("revenue", alias_name="revenue")
     )
     return per_brand.sort(["revenue", "p_brand"], descending=[True, False]).limit(k)
+
+
+def sessionize_users(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: per user, a new session starts when the
+    gap to the previous event exceeds ``gap_s``.
+
+    Output per user_id: ``n_sessions``, ``n_events``. The shuffle key is
+    a coarse ``user_id & (n_buckets-1)`` bucket (narrow rows, bounded
+    group count); all rows of one user land in one bucket, and the
+    session fold inside a bucket is a vectorized pandas sort + diff —
+    no per-user task overhead. Equal-timestamp ties cannot split a
+    session (gap 0 <= gap_s), so the count is order-stable.
+    """
+    gap_us = gap_s * 1_000_000
+    mask = n_buckets - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        # normalize whatever timestamp unit the source used to us
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": ts_us,
+                "bucket": pc.bit_wise_and(uid, mask),
+            }
+        )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts_us"].diff()
+        start = (new_user | (gap > gap_us)).astype("int64")
+        return (
+            g.assign(is_start=start)
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("is_start", "sum"), n_events=("is_start", "size"))
+        )
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def latest_order_asof(
+    events: ray.data.Dataset, orders_small: pd.DataFrame
+) -> ray.data.Dataset:
+    """As-of join: for each event, the customer's latest order with
+    ``o_orderdate <= ts``; rolled up per event_type.
+
+    Output per event_type: ``n_events``, ``n_matched``,
+    ``sum_price_c`` (matched o_totalprice in integer centi-units).
+    The order side is deduped to one row per (custkey, orderdate) —
+    keeping max(o_totalprice) — so the as-of match is well-defined on
+    ties, then broadcast once; each event batch runs one vectorized
+    ``pd.merge_asof`` probe and emits a per-type partial aggregate, so
+    the final shuffle carries a handful of rows per batch.
+    """
+    right = (
+        orders_small.groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .agg(o_totalprice=("o_totalprice", "max"))
+        .sort_values("o_orderdate")
+        .reset_index(drop=True)
+    )
+    right_ref = ray.put(right)
+
+    class Probe:
+        def __init__(self):
+            self.right = ray.get(right_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[["event_type", "user_id", "ts"]].sort_values("ts")
+            m = pd.merge_asof(
+                b,
+                self.right,
+                left_on="ts",
+                right_on="o_orderdate",
+                left_by="user_id",
+                right_by="o_custkey",
+                direction="backward",
+            )
+            matched = m["o_totalprice"].notna()
+            price_c = np.floor(
+                m["o_totalprice"].fillna(0.0) * 100 + 0.5
+            ).astype("int64")
+            part = pd.DataFrame(
+                {
+                    "event_type": m["event_type"],
+                    "matched": matched.astype("int64"),
+                    "price_c": price_c.where(matched, 0),
+                }
+            )
+            return part.groupby("event_type", as_index=False).agg(
+                n_events=("matched", "size"),
+                n_matched=("matched", "sum"),
+                sum_price_c=("price_c", "sum"),
+            )
+
+    partials = events.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("sum_price_c", alias_name="sum_price_c"),
+    )

@@ -28,7 +28,13 @@ import re
 
 import pyarrow as pa
 
-__all__ = ["doc_stats_batch", "STOPWORDS", "QUALITY_LONG", "QUALITY_SHORT"]
+__all__ = [
+    "doc_stats_batch",
+    "word_topk",
+    "STOPWORDS",
+    "QUALITY_LONG",
+    "QUALITY_SHORT",
+]
 
 _WORD_RE = re.compile(r"\S+")
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
@@ -81,6 +87,43 @@ def _doc_stats(text: str) -> dict:
         "fingerprint": fingerprint,
         "quality_class": quality,
     }
+
+
+_WORD_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def word_topk(ds, k: int = 20, text_col: str = "text"):
+    """Global top-k word frequencies over a text column.
+
+    The explode (doc -> words) never leaves the batch: a per-batch
+    Counter collapses each batch to one row per distinct word before
+    the groupby, so the all-to-all carries the batch vocabulary (~10^4
+    rows) instead of the token stream (~10^6). The final sort runs on
+    the already-aggregated vocabulary. Tokenization is
+    ``lower(text)`` scanned with ``[a-z0-9]+`` (mirrored in the SQL
+    oracle's regexp_extract_all).
+    """
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counts.update(_WORD_TOKEN_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
 def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -1,0 +1,242 @@
+"""New corpus/relational operators vs DuckDB goldens at sf0.001:
+sessionization, as-of join, url dedup, word top-k, IVF ANN.
+
+Each test mirrors the driver's correctness gate shape (same SQL as
+__ray_entry__.oracle_sql) but at the smallest sf so the suite stays
+fast. knn_ivf has no SQL oracle — its anchor is exact equality with
+brute force under a full probe (nprobe == n_cells degrades IVF to a
+scan) plus sanity under a partial probe.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("events", "orders", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+class TestSessionize:
+    def test_matches_window_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import sessionize_users
+
+        events = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        got = _canon(_to_pandas(sessionize_users(events, gap_s=1800)))
+        want = _canon(
+            _duck()
+            .execute(
+                """
+                WITH x AS (
+                    SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                        > 1800 * 1000000
+                                THEN 1 ELSE 0 END AS is_start
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                )
+                SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events
+                FROM x GROUP BY user_id
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_single_user_gap_fold(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import sessionize_users
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            {"user_id": 7, "ts": base},
+            {"user_id": 7, "ts": base + datetime.timedelta(minutes=10)},
+            {"user_id": 7, "ts": base + datetime.timedelta(minutes=90)},  # new sess
+            {"user_id": 7, "ts": base + datetime.timedelta(minutes=95)},
+            {"user_id": 8, "ts": base},
+        ]
+        out = _to_pandas(sessionize_users(ray.data.from_items(rows), gap_s=1800))
+        out = out.set_index("user_id")
+        assert out.loc[7, "n_sessions"] == 2
+        assert out.loc[7, "n_events"] == 4
+        assert out.loc[8, "n_sessions"] == 1
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import latest_order_asof
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id", "ts"]
+        )
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ).to_pandas()
+        got = _canon(_to_pandas(latest_order_asof(events, orders)))
+        want = _canon(
+            _duck()
+            .execute(
+                """
+                WITH r AS (SELECT o_custkey, o_orderdate,
+                                  max(o_totalprice) AS o_totalprice
+                           FROM orders GROUP BY o_custkey, o_orderdate)
+                SELECT e.event_type, count(*) AS n_events,
+                       count(r.o_totalprice) AS n_matched,
+                       coalesce(sum(CAST(floor(r.o_totalprice*100 + 0.5) AS BIGINT)), 0)
+                           AS sum_price_c
+                FROM events e ASOF LEFT JOIN r
+                  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+                GROUP BY e.event_type
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestUrlDedup:
+    def test_matches_group_sql(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.dedup import key_dedup_summary
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+
+        def add_url(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            urls = [f"https://example.org/page-{i % 200}" for i in ids]
+            return pa.table(
+                {"url": pa.array(urls, pa.string()), "doc_id": batch["doc_id"]}
+            )
+
+        pages = docs.map_batches(add_url, batch_format="pyarrow")
+        got = _canon(_to_pandas(key_dedup_summary(pages)))
+        want = _canon(
+            _duck()
+            .execute(
+                """
+                WITH p AS (SELECT 'https://example.org/page-' || (doc_id % 200)
+                                      AS url, doc_id
+                           FROM documents)
+                SELECT url, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+                FROM p GROUP BY url
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestWordTopK:
+    def test_matches_unnest_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import word_topk
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        got = _to_pandas(word_topk(docs, k=20)).reset_index(drop=True)
+        want = (
+            _duck()
+            .execute(
+                """
+                WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9]+')) AS word
+                           FROM documents)
+                SELECT word, count(*) AS n FROM w
+                GROUP BY word ORDER BY n DESC, word LIMIT 20
+                """
+            )
+            .df()
+        )
+        # order matters for top-k: compare positionally
+        assert got["word"].tolist() == want["word"].tolist()
+        assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+
+
+class TestKnnIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, ray_session):
+        import ray.data
+
+        return ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    @pytest.fixture(scope="class")
+    def queries(self):
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").head(5)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        return df["vec_id"].tolist(), mat
+
+    def test_full_probe_equals_bruteforce(self, emb, queries):
+        from pdf_extractor_ray.functions.similarity import knn_bruteforce, knn_ivf
+
+        ids, mat = queries
+        brute = knn_bruteforce(emb, mat, ids, k=5)
+        ivf = knn_ivf(emb, mat, ids, k=5, n_cells=8, nprobe=8)
+        pd.testing.assert_frame_equal(
+            ivf.reset_index(drop=True), brute.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_partial_probe_subset_and_recall(self, emb, queries):
+        from pdf_extractor_ray.functions.similarity import knn_bruteforce, knn_ivf
+
+        ids, mat = queries
+        brute = knn_bruteforce(emb, mat, ids, k=5)
+        ivf = knn_ivf(emb, mat, ids, k=5, n_cells=8, nprobe=3)
+        # every query answered, ranks well-formed, self in top ranks
+        assert set(ivf["query_id"]) == set(ids)
+        for qid, grp in ivf.groupby("query_id"):
+            assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+            assert (grp["cosine"].diff().dropna() <= 1e-12).all()
+            # the query vector itself is always in its own probed cell
+            assert grp.iloc[0]["neighbor_id"] == qid
+        # partial probe keeps decent recall vs brute on the top-5
+        hits = len(
+            set(map(tuple, ivf[["query_id", "neighbor_id"]].values))
+            & set(map(tuple, brute[["query_id", "neighbor_id"]].values))
+        )
+        assert hits / len(brute) >= 0.3
