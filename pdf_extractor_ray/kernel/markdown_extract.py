@@ -121,12 +121,21 @@ def extract_from_markdown_text(
     repo_link: str = "",
     extraction_date: str = "",
     table_cache: Optional[list[dict[str, Any]]] = None,
+    marker_tables: Optional[list[dict[str, Any]]] = None,
+    marker_images: Optional[list[dict[str, Any]]] = None,
     default_code_type: str = "md",
 ) -> list[dict[str, Any]]:
     """Extract the element stream from a markdown string.
 
     Returns a list of element dicts with the reference envelope. Pure and
     deterministic: same input -> same output, byte for byte.
+
+    ``marker_tables`` / ``marker_images`` are the row-local enrichment
+    joins (markdown_extractor.py:460-472 / :398-413): the FIRST marker
+    record on the same page attaches its table data / bbox to the
+    element and flips ``source`` to "marker_json". The bbox set by the
+    table join then participates in the ``table_cache`` IoU validation,
+    matching the reference's ordering.
     """
     hierarchy = SectionHierarchy()
     elements: list[dict[str, Any]] = []
@@ -179,6 +188,18 @@ def extract_from_markdown_text(
         if table_data is None:
             return
         validation: dict[str, Any] = {"valid": True, "issues": [], "source": "markdown"}
+        if marker_tables:
+            # J1: first marker table on the same page enriches the
+            # element (markdown_extractor.py:460-472).
+            matching = next(
+                (t for t in marker_tables if t.get("page") == current_page), None
+            )
+            if matching is not None:
+                if matching.get("table_data") is not None:
+                    table_data["marker_data"] = matching["table_data"]
+                validation["source"] = "marker_json"
+                if matching.get("bbox") is not None:
+                    validation["bbox"] = list(matching["bbox"])
         if table_cache:
             # Semi-join vs the cached table records for this document:
             # valid iff any cache entry on the same page overlaps
@@ -327,6 +348,17 @@ def extract_from_markdown_text(
                 "src": image_data["src"] if image_data else "",
                 "source": "markdown",
             }
+            if marker_images:
+                # J2: first marker image on the same page contributes a
+                # bbox (markdown_extractor.py:398-413).
+                matching = next(
+                    (m for m in marker_images if m.get("page") == current_page),
+                    None,
+                )
+                if matching is not None:
+                    if matching.get("bbox") is not None:
+                        metadata["bbox"] = list(matching["bbox"])
+                    metadata["source"] = "marker_json"
             elements.append(
                 envelope("image", stripped, (lineno, lineno), current_page, metadata)
             )

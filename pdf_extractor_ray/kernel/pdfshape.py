@@ -40,9 +40,74 @@ from pdf_extractor_ray.kernel.tables import (
     process_and_merge_tables,
 )
 
-__all__ = ["parse_pdf_shaped", "extract_pdf_document", "table_quality"]
+__all__ = [
+    "parse_pdf_shaped",
+    "extract_pdf_document",
+    "table_quality",
+    "is_scanned_pdf",
+    "ocr_preprocess",
+]
 
 LOW_CONFIDENCE_THRESHOLD = 75.0
+
+# Scanned-PDF detection thresholds (context7/pdf_extractor/config.py:34-36:
+# check at most 5 pages; a page with < 100 chars of text layer counts as
+# image-only).
+SCANNED_CHECK_MAX_PAGES = 5
+SCANNED_MIN_CHARS_PER_PAGE = 100
+
+
+def _page_text_chars(page: dict[str, Any]) -> int:
+    total = 0
+    for block in page.get("blocks") or []:
+        if block.get("type") == "text":
+            for span in block.get("spans") or []:
+                total += len(str(span.get("text", "")))
+        elif block.get("type") == "heading":
+            total += len(str(block.get("text", "")))
+    return total
+
+
+def is_scanned_pdf(doc: dict[str, Any]) -> bool:
+    """True iff the document has no usable text layer (M13,
+    table_extraction.py:177-187): every checked page (first
+    ``SCANNED_CHECK_MAX_PAGES``) carries fewer than
+    ``SCANNED_MIN_CHARS_PER_PAGE`` characters of text."""
+    pages = (doc.get("pages") or [])[:SCANNED_CHECK_MAX_PAGES]
+    if not pages:
+        return False
+    return all(_page_text_chars(p) < SCANNED_MIN_CHARS_PER_PAGE for p in pages)
+
+
+def ocr_preprocess(doc: dict[str, Any]) -> dict[str, Any]:
+    """OCR tier for scanned documents (M14, table_extraction.py:189-208).
+
+    The real pipeline rasterizes pages at 200 dpi and runs tesseract;
+    neither pdf2image nor pytesseract exists in this environment, so the
+    recognizer is a DETERMINISTIC FAKE: each image block that carries an
+    ``ocr_text`` field (the synthetic corpus's stand-in for pixels)
+    becomes a text block, tagged ``source: "ocr"``. The surrounding
+    plumbing — detection, page walk, synthetic-text-layer rebuild, and
+    the actor-pool stage shape — is real; swapping in tesseract is a
+    one-function change here.
+    """
+    out_pages = []
+    for page in doc.get("pages") or []:
+        blocks = []
+        for block in page.get("blocks") or []:
+            if block.get("type") == "image" and block.get("ocr_text"):
+                blocks.append(
+                    {
+                        "type": "text",
+                        "bbox": block.get("bbox") or [0, 0, 0, 0],
+                        "spans": [{"text": str(block["ocr_text"])}],
+                        "source": "ocr",
+                    }
+                )
+            else:
+                blocks.append(block)
+        out_pages.append({**page, "blocks": blocks})
+    return {**doc, "pages": out_pages, "ocr_applied": True}
 
 
 def _reading_order(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -151,6 +216,12 @@ def extract_pdf_document(
     same tables as pipe-markdown content with the record attached in
     ``metadata["record"]``.
     """
+    # Scanned documents (no text layer) go through the OCR tier first
+    # (table_extraction.py:225-229 branch): the rebuilt text layer then
+    # flows through the exact same extraction below.
+    if is_scanned_pdf(doc):
+        doc = ocr_preprocess(doc)
+
     pages = doc.get("pages") or []
     table_records: list[dict[str, Any]] = []
     page_blocks: dict[int, list[dict[str, Any]]] = {}

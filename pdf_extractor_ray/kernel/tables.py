@@ -37,9 +37,59 @@ __all__ = [
     "process_and_merge_tables",
     "marker_table_similarity",
     "parse_table_data",
+    "camelot_to_pymupdf_coords",
+    "clean_table_grid",
 ]
 
 Table = dict[str, Any]
+
+
+def camelot_to_pymupdf_coords(
+    bbox: list[float], page_height: float, zoom: float = 1.0
+) -> list[float]:
+    """Camelot bbox (bottom-left origin, y grows up) -> PyMuPDF bbox
+    (top-left origin, y grows down), scaled by ``zoom``.
+
+    The reference imports this from a missing module
+    (table_extraction.py:17); the spec is inferred from its call sites
+    (:446 converts before storing, :607 before rendering the pixmap):
+    x passes through, y flips against the page height, and both corners
+    re-sort so y1 <= y2 in the new frame.
+    """
+    x1, y1, x2, y2 = (float(v) for v in bbox)
+    top = page_height - max(y1, y2)
+    bottom = page_height - min(y1, y2)
+    return [x1 * zoom, top * zoom, x2 * zoom, bottom * zoom]
+
+
+_NUM_CLEAN_RE = None  # compiled lazily below
+
+
+def clean_table_grid(grid: list[list[str]]) -> list[list[str]]:
+    """Per-cell cleanup of a parsed table grid (M10,
+    table_extraction.py:373-392 semantics without the pandas frame):
+    newlines -> spaces, whitespace runs collapsed, cells stripped, and
+    numeric-looking strings canonicalized (``"1,234.00 "`` -> ``"1234.0"``,
+    the value ``pd.to_numeric(errors="ignore")`` would produce when
+    round-tripped to str). Non-numeric cells pass through cleaned.
+    """
+    import re
+
+    global _NUM_CLEAN_RE
+    if _NUM_CLEAN_RE is None:
+        _NUM_CLEAN_RE = re.compile(r"^-?\d{1,3}(,\d{3})*(\.\d+)?$|^-?\d+(\.\d+)?$")
+    out: list[list[str]] = []
+    for row in grid:
+        new_row = []
+        for cell in row:
+            c = " ".join(str(cell).split())
+            if _NUM_CLEAN_RE.match(c):
+                plain = c.replace(",", "")
+                num = float(plain)
+                c = str(int(num)) if "." not in plain else str(num)
+            new_row.append(c)
+        out.append(new_row)
+    return out
 
 
 def calculate_iou(box1: list[float], box2: list[float]) -> float:
