@@ -66,6 +66,18 @@ _ATTR_RE = re.compile(
 )
 
 
+def _collapse(text: str) -> str:
+    """``_WS_RE.sub(" ", text)`` with a C-level identity fast path: the
+    sub only changes strings containing a tab-class char or a 2+ space
+    run, so most single-spaced blocks skip the regex entirely."""
+    if (
+        "  " in text or "\t" in text or "\r" in text
+        or "\f" in text or "\v" in text
+    ):
+        return _WS_RE.sub(" ", text)
+    return text
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
     out = {}
     for m in _ATTR_RE.finditer(raw):
@@ -100,8 +112,14 @@ class _Builder:
     def _flush_inline(self) -> None:
         if not self._inline:
             return
-        text = _WS_RE.sub(" ", "".join(self._inline)).strip()
+        joined = "".join(self._inline)
         self._inline.clear()
+        # Inter-tag indentation flushes are the common case: a C-level
+        # isspace check skips the regex entirely (same output — the
+        # collapse+strip of pure whitespace is "").
+        if joined.isspace():
+            return
+        text = _collapse(joined).strip()
         if text:
             self.blocks.append(text)
 
@@ -113,6 +131,11 @@ class _Builder:
         elif self._in_cell:
             self._row_cells[-1] += text
         else:
+            # Leading whitespace would be stripped at flush time anyway;
+            # dropping it here keeps the buffer empty across inter-tag
+            # gaps (byte-identical output, far fewer flush scans).
+            if not self._inline and text.isspace():
+                return
             self._inline.append(text)
 
     def comment(self, text: str) -> None:
@@ -179,7 +202,7 @@ class _Builder:
         if self._skip_depth:
             return
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            text = _WS_RE.sub(" ", "".join(self._inline)).strip()
+            text = _collapse("".join(self._inline)).strip()
             self._inline.clear()
             if text:
                 self.blocks.append("#" * self._heading_level + " " + text)
@@ -199,7 +222,7 @@ class _Builder:
         elif tag in ("ul", "ol"):
             self._flush_inline()
         elif tag == "li":
-            text = _WS_RE.sub(" ", "".join(self._inline)).strip()
+            text = _collapse("".join(self._inline)).strip()
             self._inline.clear()
             if text:
                 self.blocks.append(f"- {text}")
@@ -209,7 +232,7 @@ class _Builder:
         elif tag == "tr" and self._in_table:
             if self._row_cells:
                 self._table_rows.append(
-                    [_WS_RE.sub(" ", c).strip() for c in self._row_cells]
+                    [_collapse(c).strip() for c in self._row_cells]
                 )
             self._row_cells = []
         elif tag == "table":
