@@ -26,7 +26,11 @@ import sys
 import time
 
 BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "100000"))
-CORPUS_DIR = f"/tmp/bench_pages_{BENCH_ROWS}"
+# 2.5k rows/file -> 40 files for the default corpus: file count bounds
+# read-task parallelism, and 10 files left a third of a 32-CPU box idle
+# during the read phase. Real CC dumps ship thousands of shards.
+BENCH_ROWS_PER_FILE = int(os.environ.get("BENCH_ROWS_PER_FILE", "2500"))
+CORPUS_DIR = f"/tmp/bench_pages_{BENCH_ROWS}x{BENCH_ROWS_PER_FILE}"
 
 
 def _ensure_corpus() -> str:
@@ -38,7 +42,7 @@ def _ensure_corpus() -> str:
     shutil.rmtree(CORPUS_DIR, ignore_errors=True)
     from pdf_extractor_ray.sources.corpus import write_pages_parquet
 
-    write_pages_parquet(CORPUS_DIR, BENCH_ROWS, rows_per_file=10_000)
+    write_pages_parquet(CORPUS_DIR, BENCH_ROWS, rows_per_file=BENCH_ROWS_PER_FILE)
     with open(marker, "w") as f:
         f.write("ok")
     return CORPUS_DIR
