@@ -519,6 +519,18 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Per-cluster vector counts after broadcast k-means assignment."""
+    from pdf_extractor_ray.functions.similarity import cluster_assign
+
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return (
+        cluster_assign(emb, n_clusters=16)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_vectors"))
+    )
+
+
 def _q_element_types(sf_dir: str):
     """Element-type histogram over the extraction output (SURVEY.md §2.5
     G2): explode the nested elements column inside each batch, partial-
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_orders": _q_asof_orders,
         "element_types": _q_element_types,
+        "embedding_clusters": _q_embedding_clusters,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "quality_hist": _q_quality_hist,
@@ -785,7 +798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # extract_corpus / extract_synthetic / element_types /
         # dedup_minhash / dedup_simhash / dedup_ngram / knn_lsh /
-        # knn_ivf: not SQL-expressible
+        # knn_ivf / embedding_clusters: not SQL-expressible
         # (per-document extraction kernels, sketch-based approximation)
         # -> driver records the weaker rows-only check.
     }

@@ -34,7 +34,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["knn_bruteforce", "knn_lsh", "knn_ivf", "cosine_topk_local"]
+__all__ = [
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "cluster_assign",
+    "cosine_topk_local",
+]
 
 
 def _to_matrix(vectors) -> np.ndarray:
@@ -295,3 +301,40 @@ def knn_ivf(
 
     cand = ds.map_batches(CellFilterTopK, batch_format="pyarrow", concurrency=(1, 8))
     return _merge_topk(cand, k)
+
+
+def cluster_assign(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_rows: int = 2048,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest k-means centroid (cosine).
+
+    The training sample is bounded and driver-side (same centroids as
+    ``knn_ivf``); assignment is one broadcast + one matmul per batch —
+    embarrassingly parallel, no shuffle. Output: (id, cluster). At
+    100 TB this is the standard embedding-space bucketing step feeding
+    per-cluster dedup / sampling / curriculum jobs.
+    """
+    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
+    cent = _kmeans_centroids(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+            cells = (mat @ self.cent.T).argmax(axis=1)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cluster": pa.array(cells.astype("int64")),
+                }
+            )
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))

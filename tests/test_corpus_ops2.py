@@ -240,3 +240,21 @@ class TestKnnIvf:
             & set(map(tuple, brute[["query_id", "neighbor_id"]].values))
         )
         assert hits / len(brute) >= 0.3
+
+
+class TestClusterAssign:
+    def test_every_vector_assigned_once_deterministically(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.similarity import cluster_assign
+
+        emb = ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        a = cluster_assign(emb, n_clusters=8).to_pandas().sort_values("vec_id")
+        b = cluster_assign(emb, n_clusters=8).to_pandas().sort_values("vec_id")
+        n = emb.count()
+        assert len(a) == n and a["vec_id"].is_unique
+        assert a["cluster"].between(0, 7).all()
+        assert a["cluster"].nunique() > 1  # nontrivial partition
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
