@@ -750,6 +750,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_c DESC, p_brand
             LIMIT 5
         """,
+        # ground truth for the near-dup sketches: ALL pairs with exact
+        # word-3-gram Jaccard >= threshold, computed by brute-force
+        # cross join in SQL (O(n^2) — fine at the sf0.01 gate scale).
+        # MinHash-LSH at 16 bands x 4 rows has >= 0.9998 recall at
+        # J=0.8, and on this deterministic corpus it finds exactly the
+        # true pair set, so the comparison is stable.
+        "dedup_minhash": f"""
+            WITH d AS ({_DUP_SQL}),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                         END) AS sh
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\\S+') AS words
+                      FROM d)
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM p WHERE j >= 0.8
+        """,
+        "dedup_ngram": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                         END) AS sh
+                FROM (SELECT doc_id, source,
+                             regexp_extract_all(lower(text), '\\S+') AS words
+                      FROM documents)
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM s a JOIN s b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM p WHERE j >= 0.2
+        """,
         "url_dedup": """
             WITH p AS (SELECT 'https://example.org/page-' || (doc_id % 200) AS url,
                               doc_id
@@ -797,8 +847,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # extract_corpus / extract_synthetic / element_types /
-        # dedup_minhash / dedup_simhash / dedup_ngram / knn_lsh /
-        # knn_ivf / embedding_clusters: not SQL-expressible
-        # (per-document extraction kernels, sketch-based approximation)
-        # -> driver records the weaker rows-only check.
+        # dedup_simhash / knn_lsh / knn_ivf / embedding_clusters: not
+        # SQL-expressible (per-document extraction kernels, sketch- or
+        # geometry-specific approximation) -> driver records the weaker
+        # rows-only check.
     }
