@@ -1,0 +1,70 @@
+"""Pipeline execution-lane equivalence: the two-lane size split and the
+actor-pool stage must produce byte-identical results to the default
+stateless-task lane (only scheduling differs, never semantics).
+"""
+
+import pytest
+
+from pdf_extractor_ray.sources.corpus import write_pages_parquet
+
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lane_pages"))
+    write_pages_parquet(d, N_ROWS, rows_per_file=100)
+    return d
+
+
+def _extract_map(ray_session, corpus_dir, **kwargs):
+    from pdf_extractor_ray.pipelines import extract_pages
+
+    rows = extract_pages(corpus_dir, **kwargs).take_all()
+    return {r["url"]: (r["extracted_text"], r["status"], r["n_elements"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def baseline(ray_session, corpus_dir):
+    return _extract_map(ray_session, corpus_dir)
+
+
+class TestLaneEquivalence:
+    def test_baseline_complete(self, baseline):
+        assert len(baseline) == N_ROWS
+
+    def test_split_by_size_lane(self, ray_session, corpus_dir, baseline):
+        got = _extract_map(ray_session, corpus_dir, split_by_size=True)
+        assert got == baseline
+
+    def test_split_by_size_routes_giants(self, ray_session, corpus_dir):
+        # the giant lane actually receives rows on this corpus
+        import pyarrow.dataset as pads
+        import pyarrow.compute as pc
+
+        from pdf_extractor_ray.pipelines.extract_pipeline import (
+            GIANT_PAYLOAD_BYTES,
+        )
+
+        t = pads.dataset(corpus_dir).to_table(columns=["html"])
+        sizes = pc.fill_null(pc.binary_length(t["html"]), 0)
+        n_giant = pc.sum(
+            pc.cast(pc.greater_equal(sizes, GIANT_PAYLOAD_BYTES), "int64")
+        ).as_py()
+        assert n_giant > 0
+
+    def test_actor_pool_lane(self, ray_session, corpus_dir, baseline):
+        got = _extract_map(
+            ray_session, corpus_dir, use_actor_pool=True, concurrency=2
+        )
+        assert got == baseline
+
+    def test_merge_strategy_none_differs_only_in_tables(
+        self, ray_session, corpus_dir, baseline
+    ):
+        got = _extract_map(ray_session, corpus_dir, merge_strategy="none")
+        assert set(got) == set(baseline)
+        # strategy only affects documents with merged multi-page tables
+        changed = [u for u in got if got[u] != baseline[u]]
+        for u in changed:
+            assert got[u][2] >= baseline[u][2]  # unmerged keeps more tables
