@@ -356,30 +356,30 @@ def _q_q3_top_orders(sf_dir: str):
     )
     keys_ref = ray.put(seg_keys)
 
-    class Partial:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, ok)
-            idx[idx >= len(self.keys)] = 0
-            mask = self.keys[idx] == ok
-            batch = batch.filter(pa.array(mask))
-            disc = pc.multiply(
-                batch["l_extendedprice"],
-                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-            )
-            df = pa.table(
-                {"l_orderkey": batch["l_orderkey"], "rev_c": _cents(disc)}
-            ).to_pandas()
-            g = df.groupby("l_orderkey", as_index=False).agg(
-                revenue_c=("rev_c", "sum")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    # Stateless task, not an actor pool: ray.get of a numpy array is a
+    # zero-copy plasma read, so re-"loading" the broadcast per batch is
+    # free and the task form skips the actor pool's slow ramp-up.
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ok)
+        idx[idx >= len(keys)] = 0
+        mask = keys[idx] == ok
+        batch = batch.filter(pa.array(mask))
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        df = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev_c": _cents(disc)}
+        ).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_c=("rev_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     per_order = (
-        lineitem.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+        lineitem.map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
@@ -433,33 +433,36 @@ def _q_brand_topk(sf_dir: str):
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
-    part = pq.read_table(
-        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"]
-    ).to_pandas()
-
-    from pdf_extractor_ray.functions.relational import broadcast_join
+    part = (
+        pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    # Broadcast the partkey->brand map and fold the join INTO the
+    # partial aggregation: each batch emits one row per brand (~25),
+    # so the all-to-all carries brands, never lineitems or partkeys.
+    keys_ref = ray.put(part["p_partkey"].to_numpy())
+    brands_ref = ray.put(part["p_brand"].to_numpy())
 
     def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)  # zero-copy plasma reads
+        brands = ray.get(brands_ref)
         disc = pc.multiply(
             batch["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
-        return pa.table(
-            {"l_partkey": batch["l_partkey"], "rev_c": _cents(disc)}
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, pk)
+        df = pd.DataFrame(
+            {"p_brand": brands[idx], "rev_c": _cents(disc).to_numpy()}
         )
+        g = df.groupby("p_brand", as_index=False).agg(revenue_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_part = (
+    per_brand = (
         lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("rev_c", alias_name="revenue_c"))
-    )
-    joined = broadcast_join(
-        per_part,
-        part.rename(columns={"p_partkey": "l_partkey"})[["l_partkey", "p_brand"]],
-        on="l_partkey",
-    )
-    per_brand = joined.groupby("p_brand").aggregate(
-        Sum("revenue_c", alias_name="revenue_c")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
     return per_brand.sort(
         ["revenue_c", "p_brand"], descending=[True, False]

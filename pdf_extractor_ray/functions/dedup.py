@@ -274,34 +274,39 @@ def minhash_dedup_pairs(
     module docstring for the 100 TB replacement).
     """
     side = ds.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(side[id_col].tolist(), side[text_col].tolist())))
+    # Broadcast as an Arrow table (plasma zero-copy), not a Python dict:
+    # a dict would deserialize per task, an Arrow table maps shared
+    # memory. Tasks rebuild the id->text view lazily per batch from the
+    # mapped buffers — the candidate stream has only a handful of
+    # batches, so stateless tasks beat an actor pool's ramp-up.
+    side_ref = ray.put(
+        pa.table({id_col: side[id_col].tolist(), text_col: side[text_col].tolist()})
+    )
     cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def verify(batch: pa.Table) -> pa.Table:
+        side_t = ray.get(side_ref)
+        texts = dict(
+            zip(side_t[id_col].to_pylist(), side_t[text_col].to_pylist())
+        )
+        doc_a = batch["doc_a"].to_pylist()
+        doc_b = batch["doc_b"].to_pylist()
+        jac = [
+            ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+            for a, b in zip(doc_a, doc_b)
+        ]
+        out = pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_a = batch["doc_a"].to_pylist()
-            doc_b = batch["doc_b"].to_pylist()
-            jac = [
-                ngram_jaccard(
-                    self.texts.get(a, ""), self.texts.get(b, ""), shingle_k
-                )
-                for a, b in zip(doc_a, doc_b)
-            ]
-            out = pa.table(
-                {
-                    "doc_a": pa.array(doc_a, pa.int64()),
-                    "doc_b": pa.array(doc_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
-            import pyarrow.compute as pc
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
-
-    verified = cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    verified = cand.map_batches(verify, batch_format="pyarrow")
 
     def dedupe_pairs(batch):  # drop cross-bucket duplicate pairs
         return batch.drop_duplicates(subset=["doc_a", "doc_b"])

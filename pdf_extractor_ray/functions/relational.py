@@ -59,17 +59,17 @@ def broadcast_join(
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Join a large Dataset against a small in-memory side, broadcast
-    once and probed per batch (no shuffle of the large side)."""
+    once and probed per batch (no shuffle of the large side).
+
+    Stateless task: ``ray.get`` of a numeric-columned DataFrame is a
+    near-zero-copy plasma read, so re-fetching per batch costs nothing
+    and the task form avoids an actor pool's ramp-up."""
     ref = ray.put(small)
 
-    class Probe:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(probe, batch_format="pandas")
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
@@ -189,28 +189,34 @@ def distinct_users_per_type(events: ray.data.Dataset) -> ray.data.Dataset:
 def brand_revenue_topk(
     lineitem: ray.data.Dataset, part_small: pd.DataFrame, k: int = 5
 ) -> ray.data.Dataset:
-    """Revenue per part brand (broadcast join lineitem->part), top-k."""
+    """Revenue per part brand, top-k.
+
+    The partkey->brand dimension rides as two broadcast numpy arrays
+    (zero-copy per task) and the join folds INTO the per-batch partial
+    aggregation: each batch emits one row per brand, so the shuffle
+    carries the brand cardinality (~dozens), never lineitems."""
+    dim = part_small.sort_values("p_partkey")
+    keys_ref = ray.put(dim["p_partkey"].to_numpy())
+    brands_ref = ray.put(dim["p_brand"].to_numpy())
 
     def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = ray.get(keys_ref)
+        brands = ray.get(brands_ref)
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.table({"l_partkey": batch["l_partkey"], "revenue": rev})
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, pk)
+        df = pd.DataFrame({"p_brand": brands[idx], "revenue": rev.to_numpy()})
+        g = df.groupby("p_brand", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_part = (
+    per_brand = (
         lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
+        .groupby("p_brand")
         .aggregate(Sum("revenue", alias_name="revenue"))
-    )
-    joined = broadcast_join(
-        per_part,
-        part_small.rename(columns={"p_partkey": "l_partkey"})[
-            ["l_partkey", "p_brand"]
-        ],
-        on="l_partkey",
-    )
-    per_brand = joined.groupby("p_brand").aggregate(
-        Sum("revenue", alias_name="revenue")
     )
     return per_brand.sort(["revenue", "p_brand"], descending=[True, False]).limit(k)
 
@@ -288,39 +294,35 @@ def latest_order_asof(
     )
     right_ref = ray.put(right)
 
-    class Probe:
-        def __init__(self):
-            self.right = ray.get(right_ref)
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[["event_type", "user_id", "ts"]].sort_values("ts")
+        m = pd.merge_asof(
+            b,
+            ray.get(right_ref),  # near-zero-copy (numeric columns)
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+        )
+        matched = m["o_totalprice"].notna()
+        price_c = np.floor(
+            m["o_totalprice"].fillna(0.0) * 100 + 0.5
+        ).astype("int64")
+        part = pd.DataFrame(
+            {
+                "event_type": m["event_type"],
+                "matched": matched.astype("int64"),
+                "price_c": price_c.where(matched, 0),
+            }
+        )
+        return part.groupby("event_type", as_index=False).agg(
+            n_events=("matched", "size"),
+            n_matched=("matched", "sum"),
+            sum_price_c=("price_c", "sum"),
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[["event_type", "user_id", "ts"]].sort_values("ts")
-            m = pd.merge_asof(
-                b,
-                self.right,
-                left_on="ts",
-                right_on="o_orderdate",
-                left_by="user_id",
-                right_by="o_custkey",
-                direction="backward",
-            )
-            matched = m["o_totalprice"].notna()
-            price_c = np.floor(
-                m["o_totalprice"].fillna(0.0) * 100 + 0.5
-            ).astype("int64")
-            part = pd.DataFrame(
-                {
-                    "event_type": m["event_type"],
-                    "matched": matched.astype("int64"),
-                    "price_c": price_c.where(matched, 0),
-                }
-            )
-            return part.groupby("event_type", as_index=False).agg(
-                n_events=("matched", "size"),
-                n_matched=("matched", "sum"),
-                sum_price_c=("price_c", "sum"),
-            )
-
-    partials = events.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    partials = events.map_batches(probe, batch_format="pandas")
     return partials.groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("n_matched", alias_name="n_matched"),

@@ -81,34 +81,34 @@ def knn_bruteforce(
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k per query.
     """
-    q_ref = ray.put(np.asarray(query_vectors, dtype=np.float64))
+    # Broadcast once, read zero-copy per task: ray.get of a numpy array
+    # maps plasma shared memory, so stateless tasks pay nothing per
+    # batch and skip an actor pool's ramp-up entirely.
+    q_ref = ray.put(_normalize(np.asarray(query_vectors, dtype=np.float64)))
 
-    class BatchTopK:
-        def __init__(self):
-            self.q = _normalize(ray.get(q_ref))
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_pylist()
+        mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        sims = q @ mat.T  # (Q, B)
+        rows_q, rows_n, rows_c = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:kk]
+            for j in order:
+                rows_q.append(query_ids[qi])
+                rows_n.append(ids[j])
+                rows_c.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "cosine": pa.array(rows_c, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
-            sims = self.q @ mat.T  # (Q, B)
-            rows_q, rows_n, rows_c = [], [], []
-            kk = min(k, len(ids))
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:kk]
-                for j in order:
-                    rows_q.append(query_ids[qi])
-                    rows_n.append(ids[j])
-                    rows_c.append(float(row[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(rows_q, pa.int64()),
-                    "neighbor_id": pa.array(rows_n, pa.int64()),
-                    "cosine": pa.array(rows_c, pa.float64()),
-                }
-            )
-
-    cand = ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8))
+    cand = ds.map_batches(batch_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
 
 
@@ -173,44 +173,43 @@ def knn_lsh(
     planes_ref = ray.put(planes)
     q_ref = ray.put(q)
 
-    class BucketFilterTopK:
-        """Keep only vectors in probed buckets, emit per-batch top-k."""
+    def bucket_filter_topk(batch: pa.Table) -> pa.Table:
+        """Keep only vectors in probed buckets, emit per-batch top-k.
 
-        def __init__(self):
-            self.probe = ray.get(probe_ref)
-            self.planes = ray.get(planes_ref)
-            self.q = ray.get(q_ref)
+        Stateless task: the numpy broadcasts read zero-copy from plasma;
+        the probe set is tiny (deserialization is microseconds)."""
+        probe_s = ray.get(probe_ref)
+        planes_b = ray.get(planes_ref)
+        q_b = ray.get(q_ref)
+        ids = batch[id_col].to_pylist()
+        mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        codes = ((mat @ planes_b.T) > 0).astype(np.int64)
+        codes = (codes * (1 << np.arange(planes_b.shape[0]))).sum(axis=1)
+        keep = [j for j, c in enumerate(codes) if int(c) in probe_s]
+        rows_q, rows_n, rows_c = [], [], []
+        if keep:
+            sub = mat[keep]
+            sub_ids = [ids[j] for j in keep]
+            sims = q_b @ sub.T
+            kk = min(k, len(sub_ids))
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                order = sorted(
+                    range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
+                )[:kk]
+                for j in order:
+                    rows_q.append(query_ids[qi])
+                    rows_n.append(sub_ids[j])
+                    rows_c.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "cosine": pa.array(rows_c, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
-            codes = ((mat @ self.planes.T) > 0).astype(np.int64)
-            codes = (codes * (1 << np.arange(self.planes.shape[0]))).sum(axis=1)
-            keep = [j for j, c in enumerate(codes) if int(c) in self.probe]
-            rows_q, rows_n, rows_c = [], [], []
-            if keep:
-                sub = mat[keep]
-                sub_ids = [ids[j] for j in keep]
-                sims = self.q @ sub.T
-                kk = min(k, len(sub_ids))
-                for qi in range(sims.shape[0]):
-                    row = sims[qi]
-                    order = sorted(
-                        range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
-                    )[:kk]
-                    for j in order:
-                        rows_q.append(query_ids[qi])
-                        rows_n.append(sub_ids[j])
-                        rows_c.append(float(row[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(rows_q, pa.int64()),
-                    "neighbor_id": pa.array(rows_n, pa.int64()),
-                    "cosine": pa.array(rows_c, pa.float64()),
-                }
-            )
-
-    cand = ds.map_batches(BucketFilterTopK, batch_format="pyarrow", concurrency=(1, 8))
+    cand = ds.map_batches(bucket_filter_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
 
 
@@ -265,41 +264,38 @@ def knn_ivf(
     probe_ref = ray.put(probe)
     q_ref = ray.put(q)
 
-    class CellFilterTopK:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.probe = ray.get(probe_ref)
-            self.q = ray.get(q_ref)
+    def cell_filter_topk(batch: pa.Table) -> pa.Table:
+        cent_b = ray.get(cent_ref)  # zero-copy plasma read
+        probe_s = ray.get(probe_ref)
+        q_b = ray.get(q_ref)
+        ids = batch[id_col].to_pylist()
+        mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        cells = (mat @ cent_b.T).argmax(axis=1)
+        keep = [j for j, c in enumerate(cells) if int(c) in probe_s]
+        rows_q, rows_n, rows_c = [], [], []
+        if keep:
+            sub = mat[keep]
+            sub_ids = [ids[j] for j in keep]
+            sims = q_b @ sub.T
+            kk = min(k, len(sub_ids))
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                order = sorted(
+                    range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
+                )[:kk]
+                for j in order:
+                    rows_q.append(query_ids[qi])
+                    rows_n.append(sub_ids[j])
+                    rows_c.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "cosine": pa.array(rows_c, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
-            cells = (mat @ self.cent.T).argmax(axis=1)
-            keep = [j for j, c in enumerate(cells) if int(c) in self.probe]
-            rows_q, rows_n, rows_c = [], [], []
-            if keep:
-                sub = mat[keep]
-                sub_ids = [ids[j] for j in keep]
-                sims = self.q @ sub.T
-                kk = min(k, len(sub_ids))
-                for qi in range(sims.shape[0]):
-                    row = sims[qi]
-                    order = sorted(
-                        range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
-                    )[:kk]
-                    for j in order:
-                        rows_q.append(query_ids[qi])
-                        rows_n.append(sub_ids[j])
-                        rows_c.append(float(row[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(rows_q, pa.int64()),
-                    "neighbor_id": pa.array(rows_n, pa.int64()),
-                    "cosine": pa.array(rows_c, pa.float64()),
-                }
-            )
-
-    cand = ds.map_batches(CellFilterTopK, batch_format="pyarrow", concurrency=(1, 8))
+    cand = ds.map_batches(cell_filter_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
 
 
@@ -323,18 +319,15 @@ def cluster_assign(
     cent = _kmeans_centroids(sample, n_clusters, seed=seed)
     cent_ref = ray.put(cent)
 
-    class Assign:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_b = ray.get(cent_ref)  # zero-copy plasma read
+        mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        cells = (mat @ cent_b.T).argmax(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(cells.astype("int64")),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
-            cells = (mat @ self.cent.T).argmax(axis=1)
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    "cluster": pa.array(cells.astype("int64")),
-                }
-            )
-
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(assign, batch_format="pyarrow")
