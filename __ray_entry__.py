@@ -522,6 +522,33 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample of documents, rolled up per lang
+    (membership = md5(doc_id) bucket, mirrored exactly by the oracle)."""
+    from pdf_extractor_ray.functions.sampling import hash_sample
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return hash_sample(docs, pct=10).groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def _q_group_topk(sf_dir: str):
+    """Top-3 most active users per event_type (windowed rank)."""
+    from pdf_extractor_ray.functions.relational import topk_per_group
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+    counted = events.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n_events")
+    )
+    return topk_per_group(
+        counted, group_col="event_type", order_col="n_events",
+        tiebreak_col="user_id", k=3,
+    )
+
+
 def _q_embedding_clusters(sf_dir: str):
     """Per-cluster vector counts after broadcast k-means assignment."""
     from pdf_extractor_ray.functions.similarity import cluster_assign
@@ -600,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_orders": _q_asof_orders,
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
+        "hash_sample": _q_hash_sample,
+        "group_topk": _q_group_topk,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "quality_hist": _q_quality_hist,
@@ -842,6 +871,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
             GROUP BY e.event_type
+        """,
+        "hash_sample": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100) < 10
+            GROUP BY lang
+        """,
+        "group_topk": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+                       FROM events GROUP BY event_type, user_id),
+                 r AS (SELECT *, row_number() OVER (
+                                     PARTITION BY event_type
+                                     ORDER BY n_events DESC, user_id) AS rank
+                       FROM c)
+            SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
         """,
         "media_features": """
             SELECT doc_id AS media_id,

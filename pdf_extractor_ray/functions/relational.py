@@ -49,6 +49,7 @@ __all__ = [
     "brand_revenue_topk",
     "sessionize_users",
     "latest_order_asof",
+    "topk_per_group",
 ]
 
 
@@ -327,4 +328,45 @@ def latest_order_asof(
         Sum("n_events", alias_name="n_events"),
         Sum("n_matched", alias_name="n_matched"),
         Sum("sum_price_c", alias_name="sum_price_c"),
+    )
+
+
+def topk_per_group(
+    counted: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Group-wise top-k (windowed rank) over a pre-aggregated dataset.
+
+    Rows are shuffled by a coarse hash bucket of ``group_col`` (all rows
+    of one group co-locate; bounded group count keeps per-group task
+    overhead off the critical path) and ranked inside each bucket with a
+    vectorized pandas sort + cumcount — the Ray analogue of
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC)``. Order:
+    ``order_col`` descending, ``tiebreak_col`` ascending.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        vals = batch[group_col].to_pylist()
+        buckets = [zlib.crc32(str(v).encode()) % n_buckets for v in vals]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, False, True],
+        )
+        g["rank"] = g.groupby(group_col).cumcount() + 1
+        out = g[g["rank"] <= k].drop(columns=["_bucket"])
+        return out
+
+    return (
+        counted.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
     )

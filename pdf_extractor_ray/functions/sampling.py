@@ -1,0 +1,49 @@
+"""Deterministic sampling operators.
+
+The reference has no sampling anywhere (SURVEY.md §2.6); a 100 TB
+training-data pipeline needs it constantly (dev subsets, ablations,
+holdouts). The primitive here is HASH sampling — membership depends only
+on (salt, id), never on row order, partitioning, or a RNG stream — so a
+sample is reproducible across runs, machines, and engines, and the SQL
+oracle can compute the exact same subset:
+
+    keep(id)  <=>  int(md5(salt || id)[:8], 16) % 100 < pct
+
+Hash membership is also the correct distributed shape: a pure per-row
+predicate inside ``map_batches`` (embarrassingly parallel, no shuffle),
+unlike reservoir or sorted sampling which need coordination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["hash_keep_mask", "hash_sample"]
+
+
+def hash_keep_mask(ids, pct: int, salt: str = "") -> list[bool]:
+    """Deterministic membership for each id: md5-bucket % 100 < pct."""
+    out = []
+    for i in ids:
+        h = hashlib.md5(f"{salt}{i}".encode("utf-8")).hexdigest()
+        out.append(int(h[:8], 16) % 100 < pct)
+    return out
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    pct: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Keep ~pct% of rows by id hash (deterministic, shuffle-free)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = hash_keep_mask(batch[id_col].to_pylist(), pct, salt)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

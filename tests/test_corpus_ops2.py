@@ -258,3 +258,90 @@ class TestClusterAssign:
         assert a["cluster"].between(0, 7).all()
         assert a["cluster"].nunique() > 1  # nontrivial partition
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+class TestHashSample:
+    def test_matches_md5_bucket_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.sampling import hash_sample
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        got = _canon(_to_pandas(hash_sample(docs, pct=10)))
+        want = _canon(
+            _duck()
+            .execute(
+                """
+                SELECT doc_id, lang FROM documents
+                WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100) < 10
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sample_is_stable_and_salted(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.sampling import hash_sample
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        a = set(_to_pandas(hash_sample(docs, pct=20))["doc_id"])
+        b = set(_to_pandas(hash_sample(docs, pct=20))["doc_id"])
+        c = set(_to_pandas(hash_sample(docs, pct=20, salt="v2"))["doc_id"])
+        assert a == b            # order/partition independent
+        assert a != c            # salt changes membership
+        n = docs.count()
+        assert 0.1 * n < len(a) < 0.3 * n  # ~20%
+
+    def test_nested_samples(self, ray_session):
+        # pct=10 sample is a subset of the pct=50 sample (same salt) —
+        # the property that makes hash sampling usable for growing dev sets
+        import ray.data
+
+        from pdf_extractor_ray.functions.sampling import hash_sample
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        small = set(_to_pandas(hash_sample(docs, pct=10))["doc_id"])
+        big = set(_to_pandas(hash_sample(docs, pct=50))["doc_id"])
+        assert small <= big
+
+
+class TestGroupTopK:
+    def test_matches_window_rank_sql(self, ray_session):
+        import ray.data
+        from ray.data.aggregate import Count
+
+        from pdf_extractor_ray.functions.relational import topk_per_group
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id"]
+        )
+        counted = events.groupby(["event_type", "user_id"]).aggregate(
+            Count(alias_name="n_events")
+        )
+        got = _canon(
+            _to_pandas(
+                topk_per_group(
+                    counted, group_col="event_type", order_col="n_events",
+                    tiebreak_col="user_id", k=3,
+                )
+            )
+        )
+        want = _canon(
+            _duck()
+            .execute(
+                """
+                WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+                           FROM events GROUP BY event_type, user_id),
+                     r AS (SELECT *, row_number() OVER (
+                                         PARTITION BY event_type
+                                         ORDER BY n_events DESC, user_id) AS rank
+                           FROM c)
+                SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
