@@ -29,7 +29,7 @@ Implementation note: tokenization is a single compiled-regex pass over
 the document (tags / comments / doctype), not the stdlib HTMLParser —
 the stdlib parser walks Python-level char by char and dominated the
 extraction profile (~2/3 of per-document CPU). Raw-text elements
-(script/style/...) are skipped with a direct ``str.find`` to their
+(script/style/...) are skipped with a case-insensitive scan to their
 closing tag, so their content is never tokenized at all.
 """
 
@@ -41,6 +41,14 @@ from html import unescape
 __all__ = ["html_to_markdown", "strip_html_tags"]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
+# Closing-tag finders for raw-text skipping. Positions MUST be computed
+# on the original string: str.lower() can change the string's LENGTH
+# (e.g. 'İ' U+0130 lowercases to two codepoints), so a lowercase copy's
+# offsets are wrong offsets into the original — found by hypothesis,
+# it made skipped <style> content leak into the output.
+_RAW_CLOSE_RE = {
+    tag: re.compile(rf"<\s*/\s*{tag}", re.I) for tag in _RAW_TEXT
+}
 _SKIP_CONTENT = {"head"}
 _BLOCK_BREAK = {"p", "div", "section", "article", "main", "body", "blockquote"}
 _VOID = {"br", "img", "hr", "meta", "link", "input", "col", "area", "base",
@@ -251,7 +259,6 @@ class _Builder:
 def html_to_markdown(html: str) -> str:
     """Convert an HTML document to deterministic markdown text."""
     b = _Builder()
-    lower = None  # lazily-built lowercase copy for raw-text end scans
     pos = 0
     n = len(html)
     while pos < n:
@@ -274,13 +281,11 @@ def html_to_markdown(html: str) -> str:
             tag = open_tag.lower()
             if tag in _RAW_TEXT:
                 # skip raw content wholesale: find the closing tag
-                if lower is None:
-                    lower = html.lower()
-                end = lower.find(f"</{tag}", pos)
-                if end == -1:
+                close = _RAW_CLOSE_RE[tag].search(html, pos)
+                if close is None:
                     break
-                pos = lower.find(">", end)
-                pos = n if pos == -1 else pos + 1
+                gt = html.find(">", close.end())
+                pos = n if gt == -1 else gt + 1
                 continue
             self_closing = attrs.rstrip().endswith("/")
             b.start(tag, attrs)

@@ -1,0 +1,129 @@
+"""Property-based kernel tests (hypothesis).
+
+The reference has no randomized testing at all (SURVEY.md §5.1); these
+pin the kernel's hard guarantees — never raises, log-and-continue
+status semantics, count consistency, sketch determinism — over
+adversarial inputs the golden fixtures can't enumerate.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_ray.kernel.extract import extract_document
+from pdf_extractor_ray.kernel.html_to_md import html_to_markdown, strip_html_tags
+from pdf_extractor_ray.kernel.tables import (
+    merge_multi_page_tables,
+    parse_table_data,
+)
+from pdf_extractor_ray.kernel.textutils import token_count
+
+SETTINGS = settings(max_examples=60, deadline=None)
+
+
+class TestExtractNeverRaises:
+    @SETTINGS
+    @given(payload=st.one_of(st.none(), st.binary(max_size=2048)),
+           text=st.one_of(st.none(), st.text(max_size=512)))
+    def test_any_payload_becomes_a_row(self, payload, text):
+        out = extract_document("u://x", "2025-01-01", payload, text, "en")
+        assert out["status"] in ("ok", "error")
+        assert out["n_elements"] == len(out["elements"])
+        typed = (out["n_text"] + out["n_heading"] + out["n_table"]
+                 + out["n_code"] + out["n_image"])
+        assert typed <= out["n_elements"]
+        assert out["n_tokens"] == sum(e["token_count"] for e in out["elements"])
+
+    @SETTINGS
+    @given(text=st.text(max_size=1024))
+    def test_determinism(self, text):
+        a = extract_document("u", "t", text.encode(), None, None)
+        b = extract_document("u", "t", text.encode(), None, None)
+        assert a == b
+
+
+class TestHtmlToMarkdown:
+    @SETTINGS
+    @given(html=st.text(max_size=1024))
+    def test_never_raises(self, html):
+        html_to_markdown(html)
+        strip_html_tags(html)
+
+    @SETTINGS
+    @given(secret=st.text(
+        alphabet=st.characters(whitelist_categories=["Ll", "Lu", "Nd"]),
+        min_size=1, max_size=64,
+    ))
+    def test_script_and_style_bodies_never_leak(self, secret):
+        html = (f"<html><body><p>keep</p><script>XX{secret}XX</script>"
+                f"<style>YY{secret}YY</style></body></html>")
+        out = html_to_markdown(html)
+        assert f"XX{secret}XX" not in out
+        assert f"YY{secret}YY" not in out
+        assert "keep" in out
+
+
+class TestTokenCount:
+    @SETTINGS
+    @given(text=st.text(max_size=512))
+    def test_subn_count_matches_findall(self, text):
+        # regression gate for the subn-based fast path: counting via
+        # subn must agree with findall on the kernel's own BPE-ish
+        # pattern for every input
+        from pdf_extractor_ray.kernel.textutils import _TOKEN_RE
+
+        assert token_count(text) == len(_TOKEN_RE.findall(text))
+
+
+def _table(page: int, n_rows: int, n_cols: int, tag: str):
+    data = [[f"h{c}" for c in range(n_cols)]] + [
+        [f"{tag}{r}c{c}" for c in range(n_cols)] for r in range(n_rows)
+    ]
+    return {
+        "id": f"t{page}", "page": page, "data": data,
+        "rows": len(data), "cols": n_cols,
+        "bbox": [0.0, 0.0, 100.0, 50.0], "accuracy": 95.0,
+    }
+
+
+class TestMergerProperties:
+    @SETTINGS
+    @given(pages=st.lists(st.integers(1, 6), min_size=0, max_size=6),
+           n_cols=st.integers(1, 5))
+    def test_merge_never_raises_and_never_grows(self, pages, n_cols):
+        tables = [_table(p, 2, n_cols, f"p{p}i{i}") for i, p in enumerate(pages)]
+        for strategy in (0.8, 0.6):
+            merged = merge_multi_page_tables(list(tables), similarity_threshold=strategy)
+            assert len(merged) <= len(tables)
+            # every output page_range is within the input page span
+            if tables:
+                lo = min(t["page"] for t in tables)
+                hi = max(t["page"] for t in tables)
+                for m in merged:
+                    assert lo <= m["page"] <= hi
+
+    @SETTINGS
+    @given(rows=st.lists(
+        st.lists(st.text(max_size=8), min_size=0, max_size=5),
+        min_size=0, max_size=6,
+    ))
+    def test_parse_table_data_normalizes_arity(self, rows):
+        out = parse_table_data(rows)
+        if rows and rows[0]:
+            arity = len(out["headers"])
+            assert all(len(r) == arity for r in out["rows"])
+
+
+class TestSketchDeterminism:
+    @SETTINGS
+    @given(text=st.text(max_size=256))
+    def test_minhash_self_similarity(self, text):
+        from pdf_extractor_ray.functions.dedup import (
+            minhash_signature,
+            ngram_jaccard,
+            simhash64,
+        )
+
+        sig = minhash_signature(text)
+        assert sig.shape == (64,)
+        assert (sig == minhash_signature(text)).all()
+        assert ngram_jaccard(text, text) in (0.0, 1.0)  # 0 only for empty
+        assert simhash64(text) == simhash64(text)
