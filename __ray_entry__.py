@@ -522,6 +522,20 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_priority_revenue(sf_dir: str):
+    """Big-big hash join (native Dataset.join): revenue per priority."""
+    from pdf_extractor_ray.functions.relational import order_priority_revenue
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    return order_priority_revenue(lineitem, orders)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample of documents, rolled up per lang
     (membership = md5(doc_id) bucket, mirrored exactly by the oracle)."""
@@ -629,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
         "group_topk": _q_group_topk,
+        "priority_revenue": _q_priority_revenue,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "quality_hist": _q_quality_hist,
@@ -871,6 +886,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
             GROUP BY e.event_type
+        """,
+        "priority_revenue": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(rev.rev_c) AS BIGINT) AS revenue_c
+            FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "hash_sample": """
             SELECT lang, count(*) AS n_docs

@@ -50,6 +50,7 @@ __all__ = [
     "sessionize_users",
     "latest_order_asof",
     "topk_per_group",
+    "order_priority_revenue",
 ]
 
 
@@ -369,4 +370,53 @@ def topk_per_group(
         counted.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(rank, batch_format="pandas")
+    )
+
+
+def order_priority_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Big-big hash join: revenue per order priority.
+
+    Neither side is broadcastable at 100 TB, so this uses Ray Data's
+    native hash-partitioned ``Dataset.join``. The fact side is
+    pre-aggregated per batch to one row per orderkey BEFORE the join,
+    so the exchange moves (orderkey, cents) pairs — never raw
+    lineitems — and the joined output collapses to the tiny priority
+    rollup. The complementary broadcast-join shape (small dimension) is
+    ``broadcast_join``; pick by side size.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(disc, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        df = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev_c": cents}
+        ).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    joined = per_order.join(
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("rev_c", alias_name="revenue_c"),
     )
