@@ -104,20 +104,32 @@ def exact_dedup_summary(
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Keep the minimum-id row per distinct content hash (hash partition
-    + per-group first)."""
+    """Keep the minimum-id row per distinct content hash.
+
+    Shuffle shape: the partition key is a COARSE bucket of the hash
+    (1024 of them), not the hash itself — a corpus has one group per
+    distinct document and per-group task overhead would dominate. Rows
+    co-locate by hash inside a bucket, where a vectorized pandas
+    sort + drop_duplicates keeps the min-id row per hash. One pass,
+    one shuffle (unavoidable: the output is full surviving rows).
+    """
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
-        return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+        buckets = [zlib.crc32(h.encode()) % 1024 for h in hashes]
+        batch = batch.append_column("text_hash", pa.array(hashes, pa.string()))
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
 
-    def first(group):  # pandas DataFrame per group
-        return group.sort_values(id_col).head(1)
+    def keep_first(group):  # one coarse bucket of rows
+        g = group.sort_values(["text_hash", id_col])
+        return g.drop_duplicates(subset=["text_hash"], keep="first").drop(
+            columns=["_bucket"]
+        )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(first, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(keep_first, batch_format="pandas")
     )
 
 
