@@ -499,6 +499,15 @@ def _q_sessionize(sf_dir: str):
     return sessionize_users(events, gap_s=1800)
 
 
+def _q_sessionize_events(sf_dir: str):
+    from pdf_extractor_ray.functions.relational import sessionize_events
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize_events(events, gap_s=1800)
+
+
 def _q_asof_orders(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -638,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "word_topk": _q_word_topk,
         "sessionize": _q_sessionize,
+        "sessionize_events": _q_sessionize_events,
         "asof_orders": _q_asof_orders,
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
@@ -873,6 +883,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM x GROUP BY user_id
+        """,
+        "sessionize_events": """
+            WITH x AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(is_start) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
+            FROM x
         """,
         "asof_orders": """
             WITH r AS (SELECT o_custkey, o_orderdate,

@@ -48,6 +48,7 @@ __all__ = [
     "distinct_users_per_type",
     "brand_revenue_topk",
     "sessionize_users",
+    "sessionize_events",
     "latest_order_asof",
     "topk_per_group",
     "order_priority_revenue",
@@ -271,6 +272,52 @@ def sessionize_users(
         .map_batches(project, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def sessionize_events(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-EVENT session assignment (the row-level form of
+    ``sessionize_users``): every event gets its user's running session
+    index (1-based). Same coarse-bucket shuffle; the cumulative-sum fold
+    inside a bucket is the Ray analogue of
+    ``sum(is_start) OVER (PARTITION BY user ORDER BY ts, event_id)``.
+    ``event_id`` breaks timestamp ties so the fold is deterministic.
+    Output: (event_id, user_id, session_idx).
+    """
+    gap_us = gap_s * 1_000_000
+    mask = n_buckets - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": uid,
+                "ts_us": ts_us,
+                "bucket": pc.bit_wise_and(uid, mask),
+            }
+        )
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts_us"].diff()
+        start = (new_user | (gap > gap_us)).astype("int64")
+        g = g.assign(session_idx=start.groupby(g["user_id"]).cumsum())
+        return g[["event_id", "user_id", "session_idx"]]
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assign, batch_format="pandas")
     )
 
 
