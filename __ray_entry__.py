@@ -417,6 +417,15 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_events_hopping(sf_dir: str):
+    from pdf_extractor_ray.functions.relational import events_hopping_window
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+    return events_hopping_window(events, size_s=3600, hop_s=1800)
+
+
 def _q_distinct_users(sf_dir: str):
     from pdf_extractor_ray.functions.relational import distinct_users_per_type
 
@@ -661,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "distinct_users": _q_distinct_users,
         "brand_topk": _q_brand_topk,
         "media_features": _q_media_features,
@@ -790,6 +800,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events
             GROUP BY event_type, window_start
+        """,
+        "events_hopping": """
+            WITH w AS (
+                SELECT event_type,
+                       unnest([CAST(floor(epoch(ts)/1800) AS BIGINT) * 1800,
+                               CAST(floor(epoch(ts)/1800) AS BIGINT) * 1800 - 1800])
+                           AS window_start,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   CAST(sum(value_c) AS BIGINT) AS sum_value_c
+            FROM w GROUP BY event_type, window_start
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

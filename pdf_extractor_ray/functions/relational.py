@@ -45,6 +45,7 @@ __all__ = [
     "pricing_summary",
     "top_revenue_orders",
     "events_tumbling_window",
+    "events_hopping_window",
     "distinct_users_per_type",
     "brand_revenue_topk",
     "sessionize_users",
@@ -466,4 +467,57 @@ def order_priority_revenue(
     return joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_orders"),
         Sum("rev_c", alias_name="revenue_c"),
+    )
+
+
+def events_hopping_window(
+    events: ray.data.Dataset,
+    size_s: int = 3600,
+    hop_s: int = 1800,
+) -> ray.data.Dataset:
+    """Hopping (sliding) event-time window per event_type: each event
+    belongs to ``size_s / hop_s`` overlapping windows, assigned by an
+    in-batch expansion (the flat_map never leaves the task), then
+    pre-aggregated per batch so the shuffle carries one row per
+    (type, window) per batch — the same partial-agg discipline as the
+    tumbling window, just with a replication factor.
+    """
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    n_hops = size_s // hop_s
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        secs = pc.cast(batch["ts"], pa.timestamp("us"))
+        secs = pc.divide(pc.cast(secs, pa.int64()), 1_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        base = (secs // hop_s) * hop_s
+        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        value = batch["value"].to_numpy(zero_copy_only=False)
+        frames = []
+        for i in range(n_hops):
+            start = base - i * hop_s
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": etype, "window_start": start, "value": value}
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        cents = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        g = (
+            df.assign(value_c=cents)
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value_c", "size"), sum_value_c=("value_c", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
     )
