@@ -426,6 +426,15 @@ def _q_events_hopping(sf_dir: str):
     return events_hopping_window(events, size_s=3600, hop_s=1800)
 
 
+def _q_value_quantiles(sf_dir: str):
+    from pdf_extractor_ray.functions.relational import exact_quantiles
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    return exact_quantiles(events, qs=(0.5, 0.9))
+
+
 def _q_distinct_users(sf_dir: str):
     from pdf_extractor_ray.functions.relational import distinct_users_per_type
 
@@ -671,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3_top_orders,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
+        "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
         "brand_topk": _q_brand_topk,
         "media_features": _q_media_features,
@@ -814,6 +824,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(value_c) AS BIGINT) AS sum_value_c
             FROM w GROUP BY event_type, window_start
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5)
+                       AS p50_c,
+                   quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.9)
+                       AS p90_c
+            FROM events GROUP BY event_type
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

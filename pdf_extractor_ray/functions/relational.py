@@ -53,6 +53,7 @@ __all__ = [
     "latest_order_asof",
     "topk_per_group",
     "order_priority_revenue",
+    "exact_quantiles",
 ]
 
 
@@ -521,3 +522,57 @@ def events_hopping_window(
             Sum("sum_value_c", alias_name="sum_value_c"),
         )
     )
+
+
+def exact_quantiles(
+    events: ray.data.Dataset,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    qs: tuple = (0.5, 0.9),
+) -> ray.data.Dataset:
+    """Exact distributed quantiles per group via value histograms.
+
+    The wide step is a histogram build — per-batch counts per
+    (group, centi-value) collapse before the shuffle, so the exchange
+    carries the value cardinality, not the row count. Quantiles then
+    come from cumulative counts per group (discrete definition: the
+    value at sorted index ``ceil(q*n) - 1``, matching DuckDB's
+    ``quantile_disc``). Exact whenever value cardinality is bounded
+    (prices, scores, counts); for unbounded reals swap the histogram
+    for a mergeable sketch (t-digest/KLL) at the same pipeline shape.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_pylist(), "value_c": cents}
+        )
+        g = df.groupby([group_col, "value_c"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    hist = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "value_c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = group.sort_values("value_c")
+        cum = g["n"].cumsum()
+        total = int(cum.iloc[-1])
+        out = {group_col: [group[group_col].iloc[0]]}
+        for q in qs:
+            target = math.ceil(q * total)
+            val = int(g.loc[cum >= target, "value_c"].iloc[0])
+            out[f"p{int(q*100)}_c"] = [val]
+        return pd.DataFrame(out)
+
+    return hist.groupby(group_col).map_groups(quantiles, batch_format="pandas")
