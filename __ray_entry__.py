@@ -394,15 +394,14 @@ def _q_events_window(sf_dir: str):
     )
 
     def bucket(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
-        win = pc.multiply(
-            pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()), 3600.0)), pa.int64()),
-            3600,
-        )
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        # numpy // floors toward -inf, matching the oracle's floor()
+        secs = us.to_numpy(zero_copy_only=False) // 1_000_000
+        win = (secs // 3600) * 3600
         return pa.table(
             {
                 "event_type": batch["event_type"],
-                "window_start": win,
+                "window_start": pa.array(win, pa.int64()),
                 "value_c": _cents(batch["value"]),
             }
         )
@@ -451,40 +450,13 @@ def _q_brand_topk(sf_dir: str):
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
-    part = (
-        pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-        .to_pandas()
-        .sort_values("p_partkey")
-    )
-    # Broadcast the partkey->brand map and fold the join INTO the
-    # partial aggregation: each batch emits one row per brand (~25),
-    # so the all-to-all carries brands, never lineitems or partkeys.
-    keys_ref = ray.put(part["p_partkey"].to_numpy())
-    brands_ref = ray.put(part["p_brand"].to_numpy())
+    part = pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)  # zero-copy plasma reads
-        brands = ray.get(brands_ref)
-        disc = pc.multiply(
-            batch["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-        )
-        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(keys, pk)
-        df = pd.DataFrame(
-            {"p_brand": brands[idx], "rev_c": _cents(disc).to_numpy()}
-        )
-        g = df.groupby("p_brand", as_index=False).agg(revenue_c=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+    from pdf_extractor_ray.functions.relational import brand_revenue_topk
 
-    per_brand = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
-    )
-    return per_brand.sort(
-        ["revenue_c", "p_brand"], descending=[True, False]
-    ).limit(5)
+    return brand_revenue_topk(lineitem, part, k=5, cents=True)
 
 
 def _q_url_dedup(sf_dir: str):

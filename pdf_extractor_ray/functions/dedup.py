@@ -162,6 +162,25 @@ def key_dedup_summary(
     )
 
 
+# Per-worker cache of broadcast verify sides (keyed by object ref hex):
+# Arrow bytes live zero-copy in plasma; the Python dict view of them is
+# built once per process, not once per batch.
+_VERIFY_SIDE_CACHE: dict = {}
+
+
+def _verify_side_cached(side_ref, id_col: str, text_col: str) -> dict:
+    key = side_ref.hex()
+    cached = _VERIFY_SIDE_CACHE.get(key)
+    if cached is None:
+        side_t = ray.get(side_ref)
+        cached = dict(
+            zip(side_t[id_col].to_pylist(), side_t[text_col].to_pylist())
+        )
+        _VERIFY_SIDE_CACHE.clear()  # one corpus at a time per worker
+        _VERIFY_SIDE_CACHE[key] = cached
+    return cached
+
+
 # -------------------------------------------------------------- minhash
 
 
@@ -297,10 +316,10 @@ def minhash_dedup_pairs(
     cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
 
     def verify(batch: pa.Table) -> pa.Table:
-        side_t = ray.get(side_ref)
-        texts = dict(
-            zip(side_t[id_col].to_pylist(), side_t[text_col].to_pylist())
-        )
+        # The id->text dict is built ONCE per worker process and cached
+        # (rebuilding Python strings from the Arrow broadcast per batch
+        # would cost O(corpus) per candidate batch).
+        texts = _verify_side_cached(side_ref, id_col, text_col)
         doc_a = batch["doc_a"].to_pylist()
         doc_b = batch["doc_b"].to_pylist()
         jac = [

@@ -160,12 +160,17 @@ def events_tumbling_window(
     """
 
     def bucket(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
+        import numpy as np
+
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        # numpy // floors toward -inf (Arrow divide truncates toward 0,
+        # which mis-windows pre-epoch timestamps vs the SQL floor())
+        secs = us.to_numpy(zero_copy_only=False) // 1_000_000
+        win = (secs // window_s) * window_s
         return pa.table(
             {
                 "event_type": batch["event_type"],
-                "window_start": pc.cast(win, pa.int64()),
+                "window_start": pa.array(win, pa.int64()),
                 "value": batch["value"],
             }
         )
@@ -192,14 +197,23 @@ def distinct_users_per_type(events: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def brand_revenue_topk(
-    lineitem: ray.data.Dataset, part_small: pd.DataFrame, k: int = 5
+    lineitem: ray.data.Dataset,
+    part_small: pd.DataFrame,
+    k: int = 5,
+    cents: bool = False,
 ) -> ray.data.Dataset:
-    """Revenue per part brand, top-k.
+    """Revenue per part brand, top-k (inner-join semantics: lineitems
+    whose partkey is absent from the dimension are dropped).
 
     The partkey->brand dimension rides as two broadcast numpy arrays
     (zero-copy per task) and the join folds INTO the per-batch partial
     aggregation: each batch emits one row per brand, so the shuffle
-    carries the brand cardinality (~dozens), never lineitems."""
+    carries the brand cardinality (~dozens), never lineitems. With
+    ``cents=True`` revenue is per-row floor(x*100 + 0.5) integer
+    centi-units (the driver-oracle convention) in a ``revenue_c``
+    column.
+    """
+    rev_col = "revenue_c" if cents else "revenue"
     dim = part_small.sort_values("p_partkey")
     keys_ref = ray.put(dim["p_partkey"].to_numpy())
     brands_ref = ray.put(dim["p_brand"].to_numpy())
@@ -211,19 +225,23 @@ def brand_revenue_topk(
         brands = ray.get(brands_ref)
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
+        ).to_numpy()
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(keys, pk)
-        df = pd.DataFrame({"p_brand": brands[idx], "revenue": rev.to_numpy()})
-        g = df.groupby("p_brand", as_index=False).agg(revenue=("revenue", "sum"))
+        idx[idx >= len(keys)] = 0
+        hit = keys[idx] == pk  # membership guard: unknown keys drop out
+        if cents:
+            rev = np.floor(rev * 100 + 0.5).astype("int64")
+        df = pd.DataFrame({"p_brand": brands[idx][hit], rev_col: rev[hit]})
+        g = df.groupby("p_brand", as_index=False).agg(**{rev_col: (rev_col, "sum")})
         return pa.Table.from_pandas(g, preserve_index=False)
 
     per_brand = (
         lineitem.map_batches(partial, batch_format="pyarrow")
         .groupby("p_brand")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum(rev_col, alias_name=rev_col))
     )
-    return per_brand.sort(["revenue", "p_brand"], descending=[True, False]).limit(k)
+    return per_brand.sort([rev_col, "p_brand"], descending=[True, False]).limit(k)
 
 
 def sessionize_users(
@@ -490,10 +508,10 @@ def events_hopping_window(
     def expand(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        secs = pc.cast(batch["ts"], pa.timestamp("us"))
-        secs = pc.divide(pc.cast(secs, pa.int64()), 1_000_000).to_numpy(
-            zero_copy_only=False
-        )
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        # numpy // floors toward -inf (Arrow divide truncates toward 0,
+        # which mis-windows pre-epoch timestamps vs the SQL floor())
+        secs = us.to_numpy(zero_copy_only=False) // 1_000_000
         base = (secs // hop_s) * hop_s
         etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         value = batch["value"].to_numpy(zero_copy_only=False)
@@ -564,15 +582,20 @@ def exact_quantiles(
 
     def quantiles(group: pd.DataFrame) -> pd.DataFrame:
         import math
+        from fractions import Fraction
 
         g = group.sort_values("value_c")
         cum = g["n"].cumsum()
         total = int(cum.iloc[-1])
         out = {group_col: [group[group_col].iloc[0]]}
         for q in qs:
-            target = math.ceil(q * total)
+            # exact-rational ceil: float math.ceil(q*total) overshoots
+            # when q*total lands epsilon above an integer (e.g.
+            # 0.07*100 == 7.000000000000001 -> 8, wrong rank)
+            frac = Fraction(q).limit_denominator(1_000_000)
+            target = -((-frac.numerator * total) // frac.denominator)
             val = int(g.loc[cum >= target, "value_c"].iloc[0])
-            out[f"p{int(q*100)}_c"] = [val]
+            out[f"p{round(q * 100)}_c"] = [val]
         return pd.DataFrame(out)
 
     return hist.groupby(group_col).map_groups(quantiles, batch_format="pandas")

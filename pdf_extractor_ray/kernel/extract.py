@@ -56,19 +56,23 @@ _COUNTED_TYPES = ("text", "heading", "table", "code", "image")
 
 
 def _slim_element(element: dict[str, Any]) -> dict[str, Any]:
-    """Envelope dict -> flat struct row (metadata canonical-JSON'd)."""
+    """Envelope dict -> flat struct row (metadata canonical-JSON'd).
+
+    Fields default so the synthetic elements of the opt-in finalize
+    pass (kernel/finalize.py, which mirror the reference's sparser
+    shapes) serialize without special-casing."""
+    content = element["content"]
+    meta = element.get("metadata", {})
     return {
         "type": element["type"],
-        "content": element["content"],
-        "page": element["page"],
-        "line_span": list(element["line_span"]),
-        "token_count": element["token_count"],
-        "section_id": element["section_id"],
-        "section_path": list(element["section_path"]),
-        "section_hash_path": list(element["section_hash_path"]),
-        "metadata_json": json.dumps(
-            element.get("metadata", {}), sort_keys=True, ensure_ascii=False
-        ),
+        "content": content,
+        "page": element.get("page", meta.get("page", 1)),
+        "line_span": list(element.get("line_span", (0, 0))),
+        "token_count": element.get("token_count", token_count(content)),
+        "section_id": element.get("section_id", ""),
+        "section_path": list(element.get("section_path", ())),
+        "section_hash_path": list(element.get("section_hash_path", ())),
+        "metadata_json": json.dumps(meta, sort_keys=True, ensure_ascii=False),
     }
 
 
@@ -79,12 +83,17 @@ def extract_document(
     text: Optional[str],
     lang: Optional[str] = None,
     merge_strategy: str = "conservative",
+    finalize: bool = False,
 ) -> dict[str, Any]:
     """Extract one document. Never raises: failures become status='error'.
 
     Returns a flat dict (one output row): url, kind, status, error,
     extracted_text, elements (list of slim structs), per-type counts,
-    n_tokens.
+    n_tokens. ``finalize=True`` additionally applies the reference's
+    context7 output-contract passes (kernel/finalize.py M15-M17:
+    required-field defaulting, text/table type padding, positional
+    table ids) — opt-in because the byte-identity invariant is defined
+    against the raw stream.
     """
     extraction_date = str(warc_ts) if warc_ts is not None else ""
     kind = "empty"
@@ -143,9 +152,23 @@ def extract_document(
         error = f"{type(exc).__name__}: {exc}"
         elements = []
 
-    extracted_text = "\n\n".join(e["content"] for e in elements)
+    if finalize and status == "ok":
+        from pdf_extractor_ray.kernel.finalize import (
+            assign_table_ids,
+            ensure_element_types,
+            ensure_required_fields,
+        )
+
+        elements = ensure_required_fields(elements, url)
+        elements = assign_table_ids(ensure_element_types(elements, url))
+
+    # slim first: _slim_element fills the defaults the finalize pass's
+    # synthetic elements omit (token_count, line_span, ...), so every
+    # downstream count reads the normalized form
+    slim = [_slim_element(e) for e in elements]
+    extracted_text = "\n\n".join(e["content"] for e in slim)
     counts = {t: 0 for t in _COUNTED_TYPES}
-    for e in elements:
+    for e in slim:
         if e["type"] in counts:
             counts[e["type"]] += 1
 
@@ -157,12 +180,12 @@ def extract_document(
         "status": status,
         "error": error,
         "extracted_text": extracted_text,
-        "elements": [_slim_element(e) for e in elements],
-        "n_elements": len(elements),
+        "elements": slim,
+        "n_elements": len(slim),
         "n_text": counts["text"],
         "n_heading": counts["heading"],
         "n_table": counts["table"],
         "n_code": counts["code"],
         "n_image": counts["image"],
-        "n_tokens": sum(e["token_count"] for e in elements),
+        "n_tokens": sum(e["token_count"] for e in slim),
     }

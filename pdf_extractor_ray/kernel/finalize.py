@@ -13,9 +13,12 @@ Behavioral spec (reference, studied not copied):
     must be reproducible for the per-url byte-identity invariant
     (SURVEY.md §7.4).
 
-All three are row-local post-passes over one document's element list, so
-in the Ray pipeline they run inside the same ``map_batches`` UDF as the
-extraction kernel — no extra stage, no shuffle.
+All three are row-local post-passes over one document's element list.
+They are OPT-IN (``extract_document(..., finalize=True)``) rather than
+always-on: the per-url byte-identity invariant is defined against the
+raw extraction stream, and the reference applies these passes only on
+its context7 converter path — when enabled they run inside the same
+``map_batches`` UDF as the kernel, no extra stage, no shuffle.
 """
 
 from __future__ import annotations
@@ -51,8 +54,8 @@ def ensure_element_types(
 ) -> list[dict[str, Any]]:
     """Pad the stream so at least one text and one table element exist
     (M16). Synthetic elements mirror the reference's shapes; the
-    synthetic table's id is positional (after any real tables), not
-    uuid4."""
+    synthetic table's id is positional (``table_0`` — the branch only
+    runs when no real table exists), not uuid4."""
     has_text = any(e.get("type") == "text" for e in elements)
     has_table = any(e.get("type") == "table" for e in elements)
     result = list(elements)
@@ -69,7 +72,6 @@ def ensure_element_types(
             }
         )
     if not has_table:
-        n_tables = sum(1 for e in elements if e.get("type") == "table")
         result.append(
             {
                 "type": "table",
@@ -77,7 +79,7 @@ def ensure_element_types(
                 "file_path": file_path,
                 "repo_link": repo_link,
                 "section_path": list(_DEFAULT_SECTION_PATH),
-                "table_id": f"table_{n_tables}",
+                "table_id": "table_0",
                 "metadata": {
                     "page": 1,
                     "rows": 2,

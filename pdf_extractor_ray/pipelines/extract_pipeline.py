@@ -76,6 +76,7 @@ def extract_pages(
     use_actor_pool: bool = False,
     giant_batch_size: int = 4,
     concurrency: Optional[int] = None,
+    finalize: bool = False,
 ) -> ray.data.Dataset:
     """Build the (lazy) extraction pipeline over a pages table.
 
@@ -94,14 +95,19 @@ def extract_pages(
             pool = concurrency if concurrency is not None else max(2, cpus - 2)
             return inp.map_batches(
                 ExtractDocuments,
-                fn_constructor_kwargs={"merge_strategy": merge_strategy},
+                fn_constructor_kwargs={
+                    "merge_strategy": merge_strategy,
+                    "finalize": finalize,
+                },
                 batch_format="pyarrow",
                 batch_size=bs,
                 concurrency=pool,
             )
         import functools
 
-        fn = functools.partial(extract_batch, merge_strategy=merge_strategy)
+        fn = functools.partial(
+            extract_batch, merge_strategy=merge_strategy, finalize=finalize
+        )
         return inp.map_batches(fn, batch_format="pyarrow", batch_size=bs)
 
     if not split_by_size:

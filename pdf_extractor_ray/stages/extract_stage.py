@@ -60,7 +60,7 @@ EXTRACT_SCHEMA = pa.schema(
 
 
 def extract_batch(
-    batch: pa.Table, merge_strategy: str = "conservative"
+    batch: pa.Table, merge_strategy: str = "conservative", finalize: bool = False
 ) -> pa.Table:
     """Extract every document in an Arrow batch of pages rows."""
     urls = batch["url"].to_pylist()
@@ -72,7 +72,8 @@ def extract_batch(
     rows: list[dict[str, Any]] = []
     for url, warc_ts, html, text, lang in zip(urls, ts, htmls, texts, langs):
         out = extract_document(
-            url, warc_ts, html, text, lang, merge_strategy=merge_strategy
+            url, warc_ts, html, text, lang,
+            merge_strategy=merge_strategy, finalize=finalize,
         )
         out["payload_bytes"] = len(html) if html else 0
         rows.append(out)
@@ -82,8 +83,9 @@ def extract_batch(
 class ExtractDocuments:
     """Actor-pool callable for the extraction stage."""
 
-    def __init__(self, merge_strategy: str = "conservative"):
+    def __init__(self, merge_strategy: str = "conservative", finalize: bool = False):
         self.merge_strategy = merge_strategy
+        self.finalize = finalize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.merge_strategy)
+        return extract_batch(batch, self.merge_strategy, self.finalize)

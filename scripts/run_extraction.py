@@ -53,8 +53,10 @@ def main() -> int:
 
     if os.path.isdir(args.input):
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    elif os.path.exists(args.input):
+        files = [args.input]
     else:
-        files = sorted(glob.glob(args.input)) or [args.input]
+        files = sorted(glob.glob(args.input))
     if not files:
         print(f"no parquet inputs under {args.input}", file=sys.stderr)
         return 2

@@ -68,3 +68,17 @@ class TestLaneEquivalence:
         changed = [u for u in got if got[u] != baseline[u]]
         for u in changed:
             assert got[u][2] >= baseline[u][2]  # unmerged keeps more tables
+
+
+class TestFinalizeMode:
+    def test_finalize_pads_types_and_keeps_urls(self, ray_session, corpus_dir, baseline):
+        got = _extract_map(ray_session, corpus_dir, finalize=True)
+        assert set(got) == set(baseline)
+        # every finalized document carries at least one text and table
+        from pdf_extractor_ray.pipelines import extract_pages
+
+        for row in extract_pages(corpus_dir, finalize=True).take(20):
+            if row["status"] != "ok":
+                continue
+            types = {e["type"] for e in row["elements"]}
+            assert "text" in types and "table" in types
