@@ -482,6 +482,17 @@ def _q_word_topk(sf_dir: str):
     return word_topk(docs, k=20)
 
 
+def _q_word_heavy_hitters(sf_dir: str):
+    """Sketch path for top-k words: per-batch Misra-Gries summaries +
+    exact re-count of the candidate set. Output provably equals the
+    exact top-k whenever the true top-k clears the sketch's frequency
+    floor (it does on this corpus), so it shares word_topk's oracle."""
+    from pdf_extractor_ray.functions.textstats import word_heavy_hitters
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return word_heavy_hitters(docs, k=20)
+
+
 def _q_sessionize(sf_dir: str):
     from pdf_extractor_ray.functions.relational import sessionize_users
 
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "url_dedup": _q_url_dedup,
         "word_topk": _q_word_topk,
+        "word_heavy_hitters": _q_word_heavy_hitters,
         "sessionize": _q_sessionize,
         "sessionize_events": _q_sessionize_events,
         "asof_orders": _q_asof_orders,
@@ -879,6 +891,12 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY url
         """,
         "word_topk": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                       FROM documents)
+            SELECT word, count(*) AS n FROM w
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "word_heavy_hitters": """
             WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
                        FROM documents)
             SELECT word, count(*) AS n FROM w

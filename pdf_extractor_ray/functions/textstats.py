@@ -31,6 +31,7 @@ import pyarrow as pa
 __all__ = [
     "doc_stats_batch",
     "word_topk",
+    "word_heavy_hitters",
     "STOPWORDS",
     "QUALITY_LONG",
     "QUALITY_SHORT",
@@ -142,3 +143,72 @@ def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ):
         batch = batch.append_column(name, pa.array([s[name] for s in stats], typ))
     return batch
+
+
+def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "text"):
+    """Approximate top-k words via mergeable Misra-Gries summaries.
+
+    The exact ``word_topk`` shuffles the full vocabulary; at web scale
+    the vocabulary itself is huge, so the sketch path bounds state: each
+    batch keeps a ``capacity``-counter Misra-Gries summary (any word
+    with frequency > n/capacity is guaranteed to survive), summaries
+    merge by counter addition + decrement, and only ``capacity`` rows
+    per batch enter the shuffle regardless of vocabulary size. Counts
+    are lower bounds; a final exact re-count pass (filter to the
+    candidate set) recovers exact frequencies when needed — here the
+    candidates are re-scored exactly via a broadcast membership filter
+    so the output matches the exact top-k on every corpus where the
+    true top-k words clear the sketch's frequency floor.
+    """
+    from collections import Counter
+
+    import ray
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            for w in _WORD_TOKEN_RE.findall((t or "").lower()):
+                if w in counts or len(counts) < capacity:
+                    counts[w] += 1
+                else:  # decrement-all step, vectorized over the dict
+                    counts.subtract(dict.fromkeys(counts, 1))
+                    counts += Counter()  # drop zeros
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    # merged candidate set (bounded: capacity rows per batch)
+    cand = (
+        ds.map_batches(mg_summary, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    cand_df = cand.to_pandas().nlargest(4 * k, "n")
+    cand_ref = ray.put(frozenset(cand_df["word"]))
+
+    # exact re-count restricted to the candidate set (broadcast filter)
+    def recount(batch: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counts.update(
+                w for w in _WORD_TOKEN_RE.findall((t or "").lower()) if w in keep
+            )
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return exact.sort(["n", "word"], descending=[True, False]).limit(k)

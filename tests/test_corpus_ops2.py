@@ -345,3 +345,33 @@ class TestGroupTopK:
             .df()
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestWordHeavyHitters:
+    def test_sketch_path_equals_exact_topk(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import (
+            word_heavy_hitters,
+            word_topk,
+        )
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        exact = _to_pandas(word_topk(docs, k=20)).reset_index(drop=True)
+        sketch = _to_pandas(word_heavy_hitters(docs, k=20)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(sketch, exact, check_dtype=False)
+
+    def test_small_capacity_still_finds_dominant_words(self, ray_session):
+        # capacity far below vocabulary: the guaranteed-survivor bound
+        # (freq > n/capacity) must still keep the most frequent word
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import (
+            word_heavy_hitters,
+            word_topk,
+        )
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        exact = _to_pandas(word_topk(docs, k=1))
+        sketch = _to_pandas(word_heavy_hitters(docs, k=5, capacity=64))
+        assert exact["word"].iloc[0] in set(sketch["word"])
