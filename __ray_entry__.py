@@ -443,6 +443,18 @@ def _q_distinct_users(sf_dir: str):
     return distinct_users_per_type(events)
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """Sketch path for distinct counting (HLL, ~1.6% error at 2^12
+    registers) — approximate, so rows-only at the gate; the test suite
+    asserts the estimates against the exact counts."""
+    from pdf_extractor_ray.functions.sketches import hll_distinct_per_key
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+    return hll_distinct_per_key(events)
+
+
 def _q_brand_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
+        "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
         "media_features": _q_media_features,
     }

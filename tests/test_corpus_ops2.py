@@ -375,3 +375,41 @@ class TestWordHeavyHitters:
         exact = _to_pandas(word_topk(docs, k=1))
         sketch = _to_pandas(word_heavy_hitters(docs, k=5, capacity=64))
         assert exact["word"].iloc[0] in set(sketch["word"])
+
+
+class TestHllDistinct:
+    def test_estimate_within_tolerance_of_exact(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.sketches import hll_distinct_per_key
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id"]
+        )
+        got = _to_pandas(hll_distinct_per_key(events)).set_index("event_type")
+        want = (
+            _duck()
+            .execute(
+                "SELECT event_type, count(DISTINCT user_id) AS n FROM events "
+                "GROUP BY event_type"
+            )
+            .df()
+            .set_index("event_type")
+        )
+        assert set(got.index) == set(want.index)
+        for et in want.index:
+            exact = want.loc[et, "n"]
+            approx = got.loc[et, "approx_distinct"]
+            assert abs(approx - exact) <= max(2, 0.05 * exact), (et, approx, exact)
+
+    def test_sketch_is_deterministic(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.sketches import hll_distinct_per_key
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id"]
+        )
+        a = _canon(_to_pandas(hll_distinct_per_key(events)))
+        b = _canon(_to_pandas(hll_distinct_per_key(events)))
+        pd.testing.assert_frame_equal(a, b)
