@@ -644,6 +644,49 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "n_bytes", "n_chunks"])
 
 
+def _media_ds(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def _q_media_resize(sf_dir: str):
+    """Resize actor-pool stage (fake decode; real plumbing). Output
+    dims + resized byte length per media row."""
+    from pdf_extractor_ray.functions.multimodal import media_resize
+
+    out = media_resize(_media_ds(sf_dir), target=256)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "n_bytes": pc.binary_length(batch["payload"]),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_frame_sample(sf_dir: str):
+    """Frame-sampling explode (one media row -> sampled frames),
+    rolled up to frames per media row."""
+    from pdf_extractor_ray.functions.multimodal import frame_sample
+
+    frames = frame_sample(_media_ds(sf_dir), every_n=2)
+    return frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_corpus": _q_extract_corpus,
@@ -681,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -987,6 +1032,12 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY n_events DESC, user_id) AS rank
                        FROM c)
             SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   (greatest(1, octet_length(encode(text)) // 4096) + 1) // 2
+                       AS n_frames
+            FROM documents
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -25,7 +25,14 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["MediaFeatureExtractor", "media_features"]
+__all__ = [
+    "MediaFeatureExtractor",
+    "MediaResizer",
+    "FrameSampler",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+]
 
 MEDIA_FEATURE_SCHEMA = pa.schema(
     [
@@ -99,6 +106,136 @@ def media_features(
     return ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage (decode -> scale -> re-encode shape).
+
+    Fake path: output dims are the requested target box preserving the
+    fake source aspect ratio, and the "re-encoded" payload is a
+    deterministic digest-chain of the input bytes sized proportionally
+    to the output area — so downstream size-based logic (chunking,
+    batch sizing, skew bucketing) sees realistic byte volumes without a
+    codec. Real build: PIL/libvips in ``__init__``, actual resample in
+    ``__call__``.
+    """
+
+    def __init__(self, target: int = 256, decoder: str = "fake"):
+        if decoder not in ("fake", "strict"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.target = target
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        if self.decoder == "strict":
+            raise NotImplementedError(
+                "image resizing requires PIL/libvips; use decoder='fake'"
+            )
+        rows = []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            crc = zlib.crc32(payload)
+            src_w, src_h = 16 + crc % 1024, 16 + (crc >> 10) % 1024
+            scale = self.target / max(src_w, src_h)
+            w, h = max(1, int(src_w * scale)), max(1, int(src_h * scale))
+            out_len = max(16, (w * h) // 8)  # ~realistic compressed size
+            seed = hashlib.md5(payload).digest()
+            reps = out_len // len(seed) + 1
+            rows.append(
+                {
+                    "media_id": mid,
+                    "width": w,
+                    "height": h,
+                    "payload": (seed * reps)[:out_len],
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("frame_crc", pa.int64()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video-like payloads.
+
+    The in-batch explode (one media row -> every_n sampled frames)
+    never leaves the task — the flat_map shape for media. Fake path:
+    the payload is treated as a container of fixed-size virtual frames;
+    each sampled frame contributes its byte-range crc. Real build:
+    ffmpeg/pyav keyframe extraction in ``__call__``.
+    """
+
+    def __init__(self, every_n: int = 5, frame_bytes: int = 4096,
+                 decoder: str = "fake"):
+        if decoder not in ("fake", "strict"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.every_n = every_n
+        self.frame_bytes = frame_bytes
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "strict":
+            raise NotImplementedError(
+                "frame extraction requires ffmpeg/pyav; use decoder='fake'"
+            )
+        rows = []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            n_frames = max(1, len(payload) // self.frame_bytes)
+            for idx in range(0, n_frames, self.every_n):
+                chunk = payload[idx * self.frame_bytes:(idx + 1) * self.frame_bytes]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_idx": idx,
+                        "frame_crc": zlib.crc32(chunk),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+def media_resize(ds, target: int = 256, batch_size: int = 16, concurrency=(1, 4)):
+    """Resize actor pool over (media_id, payload) rows."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(ds, every_n: int = 5, batch_size: int = 8, concurrency=(1, 4)):
+    """Frame-sampling actor pool over (media_id, payload) rows."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -413,3 +413,58 @@ class TestHllDistinct:
         a = _canon(_to_pandas(hll_distinct_per_key(events)))
         b = _canon(_to_pandas(hll_distinct_per_key(events)))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMultimodalStages:
+    @pytest.fixture(scope="class")
+    def media(self, ray_session):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+        def to_media(batch):
+            return pa.table(
+                {"media_id": batch["doc_id"], "payload": pc.cast(batch["text"], pa.binary())}
+            )
+
+        return docs.map_batches(to_media, batch_format="pyarrow")
+
+    def test_resize_deterministic_and_bounded(self, media):
+        from pdf_extractor_ray.functions.multimodal import media_resize
+
+        a = _canon(_to_pandas(media_resize(media, target=256)).drop(columns=["payload"]))
+        b = _canon(_to_pandas(media_resize(media, target=256)).drop(columns=["payload"]))
+        pd.testing.assert_frame_equal(a, b)
+        assert (a[["width", "height"]].max(axis=1) <= 256).all()
+        assert (a[["width", "height"]].min(axis=1) >= 1).all()
+
+    def test_frame_sample_matches_length_arith(self, media):
+        from pdf_extractor_ray.functions.multimodal import frame_sample
+
+        frames = _to_pandas(frame_sample(media, every_n=2))
+        per = frames.groupby("media_id").size()
+        want = (
+            _duck()
+            .execute(
+                "SELECT doc_id, (greatest(1, octet_length(encode(text)) // 4096) + 1) // 2 AS n"
+                " FROM documents"
+            )
+            .df()
+            .set_index("doc_id")["n"]
+        )
+        for mid, n in per.items():
+            assert n == want.loc[mid]
+
+    def test_strict_decoder_raises(self, media):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from pdf_extractor_ray.functions.multimodal import FrameSampler, MediaResizer
+
+        batch = pa.table({"media_id": [1], "payload": [b"x"]})
+        with _pytest.raises(NotImplementedError):
+            MediaResizer(decoder="strict")(batch)
+        with _pytest.raises(NotImplementedError):
+            FrameSampler(decoder="strict")(batch)
