@@ -1045,9 +1045,12 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, CAST(ceil(octet_length(encode(text))/65536.0) AS INT)) AS n_chunks
             FROM documents
         """,
-        # extract_corpus / extract_synthetic / element_types /
-        # dedup_simhash / knn_lsh / knn_ivf / embedding_clusters: not
-        # SQL-expressible (per-document extraction kernels, sketch- or
-        # geometry-specific approximation) -> driver records the weaker
-        # rows-only check.
+        # Rows-only (no oracle entry): extract_corpus /
+        # extract_synthetic / element_types (per-document extraction
+        # kernels), dedup_simhash / knn_lsh / knn_ivf /
+        # embedding_clusters / distinct_users_hll (sketch- or
+        # geometry-specific approximation), media_resize (crc-derived
+        # fake dims). Each has value-level assertions in tests/ instead
+        # (determinism, tolerance-vs-exact, full-probe==brute,
+        # byte-identity).
     }
