@@ -535,6 +535,35 @@ def _q_asof_orders(sf_dir: str):
     return latest_order_asof(events, orders)
 
 
+def _emb_with_dups(sf_dir: str) -> ray.data.Dataset:
+    """embeddings plus an exact copy of every 10th vector (id
+    +1_000_000) — near-dup ground truth mirrored by the oracle."""
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dups = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table(
+            {
+                "vec_id": pc.add(dups["vec_id"], 1_000_000),
+                "embedding": dups["embedding"],
+            }
+        )
+
+    return emb.union(emb.map_batches(dup_rows, batch_format="pyarrow"))
+
+
+def _q_neardup_bucketed(sf_dir: str):
+    """IVF-bucketed embedding near-dup (scale path: in-cluster pairwise
+    only). Injected exact copies are the ground-truth pairs; identical
+    vectors always share a cluster, so recall is exact and the SQL
+    cross-join oracle matches."""
+    from pdf_extractor_ray.functions.similarity import embedding_neardup_bucketed
+
+    out = embedding_neardup_bucketed(_emb_with_dups(sf_dir), threshold=0.99)
+    return out.select_columns(["vec_a", "vec_b"])
+
+
 def _q_knn_ivf(sf_dir: str):
     from pdf_extractor_ray.functions.similarity import knn_ivf
 
@@ -697,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "neardup_bucketed": _q_neardup_bucketed,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -777,6 +807,17 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY cos DESC, neighbor_id) AS rn
                        FROM s)
             SELECT query_id, neighbor_id FROM r WHERE rn = 1
+        """,
+        "neardup_bucketed": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -39,6 +39,7 @@ __all__ = [
     "knn_lsh",
     "knn_ivf",
     "cluster_assign",
+    "embedding_neardup_bucketed",
     "cosine_topk_local",
 ]
 
@@ -331,3 +332,64 @@ def cluster_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_neardup_bucketed(
+    ds: ray.data.Dataset,
+    threshold: float = 0.99,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_rows: int = 2048,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs, IVF-bucketed (the scale path).
+
+    Brute force is O(n^2) over the corpus; this buckets vectors by
+    their k-means cell (broadcast centroids, one matmul per batch) and
+    compares pairs only WITHIN a cell — near-identical vectors always
+    share a cell, so recall at high thresholds is governed by the
+    cluster margin, and the pairwise work drops by ~n_clusters.
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >=
+    threshold.
+    """
+    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
+    cent = _kmeans_centroids(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_b = ray.get(cent_ref)
+        mat = _normalize(_to_matrix(batch[vec_col].to_pylist()))
+        cells = (mat @ cent_b.T).argmax(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cluster": pa.array(cells.astype("int64")),
+            }
+        )
+
+    def pairs(group) -> "pa.Table":
+        import pandas as pd
+
+        ids = group[id_col].to_numpy()
+        mat = _normalize(_to_matrix(group[vec_col].tolist()))
+        sims = mat @ mat.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        iu = np.triu_indices(n, k=1)
+        hits = sims[iu] >= threshold
+        for i, j, c in zip(iu[0][hits], iu[1][hits], sims[iu][hits]):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(float(c))
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(pairs, batch_format="pandas")
+    )
