@@ -505,6 +505,13 @@ def _q_word_heavy_hitters(sf_dir: str):
     return word_heavy_hitters(docs, k=20)
 
 
+def _q_tfidf_terms(sf_dir: str):
+    from pdf_extractor_ray.functions.textstats import tfidf_top_terms
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
 def _q_sessionize(sf_dir: str):
     from pdf_extractor_ray.functions.relational import sessionize_users
 
@@ -733,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
+        "tfidf_terms": _q_tfidf_terms,
         "sessionize": _q_sessionize,
         "sessionize_events": _q_sessionize_events,
         "asof_orders": _q_asof_orders,
@@ -1000,6 +1008,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT word, count(*) AS n FROM w
             GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "tfidf_terms": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                  AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf
+                    GROUP BY term HAVING count(*) >= 2),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         CAST(floor(tf.tf * ln(n.n_docs::DOUBLE / dfq.df) * 1000
+                                    + 0.5) AS BIGINT) AS score_m
+                  FROM tf JOIN dfq USING(term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, score_m,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score_m DESC, term) AS rank
+                  FROM s)
+            SELECT doc_id, term, score_m, rank FROM r WHERE rank <= 3
         """,
         "sessionize": """
             WITH x AS (

@@ -32,6 +32,7 @@ __all__ = [
     "doc_stats_batch",
     "word_topk",
     "word_heavy_hitters",
+    "tfidf_top_terms",
     "STOPWORDS",
     "QUALITY_LONG",
     "QUALITY_SHORT",
@@ -212,3 +213,81 @@ def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "t
         .aggregate(Sum("n", alias_name="n"))
     )
     return exact.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(
+    ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+):
+    """Per-document top-k TF-IDF terms — the two-pass global-statistic
+    pattern: pass 1 computes document frequencies (per-batch DISTINCT
+    word sets collapse before the groupby, so the shuffle carries the
+    batch vocabulary), the resulting df table broadcasts once, and pass
+    2 scores each document locally against the broadcast. idf =
+    ln(N/df); score ties broken by ascending term. Scores are emitted
+    as integer milli-units (floor(x*1000 + 0.5)) so the SQL oracle
+    comparison is exact.
+    """
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counts.update(set(_WORD_TOKEN_RE.findall((t or "").lower())))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_tbl = df_tbl[df_tbl["df"] >= min_df]
+    idf_ref = ray.put(
+        dict(zip(df_tbl["word"], np.log(n_docs / df_tbl["df"].to_numpy())))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = ray.get(idf_ref)
+        out = []
+        for doc_id, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            tf = Counter(_WORD_TOKEN_RE.findall((t or "").lower()))
+            # rank on the ROUNDED milli-score (not the raw double):
+            # both sides of the oracle comparison then order on the
+            # same integers, immune to last-ulp ln() differences
+            scored = [
+                (w, int(math.floor(n * idf[w] * 1000 + 0.5)))
+                for w, n in tf.items()
+                if w in idf
+            ]
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for rank, (w, s_m) in enumerate(scored[:k], 1):
+                out.append(
+                    {id_col: doc_id, "term": w, "score_m": s_m, "rank": rank}
+                )
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            pd.DataFrame(out, columns=[id_col, "term", "score_m", "rank"]),
+            preserve_index=False,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
