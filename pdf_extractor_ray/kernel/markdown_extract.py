@@ -255,8 +255,14 @@ def extract_from_markdown_text(
         gap_flushed = blank_run >= 2
         blank_run = 0
 
+        # First-char dispatch: every special line class is identified
+        # by stripped[0], so plain prose (the overwhelming majority)
+        # skips all five class regexes entirely. Byte-identical: each
+        # class regex anchors on that same first character.
+        c0 = stripped[0]
+
         # fenced code block
-        fence = _FENCE_RE.match(stripped)
+        fence = _FENCE_RE.match(stripped) if c0 in "`~" else None
         if fence:
             flush_text()
             if in_table:
@@ -286,7 +292,7 @@ def extract_from_markdown_text(
             continue
 
         # page marker
-        page_match = _PAGE_MARKER_RE.match(stripped)
+        page_match = _PAGE_MARKER_RE.match(stripped) if c0 == "<" else None
         if page_match:
             flush_text()
             if in_table:
@@ -298,7 +304,7 @@ def extract_from_markdown_text(
             continue
 
         # heading
-        heading = _HEADING_RE.match(stripped)
+        heading = _HEADING_RE.match(stripped) if c0 == "#" else None
         if heading:
             flush_text()
             if in_table:
@@ -336,7 +342,7 @@ def extract_from_markdown_text(
             continue
 
         # image on its own line
-        if _IMAGE_RE.match(stripped):
+        if c0 == "!" and _IMAGE_RE.match(stripped):
             flush_text()
             if in_table:
                 emit_table(table_lines, table_start_line, lineno - 1)
@@ -366,7 +372,7 @@ def extract_from_markdown_text(
             continue
 
         # table line
-        if _TABLE_LINE_RE.match(stripped):
+        if c0 == "|" and _TABLE_LINE_RE.match(stripped):
             flush_text()
             if not in_table:
                 in_table = True
@@ -382,7 +388,9 @@ def extract_from_markdown_text(
 
         # plain text: paragraph line or list item (marker stripped, one
         # entry per item — mirrors the reference's per-inline append)
-        item = _LIST_ITEM_RE.match(raw)
+        item = (
+            _LIST_ITEM_RE.match(raw) if c0 in "-*+0123456789" else None
+        )
         content_line = item.group(2) if item else stripped
         if not text_content:
             text_start_line = lineno
