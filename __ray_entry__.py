@@ -425,6 +425,91 @@ def _q_events_hopping(sf_dir: str):
     return events_hopping_window(events, size_s=3600, hop_s=1800)
 
 
+def _q_events_pivot(sf_dir: str):
+    """Pivot: one row per user, one count column per event type. The
+    pivot happens inside each batch (pandas crosstab -> fixed columns),
+    so the shuffle carries one row per user per batch with 5 int
+    columns — never the raw event stream."""
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"user_id": batch["user_id"], "event_type": batch["event_type"]}
+        ).to_pandas()
+        pv = pd.crosstab(df["user_id"], df["event_type"])
+        for t in types:
+            if t not in pv.columns:
+                pv[t] = 0
+        pv = pv[types].reset_index()
+        pv.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return pa.Table.from_pandas(pv, preserve_index=False)
+
+    agg = events.map_batches(partial, batch_format="pyarrow").groupby("user_id")
+    return agg.aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    )
+
+
+def _q_pricing_rollup(sf_dir: str):
+    """Grouping-sets rollup: revenue at (flag, status), (flag), and
+    grand-total levels, each from the SAME per-batch partials — the
+    fine-grained aggregate re-aggregates to the coarser levels without
+    touching the fact table again. NULL group keys encode the level
+    (SQL ROLLUP convention)."""
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "rev_c": _cents(disc),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            revenue_c=("rev_c", "sum"), n_rows=("rev_c", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    fine_df = fine.to_pandas()  # tiny (6 rows)
+    by_flag = (
+        fine_df.groupby("l_returnflag", as_index=False)[["revenue_c", "n_rows"]]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "revenue_c": [fine_df["revenue_c"].sum()],
+            "n_rows": [fine_df["n_rows"].sum()],
+        }
+    )
+    cols = ["l_returnflag", "l_linestatus", "revenue_c", "n_rows"]
+    return pd.concat(
+        [fine_df[cols], by_flag[cols], total[cols]], ignore_index=True
+    )
+
+
 def _q_value_quantiles(sf_dir: str):
     from pdf_extractor_ray.functions.relational import exact_quantiles
 
@@ -758,6 +843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "value_quantiles": _q_value_quantiles,
+        "events_pivot": _q_events_pivot,
+        "pricing_rollup": _q_pricing_rollup,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
@@ -915,6 +1002,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(value_c) AS BIGINT) AS sum_value_c
             FROM w GROUP BY event_type, window_start
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "value_quantiles": """
             SELECT event_type,
