@@ -140,8 +140,8 @@ def _q_extract_corpus(sf_dir: str):
 
 def _q_extract_synthetic(sf_dir: str):
     """Extraction over the self-generated mixed corpus (HTML +
-    pdf-shaped + edge cases); per-kind rollup. Rows scale mildly with sf
-    via the events table size as a proxy knob."""
+    pdf-shaped + edge cases, fixed 1000 rows — deterministic regardless
+    of sf); per-kind rollup."""
     from pdf_extractor_ray.pipelines import extract_pages
     from pdf_extractor_ray.sources.corpus import pages_table
 

@@ -468,3 +468,31 @@ class TestMultimodalStages:
             MediaResizer(decoder="strict")(batch)
         with _pytest.raises(NotImplementedError):
             FrameSampler(decoder="strict")(batch)
+
+
+class TestPivotAndRollup:
+    def test_pivot_matches_conditional_agg_sql(self, ray_session):
+        import importlib
+
+        em = importlib.import_module("__ray_entry__")
+        got = _canon(_to_pandas(em.queries()["events_pivot"](SF)))
+        want = _canon(
+            _duck()
+            .execute(em.oracle_sql()["events_pivot"].replace("FROM events", "FROM events"))
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_rollup_levels_are_consistent(self, ray_session):
+        import importlib
+
+        em = importlib.import_module("__ray_entry__")
+        df = _to_pandas(em.queries()["pricing_rollup"](SF))
+        fine = df[df["l_linestatus"].notna()]
+        flag = df[df["l_linestatus"].isna() & df["l_returnflag"].notna()]
+        total = df[df["l_returnflag"].isna()]
+        assert len(total) == 1
+        # internal consistency across levels
+        assert fine["revenue_c"].sum() == total["revenue_c"].iloc[0]
+        assert flag["revenue_c"].sum() == total["revenue_c"].iloc[0]
+        assert fine["n_rows"].sum() == total["n_rows"].iloc[0]
