@@ -83,16 +83,25 @@ def extract_pages(
     ``source`` is a parquet path/paths or an existing Dataset with the
     pages schema. Returns the lazy extraction Dataset — consume it with
     ``write_parquet`` / ``iter_batches`` / an aggregate.
+
+    ``concurrency`` is the TOTAL actor budget across lanes: with
+    ``split_by_size`` the two actor-pool lanes each get half. Fixed
+    actor pools RESERVE their CPUs, so two full-size pools on a small
+    cluster would starve the upstream read tasks and deadlock the
+    pipeline — per-lane sizing keeps scheduling headroom.
     """
     if isinstance(source, ray.data.Dataset):
         ds = source
     else:
         ds = ray.data.read_parquet(source, columns=_PAGE_COLUMNS)
 
+    n_lanes = 2 if split_by_size else 1
+
     def stage(inp: ray.data.Dataset, bs: Optional[int]) -> ray.data.Dataset:
         if use_actor_pool:
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            pool = concurrency if concurrency is not None else max(2, cpus - 2)
+            total = concurrency if concurrency is not None else max(2, cpus - 2)
+            pool = max(1, total // n_lanes)
             return inp.map_batches(
                 ExtractDocuments,
                 fn_constructor_kwargs={

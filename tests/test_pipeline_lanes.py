@@ -82,3 +82,14 @@ class TestFinalizeMode:
                 continue
             types = {e["type"] for e in row["elements"]}
             assert "text" in types and "table" in types
+
+
+class TestCombinedFlags:
+    def test_all_options_together_keep_url_set(self, ray_session, corpus_dir, baseline):
+        got = _extract_map(
+            ray_session, corpus_dir,
+            split_by_size=True, use_actor_pool=True, concurrency=2,
+            finalize=True, merge_strategy="aggressive",
+        )
+        assert set(got) == set(baseline)
+        assert all(v[1] in ("ok", "error") for v in got.values())
