@@ -60,8 +60,15 @@ _LANG_CLASS_RE = re.compile(r"language-([\w+-]+)")
 _TAG_RE = re.compile(r"<[^>]+>")
 
 # One pass: comments | doctype/decls | closing tags | opening tags.
+# The bare `<!--.*` branch handles UNTERMINATED comments: per HTML5 an
+# unclosed comment swallows everything to EOF. Without it, `<!--junk`
+# fell through to the `<![^>]*>` declaration branch, which stops at the
+# first `>` — mis-tokenizing the rest of the document and leaking
+# raw-text (script/style) content that a browser would never render
+# (found by fuzzing).
 _TOKEN_RE = re.compile(
     r"<!--(.*?)-->"
+    r"|<!--.*"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\s*/\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
@@ -136,7 +143,7 @@ class _Builder:
             return
         if self._in_pre:
             self._pre_parts.append(text)
-        elif self._in_cell:
+        elif self._in_cell and self._row_cells:
             self._row_cells[-1] += text
         else:
             # Leading whitespace would be stripped at flush time anyway;
@@ -243,8 +250,12 @@ class _Builder:
                     [_collapse(c).strip() for c in self._row_cells]
                 )
             self._row_cells = []
+            # a </tr> with an unclosed <td> must end the cell too, or
+            # later text would index into the emptied cell list
+            self._in_cell = False
         elif tag == "table":
             self._in_table = False
+            self._in_cell = False
             if self._table_rows:
                 lines = ["| " + " | ".join(self._table_rows[0]) + " |"]
                 lines.append("|" + "---|" * len(self._table_rows[0]))

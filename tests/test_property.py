@@ -127,3 +127,39 @@ class TestSketchDeterminism:
         assert (sig == minhash_signature(text)).all()
         assert ngram_jaccard(text, text) in (0.0, 1.0)  # 0 only for empty
         assert simhash64(text) == simhash64(text)
+
+
+class TestMalformedHtmlRegressions:
+    """Fuzz-found counterexamples pinned as regressions."""
+
+    def test_unterminated_comment_swallows_to_eof(self):
+        # HTML5: an unclosed comment runs to EOF — its content (and any
+        # script inside it) must never surface
+        out = html_to_markdown("<p>keep</p><!--junk<script>SECRET</script>")
+        assert "SECRET" not in out and "keep" in out
+
+    def test_unclosed_td_then_tr_end_does_not_crash(self):
+        out = html_to_markdown(
+            "<table><tr><td>a</tr><tr><td>b</td></tr></table>trailing"
+        )
+        assert "trailing" in out
+
+    def test_table_end_inside_cell_does_not_crash(self):
+        out = html_to_markdown("<table><tr><td>a</table>after")
+        assert "after" in out
+
+    def test_fuzz_sweep_never_raises_never_leaks(self):
+        import random
+
+        rng = random.Random(20260817)
+        alph = ['<', '>', '/', '!', '-', '&', '#', 'a', 'İ', '\x00', '\t',
+                ' ', '"', "'", '=', '|', '`', '<script>', '</script>',
+                '<style>', '<p>', '</p>', '<table>', '<tr>', '<td>',
+                '<!--', '-->', '<pre>', '<h1>', '<img ', 'src=']
+        for _ in range(400):
+            secret = "".join(rng.choice("abcdefgh") for _ in range(12))
+            pre = "".join(rng.choice(alph) for _ in range(rng.randint(0, 25)))
+            post = "".join(rng.choice(alph) for _ in range(rng.randint(0, 25)))
+            # <p></p> guarantees the script opens outside any tag context
+            out = html_to_markdown(f"{pre}<p></p><script>ZZ{secret}ZZ</script>{post}")
+            assert f"ZZ{secret}ZZ" not in out
