@@ -120,8 +120,24 @@ def _reading_order(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return sorted(blocks, key=key)
 
 
+# Densification bound: a corrupt/adversarial cell index like row=10^9
+# would otherwise allocate a gigarow grid and OOM the worker (poison
+# rows must cost O(their data), never O(their claimed indices)). Real
+# extracted tables are orders of magnitude below this.
+MAX_GRID_DIM = 10_000
+
+
 def _cells_to_grid(cells: list[dict[str, Any]]) -> list[list[str]]:
-    """Sparse {row, col, text} cells -> dense row-major grid ('' fill)."""
+    """Sparse {row, col, text} cells -> dense row-major grid ('' fill).
+    Cells with out-of-bound indices (>= MAX_GRID_DIM, or negative) are
+    dropped rather than densified."""
+    if not cells:
+        return []
+    cells = [
+        c
+        for c in cells
+        if 0 <= int(c["row"]) < MAX_GRID_DIM and 0 <= int(c["col"]) < MAX_GRID_DIM
+    ]
     if not cells:
         return []
     n_rows = max(int(c["row"]) for c in cells) + 1

@@ -150,3 +150,24 @@ class TestPdfLaneEndToEnd:
             )
         )["record"]
         assert rec["page_range"] == "1-2"
+
+
+class TestAdversarialCells:
+    def test_out_of_bound_cell_indices_dropped_not_densified(self):
+        # a corrupt row index like 10^9 must not allocate a gigarow grid
+        from pdf_extractor_ray.kernel.pdfshape import MAX_GRID_DIM, _cells_to_grid
+
+        grid = _cells_to_grid(
+            [
+                {"row": 10**9, "col": 10**9, "text": "boom"},
+                {"row": -5, "col": 0, "text": "neg"},
+                {"row": 1, "col": 1, "text": "keep"},
+            ]
+        )
+        assert len(grid) == 2 and grid[1][1] == "keep"
+        assert MAX_GRID_DIM == 10_000
+
+    def test_all_cells_out_of_bound_gives_empty(self):
+        from pdf_extractor_ray.kernel.pdfshape import _cells_to_grid
+
+        assert _cells_to_grid([{"row": 10**9, "col": 0, "text": "x"}]) == []
