@@ -66,16 +66,27 @@ _TAG_RE = re.compile(r"<[^>]+>")
 # first `>` — mis-tokenizing the rest of the document and leaking
 # raw-text (script/style) content that a browser would never render
 # (found by fuzzing).
+# The attribute section is an ATOMIC group with a bounded repeat count:
+# without it, a flood of unterminated tags ("<a " * 100k) made the
+# engine re-scan to EOF from every candidate '<' — quadratic blowup
+# measured in minutes (found by pathological-input timing). Atomic
+# kills the backtracking; the 4096-rep cap bounds any single scan
+# (real-world tags are far smaller; a longer one degrades to text).
 _TOKEN_RE = re.compile(
     r"<!--(.*?)-->"
     r"|<!--.*"
     r"|<!\[CDATA\[.*?\]\]>"
-    r"|<![^>]*>"
+    r"|<![^>]{0,4096}>"
     r"|<\s*/\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
-    r"|<\s*([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
-    r"|<\?[^>]*>",
+    r"|<\s*([a-zA-Z][a-zA-Z0-9-]*)((?>\"[^\"]*\"|'[^']*'|[^>\"']){0,4096})>"
+    r"|<\?[^>]{0,4096}>",
     re.S,
 )
+# On a failed anchored attempt, candidates more than this far from the
+# next '>' cannot match any '>'-requiring token form either — the scan
+# loop jumps them wholesale (see html_to_markdown). Slightly above the
+# 4096 attr cap.
+_FAIL_JUMP_MARGIN = 4200
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
 )
@@ -196,6 +207,12 @@ class _Builder:
             attrs = _parse_attrs(raw_attrs)
             alt = unescape(attrs.get("alt", "")).strip()
             src = unescape(attrs.get("src", "")).strip()
+            # an attribute value containing '<' means the tag swallowed
+            # mis-nested markup (e.g. src='...<script>...'); emitting it
+            # would resurface content a browser never renders as text —
+            # treat the whole img as junk instead
+            if "<" in alt or "<" in src:
+                return
             self._flush_inline()
             self.blocks.append(f"![{alt}]({src})")
         elif tag == "table":
@@ -273,14 +290,42 @@ def html_to_markdown(html: str) -> str:
     pos = 0
     n = len(html)
     while pos < n:
-        m = _TOKEN_RE.search(html, pos)
-        if m is None:
+        # C-speed skip to the next candidate, then an ANCHORED match
+        # attempt. On failure: if no '>' remains anywhere, no token can
+        # ever match again (every form except the unterminated-comment
+        # branch needs one, and that branch matches on sight) — emit
+        # the rest as data and stop, which keeps tag-flood inputs
+        # linear instead of retrying a long scan at every '<'.
+        lt = html.find("<", pos)
+        if lt == -1:
             text = html[pos:]
             if text:
                 b.data(unescape(text) if "&" in text else text)
             break
-        if m.start() > pos:
-            text = html[pos : m.start()]
+        m = _TOKEN_RE.match(html, lt)
+        if m is None:
+            gt = html.find(">", lt)
+            if gt == -1:
+                text = html[pos:]
+                if text:
+                    b.data(unescape(text) if "&" in text else text)
+                break
+            # Bogus-tag recovery with a bounded jump: every remaining
+            # candidate further than the margin from the next '>' would
+            # fail the same way (all token forms except comments need a
+            # '>' within their caps), so skip them as data in one step.
+            # Comments match on sight, so never jump past a '<!--'.
+            jump = gt - _FAIL_JUMP_MARGIN
+            nxt_comment = html.find("<!--", lt + 1, gt)
+            if nxt_comment != -1:
+                jump = min(jump, nxt_comment)
+            jump = max(jump, lt + 1)
+            text = html[pos:jump]
+            b.data(unescape(text) if "&" in text else text)
+            pos = jump
+            continue
+        if lt > pos:
+            text = html[pos:lt]
             b.data(unescape(text) if "&" in text else text)
         pos = m.end()
         comment, close_tag, open_tag, attrs = m.group(1), m.group(2), m.group(3), m.group(4)

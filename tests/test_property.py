@@ -163,3 +163,26 @@ class TestMalformedHtmlRegressions:
             # <p></p> guarantees the script opens outside any tag context
             out = html_to_markdown(f"{pre}<p></p><script>ZZ{secret}ZZ</script>{post}")
             assert f"ZZ{secret}ZZ" not in out
+
+
+class TestPathologicalInputsBounded:
+    """Timing/robustness regressions from the DoS fuzz."""
+
+    def test_tag_flood_completes_fast(self):
+        import time
+
+        st = time.time()
+        html_to_markdown("<a " * 100000)
+        html_to_markdown(("<a " * 3000 + ">") * 30)
+        html_to_markdown(("<!x " * 3000 + ">") * 30)
+        assert time.time() - st < 10  # was minutes before atomic+jump
+
+    def test_img_with_swallowed_markup_is_dropped(self):
+        out = html_to_markdown(
+            "<p>keep</p><img src='</p><script>SECRET</script>' alt=x>"
+        )
+        assert "SECRET" not in out and "keep" in out
+
+    def test_normal_img_still_emitted(self):
+        out = html_to_markdown('<img alt="fig one" src="a/b.png">')
+        assert out == "![fig one](a/b.png)"
