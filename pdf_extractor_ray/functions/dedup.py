@@ -205,16 +205,29 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def _band_rows(
-    sig: np.ndarray, doc_id, n_bands: int = 16
-) -> list[tuple[int, int, int]]:
-    rows_per_band = len(sig) // n_bands
-    out = []
-    for b in range(n_bands):
-        chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-        band_hash = zlib.crc32(chunk.tobytes())
-        out.append((b, band_hash, doc_id))
-    return out
+# Odd multipliers for the vectorized band hash (splitmix-style mixing;
+# any deterministic injective-ish combine works — identical signatures
+# always produce identical band hashes, which is the only property the
+# LSH banding relies on).
+_BAND_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
+def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, 64) signatures -> (n_docs, n_bands) int64 band hashes,
+    fully vectorized (no per-band Python hashing)."""
+    n, width = sigs.shape
+    rows = width // n_bands
+    assert rows * n_bands == width
+    bands = sigs.astype(np.uint64).reshape(n, n_bands, rows)
+    mix = _BAND_MIX[:rows]
+    acc = np.zeros((n, n_bands), dtype=np.uint64)
+    for j in range(rows):
+        acc ^= (bands[:, :, j] + np.uint64(j + 1)) * mix[j]
+        acc ^= acc >> np.uint64(29)
+    return acc.view(np.int64)
 
 
 def minhash_candidates(
@@ -235,17 +248,30 @@ def minhash_candidates(
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            sig = minhash_signature(text or "", shingle_k)
-            rows.extend(_band_rows(sig, doc_id, n_bands))
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.stack(
+            [minhash_signature(t or "", shingle_k) for t in texts]
+        )  # (n, 64)
+        hashes = _band_hashes(sigs, n_bands)  # (n, n_bands), vectorized
+        n = len(ids)
         return pa.table(
             {
-                "band": pa.array([r[0] for r in rows], pa.int32()),
-                "band_hash": pa.array([r[1] for r in rows], pa.int64()),
-                "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(hashes.ravel()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(ids, dtype=np.int64), n_bands)
+                ),
             }
         )
 
