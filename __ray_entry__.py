@@ -1046,7 +1046,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ground truth for the near-dup sketches: ALL pairs with exact
         # word-3-gram Jaccard >= threshold, computed by brute-force
-        # cross join in SQL (O(n^2) — fine at the sf0.01 gate scale).
+        # cross join in SQL. O(n^2) BY DESIGN — ~10 s at the sf0.01
+        # gate scale (where the driver runs oracles, TESTDATA.md), but
+        # ~100x that at sf0.1; the Ray pipeline itself stays subsecond-
+        # per-10k-docs at every scale.
         # MinHash-LSH at 16 bands x 4 rows has >= 0.9998 recall at
         # J=0.8, and on this deterministic corpus it finds exactly the
         # true pair set, so the comparison is stable.
