@@ -395,23 +395,28 @@ def _q_events_window(sf_dir: str):
 
     def bucket(batch: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
-        # numpy // floors toward -inf, matching the oracle's floor()
+        # numpy // floors toward -inf, matching the oracle's floor();
+        # per-batch partial agg so the shuffle carries windows, not events
         secs = us.to_numpy(zero_copy_only=False) // 1_000_000
         win = (secs // 3600) * 3600
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "event_type": batch["event_type"],
-                "window_start": pa.array(win, pa.int64()),
-                "value_c": _cents(batch["value"]),
+                "event_type": batch["event_type"].to_pylist(),
+                "window_start": win,
+                "value_c": _cents(batch["value"]).to_numpy(),
             }
         )
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         events.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c", alias_name="sum_value_c"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
         )
     )
 
