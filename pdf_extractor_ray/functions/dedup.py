@@ -73,7 +73,14 @@ def exact_dedup_summary(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Per distinct content hash: the kept (minimum) id and the
-    duplicate count. Shuffle carries partials, not documents."""
+    duplicate count.
+
+    Shuffle carries per-batch partials (one row per distinct hash per
+    batch), keyed by a COARSE bucket of the hash — a corpus has one
+    group per distinct document, and keying the exchange on the raw
+    hash put millions of groups into the aggregate machinery (the
+    10M-row pathology fixed across this repo); the fine merge is a
+    vectorized pandas groupby inside each bucket."""
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -87,18 +94,31 @@ def exact_dedup_summary(
             else:
                 cur[0] = min(cur[0], i)
                 cur[1] += 1
+        hashes = list(agg.keys())
         return pa.table(
             {
-                "text_hash": list(agg.keys()),
+                "text_hash": hashes,
                 "keep_doc_id": [v[0] for v in agg.values()],
                 "dup_count": [v[1] for v in agg.values()],
+                "_bucket": pa.array(
+                    [zlib.crc32(h.encode()) % 1024 for h in hashes], pa.int64()
+                ),
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("text_hash").aggregate(
-        Min("keep_doc_id", alias_name="keep_doc_id"),
-        Sum("dup_count", alias_name="dup_count"),
+    def merge(group) -> "pa.Table":
+        import pandas as pd
+
+        g = group.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), dup_count=("dup_count", "sum")
+        )
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["text_hash", "keep_doc_id", "dup_count"])
     )
 
 
@@ -140,10 +160,10 @@ def key_dedup_summary(
     """Exact dedup on a key column (url-dedup, SURVEY.md §7.1 step 8):
     per distinct key, the kept (minimum) id and the duplicate count.
 
-    Same shuffle shape as ``exact_dedup_summary`` but keyed on the raw
-    column value — the per-batch partial (vectorized pandas groupby)
-    collapses each batch to one row per distinct key before the hash
-    exchange, so the all-to-all carries keys, not rows.
+    Same shuffle shape as ``exact_dedup_summary``: per-batch partials
+    (one row per distinct key per batch), a coarse key-bucket exchange,
+    and a vectorized in-bucket merge — never one aggregate group per
+    distinct key.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -151,15 +171,19 @@ def key_dedup_summary(
         g = df.groupby(key_col, as_index=False).agg(
             keep_doc_id=(id_col, "min"), dup_count=(id_col, "size")
         )
+        g["_bucket"] = [zlib.crc32(str(k).encode()) % 1024 for k in g[key_col]]
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group):
+        return group.groupby(key_col, as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), dup_count=("dup_count", "sum")
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(
-            Min("keep_doc_id", alias_name="keep_doc_id"),
-            Sum("dup_count", alias_name="dup_count"),
-        )
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns([key_col, "keep_doc_id", "dup_count"])
     )
 
 
