@@ -376,12 +376,25 @@ def _q_q3_top_orders(sf_dir: str):
         g = df.groupby("l_orderkey", as_index=False).agg(
             revenue_c=("rev_c", "sum")
         )
+        g["_bucket"] = g["l_orderkey"] % 256
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    # Coarse orderkey-bucket exchange, in-bucket merge, and per-bucket
+    # top-10 pruning (the global top-10 is a subset of the union of
+    # bucket top-10s) — the final sort sees 256 x 10 rows, and no
+    # order-cardinality group set ever hits the aggregate machinery.
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_orderkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum")
+        )
+        return g.sort_values(
+            ["revenue_c", "l_orderkey"], ascending=[False, True]
+        ).head(10)
 
     per_order = (
         lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
     )
     return per_order.sort(
         ["revenue_c", "l_orderkey"], descending=[True, False]

@@ -135,12 +135,20 @@ def top_revenue_orders(
         t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
         df = t.to_pandas()
         g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        g["_bucket"] = g["l_orderkey"] % 256
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    # coarse orderkey-bucket exchange + vectorized in-bucket merge (an
+    # order-cardinality group set would swamp the aggregate machinery)
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
 
     per_order = (
         lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
     joined = broadcast_join(
         per_order,
