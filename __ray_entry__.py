@@ -453,6 +453,8 @@ def _q_events_pivot(sf_dir: str):
     )
     types = ["click", "error", "purchase", "signup", "view"]
 
+    cols = [f"n_{t}" for t in types]
+
     def partial(batch: pa.Table) -> pa.Table:
         df = pa.table(
             {"user_id": batch["user_id"], "event_type": batch["event_type"]}
@@ -462,12 +464,19 @@ def _q_events_pivot(sf_dir: str):
             if t not in pv.columns:
                 pv[t] = 0
         pv = pv[types].reset_index()
-        pv.columns = ["user_id"] + [f"n_{t}" for t in types]
+        pv.columns = ["user_id"] + cols
+        pv["_bucket"] = pv["user_id"] % 256
         return pa.Table.from_pandas(pv, preserve_index=False)
 
-    agg = events.map_batches(partial, batch_format="pyarrow").groupby("user_id")
-    return agg.aggregate(
-        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    # coarse user-bucket exchange + in-bucket merge (user-cardinality
+    # aggregate groups are the 10M-row pathology)
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("user_id", as_index=False)[cols].sum()
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -819,11 +828,26 @@ def _q_media_resize(sf_dir: str):
 
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling explode (one media row -> sampled frames),
-    rolled up to frames per media row."""
+    rolled up to frames per media row. Every media's frames are emitted
+    by the SAME FrameSampler batch, so the count needs no shuffle at
+    all — a per-batch groupby is already exact per media."""
     from pdf_extractor_ray.functions.multimodal import frame_sample
 
     frames = frame_sample(_media_ds(sf_dir), every_n=2)
-    return frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+
+    def count_in_batch(batch: pa.Table) -> pa.Table:
+        df = pa.table({"media_id": batch["media_id"]}).to_pandas()
+        g = df.groupby("media_id", as_index=False).agg(
+            n_frames=("media_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # batch_size=None = one batch per block; FrameSampler emits each
+    # media's frames inside a single output block, so per-block counts
+    # are exact (a row-capped batch size could split a media)
+    return frames.map_batches(
+        count_in_batch, batch_format="pyarrow", batch_size=None
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -517,12 +517,20 @@ def order_priority_revenue(
             {"l_orderkey": batch["l_orderkey"], "rev_c": cents}
         ).to_pandas()
         g = df.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["_bucket"] = g["l_orderkey"] % 256
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    # coarse-bucket exchange + in-bucket merge (order-cardinality
+    # groups would swamp the aggregate machinery; same fix as Q3)
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("l_orderkey", as_index=False).agg(
+            rev_c=("rev_c", "sum")
+        )
 
     per_order = (
         lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
     joined = per_order.join(
         orders.select_columns(["o_orderkey", "o_orderpriority"]),

@@ -105,25 +105,38 @@ def word_topk(ds, k: int = 20, text_col: str = "text"):
     ``lower(text)`` scanned with ``[a-z0-9]+`` (mirrored in the SQL
     oracle's regexp_extract_all).
     """
+    import zlib
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
         for t in batch[text_col].to_pylist():
             counts.update(_WORD_TOKEN_RE.findall((t or "").lower()))
+        words = list(counts.keys())
         return pa.table(
             {
-                "word": pa.array(list(counts.keys()), pa.string()),
+                "word": pa.array(words, pa.string()),
                 "n": pa.array(list(counts.values()), pa.int64()),
+                "_bucket": pa.array(
+                    [zlib.crc32(w.encode()) % 256 for w in words], pa.int64()
+                ),
             }
         )
 
-    from ray.data.aggregate import Sum
+    # coarse word-bucket exchange + in-bucket merge + per-bucket top-k
+    # pruning (global top-k is a subset of the union of bucket top-ks);
+    # a vocabulary-keyed aggregate would explode the group count at
+    # web-scale vocabularies
+    def bucket_topk(group):
+        import pandas as pd
+
+        g = group.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(["n", "word"], ascending=[False, True]).head(k)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
     )
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
@@ -239,23 +252,34 @@ def tfidf_top_terms(
 
     n_docs = ds.count()
 
+    import zlib
+
     def df_partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
         for t in batch[text_col].to_pylist():
             counts.update(set(_WORD_TOKEN_RE.findall((t or "").lower())))
+        words = list(counts.keys())
         return pa.table(
             {
-                "word": pa.array(list(counts.keys()), pa.string()),
+                "word": pa.array(words, pa.string()),
                 "df": pa.array(list(counts.values()), pa.int64()),
+                "_bucket": pa.array(
+                    [zlib.crc32(w.encode()) % 256 for w in words], pa.int64()
+                ),
             }
         )
 
-    from ray.data.aggregate import Sum
+    def df_merge(group):
+        import pandas as pd
 
+        return group.groupby("word", as_index=False).agg(df=("df", "sum"))
+
+    # coarse word-bucket exchange (vocabulary-keyed aggregate groups
+    # explode at web scale), vectorized merge per bucket
     df_tbl = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("df", alias_name="df"))
+        .groupby("_bucket")
+        .map_groups(df_merge, batch_format="pandas")
         .to_pandas()
     )
     df_tbl = df_tbl[df_tbl["df"] >= min_df]
