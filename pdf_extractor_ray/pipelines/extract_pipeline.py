@@ -138,6 +138,7 @@ def run_resumable_extraction(
     out_dir: str,
     merge_strategy: str = "conservative",
     shard_size: int = 1,
+    partition_cols: Optional[list] = None,
     **extract_kwargs,
 ) -> dict:
     """Run the pipeline shard-by-shard with per-partition lineage.
@@ -164,6 +165,8 @@ def run_resumable_extraction(
             skipped.append(pid)
             continue
         ds = extract_pages(files, merge_strategy=merge_strategy, **extract_kwargs)
-        write_partition_with_lineage(ds, out_dir, pid, input_files=files)
+        write_partition_with_lineage(
+            ds, out_dir, pid, input_files=files, partition_cols=partition_cols
+        )
         ran.append(pid)
     return {"ran": ran, "skipped": skipped, "out_dir": out_dir}

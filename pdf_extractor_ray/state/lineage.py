@@ -55,9 +55,18 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def write_partition_with_lineage(
-    ds, out_dir: str, pid: int, input_files: list[str] | None = None
+    ds,
+    out_dir: str,
+    pid: int,
+    input_files: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> dict:
-    """Consume ``ds`` into partition ``pid`` with the commit protocol."""
+    """Consume ``ds`` into partition ``pid`` with the commit protocol.
+
+    ``partition_cols`` additionally hive-partitions the parquet INSIDE
+    the shard directory (e.g. ``part=00000/lang=en/...``) — keyed
+    layout for downstream readers without touching the resume unit.
+    """
     import pyarrow.dataset as pads
 
     part_dir = os.path.join(out_dir, f"part={pid:05d}")
@@ -69,7 +78,10 @@ def write_partition_with_lineage(
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
 
     t0 = time.monotonic()
-    ds.write_parquet(tmp_dir)
+    if partition_cols:
+        ds.write_parquet(tmp_dir, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(tmp_dir)
     wall_s = time.monotonic() - t0
 
     # Sidecar facts come from the files actually written (single narrow

@@ -41,6 +41,9 @@ def main() -> int:
                     help="use a fixed actor pool instead of stateless tasks")
     ap.add_argument("--split-by-size", action="store_true",
                     help="route giant payloads through their own lane")
+    ap.add_argument("--partition-by", default=None,
+                    help="comma-separated columns for hive-partitioned "
+                         "output inside each shard (e.g. lang,kind)")
     args = ap.parse_args()
 
     import ray
@@ -68,6 +71,9 @@ def main() -> int:
         args.output,
         merge_strategy=args.merge_strategy,
         shard_size=args.shard_size,
+        partition_cols=(
+            args.partition_by.split(",") if args.partition_by else None
+        ),
         batch_size=args.batch_size,
         use_actor_pool=args.actor_pool,
         split_by_size=args.split_by_size,

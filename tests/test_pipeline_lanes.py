@@ -93,3 +93,27 @@ class TestCombinedFlags:
         )
         assert set(got) == set(baseline)
         assert all(v[1] in ("ok", "error") for v in got.values())
+
+
+class TestKeyedOutput:
+    def test_partition_cols_layout_and_resume(self, ray_session, corpus_dir, tmp_path):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from pdf_extractor_ray.pipelines import run_resumable_extraction
+        import glob
+
+        files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+        out = str(tmp_path / "keyed")
+        run_resumable_extraction(files, out, partition_cols=["kind"])
+        # hive layout inside each shard
+        kinds = os.listdir(os.path.join(out, "part=00000"))
+        assert any(k.startswith("kind=") for k in kinds)
+        # url set still exact via partition-aware read
+        t = pads.dataset(os.path.join(out, "part=00000"), format="parquet",
+                         partitioning="hive").to_table(columns=["url"])
+        assert len(t) > 0
+        # resume still skips committed shards
+        res = run_resumable_extraction(files, out, partition_cols=["kind"])
+        assert res["ran"] == []
