@@ -617,6 +617,39 @@ def _q_word_heavy_hitters(sf_dir: str):
     return word_heavy_hitters(docs, k=20)
 
 
+def _q_doc_metadata(sf_dir: str):
+    """M9 metadata extraction (kernel/parsers.py) over synthesized
+    front-matter headers: each document gets a deterministic
+    'Title:/Author:/Date:' block derived from doc_id, mirrored by the
+    oracle's string building + regexp_extract."""
+    from pdf_extractor_ray.kernel.parsers import extract_metadata
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = (
+                f"Title: Report {doc_id}\n"
+                f"Author: Analyst {doc_id % 7}\n"
+                f"Date: 2025-01-{1 + doc_id % 28:02d}\n\n{text}"
+            )
+            meta = extract_metadata(body)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "title": meta.get("title", ""),
+                    "author": meta.get("author", ""),
+                    "date": meta.get("date", ""),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
 def _q_tfidf_terms(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import tfidf_top_terms
 
@@ -868,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
         "tfidf_terms": _q_tfidf_terms,
+        "doc_metadata": _q_doc_metadata,
         "sessionize": _q_sessionize,
         "sessionize_events": _q_sessionize_events,
         "asof_orders": _q_asof_orders,
@@ -1157,6 +1191,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT word, count(*) AS n FROM w
             GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "doc_metadata": """
+            SELECT doc_id,
+                   'Report ' || doc_id AS title,
+                   'Analyst ' || (doc_id % 7) AS author,
+                   strftime(make_date(2025, 1, CAST(1 + doc_id % 28 AS INT)),
+                            '%Y-%m-%d') AS date
+            FROM documents
         """,
         "tfidf_terms": """
             WITH w AS (SELECT doc_id,
