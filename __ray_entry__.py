@@ -751,14 +751,34 @@ def _q_hash_sample(sf_dir: str):
 
 
 def _q_group_topk(sf_dir: str):
-    """Top-3 most active users per event_type (windowed rank)."""
+    """Top-3 most active users per event_type (windowed rank). The
+    per-(type, user) counts come from per-batch partials merged inside
+    user buckets — never a (type, user)-keyed aggregate group set."""
     from pdf_extractor_ray.functions.relational import topk_per_group
 
     events = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
-    counted = events.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="n_events")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+        ).to_pandas()
+        g = df.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+        g["_ubucket"] = g["user_id"] % 256
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    counted = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("_ubucket")
+        .map_groups(merge, batch_format="pandas")
     )
     return topk_per_group(
         counted, group_col="event_type", order_col="n_events",

@@ -409,10 +409,14 @@ def latest_order_asof(
         .sort_values("o_orderdate")
         .reset_index(drop=True)
     )
+    # merge_asof requires IDENTICAL time dtypes on both keys; sources
+    # differ (parquet yields us, pd.to_datetime yields ns) — pin both
+    right["o_orderdate"] = right["o_orderdate"].astype("datetime64[us]")
     right_ref = ray.put(right)
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["event_type", "user_id", "ts"]].sort_values("ts")
+        b["ts"] = b["ts"].astype("datetime64[us]")
         m = pd.merge_asof(
             b,
             ray.get(right_ref),  # near-zero-copy (numeric columns)
