@@ -48,13 +48,15 @@ __all__ = [
     "ocr_preprocess",
 ]
 
-LOW_CONFIDENCE_THRESHOLD = 75.0
+from pdf_extractor_ray.config import CONFIG
+
+LOW_CONFIDENCE_THRESHOLD = CONFIG.table_confidence_floor
 
 # Scanned-PDF detection thresholds (context7/pdf_extractor/config.py:34-36:
 # check at most 5 pages; a page with < 100 chars of text layer counts as
-# image-only).
-SCANNED_CHECK_MAX_PAGES = 5
-SCANNED_MIN_CHARS_PER_PAGE = 100
+# image-only). Env-overridable via GRAFT_SCANNED_* (config.py).
+SCANNED_CHECK_MAX_PAGES = CONFIG.scanned_check_max_pages
+SCANNED_MIN_CHARS_PER_PAGE = CONFIG.scanned_min_chars_per_page
 
 
 def _page_text_chars(page: dict[str, Any]) -> int:
@@ -124,7 +126,7 @@ def _reading_order(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
 # would otherwise allocate a gigarow grid and OOM the worker (poison
 # rows must cost O(their data), never O(their claimed indices)). Real
 # extracted tables are orders of magnitude below this.
-MAX_GRID_DIM = 10_000
+MAX_GRID_DIM = CONFIG.max_grid_dim
 
 
 def _cells_to_grid(cells: list[dict[str, Any]]) -> list[list[str]]:

@@ -213,7 +213,12 @@ def merge_multi_page_tables(
     return merged
 
 
-_STRATEGY_THRESHOLDS = {"conservative": 0.8, "aggressive": 0.6}
+from pdf_extractor_ray.config import CONFIG
+
+_STRATEGY_THRESHOLDS = {
+    "conservative": CONFIG.merge_conservative,
+    "aggressive": CONFIG.merge_aggressive,
+}
 
 
 def process_and_merge_tables(

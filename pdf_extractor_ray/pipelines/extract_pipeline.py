@@ -48,9 +48,11 @@ from pdf_extractor_ray.stages.extract_stage import ExtractDocuments, extract_bat
 
 __all__ = ["extract_pages", "run_resumable_extraction", "GIANT_PAYLOAD_BYTES"]
 
+from pdf_extractor_ray.config import CONFIG
+
 # Payloads above this byte length go to the giant lane when the
-# two-lane split is enabled.
-GIANT_PAYLOAD_BYTES = 256 * 1024
+# two-lane split is enabled (GRAFT_GIANT_PAYLOAD_BYTES overrides).
+GIANT_PAYLOAD_BYTES = CONFIG.giant_payload_bytes
 
 _PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
