@@ -127,13 +127,29 @@ def entry() -> Any:
 
 
 def _q_extract_corpus(sf_dir: str):
+    """Flagship extraction with a value-level oracle: per-url element
+    counts, token totals, and an md5 fingerprint of the extracted text.
+    The synthetic page wrapper is deterministic (heading 'Document {id}'
+    auto-numbered to '1. ...' + the document text round-tripped
+    byte-identically through html->md->elements), so the oracle SQL can
+    rebuild the exact extracted text and token counts from `documents`."""
     from pdf_extractor_ray.pipelines import extract_pages
 
     ds = extract_pages(_pages_from_documents(sf_dir))
-    return ds.select_columns(
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(t.encode("utf-8", errors="replace")).hexdigest()
+            for t in batch["extracted_text"].to_pylist()
+        ]
+        return batch.append_column("extract_fp", pa.array(fps, pa.string()))
+
+    return ds.map_batches(add_fp, batch_format="pyarrow").select_columns(
         [
             "url", "kind", "status", "n_elements", "n_text", "n_heading",
-            "n_table", "n_code", "n_image", "n_tokens",
+            "n_table", "n_code", "n_image", "n_tokens", "extract_fp",
         ]
     )
 
@@ -952,6 +968,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # --------------------------------------------------------------- oracle
 
+# kernel/textutils.py:_TOKEN_RE re-expressed for RE2/DuckDB. The Python
+# pattern's trailing-whitespace lookahead branch (\s+(?!\S)) only changes
+# where a whitespace run is split, never the number of matches, so the
+# lookahead-free form counts identically ('' escapes the leading quote
+# of the contraction branch inside the SQL literal).
+_TOKEN_PAT_SQL = (
+    "''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\\sA-Za-z0-9]+|\\s+"
+)
+
 _STATS_EXPR = """
     len(regexp_extract_all(text, '\\S+')) AS n_words,
     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
@@ -971,6 +996,38 @@ _PRED_LANG_EXPR = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Value-level oracle for the flagship extraction: the synthetic
+        # page wrapper (_pages_from_documents) is deterministic, so the
+        # per-url extracted text is exactly '1. Document {id}\n\n' +
+        # documents.text and every count is SQL-reproducible.
+        "extract_corpus": f"""
+            SELECT
+              'https://docs.example.org/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                  AS url,
+              'html' AS kind,
+              'ok' AS status,
+              CAST(2 AS BIGINT) AS n_elements,
+              CAST(1 AS BIGINT) AS n_text,
+              CAST(1 AS BIGINT) AS n_heading,
+              CAST(0 AS BIGINT) AS n_table,
+              CAST(0 AS BIGINT) AS n_code,
+              CAST(0 AS BIGINT) AS n_image,
+              CAST(
+                len(regexp_extract_all('1. Document ' || CAST(doc_id AS VARCHAR),
+                                       '{_TOKEN_PAT_SQL}')) +
+                len(regexp_extract_all(text, '{_TOKEN_PAT_SQL}'))
+                AS BIGINT) AS n_tokens,
+              md5('1. Document ' || CAST(doc_id AS VARCHAR)
+                  || chr(10) || chr(10) || text) AS extract_fp
+            FROM documents
+        """,
+        "element_types": """
+            SELECT element_type, CAST(n AS BIGINT) AS n FROM (
+              SELECT 'heading' AS element_type, count(*) AS n FROM documents
+              UNION ALL
+              SELECT 'text' AS element_type, count(*) AS n FROM documents
+            ) t
+        """,
         "dedup_exact": f"""
             WITH d AS ({_DUP_SQL})
             SELECT md5(text) AS text_hash,
@@ -1324,12 +1381,13 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, CAST(ceil(octet_length(encode(text))/65536.0) AS INT)) AS n_chunks
             FROM documents
         """,
-        # Rows-only (no oracle entry): extract_corpus /
-        # extract_synthetic / element_types (per-document extraction
-        # kernels), dedup_simhash / knn_lsh / knn_ivf /
-        # embedding_clusters / distinct_users_hll (sketch- or
-        # geometry-specific approximation), media_resize (crc-derived
-        # fake dims). Each has value-level assertions in tests/ instead
-        # (determinism, tolerance-vs-exact, full-probe==brute,
-        # byte-identity).
+        # Rows-only (no oracle entry): extract_synthetic (the mixed
+        # self-generated corpus with pdf-shaped/edge-case payloads is
+        # not SQL-reproducible; extract_corpus/element_types carry the
+        # value-level oracle for the same kernels), dedup_simhash /
+        # knn_lsh / knn_ivf / embedding_clusters / distinct_users_hll
+        # (sketch- or geometry-specific approximation), media_resize
+        # (crc-derived fake dims). Each has value-level assertions in
+        # tests/ instead (determinism, tolerance-vs-exact,
+        # full-probe==brute, byte-identity).
     }
