@@ -13,15 +13,15 @@ All shuffles here move NARROW data (hashes + ids), never full documents:
   - SimHash near-dup: 64-bit sign-sum sketch, 4x16-bit band blocking,
     Hamming-distance verification
 
-Verification joins candidate pairs back to texts via a broadcast
-(`ray.put`) that contains ONLY candidate docs' texts (selected by a
-broadcast-filter pass after LSH) — broadcast size scales with the
-near-dup fraction, not the corpus. If even the candidate set outgrows
-one node, replace the broadcast with a hash-partitioned pair join: emit
-(doc_id -> features) and (pair) datasets keyed by doc_id bucket and join
-per bucket (the groupby-bucket pattern in /opt guides). The LSH banding
-itself already scales — it is the only all-to-all step and carries
-16 x 8-byte keys per document.
+Verification (default ``verify="bucket"``) is a hash-partitioned pair
+join that never touches the driver: candidate pairs dedupe in a coarse
+pair-bucket groupby, candidate texts are selected by an id-bucketed
+cogroup semi-join (the only corpus-sized exchange), and each pair picks
+up its two texts through candidate-sized cogroup joins before a
+streaming exact-Jaccard verify. ``verify="broadcast"`` remains as the
+small-corpus fast path (candidate texts broadcast via ``ray.put``; its
+driver state scales with the near-dup fraction, not the corpus). The
+LSH banding itself carries 16 x 8-byte keys per document.
 """
 
 from __future__ import annotations
@@ -232,21 +232,43 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
 # Odd multipliers for the vectorized band hash (splitmix-style mixing;
 # any deterministic injective-ish combine works — identical signatures
 # always produce identical band hashes, which is the only property the
-# LSH banding relies on).
+# LSH banding relies on). The first four are pinned (test-pinned band
+# hashes for the default n_bands=16); rows beyond four — any n_bands
+# that divides 64, e.g. n_bands=8 -> 8 rows — extend via splitmix64 of
+# the row index, so every valid n_bands works.
 _BAND_MIX = np.array(
     [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
     dtype=np.uint64,
 )
 
 
+def _splitmix64(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _band_mix(rows: int) -> np.ndarray:
+    if rows <= len(_BAND_MIX):
+        return _BAND_MIX[:rows]
+    extra = [
+        np.uint64(_splitmix64(j) | 1) for j in range(len(_BAND_MIX), rows)
+    ]
+    return np.concatenate([_BAND_MIX, np.array(extra, dtype=np.uint64)])
+
+
 def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     """(n_docs, 64) signatures -> (n_docs, n_bands) int64 band hashes,
     fully vectorized (no per-band Python hashing)."""
     n, width = sigs.shape
-    rows = width // n_bands
-    assert rows * n_bands == width
+    rows, rem = divmod(width, n_bands)
+    if rem:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the signature width {width}"
+        )
     bands = sigs.astype(np.uint64).reshape(n, n_bands, rows)
-    mix = _BAND_MIX[:rows]
+    mix = _band_mix(rows)
     acc = np.zeros((n, n_bands), dtype=np.uint64)
     for j in range(rows):
         acc ^= (bands[:, :, j] + np.uint64(j + 1)) * mix[j]
@@ -334,6 +356,34 @@ def minhash_candidates(
     return bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def _dedupe_pairs_bucketed(
+    cand: ray.data.Dataset, n_buckets: int = 128
+) -> ray.data.Dataset:
+    """Drop cross-bucket duplicate (doc_a, doc_b) rows WITHOUT funneling
+    everything through one partition: key each pair on a coarse hash
+    bucket of the pair itself (all copies of a pair land in the same
+    bucket), then a vectorized drop_duplicates inside each bucket."""
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(n_buckets)
+        return batch.append_column(
+            "_pbucket", pa.array(pb.astype(np.int64))
+        )
+
+    def dd(group):
+        return group.drop_duplicates(subset=["doc_a", "doc_b"]).drop(
+            columns=["_pbucket"]
+        )
+
+    return (
+        cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pbucket")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard similarity."""
     a = set(_shingle_hashes(text_a, k).tolist())
@@ -349,22 +399,215 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    verify: str = "bucket",
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """LSH candidates verified by exact n-gram Jaccard >= threshold.
 
-    The verify broadcast contains ONLY the texts of candidate docs: the
-    LSH pass runs first, the distinct ids in its (bounded) pair output
-    select the needed rows via a broadcast-filter pass over the corpus,
-    and that candidate-sized side ships to the verify tasks. Broadcast
-    size therefore scales with the near-dup fraction, not the corpus —
-    at 505k docs this cut the op's wall time ~3x versus broadcasting
-    every text (driver materialize + per-worker dict builds dominated).
+    ``verify="bucket"`` (default, the 100 TB path) keeps everything on
+    the cluster: candidate pairs dedupe in a coarse pair-bucket groupby,
+    a bounded Bloom filter of candidate ids (built on-cluster, OR-ed on
+    the driver as a stream of fixed-size bitmaps) prefilters the corpus,
+    and the candidate-sized remainder flows through two bucketed
+    cogroup exchanges that attach each pair's texts and verify. Driver
+    state is one Bloom bitmap (capped 256 MiB) — never ids, pairs, or
+    texts.
+
+    ``verify="broadcast"`` is the small/medium-corpus fast path: the
+    (bounded) pair table is collected driver-side, the distinct
+    candidate ids select texts via a broadcast-filter pass, and verify
+    tasks read the candidate-sized broadcast — cheaper while candidates
+    fit on one node, which a 30%-dup 100 TB crawl would not.
     """
-    cand_df = (
-        minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
-        .to_pandas()
-        .drop_duplicates(subset=["doc_a", "doc_b"])
-    )
+    if verify not in ("bucket", "broadcast"):
+        raise ValueError(f"verify must be 'bucket' or 'broadcast', got {verify!r}")
+
+    cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
+
+    if verify == "bucket":
+        # Fully distributed verify. Driver state is ONE fixed-size
+        # Bloom bitmap — never ids, pairs, or texts:
+        #   0. candidate pairs materialize into the object store
+        #      (narrow: 2 int64 / row; consumed twice below) —
+        #      cross-band duplicate pairs are NOT deduped here; they
+        #      collapse for free inside the verify groupby (step 3), so
+        #      no extra all-to-all is spent on them;
+        #   1. a Bloom filter of candidate ids is built on the cluster
+        #      (per-block bitmaps OR-ed on the driver via streaming
+        #      iter_batches — memory stays at one bitmap) and broadcast;
+        #      it prefilters the corpus so only candidate(+false
+        #      positive) texts enter the exchange;
+        #   2. each pair is emitted twice — keyed by bucket(doc_a) with
+        #      pos=0 and bucket(doc_b) with pos=1 — and unioned with the
+        #      filtered docs keyed by bucket(doc_id); one groupby
+        #      co-locates each id bucket, where a vectorized pandas
+        #      merge attaches that side's text;
+        #   3. the two half-rows of every pair meet in a coarse
+        #      pair-bucket groupby, where the exact-Jaccard verify runs
+        #      (Bloom false positives carry harmless extra texts that
+        #      simply match no pair).
+        cand = cand.materialize()
+        n_cand = cand.count()
+        if n_cand == 0:
+            import pandas as pd
+
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_a": pd.Series([], dtype="int64"),
+                        "doc_b": pd.Series([], dtype="int64"),
+                        "jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+        # ~32 bits per candidate id, k=2 hashes -> ~0.4% FP; capped at
+        # 256 MiB so the broadcast stays bounded no matter the corpus.
+        m_bits = int(min(max(64 * n_cand, 8192), 1 << 31))
+        m_bytes = (m_bits + 7) // 8
+
+        def _bloom_positions(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            u = ids.astype(np.uint64)
+            h1 = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(m_bits)
+            h2 = (
+                u * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(0x94D049BB133111EB)
+            ) % np.uint64(m_bits)
+            return h1, h2
+
+        def block_bloom(batch: pa.Table) -> pa.Table:
+            ids = np.concatenate(
+                [
+                    batch["doc_a"].to_numpy(zero_copy_only=False),
+                    batch["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            bloom = np.zeros(m_bytes, dtype=np.uint8)
+            for pos in _bloom_positions(ids):
+                np.bitwise_or.at(
+                    bloom,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+            return pa.table({"bloom": pa.array([bloom.tobytes()], pa.binary())})
+
+        bloom = np.zeros(m_bytes, dtype=np.uint8)
+        for part in cand.map_batches(
+            block_bloom, batch_format="pyarrow"
+        ).iter_batches(batch_size=1, batch_format="pyarrow"):
+            for buf in part["bloom"].to_pylist():
+                bloom |= np.frombuffer(buf, dtype=np.uint8)
+        bloom_ref = ray.put(bloom)
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            bl = ray.get(bloom_ref)  # zero-copy plasma read
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            h1, h2 = _bloom_positions(ids)
+            hit = np.ones(len(ids), dtype=bool)
+            for pos in (h1, h2):
+                byte = (pos >> np.uint64(3)).astype(np.int64)
+                bit = (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8)
+                hit &= (bl[byte] & bit) != 0
+            return batch.filter(pa.array(hit))
+
+        def tag_pair_sides(batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(a)
+            return pa.table(
+                {
+                    "_bucket": pa.array(
+                        np.concatenate([a % n_buckets, b % n_buckets])
+                    ),
+                    "_side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                    "_pos": pa.array(
+                        np.concatenate(
+                            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                        )
+                    ),
+                    "doc_a": pa.array(np.concatenate([a, a])),
+                    "doc_b": pa.array(np.concatenate([b, b])),
+                    "text": pa.array([""] * (2 * n), pa.string()),
+                }
+            )
+
+        def tag_docs(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ids)
+            return pa.table(
+                {
+                    "_bucket": pa.array(ids % n_buckets),
+                    "_side": pa.array(np.ones(n, dtype=np.int8)),
+                    "_pos": pa.array(np.zeros(n, dtype=np.int8)),
+                    "doc_a": pa.array(ids),
+                    "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "text": batch[text_col],
+                }
+            )
+
+        def attach_in_bucket(group):
+            import pandas as pd
+
+            pairs = group[group["_side"] == 0]
+            docs = group[group["_side"] == 1]
+            tmap = pd.Series(
+                docs["text"].to_numpy(), index=docs["doc_a"].to_numpy()
+            )
+            key = np.where(pairs["_pos"] == 0, pairs["doc_a"], pairs["doc_b"])
+            out = pd.DataFrame(
+                {
+                    "doc_a": pairs["doc_a"].to_numpy(),
+                    "doc_b": pairs["doc_b"].to_numpy(),
+                    "_pos": pairs["_pos"].to_numpy(),
+                    "text": tmap.reindex(key).fillna("").to_numpy(),
+                }
+            )
+            a = out["doc_a"].to_numpy().astype(np.uint64)
+            b = out["doc_b"].to_numpy().astype(np.uint64)
+            out["_pbucket"] = (
+                (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return out
+
+        def verify_in_bucket(group):
+            import pandas as pd
+
+            g = group.drop_duplicates(subset=["doc_a", "doc_b", "_pos"])
+            g0 = g[g["_pos"] == 0][["doc_a", "doc_b", "text"]]
+            g1 = g[g["_pos"] == 1][["doc_a", "doc_b", "text"]]
+            m = g0.merge(g1, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+            jac = [
+                ngram_jaccard(ta or "", tb or "", shingle_k)
+                for ta, tb in zip(m["text_a"], m["text_b"])
+            ]
+            m["jaccard"] = jac
+            out = m[m["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+            out["doc_a"] = out["doc_a"].astype("int64")
+            out["doc_b"] = out["doc_b"].astype("int64")
+            return out
+
+        # The union carries ~190 near-empty blocks at small scale and
+        # sort-based groupby pays per-block reduce-task overhead; a
+        # local (no-shuffle) coalesce ahead of each exchange keeps the
+        # partition count proportional to the data, not the block count.
+        tagged = cand.map_batches(
+            tag_pair_sides, batch_format="pyarrow"
+        ).union(
+            ds.map_batches(keep_candidates, batch_format="pyarrow").map_batches(
+                tag_docs, batch_format="pyarrow"
+            )
+        )
+        halves = (
+            tagged.repartition(32, shuffle=False)
+            .groupby("_bucket")
+            .map_groups(attach_in_bucket, batch_format="pandas")
+        )
+        return (
+            halves.repartition(32, shuffle=False)
+            .groupby("_pbucket")
+            .map_groups(verify_in_bucket, batch_format="pandas")
+        )
+
+    # ---- verify == "broadcast" (driver-bounded fast path) ----
+    cand_df = cand.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
     if cand_df.empty:
         import pandas as pd
 
@@ -401,10 +644,12 @@ def minhash_dedup_pairs(
     )
     cand = ray.data.from_pandas(cand_df)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_b(batch: pa.Table) -> pa.Table:
         # The id->text dict is built ONCE per worker process and cached
         # (rebuilding Python strings from the Arrow broadcast per batch
         # would cost O(corpus) per candidate batch).
+        import pyarrow.compute as pc
+
         texts = _verify_side_cached(side_ref, id_col, text_col)
         doc_a = batch["doc_a"].to_pylist()
         doc_b = batch["doc_b"].to_pylist()
@@ -419,12 +664,10 @@ def minhash_dedup_pairs(
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
-        import pyarrow.compute as pc
-
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     # cross-bucket duplicate pairs were already dropped driver-side
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(verify_b, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash
@@ -446,11 +689,10 @@ def simhash64(text: str) -> int:
     bytes_ = feats.view(np.uint8).reshape(len(feats), 8)
     bits = np.unpackbits(bytes_, axis=1, bitorder="little")
     sums = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if sums[i] > 0:
-            out |= 1 << i
-    return out
+    # bit i set iff sums[i] > 0; packbits inverts unpackbits exactly
+    return int(
+        np.packbits(sums > 0, bitorder="little").view(np.uint64)[0]
+    )
 
 
 def simhash_dedup_pairs(
@@ -467,23 +709,22 @@ def simhash_dedup_pairs(
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            sh = simhash64(text or "")
-            for b in range(4):
-                band16 = (sh >> (16 * b)) & 0xFFFF
-                rows.append((b, band16, doc_id, sh))
+        # simhash64 is per-document (string-shaped input); the 4-band
+        # expansion is a vectorized repeat/shift over the sketch array.
+        sh = np.array(
+            [simhash64(t or "") for t in batch[text_col].to_pylist()],
+            dtype=np.uint64,
+        )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        band16 = ((sh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).ravel()
         return pa.table(
             {
-                "band": pa.array([r[0] for r in rows], pa.int32()),
-                "band16": pa.array([r[1] for r in rows], pa.int64()),
-                "doc_id": pa.array([r[2] for r in rows], pa.int64()),
-                "simhash": pa.array(
-                    [np.int64(np.uint64(r[3]).astype(np.int64)) for r in rows],
-                    pa.int64(),
-                ),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band16": pa.array(band16.astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
             }
         )
 
@@ -521,11 +762,11 @@ def simhash_dedup_pairs(
             }
         )
 
-    def dedupe_pairs(batch):  # cross-bucket duplicates (hamming equal)
-        return batch.drop_duplicates(subset=["doc_a", "doc_b"])
-
     bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pyarrow"
     )
     cand = bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    return cand.repartition(1).map_batches(dedupe_pairs, batch_format="pandas")
+    # cross-bucket duplicate pairs (same pair from bands in different
+    # buckets, hamming equal) dedupe in a coarse pair-bucket groupby —
+    # no single-partition funnel.
+    return _dedupe_pairs_bucketed(cand, n_buckets=128)

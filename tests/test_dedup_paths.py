@@ -1,0 +1,184 @@
+"""Dedup path regressions: non-default LSH band counts, the fully
+distributed (bucket) MinHash verify vs the broadcast path, and the
+SimHash pair pipeline after the single-partition funnel was removed.
+
+Reference behavior spec: near-dup semantics follow the corpus operators
+in SURVEY.md §8.4 (no reference-code counterpart — the reference has no
+distributed dedup)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _corpus(ray):
+    """60 docs: 50 unique + 5 exact-ish near-dup pairs (one word edit)
+    planted at ids 100.. — every pair crosses batch boundaries."""
+    base = [
+        " ".join(f"w{i}x{j}" for j in range(30)) for i in range(50)
+    ]
+    texts = list(base)
+    ids = list(range(50))
+    for k in range(5):
+        t = base[k].split()
+        t[-1] = "edited"
+        texts.append(" ".join(t))
+        ids.append(100 + k)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ).repartition(6)
+
+
+class TestBandHashes:
+    def test_any_divisor_of_64_works(self):
+        from pdf_extractor_ray.functions.dedup import _band_hashes
+
+        sigs = np.arange(128, dtype=np.int64).reshape(2, 64)
+        for n_bands in (4, 8, 16, 32, 64):
+            out = _band_hashes(sigs, n_bands)
+            assert out.shape == (2, n_bands)
+            # identical signatures -> identical hashes; distinct rows differ
+            assert not np.array_equal(out[0], out[1])
+
+    def test_non_divisor_raises(self):
+        from pdf_extractor_ray.functions.dedup import _band_hashes
+
+        with pytest.raises(ValueError):
+            _band_hashes(np.zeros((2, 64), dtype=np.int64), 7)
+
+    def test_default_band_hashes_pinned(self):
+        """n_bands=16 values must not drift (test-pinned; candidate sets
+        and the dedup_minhash oracle depend on them only via recall, but
+        determinism across processes is load-bearing)."""
+        from pdf_extractor_ray.functions.dedup import (
+            _band_hashes,
+            minhash_signature,
+        )
+
+        sig = np.stack(
+            [minhash_signature("the quick brown fox jumps over the lazy dog")]
+        )
+        assert _band_hashes(sig, 16)[0][:4].tolist() == [
+            6785758537795574719,
+            955480859561669878,
+            8148232339358967238,
+            3960289355858834565,
+        ]
+        assert _band_hashes(sig, 8)[0][:4].tolist() == [
+            -8732112656000334257,
+            8486698006161922020,
+            9156727040889308217,
+            4699158783488485713,
+        ]
+
+    def test_nondefault_n_bands_end_to_end(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import minhash_candidates
+
+        ds = _corpus(ray_session)
+        got = minhash_candidates(ds, n_bands=8).to_pandas()
+        # 8 bands x 8 rows is STRICTER than 16x4; planted pairs are
+        # 29/31-similar so they still collide somewhere
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert {(k, 100 + k) for k in range(5)} <= pairs
+
+
+class TestMinhashVerifyPaths:
+    def test_bucket_equals_broadcast(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+
+        ds = _corpus(ray_session)
+        a = (
+            minhash_dedup_pairs(ds, threshold=0.5, verify="bucket")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        ds2 = _corpus(ray_session)
+        b = (
+            minhash_dedup_pairs(ds2, threshold=0.5, verify="broadcast")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert {(r.doc_a, r.doc_b) for r in a.itertuples()} == {
+            (k, 100 + k) for k in range(5)
+        }
+
+    def test_bucket_path_collects_nothing_on_driver(self, ray_session, monkeypatch):
+        """The 100 TB property: verify='bucket' must never call
+        Dataset.to_pandas / take_all on candidate or text data."""
+        import ray.data
+
+        from pdf_extractor_ray.functions import dedup as dd
+
+        calls = []
+        orig = ray.data.Dataset.to_pandas
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "to_pandas",
+            lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1],
+        )
+        orig_ta = ray.data.Dataset.take_all
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "take_all",
+            lambda self, *a, **k: (calls.append(1), orig_ta(self, *a, **k))[1],
+        )
+        ds = _corpus(ray_session)
+        out = dd.minhash_dedup_pairs(ds, threshold=0.5, verify="bucket")
+        n = out.count()
+        assert calls == [], "bucket verify must not materialize on the driver"
+        assert n == 5
+
+    def test_unknown_verify_mode_raises(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+
+        with pytest.raises(ValueError):
+            minhash_dedup_pairs(_corpus(ray_session), verify="nope")
+
+
+class TestSimhashPairs:
+    def test_simhash64_pinned(self):
+        from pdf_extractor_ray.functions.dedup import simhash64
+
+        # pinned against the pre-packbits implementation (bit i set iff
+        # signed bit-sum > 0)
+        assert simhash64("hello world the quick brown fox") == (
+            9414793258278181630
+        )
+
+    def test_pairs_found_and_unique(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
+
+        # exact copies (hamming 0 — inside the pigeonhole-exact radius)
+        base = [" ".join(f"w{i}x{j}" for j in range(30)) for i in range(50)]
+        ids = list(range(50)) + [100 + k for k in range(5)]
+        texts = base + [base[k] for k in range(5)]
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        ).repartition(6)
+        got = simhash_dedup_pairs(ds, max_hamming=3).to_pandas()
+        # no cross-bucket duplicate pairs survive (exact dups share all
+        # 4 bands, so each pair is found in 4 different band groups)
+        assert not got.duplicated(subset=["doc_a", "doc_b"]).any()
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert {(k, 100 + k) for k in range(5)} <= pairs
+
+    def test_exact_duplicates_hamming_zero(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
+
+        t = "alpha beta gamma delta epsilon zeta"
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": [t, t, "completely different words here now"],
+                }
+            )
+        )
+        got = simhash_dedup_pairs(ds, max_hamming=0).to_pandas()
+        assert len(got) == 1
+        assert (got.iloc[0]["doc_a"], got.iloc[0]["doc_b"]) == (1, 2)
+        assert got.iloc[0]["hamming"] == 0
