@@ -114,23 +114,41 @@ def knn_bruteforce(
 
 
 def _merge_topk(cand: ray.data.Dataset, k: int):
-    """Final per-query top-k over the per-batch candidates.
+    """Distributed per-query top-k merge over the per-batch candidates.
 
-    The candidate set is bounded by Q x k x n_batches rows regardless of
-    corpus size (that's the point of emitting per-batch top-k), so this
-    merge runs on the driver — a shuffle would cost more than the data.
+    The candidate stream is Q x k x n_batches rows — bounded per batch
+    but corpus-proportional in the number of batches (~10^6 blocks at
+    100 TB), so it must NOT be collected on the driver. Instead: a
+    local no-shuffle coalesce + per-block combine prunes each partition
+    to Q x k, then a per-query groupby (Q groups — small-cardinality
+    key, direct groupby is right here) keeps the true top-k. The driver
+    materializes ONLY the final Q x k result.
     """
     import pandas as pd
 
-    df = cand.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": [], "rank": []})
-    df = df.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        )
+        return df.groupby("query_id", as_index=False).head(k)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = local_topk(group).reset_index(drop=True)
+        g["rank"] = g.groupby("query_id").cumcount() + 1
+        return g
+
+    merged = (
+        cand.repartition(32, shuffle=False)
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
     )
-    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return df
+    df = merged.to_pandas()  # final Q x k rows only
+    if df.empty:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        )
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def knn_lsh(
@@ -342,6 +360,7 @@ def embedding_neardup_bucketed(
     id_col: str = "vec_id",
     train_rows: int = 2048,
     seed: int = 42,
+    max_cell: int = 4096,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs, IVF-bucketed (the scale path).
 
@@ -352,6 +371,13 @@ def embedding_neardup_bucketed(
     cluster margin, and the pairwise work drops by ~n_clusters.
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >=
     threshold.
+
+    Cells larger than ``max_cell`` are truncated deterministically
+    (ascending id) before the O(n_cell^2) similarity — the same
+    hot-bucket guard as MinHash's ``max_bucket``: a degenerate cell at
+    corpus scale means collapsed/duplicated embeddings, and the cap
+    bounds both memory (sims matrix) and work instead of letting one
+    skewed cell OOM a task.
     """
     sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
     cent = _kmeans_centroids(sample, n_clusters, seed=seed)
@@ -372,6 +398,8 @@ def embedding_neardup_bucketed(
     def pairs(group) -> "pa.Table":
         import pandas as pd
 
+        if len(group) > max_cell:
+            group = group.sort_values(id_col).head(max_cell)
         ids = group[id_col].to_numpy()
         mat = _normalize(_to_matrix(group[vec_col].tolist()))
         sims = mat @ mat.T
