@@ -897,9 +897,12 @@ def _q_media_resize(sf_dir: str):
 
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling explode (one media row -> sampled frames),
-    rolled up to frames per media row. Every media's frames are emitted
-    by the SAME FrameSampler batch, so the count needs no shuffle at
-    all — a per-batch groupby is already exact per media."""
+    rolled up to frames per media row. Per-batch partial counts are
+    merged through a coarse media-bucket exchange — Ray Data's dynamic
+    block splitting may split an oversized FrameSampler output block
+    mid-media, so per-block counts alone are NOT guaranteed exact; the
+    (tiny) bucketed merge makes the rollup correct under any block
+    layout."""
     from pdf_extractor_ray.functions.multimodal import frame_sample
 
     frames = frame_sample(_media_ds(sf_dir), every_n=2)
@@ -909,13 +912,18 @@ def _q_frame_sample(sf_dir: str):
         g = df.groupby("media_id", as_index=False).agg(
             n_frames=("media_id", "size")
         )
+        g["_bucket"] = g["media_id"] % 256
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    # batch_size=None = one batch per block; FrameSampler emits each
-    # media's frames inside a single output block, so per-block counts
-    # are exact (a row-capped batch size could split a media)
-    return frames.map_batches(
-        count_in_batch, batch_format="pyarrow", batch_size=None
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("media_id", as_index=False).agg(
+            n_frames=("n_frames", "sum")
+        )
+
+    return (
+        frames.map_batches(count_in_batch, batch_format="pyarrow", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 

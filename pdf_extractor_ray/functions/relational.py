@@ -470,11 +470,18 @@ def topk_per_group(
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        vals = batch[group_col].to_pylist()
-        buckets = [zlib.crc32(str(v).encode()) % n_buckets for v in vals]
-        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+        vals = batch[group_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.number):
+            buckets = (
+                vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) % np.uint64(n_buckets)
+        else:
+            buckets = pd.util.hash_array(
+                np.asarray(vals, dtype=object), categorize=False
+            ) % np.uint64(n_buckets)
+        return batch.append_column(
+            "_bucket", pa.array(buckets.astype(np.int64))
+        )
 
     def rank(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(

@@ -6,13 +6,13 @@ shuffle. At 10^12 rows the (key, user) pair stream itself is the
 bottleneck; the sketch path keeps per-(key, batch) state at a fixed
 2^p registers, merges by element-wise max (associative, so Ray's
 groupby aggregate applies), and estimates with the standard HLL
-bias-corrected harmonic mean. Deterministic: the hash is md5-based,
-no seeds, no RNG.
+bias-corrected harmonic mean. Deterministic: the hash is pandas'
+fixed-key siphash (vectorized, PYTHONHASHSEED-independent), no seeds,
+no RNG.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -27,11 +27,16 @@ _M = 1 << _P
 
 
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = hashlib.md5(str(v).encode("utf-8")).digest()
-        out[i] = int.from_bytes(h[:8], "little")
-    return out
+    """Vectorized deterministic 64-bit hash (pandas' siphash kernel —
+    C speed, PYTHONHASHSEED-independent, stable across processes).
+    Replaces a per-value hashlib.md5 Python loop; HLL only needs
+    uniform bits, not a cryptographic digest."""
+    import pandas as pd
+
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in "US":
+        arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
 
 
 def _registers(values) -> np.ndarray:

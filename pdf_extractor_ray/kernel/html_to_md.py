@@ -72,21 +72,27 @@ _TAG_RE = re.compile(r"<[^>]+>")
 # measured in minutes (found by pathological-input timing). Atomic
 # kills the backtracking; the 4096-rep cap bounds any single scan
 # (real-world tags are far smaller; a longer one degrades to text).
+# Whitespace runs and tag names are CAPPED (not unbounded) so that
+# every '>'-requiring token form fits inside _FAIL_JUMP_MARGIN bytes of
+# its '<' — the bogus-tag fail-jump below relies on that bound, and an
+# unbounded `\s*` / name run would let a legal token start inside a
+# jumped region. Tags exceeding the caps are treated as bogus data
+# (documented grammar bound, matching the 4096 attr cap).
 _TOKEN_RE = re.compile(
     r"<!--(.*?)-->"
     r"|<!--.*"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]{0,4096}>"
-    r"|<\s*/\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
-    r"|<\s*([a-zA-Z][a-zA-Z0-9-]*)((?>\"[^\"]*\"|'[^']*'|[^>\"']){0,4096})>"
+    r"|<\s{0,64}/\s{0,64}([a-zA-Z][a-zA-Z0-9-]{0,512})\s{0,4096}>"
+    r"|<\s{0,64}([a-zA-Z][a-zA-Z0-9-]{0,512})((?>\"[^\"]*\"|'[^']*'|[^>\"']){0,4096})>"
     r"|<\?[^>]{0,4096}>",
     re.S,
 )
 # On a failed anchored attempt, candidates more than this far from the
 # next '>' cannot match any '>'-requiring token form either — the scan
-# loop jumps them wholesale (see html_to_markdown). Slightly above the
-# 4096 attr cap.
-_FAIL_JUMP_MARGIN = 4200
+# loop jumps them wholesale (see html_to_markdown). Above the largest
+# cap sum (close tag: 1+64+1+64+513+4096 = 4739).
+_FAIL_JUMP_MARGIN = 4800
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
 )
@@ -312,13 +318,18 @@ def html_to_markdown(html: str) -> str:
                 break
             # Bogus-tag recovery with a bounded jump: every remaining
             # candidate further than the margin from the next '>' would
-            # fail the same way (all token forms except comments need a
-            # '>' within their caps), so skip them as data in one step.
-            # Comments match on sight, so never jump past a '<!--'.
+            # fail the same way (all token forms except comments and
+            # CDATA need a '>' within their caps), so skip them as data
+            # in one step. Comments match on sight and CDATA sections
+            # close on ']]>' (possibly far past gt), so never jump past
+            # a '<!--' or a '<![CDATA[' start.
             jump = gt - _FAIL_JUMP_MARGIN
             nxt_comment = html.find("<!--", lt + 1, gt)
             if nxt_comment != -1:
                 jump = min(jump, nxt_comment)
+            nxt_cdata = html.find("<![CDATA[", lt + 1, gt)
+            if nxt_cdata != -1:
+                jump = min(jump, nxt_cdata)
             jump = max(jump, lt + 1)
             text = html[pos:jump]
             b.data(unescape(text) if "&" in text else text)

@@ -129,10 +129,22 @@ def _reading_order(blocks: list[dict[str, Any]]) -> list[dict[str, Any]]:
 MAX_GRID_DIM = CONFIG.max_grid_dim
 
 
+# A grid may densify to at most this many slots per kept cell — the
+# AREA bound that the per-dimension MAX_GRID_DIM check alone cannot
+# give (a single poison cell {row: 9999, col: 9999} passes both
+# dimension checks yet claims a 10k x 10k = 100M-slot grid).
+GRID_AREA_PER_CELL = 64
+GRID_AREA_FLOOR = 1024
+
+
 def _cells_to_grid(cells: list[dict[str, Any]]) -> list[list[str]]:
     """Sparse {row, col, text} cells -> dense row-major grid ('' fill).
     Cells with out-of-bound indices (>= MAX_GRID_DIM, or negative) are
-    dropped rather than densified."""
+    dropped rather than densified, and the grid AREA is bounded
+    relative to the number of cells: cells are sorted by their
+    outermost index and the kept prefix is the longest whose implied
+    area fits max(GRID_AREA_FLOOR, GRID_AREA_PER_CELL * kept) — poison
+    rows cost O(their data), never O(their claimed indices)."""
     if not cells:
         return []
     cells = [
@@ -142,8 +154,22 @@ def _cells_to_grid(cells: list[dict[str, Any]]) -> list[list[str]]:
     ]
     if not cells:
         return []
-    n_rows = max(int(c["row"]) for c in cells) + 1
-    n_cols = max(int(c["col"]) for c in cells) + 1
+    cells = sorted(
+        cells, key=lambda c: (max(int(c["row"]), int(c["col"])), int(c["row"]), int(c["col"]))
+    )
+    keep = 0
+    max_r = max_c = -1
+    for c in cells:
+        r, cc = int(c["row"]), int(c["col"])
+        nr, nc = max(max_r, r), max(max_c, cc)
+        if (nr + 1) * (nc + 1) > max(GRID_AREA_FLOOR, GRID_AREA_PER_CELL * (keep + 1)):
+            break
+        max_r, max_c = nr, nc
+        keep += 1
+    cells = cells[:keep]
+    if not cells:
+        return []
+    n_rows, n_cols = max_r + 1, max_c + 1
     grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
     for c in cells:
         grid[int(c["row"])][int(c["col"])] = str(c.get("text", ""))

@@ -85,8 +85,10 @@ def clean_table_grid(grid: list[list[str]]) -> list[list[str]]:
             c = " ".join(str(cell).split())
             if _NUM_CLEAN_RE.match(c):
                 plain = c.replace(",", "")
-                num = float(plain)
-                c = str(int(num)) if "." not in plain else str(num)
+                # integer-looking cells parse as int directly — going
+                # through float() silently corrupts integers above 2^53
+                # (e.g. '9007199254740993' -> ...992)
+                c = str(int(plain)) if "." not in plain else str(float(plain))
             new_row.append(c)
         out.append(new_row)
     return out

@@ -84,6 +84,23 @@ class TestStripHtmlTags:
     def test_strips(self):
         assert strip_html_tags("a <b>bold</b> c") == "a bold c"
 
+    def test_cdata_inside_fail_jump_region_still_tokenizes(self):
+        # a bogus '<' far from any '>' triggers the fail-jump; a CDATA
+        # section starting inside the jumped region closes on ']]>'
+        # (possibly far away) and must not be emitted as data
+        filler = "x" * 6000
+        html = f"< bogus {filler} <![CDATA[secret]]> <p>after</p> >tail"
+        out = strip_html_tags(html)
+        assert "secret" not in out
+        assert "after" in out
+
+    def test_long_whitespace_close_tag_is_treated_as_data(self):
+        # the capped grammar: a close tag with >4096 interior spaces is
+        # bogus data, not a token — and tokens after it still parse
+        html = "<p>a</p></b" + " " * 5000 + "><p>b</p>"
+        out = strip_html_tags(html)
+        assert "a" in out and "b" in out
+
 
 class TestHtmlLaneEndToEnd:
     def test_html_document_extraction(self):

@@ -171,3 +171,29 @@ class TestAdversarialCells:
         from pdf_extractor_ray.kernel.pdfshape import _cells_to_grid
 
         assert _cells_to_grid([{"row": 10**9, "col": 0, "text": "x"}]) == []
+
+    def test_poison_cell_inside_dim_bound_cannot_claim_giant_area(self):
+        # {9999, 9999} passes both per-dimension checks but would
+        # densify a 10k x 10k = 100M-slot grid; the AREA bound drops it
+        from pdf_extractor_ray.kernel.pdfshape import _cells_to_grid
+
+        grid = _cells_to_grid(
+            [
+                {"row": 0, "col": 0, "text": "a"},
+                {"row": 1, "col": 1, "text": "b"},
+                {"row": 9999, "col": 9999, "text": "boom"},
+            ]
+        )
+        assert len(grid) == 2 and grid[0][0] == "a" and grid[1][1] == "b"
+
+    def test_dense_real_tables_unaffected_by_area_bound(self):
+        from pdf_extractor_ray.kernel.pdfshape import _cells_to_grid
+
+        cells = [
+            {"row": r, "col": c, "text": f"{r},{c}"}
+            for r in range(40)
+            for c in range(12)
+        ]
+        grid = _cells_to_grid(cells)
+        assert len(grid) == 40 and len(grid[0]) == 12
+        assert grid[39][11] == "39,11"

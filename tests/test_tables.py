@@ -213,3 +213,10 @@ class TestParseTableData:
     def test_too_small(self):
         assert parse_table_data([["only header"]]) == {"headers": [], "rows": []}
         assert parse_table_data([]) == {"headers": [], "rows": []}
+
+    def test_clean_grid_preserves_integers_beyond_2_53(self):
+        from pdf_extractor_ray.kernel.tables import clean_table_grid
+
+        out = clean_table_grid([["9007199254740993", "1,234.50", "12"]])
+        # float() would silently round ...993 -> ...992
+        assert out == [["9007199254740993", "1234.5", "12"]]
