@@ -43,6 +43,7 @@ from pdf_extractor_ray.kernel.textutils import (
     clean_section_title,
     hash_string,
     token_count,
+    token_count_cl100k,
 )
 
 __all__ = [
@@ -60,6 +61,29 @@ _TABLE_LINE_RE = re.compile(r"\|.*\|")
 _TABLE_SEP_CELL_RE = re.compile(r"[-: ]+")
 _LIST_ITEM_RE = re.compile(r"^(\s*)(?:[-*+]|\d{1,9}[.)])\s+(.*)$")
 _FENCE_RE = re.compile(r"^(`{3,}|~{3,})\s*(.*)$")
+# commonmark structures the markdown-it path parses and this scanner
+# must agree on (tests/test_commonmark_parity.py):
+_SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
+_HR_RE = re.compile(r"^(?:-\s*){3,}$|^(?:\*\s*){3,}$|^(?:_\s*){3,}$")
+_BLOCKQUOTE_RE = re.compile(r"^(?:>\s?)+")
+_INDENT_CODE_RE = re.compile(r"^(?:    |\t)(.*)$")
+
+# Paired inline emphasis/code markers, stripped by the marker-style
+# path (marker's JSON blocks carry plain text + style spans; the
+# markers never reach its element texts — marker_processor.py).
+_EMPH_RES = (
+    re.compile(r"\*\*(.+?)\*\*", re.S),
+    re.compile(r"__(.+?)__", re.S),
+    re.compile(r"\*([^*\n]+)\*"),
+    re.compile(r"(?<![A-Za-z0-9_])_([^_\n]+)_(?![A-Za-z0-9_])"),
+    re.compile(r"`([^`\n]+)`"),
+)
+
+
+def _strip_emphasis(text: str) -> str:
+    for rx in _EMPH_RES:
+        text = rx.sub(r"\1", text)
+    return text
 
 
 class SectionHierarchy:
@@ -124,6 +148,7 @@ def extract_from_markdown_text(
     marker_tables: Optional[list[dict[str, Any]]] = None,
     marker_images: Optional[list[dict[str, Any]]] = None,
     default_code_type: str = "md",
+    marker_style: bool = False,
 ) -> list[dict[str, Any]]:
     """Extract the element stream from a markdown string.
 
@@ -136,6 +161,19 @@ def extract_from_markdown_text(
     element and flips ``source`` to "marker_json". The bbox set by the
     table join then participates in the ``table_cache`` IoU validation,
     matching the reference's ordering.
+
+    ``marker_style=True`` emulates the reference's MARKER path
+    (marker_processor.py — the path that produced the golden fixture
+    BHT_CV32A65X_expected.json) instead of its markdown-it path:
+    every block flushes separately (single blank line splits text, vs
+    the markdown path's two — markdown_extractor.py:317-319 only
+    flushes when ``token.map[0] > last_line + 1``), list-item lines
+    keep their markers, paired emphasis/code markers are stripped
+    (marker's JSON blocks carry plain text), heading content is the
+    raw title without auto-number recombination, and token counts use
+    the cl100k-pinned calibration (kernel/cl100k_calibration.py).
+    Validated golden-for-golden against the fixture in
+    tests/test_fixture_parity.py.
     """
     hierarchy = SectionHierarchy()
     elements: list[dict[str, Any]] = []
@@ -145,6 +183,8 @@ def extract_from_markdown_text(
     text_content: list[str] = []
     text_start_line = 0
     text_last_line = 0
+    flush_gap = 1 if marker_style else 2
+    tcount = token_count_cl100k if marker_style else token_count
 
     def envelope(
         etype: str,
@@ -160,7 +200,7 @@ def extract_from_markdown_text(
             "type": etype,
             "content": content,
             "line_span": [line_span[0], line_span[1]],
-            "token_count": token_count(content),
+            "token_count": tcount(content),
             "section_id": hash_string(content),
             "section_path": hierarchy.get_titles(),
             "section_hash_path": hierarchy.get_hashes(),
@@ -172,6 +212,8 @@ def extract_from_markdown_text(
         nonlocal text_content, text_start_line
         if text_content:
             content = "\n".join(text_content).strip()
+            if marker_style:
+                content = _strip_emphasis(content)
             if content:
                 elements.append(
                     envelope(
@@ -226,6 +268,41 @@ def extract_from_markdown_text(
             )
         )
 
+    def emit_heading(raw_title: str, level: int, start: int, end: int) -> None:
+        cleaned = clean_section_title(raw_title, to_ascii=True)
+        num_match = _SECTION_NUM_RE.match(raw_title)
+        if num_match and num_match.group(1):
+            section_number = num_match.group(1).rstrip(".")
+            cleaned = clean_section_title(
+                num_match.group(2) or "Unnamed Section", to_ascii=True
+            )
+        else:
+            for j in range(level, len(section_counts)):
+                section_counts[j] = 0
+            section_counts[level - 1] += 1
+            parts = [
+                str(section_counts[j])
+                for j in range(level)
+                if section_counts[j] > 0
+            ]
+            section_number = ".".join(parts) if parts else str(level)
+        if marker_style:
+            # marker path: heading text is the raw (cleaned) title —
+            # auto-numbers live only in metadata, and the section path
+            # carries the title as written (fixture headings
+            # '4.1.5.4. BHT ...' and 'State Diagram')
+            display = clean_section_title(raw_title, to_ascii=True)
+            hierarchy.update("", display, level)
+        else:
+            hierarchy.update(section_number, cleaned, level)
+            display = f"{section_number}. {cleaned}"
+        elements.append(
+            envelope(
+                "heading", display, (start, end), current_page,
+                {"level": level, "section_number": section_number},
+            )
+        )
+
     lines = markdown_content.split("\n")
     n = len(lines)
     i = 0
@@ -240,6 +317,14 @@ def extract_from_markdown_text(
         lineno = i + 1  # 1-based
         stripped = raw.strip()
 
+        # blockquote markers strip off and the remainder re-classifies
+        # (markdown-it parses block structure INSIDE quotes; its token
+        # walk sees the dequoted inline content — the reference never
+        # emits '>' into text)
+        if stripped.startswith(">"):
+            stripped = _BLOCKQUOTE_RE.sub("", stripped).strip()
+            raw = stripped
+
         if not stripped:
             if in_table:
                 emit_table(table_lines, table_start_line, lineno - 1)
@@ -249,11 +334,55 @@ def extract_from_markdown_text(
             i += 1
             continue
 
-        # >= 2 blank lines between blocks flushes the accumulated text
-        if blank_run >= 2:
+        # markdown path: >= 2 blank lines between blocks flushes the
+        # accumulated text (markdown_extractor.py:317-319); marker
+        # path: every blank line is a block boundary
+        if blank_run >= flush_gap:
             flush_text()
-        gap_flushed = blank_run >= 2
+        gap_flushed = blank_run >= flush_gap
+        prev_blank = blank_run > 0
         blank_run = 0
+
+        # indented code block (4 spaces / tab at a block start — after
+        # a blank line or at a structural boundary): markdown-it
+        # tokenizes it as code_block, which the reference emits as a
+        # code element after flushing text (markdown_extractor.py:524).
+        # Checked before the first-char dispatch — '    # x' is code,
+        # not a heading, and an indented fence/table line is code too.
+        if (
+            not marker_style
+            and (prev_blank or not text_content)
+            and not in_table
+            and _INDENT_CODE_RE.match(raw)
+        ):
+            flush_text()
+            start = lineno
+            code_lines = []
+            while i < n and (
+                not lines[i].strip() or _INDENT_CODE_RE.match(lines[i])
+            ):
+                m = _INDENT_CODE_RE.match(lines[i])
+                code_lines.append(m.group(1) if m else "")
+                i += 1
+            while code_lines and not code_lines[-1].strip():
+                code_lines.pop()
+            code = "\n".join(code_lines).strip("\n")
+            if code.strip():
+                elements.append(
+                    envelope(
+                        "code", code, (start, start + len(code_lines) - 1),
+                        current_page,
+                        {
+                            "code_type": default_code_type,
+                            "code_metadata": {
+                                "language": default_code_type,
+                                "length": len(code),
+                            },
+                        },
+                    )
+                )
+            blank_run = 1  # the run ended on a blank or block boundary
+            continue
 
         # First-char dispatch: every special line class is identified
         # by stripped[0], so plain prose (the overwhelming majority)
@@ -303,7 +432,7 @@ def extract_from_markdown_text(
             i += 1
             continue
 
-        # heading
+        # heading (ATX)
         heading = _HEADING_RE.match(stripped) if c0 == "#" else None
         if heading:
             flush_text()
@@ -311,33 +440,22 @@ def extract_from_markdown_text(
                 emit_table(table_lines, table_start_line, lineno - 1)
                 in_table = False
                 table_lines = []
-            level = len(heading.group(1))
-            raw_title = heading.group(2).strip()
-            cleaned = clean_section_title(raw_title, to_ascii=True)
-            num_match = _SECTION_NUM_RE.match(raw_title)
-            if num_match and num_match.group(1):
-                section_number = num_match.group(1).rstrip(".")
-                cleaned = clean_section_title(
-                    num_match.group(2) or "Unnamed Section", to_ascii=True
-                )
-            else:
-                for j in range(level, len(section_counts)):
-                    section_counts[j] = 0
-                section_counts[level - 1] += 1
-                parts = [
-                    str(section_counts[j])
-                    for j in range(level)
-                    if section_counts[j] > 0
-                ]
-                section_number = ".".join(parts) if parts else str(level)
-            hierarchy.update(section_number, cleaned, level)
-            display = f"{section_number}. {cleaned}"
-            elements.append(
-                envelope(
-                    "heading", display, (lineno, lineno), current_page,
-                    {"level": level, "section_number": section_number},
-                )
+            emit_heading(
+                heading.group(2).strip(), len(heading.group(1)), lineno, lineno
             )
+            i += 1
+            continue
+
+        # thematic break: markdown-it emits an hr token that the
+        # reference walk has no branch for — the line vanishes from the
+        # element stream WITHOUT flushing accumulated text
+        # (markdown_extractor.py token loop). Checked before list-item
+        # classification because '- - -' is a break, not a bullet.
+        if c0 in "-*_" and _HR_RE.match(stripped):
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
             i += 1
             continue
 
@@ -386,11 +504,32 @@ def extract_from_markdown_text(
             in_table = False
             table_lines = []
 
-        # plain text: paragraph line or list item (marker stripped, one
-        # entry per item — mirrors the reference's per-inline append)
+        # plain text: paragraph line or list item. markdown path strips
+        # the list marker (one entry per item — mirrors the reference's
+        # per-inline append); marker path keeps the line as written
+        # (fixture texts carry their '- ' markers)
         item = (
-            _LIST_ITEM_RE.match(raw) if c0 in "-*+0123456789" else None
+            _LIST_ITEM_RE.match(raw)
+            if not marker_style and c0 in "-*+0123456789"
+            else None
         )
+
+        # setext heading: a prose line underlined by === (h1) or ---
+        # (h2) on the very next line (commonmark; markdown-it emits
+        # heading_open h1/h2 for it). Simplification vs commonmark: a
+        # MULTI-line paragraph flushes its earlier lines as text and
+        # only the underlined line becomes the heading
+        # (tests/test_commonmark_parity.py documents this).
+        if not marker_style and item is None:
+            nxt = lines[i + 1].strip() if i + 1 < n else ""
+            if nxt and nxt[0] in "=-" and _SETEXT_RE.match(nxt):
+                flush_text()
+                emit_heading(
+                    stripped, 1 if nxt[0] == "=" else 2, lineno, lineno + 1
+                )
+                i += 2
+                continue
+
         content_line = item.group(2) if item else stripped
         if not text_content:
             text_start_line = lineno

