@@ -843,6 +843,65 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_pdf_stream_fallback(sf_dir: str):
+    """Quality-driven re-extraction fallback (reference
+    context7/table_extractor.py:95-108: lattice accuracy < 80 retries
+    the stream flavor, keeps the better). Deterministic pdf-shaped
+    layouts derived from documents: doc_id%3==0 -> low lattice (50) with
+    a better stream variant (90) -> fallback fires; %3==1 -> high
+    lattice (95) -> threshold gates the fallback off even though a
+    better variant exists; %3==2 -> low lattice (60) with a WORSE
+    stream variant (30) -> lattice kept."""
+    from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id in batch["doc_id"].to_pylist():
+            m = doc_id % 3
+            block = {
+                "type": "table",
+                "bbox": [10.0, 20.0, 100.0, 50.0],
+                "accuracy": [50.0, 95.0, 60.0][m],
+                "cells": [
+                    {"row": 0, "col": 0, "text": "h1"},
+                    {"row": 0, "col": 1, "text": "h2"},
+                    {"row": 1, "col": 0, "text": f"v{doc_id}"},
+                    {"row": 1, "col": 1, "text": "x"},
+                ],
+                "stream_cells": [
+                    {"row": 0, "col": 0, "text": "h1"},
+                    {"row": 0, "col": 1, "text": "h2"},
+                    {"row": 1, "col": 0, "text": f"s{doc_id}"},
+                    {"row": 1, "col": 1, "text": "y"},
+                ],
+                "stream_accuracy": [90.0, 99.0, 30.0][m],
+            }
+            text_block = {
+                "type": "text",
+                "bbox": [10.0, 60.0, 100.0, 70.0],
+                "spans": [{"text": "context paragraph under the table " * 4}],
+            }
+            doc = {
+                "kind": "pdf",
+                "pages": [{"page_number": 1, "blocks": [block, text_block]}],
+            }
+            _, records = extract_pdf_document(doc)
+            r = records[0]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "flavor": r["flavor"],
+                    "accuracy_c": int(r["accuracy"] * 100 + 0.5),
+                    "cell": r["data"][1][0],
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     from pdf_extractor_ray.functions.multimodal import media_features
 
@@ -968,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "pdf_stream_fallback": _q_pdf_stream_fallback,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -1035,6 +1095,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        "pdf_stream_fallback": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'stream' ELSE 'lattice' END
+                  AS flavor,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 9000 WHEN 1 THEN 9500
+                   ELSE 6000 END AS BIGINT) AS accuracy_c,
+              CASE WHEN doc_id % 3 = 0
+                   THEN 's' || CAST(doc_id AS VARCHAR)
+                   ELSE 'v' || CAST(doc_id AS VARCHAR) END AS cell
+            FROM documents
         """,
         "dedup_exact": f"""
             WITH d AS ({_DUP_SQL})

@@ -41,6 +41,12 @@ class EngineConfig:
     scanned_min_chars_per_page: int = _env_int("GRAFT_SCANNED_MIN_CHARS", 100)
     # adversarial-payload bound for table cell densification
     max_grid_dim: int = _env_int("GRAFT_MAX_GRID_DIM", 10_000)
+    # lattice accuracy below this retries the table with the stream
+    # variant and keeps the better extraction (reference
+    # context7/table_extractor.py:95-108)
+    stream_fallback_threshold: float = _env_float(
+        "GRAFT_STREAM_FALLBACK_THRESHOLD", 80.0
+    )
 
 
 CONFIG = EngineConfig()

@@ -282,6 +282,21 @@ def extract_pdf_document(
             if not grid:
                 continue
             accuracy = float(block.get("accuracy", 100.0))
+            flavor = "lattice"
+            # Quality-driven re-extraction fallback (reference
+            # context7/table_extractor.py:95-108: lattice accuracy < 80
+            # -> retry the page with the stream flavor, keep whichever
+            # parsed better). Camelot is absent offline, so the second
+            # extraction attempt is the block's stream-variant record
+            # (stream_cells / stream_accuracy — the deterministic
+            # second-parser output baked into the layout JSON).
+            if accuracy < CONFIG.stream_fallback_threshold and block.get(
+                "stream_cells"
+            ):
+                s_grid = _cells_to_grid(block.get("stream_cells") or [])
+                s_acc = float(block.get("stream_accuracy", 0.0))
+                if s_grid and s_acc > accuracy:
+                    grid, accuracy, flavor = s_grid, s_acc, "stream"
             quality = table_quality(grid, accuracy)
             bbox = [float(v) for v in (block.get("bbox") or [0, 0, 0, 0])]
             record = {
@@ -289,6 +304,7 @@ def extract_pdf_document(
                 "page": page_no,
                 "data": grid,
                 "accuracy": accuracy,
+                "flavor": flavor,
                 "bbox": bbox,
                 "rows": len(grid),
                 "cols": len(grid[0]) if grid else 0,

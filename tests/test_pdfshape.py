@@ -152,6 +152,70 @@ class TestPdfLaneEndToEnd:
         assert rec["page_range"] == "1-2"
 
 
+class TestStreamFallback:
+    """context7/table_extractor.py:95-108: lattice accuracy < 80 ->
+    retry with the stream variant, keep whichever parsed better."""
+
+    @staticmethod
+    def _doc(lat_acc, stream_acc, with_stream=True):
+        block = {
+            "type": "table",
+            "bbox": [10.0, 20.0, 100.0, 50.0],
+            "accuracy": lat_acc,
+            "cells": [
+                {"row": 0, "col": 0, "text": "h"},
+                {"row": 1, "col": 0, "text": "lat"},
+            ],
+        }
+        if with_stream:
+            block["stream_cells"] = [
+                {"row": 0, "col": 0, "text": "h"},
+                {"row": 1, "col": 0, "text": "str"},
+            ]
+            block["stream_accuracy"] = stream_acc
+        text = {
+            "type": "text",
+            "bbox": [10.0, 60.0, 100.0, 70.0],
+            "spans": [{"text": "enough page text to not look scanned " * 4}],
+        }
+        return {"kind": "pdf", "pages": [{"page_number": 1, "blocks": [block, text]}]}
+
+    def test_low_accuracy_with_better_stream_falls_back(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(50.0, 90.0))
+        assert recs[0]["flavor"] == "stream"
+        assert recs[0]["accuracy"] == 90.0
+        assert recs[0]["data"][1][0] == "str"
+
+    def test_high_accuracy_never_retries(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(95.0, 99.0))
+        assert recs[0]["flavor"] == "lattice"
+        assert recs[0]["accuracy"] == 95.0
+
+    def test_worse_stream_keeps_lattice(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(60.0, 30.0))
+        assert recs[0]["flavor"] == "lattice"
+        assert recs[0]["data"][1][0] == "lat"
+
+    def test_exact_threshold_does_not_retry(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(80.0, 99.0))
+        assert recs[0]["flavor"] == "lattice"
+
+    def test_no_stream_variant_keeps_lattice(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(50.0, 0.0, with_stream=False))
+        assert recs[0]["flavor"] == "lattice"
+        assert recs[0]["accuracy"] == 50.0
+
+
 class TestAdversarialCells:
     def test_out_of_bound_cell_indices_dropped_not_densified(self):
         # a corrupt row index like 10^9 must not allocate a gigarow grid
