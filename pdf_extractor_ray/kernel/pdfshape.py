@@ -317,12 +317,40 @@ def extract_pdf_document(
                 record["quality_issues"].append(
                     f"low_confidence:{quality['confidence']}"
                 )
+            # J4 cross-validation vs an independent second detector
+            # (reference table_extraction.py:454-500: IoU-intersect
+            # each table with Image2Table / PyMuPDF find_tables /
+            # Marker results; a miss records a quality issue but does
+            # NOT drop the table). The second detector's records are
+            # the layout doc's ``detector_tables`` (page + bbox) —
+            # PyMuPDF is absent offline, so its output is baked into
+            # the layout JSON the same way the stream variant is.
+            detector = doc.get("detector_tables")
+            if detector:
+                from pdf_extractor_ray.kernel.tables import calculate_iou
+
+                intersects = any(
+                    d.get("page") == page_no
+                    and d.get("bbox")
+                    and calculate_iou(bbox, [float(v) for v in d["bbox"]]) > 0
+                    for d in detector
+                )
+                if not intersects:
+                    record["quality_issues"].append(
+                        "No intersecting table with detector results"
+                    )
             t_idx += 1
             table_records.append(record)
 
-    # Drop low-confidence tables (reference drops below the floor,
-    # table_extraction.py:429-433) then merge multi-page continuations.
-    kept = [t for t in table_records if not t["quality_issues"]]
+    # Drop low-confidence tables (the reference's drop is ONLY the
+    # accuracy/confidence floor, table_extraction.py:429-433 —
+    # cross-validation misses are recorded, not fatal) then merge
+    # multi-page continuations.
+    kept = [
+        t
+        for t in table_records
+        if not any(i.startswith("low_confidence") for i in t["quality_issues"])
+    ]
     merged = process_and_merge_tables(kept, merge_strategy)
 
     # Render pages to markdown in reading order; merged continuation

@@ -216,6 +216,76 @@ class TestStreamFallback:
         assert recs[0]["accuracy"] == 50.0
 
 
+class TestDetectorCrossValidation:
+    """table_extraction.py:454-500: IoU-intersect every table with an
+    independent second detector's records; a miss records a quality
+    issue without dropping the table."""
+
+    @staticmethod
+    def _doc(detector_tables=None):
+        doc = {
+            "kind": "pdf",
+            "pages": [
+                {
+                    "page_number": 1,
+                    "blocks": [
+                        {
+                            "type": "table",
+                            "bbox": [10.0, 20.0, 100.0, 50.0],
+                            "accuracy": 95.0,
+                            "cells": [
+                                {"row": 0, "col": 0, "text": "h"},
+                                {"row": 1, "col": 0, "text": "v"},
+                            ],
+                        },
+                        {
+                            "type": "text",
+                            "bbox": [10.0, 60.0, 100.0, 70.0],
+                            "spans": [{"text": "page body text " * 10}],
+                        },
+                    ],
+                }
+            ],
+        }
+        if detector_tables is not None:
+            doc["detector_tables"] = detector_tables
+        return doc
+
+    def test_intersecting_detector_table_validates(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(
+            self._doc([{"page": 1, "bbox": [15.0, 25.0, 90.0, 45.0]}])
+        )
+        assert recs[0]["quality_issues"] == []
+
+    def test_missing_intersection_records_issue_but_keeps_table(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        els, recs = extract_pdf_document(
+            self._doc([{"page": 1, "bbox": [200.0, 200.0, 300.0, 300.0]}])
+        )
+        assert recs[0]["quality_issues"] == [
+            "No intersecting table with detector results"
+        ]
+        # not dropped: the table still renders as an element
+        assert any(e["type"] == "table" for e in els)
+
+    def test_wrong_page_detector_is_a_miss(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(
+            self._doc([{"page": 2, "bbox": [15.0, 25.0, 90.0, 45.0]}])
+        )
+        assert recs[0]["quality_issues"]
+
+    def test_no_detector_output_no_issue(self):
+        from pdf_extractor_ray.kernel.pdfshape import extract_pdf_document
+
+        _, recs = extract_pdf_document(self._doc(None))
+        assert recs[0]["quality_issues"] == []
+
+
 class TestAdversarialCells:
     def test_out_of_bound_cell_indices_dropped_not_densified(self):
         # a corrupt row index like 10^9 must not allocate a gigarow grid
