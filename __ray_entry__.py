@@ -843,6 +843,54 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_sequence_pack(sf_dir: str):
+    """Sequence packing (training-data sample packing): documents in
+    id order fill ~4096-token packs via a two-pass range-partitioned
+    prefix sum; rolled up per pack. Oracle = SQL window cumsum."""
+    from pdf_extractor_ray.functions.packing import sequence_pack
+    from pdf_extractor_ray.functions.textstats import doc_stats_batch
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    stats = docs.map_batches(doc_stats_batch, batch_format="pyarrow")
+    packed = sequence_pack(
+        stats.select_columns(["doc_id", "n_tokens"]), budget=4096
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"pack_id": batch["pack_id"], "n_tokens": batch["n_tokens"]}
+        ).to_pandas()
+        g = df.groupby("pack_id", as_index=False).agg(
+            n_docs=("n_tokens", "size"), pack_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        packed.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pack_tokens", alias_name="pack_tokens"),
+        )
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language rebalancing sample (deterministic hash membership,
+    shuffle-free) — per-stratum keep rates, rolled up per lang."""
+    from pdf_extractor_ray.functions.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang"]
+    )
+    rates = {"en": 80, "de": 40, "fr": 40, "es": 20, "zh": 10}
+    return stratified_sample(docs, rates, default_pct=5).groupby(
+        "lang"
+    ).aggregate(Count(alias_name="n_docs"))
+
+
 def _q_pdf_stream_fallback(sf_dir: str):
     """Quality-driven re-extraction fallback (reference
     context7/table_extractor.py:95-108: lattice accuracy < 80 retries
@@ -1027,6 +1075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "sequence_pack": _q_sequence_pack,
+        "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1095,6 +1145,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        "sequence_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS before
+              FROM t
+            )
+            SELECT CAST(floor(before / 4096) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100)
+                  < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40
+                              WHEN 'fr' THEN 40 WHEN 'es' THEN 20
+                              WHEN 'zh' THEN 10 ELSE 5 END
+            GROUP BY lang
         """,
         "pdf_stream_fallback": """
             SELECT doc_id,

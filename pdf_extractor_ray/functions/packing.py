@@ -1,0 +1,107 @@
+"""Sequence packing — group documents into fixed token-budget packs.
+
+The standard LLM-training preprocessing step the reference (a
+per-document extractor) stops short of: once per-document token counts
+exist, training wants documents concatenated into packs of ~budget
+tokens. Packing needs a GLOBAL order and a GLOBAL running token total —
+the distributed shape here is a two-pass range-partitioned prefix sum,
+the canonical way to compute cumulative sums on a cluster without a
+single-node scan:
+
+  pass 1: per-batch partials -> per-range token totals (one row per
+          id-range bucket; the exchange carries n_buckets rows);
+          the driver turns the TINY per-bucket table (n_buckets rows,
+          bounded by the constant bucket count, never by corpus size)
+          into exclusive prefix offsets and broadcasts them;
+  pass 2: an id-range groupby co-locates each range, where a vectorized
+          in-bucket sort + cumsum + the broadcast offset assigns every
+          document its exclusive global prefix, hence its pack.
+
+Pack rule (start-based packing): a document belongs to the pack where
+its exclusive prefix lands — pack_id = floor(prefix_before / budget).
+Deterministic given the id order, and exactly expressible in SQL as a
+window cumsum, which is what the driver oracle checks:
+
+    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens -> floor(/budget)
+
+A pack may overrun the budget by at most one document's tokens (the
+straddling document stays whole — training-side chunking handles the
+tail), which is the usual contract for document-preserving packing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+__all__ = ["sequence_pack"]
+
+
+def sequence_pack(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Assign each row a pack_id so consecutive (by ``id_col``) rows
+    fill ~``budget`` tokens per pack. Input needs ``id_col`` and
+    ``tokens_col``; output adds ``pack_id``.
+
+    Driver state: the id range (two scalars) + one n_buckets-row
+    offset table — constant-bounded, never corpus-proportional.
+    """
+    lo = ds.min(id_col)
+    hi = ds.max(id_col)
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (ids - int(lo)) // width
+
+    # pass 1: per-bucket token totals (partial-agg inside the batch so
+    # the exchange carries one row per bucket per batch)
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = batch[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"_bucket": bucket_of(ids), "t": toks})
+        g = df.groupby("_bucket", as_index=False).agg(t=("t", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        ds.select_columns([id_col, tokens_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .aggregate(Sum("t", alias_name="t"))
+        .to_pandas()  # n_buckets rows — bounded by the constant
+    )
+    offsets = np.zeros(n_buckets + 1, dtype=np.int64)
+    for _, row in totals.iterrows():
+        offsets[int(row["_bucket"]) + 1] = int(row["t"])
+    offsets = np.cumsum(offsets)
+    offsets_ref = ray.put(offsets)
+
+    # pass 2: in-range exclusive prefix + broadcast offset -> pack_id
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_bucket", pa.array(bucket_of(ids))
+        )
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)  # zero-copy plasma read
+        g = group.sort_values(id_col).reset_index(drop=True)
+        toks = g[tokens_col].to_numpy().astype(np.int64)
+        before = np.cumsum(toks) - toks + off[int(g["_bucket"].iloc[0])]
+        g["pack_id"] = before // budget
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assign, batch_format="pandas")
+    )

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["hash_keep_mask", "hash_sample"]
+__all__ = ["hash_keep_mask", "hash_sample", "stratified_sample"]
 
 
 def hash_keep_mask(ids, pct: int, salt: str = "") -> list[bool]:
@@ -44,6 +44,36 @@ def hash_sample(
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = hash_keep_mask(batch[id_col].to_pylist(), pct, salt)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Per-stratum hash sampling: keep ~``rates[stratum]``% of each
+    stratum's rows (the language-rebalancing step of a training-data
+    mix). Same deterministic per-row predicate as ``hash_sample`` —
+    membership is (salt, id)-pure, so the mix is reproducible and
+    SQL-checkable; strata not in ``rates`` keep ``default_pct``%.
+    Shuffle-free: one vectorized filter per batch."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        mask = [
+            int(
+                hashlib.md5(f"{salt}{i}".encode("utf-8")).hexdigest()[:8], 16
+            ) % 100
+            < rates.get(s, default_pct)
+            for i, s in zip(ids, strata)
+        ]
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""Sequence packing (distributed range-partitioned prefix sum) and
+stratified sampling."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _tok_ds(ray, tokens, n_blocks=8):
+    ids = np.arange(len(tokens), dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(np.asarray(tokens, dtype=np.int64)),
+            }
+        )
+    ).repartition(n_blocks)
+
+
+class TestSequencePack:
+    def test_matches_serial_reference(self, ray_session):
+        """Distributed prefix sum == a driver-side cumsum, including
+        packs straddling range-bucket boundaries."""
+        from pdf_extractor_ray.functions.packing import sequence_pack
+
+        rng = np.random.RandomState(11)
+        tokens = rng.randint(50, 900, size=500)
+        got = (
+            sequence_pack(_tok_ds(ray_session, tokens), budget=1000, n_buckets=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        before = np.cumsum(tokens) - tokens
+        assert got["pack_id"].tolist() == (before // 1000).tolist()
+
+    def test_start_based_overflow_contract(self, ray_session):
+        """A document straddling the budget stays whole in the pack
+        where its prefix starts; the next pack begins at the next
+        budget multiple."""
+        from pdf_extractor_ray.functions.packing import sequence_pack
+
+        got = (
+            sequence_pack(_tok_ds(ray_session, [600, 600, 600], 2), budget=1000)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # prefixes 0, 600, 1200 -> packs 0, 0, 1
+        assert got["pack_id"].tolist() == [0, 0, 1]
+
+    def test_block_layout_invariance(self, ray_session):
+        from pdf_extractor_ray.functions.packing import sequence_pack
+
+        tokens = list(range(40, 140))
+        a = (
+            sequence_pack(_tok_ds(ray_session, tokens, 1), budget=512)
+            .to_pandas().sort_values("doc_id")["pack_id"].tolist()
+        )
+        b = (
+            sequence_pack(_tok_ds(ray_session, tokens, 16), budget=512)
+            .to_pandas().sort_values("doc_id")["pack_id"].tolist()
+        )
+        assert a == b
+
+    def test_sparse_nonzero_ids(self, ray_session):
+        """Ids need not be dense or start at zero — range buckets span
+        [min, max]."""
+        from pdf_extractor_ray.functions.packing import sequence_pack
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1000, 1007, 1500, 2000], pa.int64()),
+                    "n_tokens": pa.array([400, 400, 400, 400], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        got = sequence_pack(ds, budget=1000, n_buckets=4).to_pandas()
+        got = got.sort_values("doc_id")
+        assert got["pack_id"].tolist() == [0, 0, 0, 1]
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates_and_determinism(self, ray_session):
+        from pdf_extractor_ray.functions.sampling import (
+            hash_keep_mask,
+            stratified_sample,
+        )
+
+        n = 2000
+        ids = list(range(n))
+        langs = [["en", "de", "zh"][i % 3] for i in ids]
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "lang": langs})
+        ).repartition(8)
+        rates = {"en": 80, "de": 30}
+        got = stratified_sample(ds, rates, default_pct=5).to_pandas()
+        # exact expected membership from the shared predicate
+        for lang, pct in (("en", 80), ("de", 30), ("zh", 5)):
+            lang_ids = [i for i in ids if ["en", "de", "zh"][i % 3] == lang]
+            expect = {
+                i for i, k in zip(lang_ids, hash_keep_mask(lang_ids, pct)) if k
+            }
+            assert set(got[got["lang"] == lang]["doc_id"]) == expect
+
+    def test_subset_of_plain_sample(self, ray_session):
+        """A stratum at rate r is exactly hash_sample(pct=r) restricted
+        to that stratum — same salt, same membership."""
+        from pdf_extractor_ray.functions.sampling import (
+            hash_sample,
+            stratified_sample,
+        )
+
+        ids = list(range(500))
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "lang": ["en"] * 500})
+        )
+        a = set(
+            stratified_sample(ds, {"en": 25})
+            .to_pandas()["doc_id"]
+        )
+        ds2 = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "lang": ["en"] * 500})
+        )
+        b = set(hash_sample(ds2, pct=25).to_pandas()["doc_id"])
+        assert a == b
