@@ -37,7 +37,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 __all__ = ["sequence_pack"]
 
@@ -56,8 +56,8 @@ def sequence_pack(
     Driver state: the id range (two scalars) + one n_buckets-row
     offset table — constant-bounded, never corpus-proportional.
     """
-    lo = ds.min(id_col)
-    hi = ds.max(id_col)
+    bounds = ds.aggregate(Min(id_col), Max(id_col))  # one pass, not two
+    lo, hi = bounds[f"min({id_col})"], bounds[f"max({id_col})"]
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:

@@ -520,8 +520,15 @@ def extract_from_markdown_text(
         # MULTI-line paragraph flushes its earlier lines as text and
         # only the underlined line becomes the heading
         # (tests/test_commonmark_parity.py documents this).
-        if not marker_style and item is None:
-            nxt = lines[i + 1].strip() if i + 1 < n else ""
+        if (
+            not marker_style
+            and item is None
+            and i + 1 < n
+            and lines[i + 1][:1] in ("=", "-", " ", "\t")  # cheap gate:
+            # almost every next line starts with prose; only candidate
+            # underlines (possibly indented) pay the strip + regex
+        ):
+            nxt = lines[i + 1].strip()
             if nxt and nxt[0] in "=-" and _SETEXT_RE.match(nxt):
                 flush_text()
                 emit_heading(
