@@ -843,6 +843,28 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-dump incremental dedup (bucketed cogroup anti-join): new
+    docs surviving against the persisted hash set of a previous dump
+    (modeled as every 5th document)."""
+    from pdf_extractor_ray.functions.dedup import (
+        content_hashes,
+        incremental_dedup,
+    )
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def known_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 5 == 0))
+
+    known = content_hashes(
+        ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(known_only, batch_format="pyarrow")
+    )
+    return incremental_dedup(docs, known)
+
+
 def _q_sequence_pack(sf_dir: str):
     """Sequence packing (training-data sample packing): documents in
     id order fill ~4096-token packs via a two-pass range-partitioned
@@ -1075,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
@@ -1145,6 +1168,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        "incremental_dedup": """
+            WITH known AS (
+              SELECT md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT d.doc_id, md5(d.text) AS text_hash
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.h = md5(d.text))
         """,
         "sequence_pack": """
             WITH t AS (

@@ -22,6 +22,15 @@ streaming exact-Jaccard verify. ``verify="broadcast"`` remains as the
 small-corpus fast path (candidate texts broadcast via ``ray.put``; its
 driver state scales with the near-dup fraction, not the corpus). The
 LSH banding itself carries 16 x 8-byte keys per document.
+
+Order of operations at corpus scale: run ``exact_dedup`` BEFORE the
+near-dup passes. MinHash/SimHash candidate generation is O(pairs
+within a band bucket) — a corpus with large exact-duplicate clusters
+(k copies -> k^2/2 candidate pairs per cluster) pays quadratically for
+work the exact pass removes linearly. Measured: 505k unique docs +
+5k planted pairs verify in ~21 s, while the same row count drawn from
+only 5k distinct texts (~100x duplication) generates ~25M candidate
+pairs.
 """
 
 from __future__ import annotations
@@ -43,6 +52,8 @@ __all__ = [
     "exact_dedup_summary",
     "exact_dedup",
     "key_dedup_summary",
+    "incremental_dedup",
+    "content_hashes",
     "minhash_signature",
     "minhash_candidates",
     "minhash_dedup_pairs",
@@ -185,6 +196,83 @@ def key_dedup_summary(
         .map_groups(merge, batch_format="pandas")
         .select_columns([key_col, "keep_doc_id", "dup_count"])
     )
+
+
+def content_hashes(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Project a corpus to its content-hash column (the persisted
+    "seen" side of incremental dedup — what a crawl pipeline keeps
+    between dumps)."""
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_hash": pa.array(
+                    [md5_hex(t or "") for t in batch[text_col].to_pylist()],
+                    pa.string(),
+                )
+            }
+        )
+
+    return ds.map_batches(to_hash, batch_format="pyarrow")
+
+
+def incremental_dedup(
+    new_ds: ray.data.Dataset,
+    known_hashes: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """Cross-dump dedup: keep only NEW documents whose content hash is
+    absent from ``known_hashes`` (a Dataset with a ``text_hash``
+    column — e.g. the persisted output of ``content_hashes`` over all
+    previous crawl dumps).
+
+    Distributed shape: a bucketed cogroup ANTI-join. Both sides key on
+    a coarse bucket of the hash (one exchange each, narrow rows:
+    hash + id), each bucket co-locates, and a vectorized isin drops
+    the already-seen rows. Neither side broadcasts, nothing touches
+    the driver — at 100 TB the known side is itself corpus-sized
+    (every hash ever crawled) and must shuffle, not ship.
+    Output: (id_col, text_hash) of the surviving new documents.
+    """
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
+        buckets = [zlib.crc32(h.encode()) % n_buckets for h in hashes]
+        return pa.table(
+            {
+                "_bucket": pa.array(buckets, pa.int64()),
+                "_side": pa.array(np.zeros(len(hashes), dtype=np.int8)),
+                id_col: batch[id_col],
+                "text_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    def tag_known(batch: pa.Table) -> pa.Table:
+        hs = batch["text_hash"].to_pylist()
+        buckets = [zlib.crc32(h.encode()) % n_buckets for h in hs]
+        return pa.table(
+            {
+                "_bucket": pa.array(buckets, pa.int64()),
+                "_side": pa.array(np.ones(len(hs), dtype=np.int8)),
+                id_col: pa.array(np.full(len(hs), -1, dtype=np.int64)),
+                "text_hash": pa.array(hs, pa.string()),
+            }
+        )
+
+    def anti(group):
+        seen = group[group["_side"] == 1]["text_hash"]
+        new = group[group["_side"] == 0]
+        out = new[~new["text_hash"].isin(set(seen))]
+        return out[[id_col, "text_hash"]]
+
+    tagged = new_ds.map_batches(tag_new, batch_format="pyarrow").union(
+        known_hashes.map_batches(tag_known, batch_format="pyarrow")
+    )
+    return tagged.groupby("_bucket").map_groups(anti, batch_format="pandas")
 
 
 # Per-worker cache of broadcast verify sides (keyed by object ref hex):

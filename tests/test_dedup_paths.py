@@ -139,6 +139,54 @@ class TestMinhashVerifyPaths:
             minhash_dedup_pairs(_corpus(ray_session), verify="nope")
 
 
+class TestIncrementalDedup:
+    def test_anti_join_drops_seen_content(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import (
+            content_hashes,
+            incremental_dedup,
+        )
+
+        old_texts = [f"old doc {i} " * 5 for i in range(40)]
+        new_texts = [f"new doc {i} " * 5 for i in range(60)]
+        # new dump = 60 fresh + 40 re-crawled copies of the old dump
+        new_ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(100)), pa.int64()),
+                    "text": new_texts + old_texts,
+                }
+            )
+        ).repartition(5)
+        known = content_hashes(
+            ray_session.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(list(range(40)), pa.int64()),
+                        "text": old_texts,
+                    }
+                )
+            ).repartition(3)
+        )
+        out = incremental_dedup(new_ds, known).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(60))
+
+    def test_empty_known_side_keeps_everything(self, ray_session):
+        import pandas as pd
+
+        from pdf_extractor_ray.functions.dedup import incremental_dedup
+
+        new_ds = ray_session.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]}
+            )
+        )
+        known = ray_session.data.from_pandas(
+            pd.DataFrame({"text_hash": pd.Series([], dtype="str")})
+        )
+        out = incremental_dedup(new_ds, known).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
+
+
 class TestSimhashPairs:
     def test_simhash64_pinned(self):
         from pdf_extractor_ray.functions.dedup import simhash64
