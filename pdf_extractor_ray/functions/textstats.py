@@ -194,13 +194,31 @@ def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "t
             }
         )
 
-    from ray.data.aggregate import Sum
+    # Candidate merge follows the coarse-bucket discipline: the MG
+    # summaries still contain up to capacity DISTINCT words per batch,
+    # so a raw-word groupby + driver collect would scale with batch
+    # count x capacity. Instead each word's partials meet in one of 64
+    # hash buckets, merge vectorized, and prune to the bucket-local
+    # top-4k (the global top-4k by summed MG count is a subset of the
+    # union, since a word lives in exactly one bucket) — the driver
+    # sees at most 64 x 4k rows regardless of corpus size.
+    import numpy as np
+    import pandas as pd
 
-    # merged candidate set (bounded: capacity rows per batch)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["word"].to_pylist(), dtype=object)
+        b = pd.util.hash_array(words, categorize=False) % np.uint64(64)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def bucket_merge_prune(group):
+        g = group.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return g.nlargest(4 * k, "n")
+
     cand = (
         ds.map_batches(mg_summary, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_merge_prune, batch_format="pandas")
     )
     cand_df = cand.to_pandas().nlargest(4 * k, "n")
     cand_ref = ray.put(frozenset(cand_df["word"]))
@@ -219,6 +237,8 @@ def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "t
                 "n": pa.array(list(counts.values()), pa.int64()),
             }
         )
+
+    from ray.data.aggregate import Sum
 
     exact = (
         ds.map_batches(recount, batch_format="pyarrow")
