@@ -441,7 +441,27 @@ def minhash_candidates(
     bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pyarrow"
     )
-    return bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return (
+        bands.repartition(_coalesce_width(), shuffle=False)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def _coalesce_width() -> int:
+    """Target block count for pre-exchange coalesces: 2x cluster CPUs.
+
+    Sort-based groupby pays per-block reduce-task overhead, so a pile
+    of near-empty blocks (the usual shape of band/pair streams at
+    small scale) makes the exchange overhead-bound; coalescing to a
+    CPU-proportional width keeps partition count matched to the
+    cluster rather than to the upstream block count, and still scales
+    with the cluster on a 256-node run (2 x total cores)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
 
 
 def _dedupe_pairs_bucketed(
@@ -684,12 +704,12 @@ def minhash_dedup_pairs(
             )
         )
         halves = (
-            tagged.repartition(32, shuffle=False)
+            tagged.repartition(_coalesce_width(), shuffle=False)
             .groupby("_bucket")
             .map_groups(attach_in_bucket, batch_format="pandas")
         )
         return (
-            halves.repartition(32, shuffle=False)
+            halves.repartition(_coalesce_width(), shuffle=False)
             .groupby("_pbucket")
             .map_groups(verify_in_bucket, batch_format="pandas")
         )
@@ -853,7 +873,11 @@ def simhash_dedup_pairs(
     bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pyarrow"
     )
-    cand = bands.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = (
+        bands.repartition(_coalesce_width(), shuffle=False)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
     # cross-bucket duplicate pairs (same pair from bands in different
     # buckets, hamming equal) dedupe in a coarse pair-bucket groupby —
     # no single-partition funnel.
