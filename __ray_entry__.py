@@ -843,6 +843,82 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_training_mix(sf_dir: str):
+    """End-to-end training-data pipeline composition, one streaming
+    execution: wrap docs (incl. injected exact dups) as HTML pages ->
+    extract -> token-count quality filter -> exact dedup (keep min id
+    per extracted-text hash) -> sequence-pack survivors -> per-pack
+    rollup. Every stage is SQL-reproducible, so the oracle replays the
+    whole chain in CTEs. The page heading is CONSTANT (not id-derived)
+    so a re-crawled duplicate extracts byte-identically to its
+    original and the dedup stage has real work."""
+    import datetime
+
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+    from pdf_extractor_ray.functions.packing import sequence_pack
+    from pdf_extractor_ray.pipelines import extract_pages
+    from pdf_extractor_ray.sources.corpus import PAGES_SCHEMA
+
+    docs = _docs_with_dups(sf_dir)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = (
+                "<html><body><h1>Document</h1>"
+                f"<p>{text}</p></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://mix.example.org/{doc_id:08d}",
+                    "warc_ts": datetime.datetime(2025, 1, 1),
+                    "html": body.encode("utf-8"),
+                    "text": "",
+                    "lang": "en",
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    extracted = extract_pages(docs.map_batches(to_pages, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "extracted_text": batch["extracted_text"],
+            }
+        )
+        return t.filter(pc.greater_equal(t["n_tokens"], 50))
+
+    filtered = extracted.map_batches(project, batch_format="pyarrow")
+    deduped = exact_dedup(filtered, text_col="extracted_text", id_col="doc_id")
+    packed = sequence_pack(
+        deduped.select_columns(["doc_id", "n_tokens"]), budget=4096
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"pack_id": batch["pack_id"], "n_tokens": batch["n_tokens"]}
+        ).to_pandas()
+        g = df.groupby("pack_id", as_index=False).agg(
+            n_docs=("n_tokens", "size"), pack_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        packed.map_batches(partial, batch_format="pyarrow")
+        .groupby("pack_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pack_tokens", alias_name="pack_tokens"),
+        )
+    )
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-dump incremental dedup (bucketed cogroup anti-join): new
     docs surviving against the persisted hash set of a previous dump
@@ -1097,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
         "stratified_sample": _q_stratified_sample,
@@ -1168,6 +1245,31 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        "training_mix": f"""
+            WITH d AS ({_DUP_SQL}),
+            t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all('1. Document', '{_TOKEN_PAT_SQL}'))
+                       + len(regexp_extract_all(text, '{_TOKEN_PAT_SQL}'))
+                       AS n_tokens,
+                     md5('1. Document' || chr(10) || chr(10) || text) AS h
+              FROM d
+            ),
+            f AS (SELECT * FROM t WHERE n_tokens >= 50),
+            k AS (SELECT *, row_number() OVER (PARTITION BY h
+                                               ORDER BY doc_id) AS rn
+                  FROM f),
+            s AS (SELECT doc_id, n_tokens FROM k WHERE rn = 1),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS before
+                  FROM s)
+            SELECT CAST(floor(before / 4096) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY 1
         """,
         "incremental_dedup": """
             WITH known AS (

@@ -56,6 +56,13 @@ def sequence_pack(
     Driver state: the id range (two scalars) + one n_buckets-row
     offset table — constant-bounded, never corpus-proportional.
     """
+    # The input is consumed three times (id bounds, per-bucket totals,
+    # the assignment pass); with a lazy Dataset each consumption would
+    # re-execute the whole upstream lineage — ruinous when the input is
+    # the tail of an extraction+dedup chain. Materialize once: callers
+    # pass the projected (id, tokens) columns, so the object-store
+    # footprint is ~16 bytes/row and spills if needed.
+    ds = ds.materialize()
     bounds = ds.aggregate(Min(id_col), Max(id_col))  # one pass, not two
     lo, hi = bounds[f"min({id_col})"], bounds[f"max({id_col})"]
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
