@@ -186,3 +186,63 @@ class TestPathologicalInputsBounded:
     def test_normal_img_still_emitted(self):
         out = html_to_markdown('<img alt="fig one" src="a/b.png">')
         assert out == "![fig one](a/b.png)"
+
+
+class TestCommonmarkProperties:
+    """Fuzz the round-2 commonmark additions: structured-line soup must
+    never raise, extraction stays deterministic, and both path modes
+    (markdown-it-faithful and marker-style) hold their invariants."""
+
+    _line = st.one_of(
+        st.text(max_size=60),
+        st.sampled_from(
+            [
+                "===", "---", "- - -", "***", "___", "> quoted", ">> deep",
+                "    indented code", "\tcode", "# head", "## sub",
+                "Title", "| a | b |", "|---|---|", "- item", "1. item",
+                "```", "<!-- page: 2 -->", "![alt](src)", "",
+            ]
+        ),
+    )
+
+    @given(lines=st.lists(_line, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_never_raises_and_deterministic(self, lines):
+        from pdf_extractor_ray.kernel.markdown_extract import (
+            extract_from_markdown_text,
+        )
+
+        md = "\n".join(lines)
+        for marker in (False, True):
+            a = extract_from_markdown_text(md, marker_style=marker)
+            b = extract_from_markdown_text(md, marker_style=marker)
+            assert a == b
+            for el in a:
+                assert el["type"] in {
+                    "text", "heading", "table", "code", "image"
+                }
+                assert el["token_count"] >= 0
+
+    @given(quote_depth=st.integers(1, 4), body=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1, max_size=40))
+    @settings(max_examples=40, deadline=None)
+    def test_blockquote_markers_never_lead_text(self, quote_depth, body):
+        from pdf_extractor_ray.kernel.markdown_extract import (
+            extract_from_markdown_text,
+        )
+
+        md = "> " * quote_depth + body
+        els = extract_from_markdown_text(md)
+        assert len(els) == 1 and els[0]["content"] == body
+
+    @given(width=st.integers(1, 30), level_char=st.sampled_from("=-"))
+    @settings(max_examples=30, deadline=None)
+    def test_setext_underline_width_irrelevant(self, width, level_char):
+        from pdf_extractor_ray.kernel.markdown_extract import (
+            extract_from_markdown_text,
+        )
+
+        els = extract_from_markdown_text(f"Heading Line\n{level_char * width}")
+        assert els[0]["type"] == "heading"
+        assert els[0]["metadata"]["level"] == (1 if level_char == "=" else 2)
