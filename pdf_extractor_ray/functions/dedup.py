@@ -45,7 +45,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 __all__ = [
     "md5_hex",
