@@ -843,6 +843,19 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1 subset):
+    per-document surface statistics + pass/fail verdict, value-checked
+    per document by the oracle."""
+    from pdf_extractor_ray.functions.quality import gopher_quality
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # min_stopwords=1: the synthetic vocabulary contains exactly one
+    # English stop-word ('the'), so the published floor of 2 would fail
+    # every document and the verdict column would carry no signal
+    return gopher_quality(docs, min_stopwords=1)
+
+
 def _q_training_mix(sf_dir: str):
     """End-to-end training-data pipeline composition, one streaming
     execution: wrap docs (incl. injected exact dups) as HTML pages ->
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "gopher_quality": _q_gopher_quality,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
@@ -1245,6 +1259,49 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        "gopher_quality": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                     len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> regexp_matches(x, '\\S')) AS lines,
+                     len(list_distinct(regexp_extract_all(lower(text),
+                         '\\b(?:the|be|to|of|and|that|have|with)\\b')))
+                       AS n_stop
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_words, n_stop,
+                     CASE WHEN n_words > 0
+                          THEN word_chars / CAST(n_words AS DOUBLE)
+                          ELSE 0 END AS mean_len,
+                     CASE WHEN n_words > 0
+                          THEN n_alpha / CAST(n_words AS DOUBLE)
+                          ELSE 0 END AS alpha_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines))
+                                       / CAST(len(lines) AS DOUBLE)
+                          ELSE 0 END AS dup_frac
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(floor(mean_len * 100 + 0.5) AS BIGINT)
+                       AS mean_word_len_c,
+                   CAST(floor(alpha_frac * 100 + 0.5) AS BIGINT)
+                       AS alpha_frac_c,
+                   CAST(floor(dup_frac * 100 + 0.5) AS BIGINT)
+                       AS dup_line_frac_c,
+                   CAST(n_stop AS BIGINT) AS n_stopwords,
+                   (n_words BETWEEN 50 AND 100000)
+                     AND mean_len BETWEEN 3.0 AND 10.0
+                     AND alpha_frac >= 0.80
+                     AND dup_frac <= 0.30
+                     AND n_stop >= 1 AS passes
+            FROM c
         """,
         "training_mix": f"""
             WITH d AS ({_DUP_SQL}),
