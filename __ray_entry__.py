@@ -843,6 +843,76 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII redaction (C4/CCNet-style scrub): emails, phones, IPv4s
+    replaced with typed placeholders; deterministic PII is appended to
+    every document so the oracle can rebuild the exact redacted text
+    (md5 fingerprint) and per-kind counts."""
+    from pdf_extractor_ray.functions.scrub import redact_pii_batch
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_pii(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = (
+                f"{text} Contact user{doc_id}@example.com or call "
+                f"+1 555 {1000 + doc_id % 9000}. Server "
+                f"10.0.{doc_id % 256}.{(doc_id * 7) % 256}."
+            )
+            rows.append({"doc_id": doc_id, "text": body})
+        return pa.Table.from_pylist(rows)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(t.encode("utf-8", "replace")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": batch["n_emails"],
+                "n_phones": batch["n_phones"],
+                "n_ips": batch["n_ips"],
+                "redacted_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(with_pii, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Cross-document repeated-paragraph inventory (boilerplate
+    detection): every 4th document carries a shared footer paragraph;
+    the operator finds exactly that hash with its document count."""
+    from pdf_extractor_ray.functions.scrub import paragraph_hash_counts
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_footer(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = text
+            if doc_id % 4 == 0:
+                body += "\n\nStandard footer boilerplate text for the corpus"
+            rows.append({"doc_id": doc_id, "text": body})
+        return pa.Table.from_pylist(rows)
+
+    return paragraph_hash_counts(
+        docs.map_batches(with_footer, batch_format="pyarrow"), min_count=2
+    )
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher rule-based quality gate (Rae et al. 2021 §A1.1 subset):
     per-document surface statistics + pass/fail verdict, value-checked
@@ -1186,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "pii_redact": _q_pii_redact,
+        "paragraph_dedup": _q_paragraph_dedup,
         "gopher_quality": _q_gopher_quality,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
@@ -1227,7 +1299,66 @@ _PRED_LANG_EXPR = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_extractor_ray.functions.scrub import EMAIL_RE, IP_RE, PHONE_RE
+
     return {
+        # PII redaction: same RE2 patterns, same replacement order as
+        # functions/scrub.py (emails -> phones -> IPs); counts taken on
+        # each stage's pre-replacement string exactly like subn.
+        "pii_redact": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call +1 555 '
+                       || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                       || '. Server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                       AS body
+              FROM documents
+            ),
+            r1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(body, '{EMAIL_RE}')) AS BIGINT)
+                         AS n_emails,
+                     regexp_replace(body, '{EMAIL_RE}', '<EMAIL>', 'g') AS b
+              FROM t
+            ),
+            r2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(b, '{PHONE_RE}')) AS BIGINT)
+                         AS n_phones,
+                     regexp_replace(b, '{PHONE_RE}', '<PHONE>', 'g') AS b
+              FROM r1
+            ),
+            r3 AS (
+              SELECT doc_id, n_emails, n_phones,
+                     CAST(len(regexp_extract_all(b, '{IP_RE}')) AS BIGINT)
+                         AS n_ips,
+                     regexp_replace(b, '{IP_RE}', '<IP>', 'g') AS b
+              FROM r2
+            )
+            SELECT doc_id, n_emails, n_phones, n_ips, md5(b) AS redacted_fp
+            FROM r3
+        """,
+        "paragraph_dedup": """
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || chr(10) || chr(10)
+                               || 'Standard footer boilerplate text for the corpus'
+                          ELSE text END AS body
+              FROM documents
+            ),
+            p AS (
+              SELECT unnest(string_split(body, chr(10) || chr(10))) AS para
+              FROM built
+            )
+            SELECT md5(para) AS para_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM p
+            WHERE regexp_matches(para, '\\S')
+            GROUP BY 1 HAVING count(*) >= 2
+        """,
         # Value-level oracle for the flagship extraction: the synthetic
         # page wrapper (_pages_from_documents) is deterministic, so the
         # per-url extracted text is exactly '1. Document {id}\n\n' +

@@ -1,0 +1,127 @@
+"""Corpus scrubbing operators: PII redaction and paragraph-level dedup.
+
+Both are standard steps of web-scale training pipelines (C4/CCNet
+lineage): redact emails/phones/IPs before anything persists, and count
+cross-document repeated paragraphs (boilerplate: footers, cookie
+banners, license blocks) so they can be stripped or down-weighted.
+
+PII redaction is a pure per-row regexp pass (shuffle-free, the same
+RE2-compatible patterns run in the DuckDB oracle). Paragraph dedup is
+the bucket discipline applied one level below documents: paragraphs
+hash inside the batch, counts pre-aggregate per batch, and ONE coarse
+hash-bucket exchange merges them — never a group per distinct
+paragraph.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["redact_pii_batch", "redact_pii", "paragraph_hash_counts"]
+
+# RE2-compatible (no lookbehind/lookahead) so the oracle can run the
+# SAME patterns via DuckDB regexp_replace/extract_all.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_EMAIL = re.compile(EMAIL_RE)
+_PHONE = re.compile(PHONE_RE)
+_IP = re.compile(IP_RE)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails/phones/IPv4s with typed placeholders; emit the
+    redacted text plus per-kind counts. Order matters (emails first:
+    an address must not be half-eaten by the phone pattern; IPs last:
+    phone fragments with dots must not re-match)."""
+    texts, n_em, n_ph, n_ip = [], [], [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        t, e = _EMAIL.subn("<EMAIL>", t)
+        t, p = _PHONE.subn("<PHONE>", t)
+        t, i = _IP.subn("<IP>", t)
+        texts.append(t)
+        n_em.append(e)
+        n_ph.append(p)
+        n_ip.append(i)
+    cols = {
+        name: batch[name] for name in batch.column_names if name != text_col
+    }
+    cols.update(
+        {
+            text_col: pa.array(texts, pa.string()),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_phones": pa.array(n_ph, pa.int64()),
+            "n_ips": pa.array(n_ip, pa.int64()),
+        }
+    )
+    return pa.table(cols)
+
+
+def redact_pii(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, text_col), batch_format="pyarrow"
+    )
+
+
+def paragraph_hash_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 2,
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Cross-document repeated paragraphs: md5 per non-empty paragraph
+    (split on blank lines), per-batch partial counts, one coarse
+    hash-bucket exchange, in-bucket vectorized merge, filtered to
+    ``count >= min_count``. Output: (para_hash, n_docs) — the
+    boilerplate inventory a cleaning pass subtracts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for para in (t or "").split("\n\n"):
+                if not para.strip():
+                    continue
+                h = hashlib.md5(para.encode("utf-8", "replace")).hexdigest()
+                counts[h] = counts.get(h, 0) + 1
+        hashes = list(counts.keys())
+        return pa.table(
+            {
+                "para_hash": pa.array(hashes, pa.string()),
+                "n_docs": pa.array(list(counts.values()), pa.int64()),
+                "_bucket": pa.array(
+                    [zlib.crc32(h.encode()) % n_buckets for h in hashes],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(group):
+        g = group.groupby("para_hash", as_index=False).agg(
+            n_docs=("n_docs", "sum")
+        )
+        g = g[g["n_docs"] >= min_count]
+        # typed Arrow output: most buckets are empty after the filter,
+        # and empty object-dtype pandas columns trip Ray's block-size
+        # estimator (log spam, no correctness impact)
+        return pa.table(
+            {
+                "para_hash": pa.array(g["para_hash"], pa.string()),
+                "n_docs": pa.array(g["n_docs"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1,0 +1,84 @@
+"""PII redaction and paragraph-level dedup (functions/scrub.py)."""
+
+import pyarrow as pa
+
+from pdf_extractor_ray.functions.scrub import redact_pii_batch
+
+
+def _redact(text):
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+    out = redact_pii_batch(t)
+    return {c: out[c][0].as_py() for c in out.column_names}
+
+
+class TestRedactPii:
+    def test_email(self):
+        r = _redact("mail me at jane.doe+spam@sub.example.co.uk thanks")
+        assert r["text"] == "mail me at <EMAIL> thanks"
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 0, 0)
+
+    def test_phone(self):
+        r = _redact("call +1 555 1234 now")
+        assert "<PHONE>" in r["text"] and "555" not in r["text"]
+        assert r["n_phones"] == 1
+
+    def test_ipv4(self):
+        r = _redact("server at 192.168.0.17 responded")
+        assert r["text"] == "server at <IP> responded"
+        assert r["n_ips"] == 1
+
+    def test_email_not_half_eaten_by_phone(self):
+        # digits@domain: email must win because it is replaced first
+        r = _redact("contact 123 456 7890@example.com")
+        assert r["n_emails"] == 1
+        assert "@" not in r["text"]
+
+    def test_clean_text_untouched(self):
+        text = "no personal data in this perfectly ordinary sentence"
+        r = _redact(text)
+        assert r["text"] == text
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (0, 0, 0)
+
+    def test_multiple_occurrences_counted(self):
+        r = _redact("a@b.io c@d.io 10.0.0.1 10.0.0.2")
+        assert r["n_emails"] == 2 and r["n_ips"] == 2
+
+
+class TestParagraphHashCounts:
+    def test_finds_only_repeated_paragraphs(self, ray_session):
+        from pdf_extractor_ray.functions.scrub import paragraph_hash_counts
+
+        footer = "shared footer"
+        docs = [
+            f"unique body {i}" + ("\n\n" + footer if i % 2 == 0 else "")
+            for i in range(20)
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(20)), pa.int64()),
+                    "text": docs,
+                }
+            )
+        ).repartition(4)
+        out = paragraph_hash_counts(ds, min_count=2).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["n_docs"] == 10
+        import hashlib
+
+        assert out.iloc[0]["para_hash"] == hashlib.md5(footer.encode()).hexdigest()
+
+    def test_empty_paragraphs_ignored(self, ray_session):
+        from pdf_extractor_ray.functions.scrub import paragraph_hash_counts
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["a\n\n\n\n \n\nb", "c\n\n \n\nd"],
+                }
+            )
+        )
+        out = paragraph_hash_counts(ds, min_count=2).to_pandas()
+        # the whitespace-only paragraph must not count as repeated
+        assert len(out) == 0
