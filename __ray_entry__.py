@@ -843,6 +843,15 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher §A1.2 repetition filters: top-2/3-gram and duplicated
+    5-gram character fractions + verdict, value-checked per document."""
+    from pdf_extractor_ray.functions.quality import repetition_stats
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII redaction (C4/CCNet-style scrub): emails, phones, IPv4s
     replaced with typed placeholders; deterministic PII is appended to
@@ -1256,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
         "gopher_quality": _q_gopher_quality,
@@ -1302,6 +1312,79 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extractor_ray.functions.scrub import EMAIL_RE, IP_RE, PHONE_RE
 
     return {
+        # Repetition filters: n-gram char weight = count * (chars of
+        # the joined n-gram minus its n-1 separators); top = heaviest
+        # repeated n-gram, dup = all repeated n-grams (overlap-naive).
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+                     length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                       AS total
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS ngram
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            c2 AS (
+              SELECT doc_id,
+                     max(CASE WHEN cnt >= 2
+                         THEN cnt * (length(ngram) - 1) ELSE 0 END) AS v
+              FROM (SELECT doc_id, ngram, count(*) AS cnt
+                    FROM g2 GROUP BY doc_id, ngram)
+              GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+              FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            ),
+            c3 AS (
+              SELECT doc_id,
+                     max(CASE WHEN cnt >= 2
+                         THEN cnt * (length(ngram) - 2) ELSE 0 END) AS v
+              FROM (SELECT doc_id, ngram, count(*) AS cnt
+                    FROM g3 GROUP BY doc_id, ngram)
+              GROUP BY doc_id
+            ),
+            g5 AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] AS ngram
+              FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+            ),
+            c5 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt >= 2
+                         THEN cnt * (length(ngram) - 4) ELSE 0 END) AS v
+              FROM (SELECT doc_id, ngram, count(*) AS cnt
+                    FROM g5 GROUP BY doc_id, ngram)
+              GROUP BY doc_id
+            ),
+            f AS (
+              SELECT w.doc_id,
+                     CASE WHEN total > 0
+                          THEN coalesce(c2.v, 0) / CAST(total AS DOUBLE)
+                          ELSE 0 END AS top2,
+                     CASE WHEN total > 0
+                          THEN coalesce(c3.v, 0) / CAST(total AS DOUBLE)
+                          ELSE 0 END AS top3,
+                     CASE WHEN total > 0
+                          THEN coalesce(c5.v, 0) / CAST(total AS DOUBLE)
+                          ELSE 0 END AS dup5
+              FROM w
+              LEFT JOIN c2 ON w.doc_id = c2.doc_id
+              LEFT JOIN c3 ON w.doc_id = c3.doc_id
+              LEFT JOIN c5 ON w.doc_id = c5.doc_id
+            )
+            SELECT doc_id,
+                   CAST(floor(top2 * 100 + 0.5) AS BIGINT) AS top2_frac_c,
+                   CAST(floor(top3 * 100 + 0.5) AS BIGINT) AS top3_frac_c,
+                   CAST(floor(dup5 * 100 + 0.5) AS BIGINT) AS dup5_frac_c,
+                   top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.15
+                       AS rep_passes
+            FROM f
+        """,
         # PII redaction: same RE2 patterns, same replacement order as
         # functions/scrub.py (emails -> phones -> IPs); counts taken on
         # each stage's pre-replacement string exactly like subn.

@@ -22,7 +22,12 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["gopher_stats_batch", "gopher_quality"]
+__all__ = [
+    "gopher_stats_batch",
+    "gopher_quality",
+    "repetition_stats_batch",
+    "repetition_stats",
+]
 
 _WORD_RE = re.compile(r"\S+")
 _ALPHA_WORD_RE = re.compile(r"\S*[A-Za-z]\S*")
@@ -110,5 +115,94 @@ def gopher_quality(
     ``thresholds`` forward to :func:`gopher_stats_batch`."""
     return ds.map_batches(
         lambda b: gopher_stats_batch(b, text_col, **thresholds),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------- repetition filters
+
+_ALNUM_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# Published Gopher repetition thresholds (§A1.2): fraction of
+# characters in the most frequent word n-gram / in duplicated n-grams
+MAX_TOP2_FRAC = 0.20
+MAX_TOP3_FRAC = 0.18
+MAX_DUP5_FRAC = 0.15
+
+
+def _ngram_counts(words: list[str], n: int) -> dict[tuple, int]:
+    counts: dict[tuple, int] = {}
+    for i in range(len(words) - n + 1):
+        g = tuple(words[i : i + n])
+        counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def repetition_stats_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    max_top2: float = MAX_TOP2_FRAC,
+    max_top3: float = MAX_TOP3_FRAC,
+    max_dup5: float = MAX_DUP5_FRAC,
+) -> pa.Table:
+    """Gopher repetition statistics per document:
+
+      - top-n-gram character fraction (n=2,3): characters covered by
+        the heaviest repeated n-gram, ``max(count * chars)`` over
+        n-grams with count >= 2, divided by total word characters;
+      - duplicated-5-gram character fraction: characters covered by
+        ALL 5-grams appearing >= 2 times (overlap-naive: each
+        occurrence counts its full characters — the
+        order-of-iteration-free definition the SQL oracle replicates).
+
+    Words are ``[a-z0-9]+`` runs of the lowercased text; fractions are
+    also exposed as exact centi-units.
+    """
+    out = {"top2_frac_c": [], "top3_frac_c": [], "dup5_frac_c": [],
+           "rep_passes": []}
+    for t in batch[text_col].to_pylist():
+        words = _ALNUM_WORD_RE.findall((t or "").lower())
+        total = sum(len(w) for w in words)
+        fracs = {}
+        for n, mode in ((2, "top"), (3, "top"), (5, "dup")):
+            if total == 0 or len(words) < n:
+                fracs[(n, mode)] = 0.0
+                continue
+            counts = _ngram_counts(words, n)
+            if mode == "top":
+                val = max(
+                    (c * sum(len(w) for w in g) for g, c in counts.items() if c >= 2),
+                    default=0,
+                )
+            else:
+                val = sum(
+                    c * sum(len(w) for w in g) for g, c in counts.items() if c >= 2
+                )
+            fracs[(n, mode)] = val / total
+        top2, top3, dup5 = fracs[(2, "top")], fracs[(3, "top")], fracs[(5, "dup")]
+        out["top2_frac_c"].append(_cents(top2))
+        out["top3_frac_c"].append(_cents(top3))
+        out["dup5_frac_c"].append(_cents(dup5))
+        out["rep_passes"].append(
+            top2 <= max_top2 and top3 <= max_top3 and dup5 <= max_dup5
+        )
+    cols = {n: batch[n] for n in batch.column_names if n != text_col}
+    cols.update(
+        {
+            "top2_frac_c": pa.array(out["top2_frac_c"], pa.int64()),
+            "top3_frac_c": pa.array(out["top3_frac_c"], pa.int64()),
+            "dup5_frac_c": pa.array(out["dup5_frac_c"], pa.int64()),
+            "rep_passes": pa.array(out["rep_passes"], pa.bool_()),
+        }
+    )
+    return pa.table(cols)
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, text_col: str = "text", **thresholds
+) -> ray.data.Dataset:
+    """Per-document repetition statistics + verdict (shuffle-free)."""
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, **thresholds),
         batch_format="pyarrow",
     )

@@ -64,3 +64,42 @@ class TestGopherStats:
         s = _stats(("antidisestablishmentarianism " * 60) + "the and")
         assert s["mean_word_len_c"] > 1000
         assert s["passes"] is False
+
+
+class TestRepetitionStats:
+    @staticmethod
+    def _rep(text, **kw):
+        from pdf_extractor_ray.functions.quality import repetition_stats_batch
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+        out = repetition_stats_batch(t, **kw)
+        return {c: out[c][0].as_py() for c in out.column_names}
+
+    def test_repeated_bigram_dominates(self):
+        r = self._rep("the cat sat on the cat sat here")
+        # 'the cat' and 'cat sat' both appear twice (6 chars x 2 = 12 of
+        # 24); 'the cat sat' x2 = 18/24
+        assert r["top2_frac_c"] == 50
+        assert r["top3_frac_c"] == 75
+        assert r["rep_passes"] is False
+
+    def test_unique_text_passes(self):
+        r = self._rep("every single word appears exactly once in here")
+        assert r["top2_frac_c"] == 0 and r["dup5_frac_c"] == 0
+        assert r["rep_passes"] is True
+
+    def test_duplicated_five_gram(self):
+        phrase = "one two three four five"
+        r = self._rep(f"{phrase} filler {phrase}")
+        # the 5-gram repeats twice: 2 * 18 chars / (18+18+6)
+        assert r["dup5_frac_c"] == round(2 * 18 / 42 * 100)
+        assert r["rep_passes"] is False
+
+    def test_empty_and_short_docs_zero(self):
+        for t in ("", "one", "one two"):
+            r = self._rep(t)
+            assert r["dup5_frac_c"] == 0
+
+    def test_threshold_override(self):
+        r = self._rep("the cat sat on the cat sat here", max_top2=0.6, max_top3=0.8)
+        assert r["rep_passes"] is True
