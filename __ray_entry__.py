@@ -843,6 +843,19 @@ def _q_element_types(sf_dir: str):
     )
 
 
+def _q_lm_quality(sf_dir: str):
+    """CCNet-style LM quality tier: bits-per-char under a char-trigram
+    LM trained on a bounded reference sample, scored by a warmed actor
+    pool (model deserialized once per worker). Not SQL-expressible
+    (model state); anchored by value-level pytest instead
+    (determinism, clean-vs-gibberish separation)."""
+    from pdf_extractor_ray.functions.lm import lm_score
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    train = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return lm_score(docs, train, train_rows=256)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher §A1.2 repetition filters: top-2/3-gram and duplicated
     5-gram character fractions + verdict, value-checked per document."""
@@ -1265,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
+        "lm_quality": _q_lm_quality,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
