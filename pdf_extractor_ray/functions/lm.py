@@ -53,25 +53,71 @@ def train_char_lm(texts: list[str], order: int = _ORDER) -> dict:
     return {"order": order, "counts": counts, "vocab_size": max(len(vocab), 1)}
 
 
+# Codepoint base for packing (ctx, char) windows into uint64 keys:
+# ctx = c2*B + c1 < B^2, pair = ctx*B + c0 < B^3 < 2^63.
+_B = np.uint64(0x110000)
+
+
+def _model_arrays(model: dict):
+    """Sorted uint64 key arrays for vectorized lookups: (pair_keys,
+    pair_counts, ctx_keys, ctx_totals, vocab_size). Only order==3 is
+    packed this way (the shipped configuration)."""
+    assert model["order"] == 3
+    pair_keys, pair_counts, ctx_keys, ctx_totals = [], [], [], []
+    for ctx, slot in model["counts"].items():
+        ck = np.uint64(ord(ctx[0])) * _B + np.uint64(ord(ctx[1]))
+        ctx_keys.append(ck)
+        ctx_totals.append(sum(slot.values()))
+        for ch, c in slot.items():
+            pair_keys.append(ck * _B + np.uint64(ord(ch)))
+            pair_counts.append(c)
+    pk = np.array(pair_keys, dtype=np.uint64)
+    po = np.argsort(pk, kind="stable")
+    ck = np.array(ctx_keys, dtype=np.uint64)
+    co = np.argsort(ck, kind="stable")
+    return (
+        pk[po],
+        np.array(pair_counts, dtype=np.int64)[po],
+        ck[co],
+        np.array(ctx_totals, dtype=np.int64)[co],
+        model["vocab_size"],
+    )
+
+
+def _lookup(sorted_keys: np.ndarray, vals: np.ndarray, keys: np.ndarray):
+    idx = np.searchsorted(sorted_keys, keys)
+    idx_c = np.minimum(idx, len(sorted_keys) - 1) if len(sorted_keys) else idx
+    hit = (
+        (idx < len(sorted_keys)) & (sorted_keys[idx_c] == keys)
+        if len(sorted_keys)
+        else np.zeros(len(keys), dtype=bool)
+    )
+    out = np.zeros(len(keys), dtype=np.int64)
+    if len(sorted_keys):
+        out[hit] = vals[idx_c[hit]]
+    return out
+
+
+def _score_arrays(arrays, text: str) -> tuple[float, int]:
+    """Vectorized (log2 prob, n) for one text — rolling uint64 window
+    codes + two searchsorted lookups, one np.sum. The SINGLE scoring
+    code path: the reference helper and the actor-pool scorer both use
+    it, so their outputs are bit-identical by construction."""
+    pk, pc, ck, ct, v = arrays
+    t = "\x02\x02" + (text or "") + "\x03"
+    arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    ctx = arr[:-2] * _B + arr[1:-1]
+    pair = ctx * _B + arr[2:]
+    c = _lookup(pk, pc, pair)
+    tot = _lookup(ck, ct, ctx)
+    logp = float(np.sum(np.log2((c + 1) / (tot + np.float64(v)))))
+    return logp, len(pair)
+
+
 def _score_text(model: dict, text: str) -> tuple[float, int]:
-    """(total log2 prob, n_chars scored) under the add-one-smoothed LM."""
-    order = model["order"]
-    counts = model["counts"]
-    v = model["vocab_size"]
-    t = "\x02" * (order - 1) + (text or "") + "\x03"
-    logp = 0.0
-    n = 0
-    for i in range(order - 1, len(t)):
-        ctx = t[i - order + 1 : i]
-        ch = t[i]
-        slot = counts.get(ctx)
-        if slot is None:
-            c, tot = 0, 0
-        else:
-            c, tot = slot.get(ch, 0), sum(slot.values())
-        logp += math.log2((c + 1) / (tot + v))
-        n += 1
-    return logp, n
+    """(total log2 prob, n_chars scored) under the add-one-smoothed LM
+    (reference helper — builds the lookup arrays per call)."""
+    return _score_arrays(_model_arrays(model), text)
 
 
 class CharLmScorer:
@@ -83,30 +129,14 @@ class CharLmScorer:
 
     def __init__(self, model_ref, text_col: str = "text"):
         model = ray.get(model_ref)  # zero-copy plasma read, once
-        self._model = model
-        self._totals = {
-            ctx: sum(slot.values()) for ctx, slot in model["counts"].items()
-        }
+        self._arrays = _model_arrays(model)  # sorted lookup arrays, once
         self._text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        model = self._model
-        order, counts, v = model["order"], model["counts"], model["vocab_size"]
-        totals = self._totals
+        arrays = self._arrays
         bpc_m = []
         for text in batch[self._text_col].to_pylist():
-            t = "\x02" * (order - 1) + (text or "") + "\x03"
-            logp = 0.0
-            n = 0
-            for i in range(order - 1, len(t)):
-                ctx = t[i - order + 1 : i]
-                slot = counts.get(ctx)
-                if slot is None:
-                    c, tot = 0, 0
-                else:
-                    c, tot = slot.get(t[i], 0), totals[ctx]
-                logp += math.log2((c + 1) / (tot + v))
-                n += 1
+            logp, n = _score_arrays(arrays, text)
             bpc = -logp / n if n else 0.0
             bpc_m.append(int(math.floor(bpc * 1000 + 0.5)))
         cols = {
