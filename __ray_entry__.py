@@ -741,6 +741,22 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_knn_ivf_fullprobe(sf_dir: str):
+    """IVF with nprobe == n_cells degrades EXACTLY to brute force (the
+    FAISS nprobe=nlist equivalence) — the approximate machinery under
+    the same SQL oracle as knn_brute. The partial-probe config stays
+    driver-visible as the rows-only `knn_ivf`."""
+    from pdf_extractor_ray.functions.similarity import knn_ivf
+
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_ivf(emb, mat, ids, k=6, n_cells=8, nprobe=8)
+    out = out[out["neighbor_id"] != out["query_id"]]
+    out = out.groupby("query_id", as_index=False).head(5).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def _q_priority_revenue(sf_dir: str):
     """Big-big hash join (native Dataset.join): revenue per priority."""
     from pdf_extractor_ray.functions.relational import order_priority_revenue
@@ -1249,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "neardup_bucketed": _q_neardup_bucketed,
         "knn_brute": _q_knn_brute,
+        "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "url_dedup": _q_url_dedup,
@@ -1642,6 +1659,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "knn_ivf_fullprobe": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.qid),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
