@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
 # ----------------------------------------------------------------- util
 
 
@@ -408,7 +410,9 @@ def _q_q3_top_orders(sf_dir: str):
         ).head(10)
 
     per_order = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(
+            lineitem.map_batches(partial, batch_format="pyarrow")
+        )
         .groupby("_bucket")
         .map_groups(bucket_topk, batch_format="pandas")
     )
@@ -490,7 +494,7 @@ def _q_events_pivot(sf_dir: str):
         return group.groupby("user_id", as_index=False)[cols].sum()
 
     return (
-        events.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(events.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
@@ -808,7 +812,7 @@ def _q_group_topk(sf_dir: str):
         )
 
     counted = (
-        events.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(events.map_batches(partial, batch_format="pyarrow"))
         .groupby("_ubucket")
         .map_groups(merge, batch_format="pandas")
     )
@@ -853,7 +857,7 @@ def _q_element_types(sf_dir: str):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("element_type")
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -1031,7 +1035,7 @@ def _q_training_mix(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        packed.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(packed.map_batches(partial, batch_format="pyarrow"))
         .groupby("pack_id")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -1087,7 +1091,7 @@ def _q_sequence_pack(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        packed.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(packed.map_batches(partial, batch_format="pyarrow"))
         .groupby("pack_id")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -1247,7 +1251,11 @@ def _q_frame_sample(sf_dir: str):
         )
 
     return (
-        frames.map_batches(count_in_batch, batch_format="pyarrow", batch_size=None)
+        coalesce_for_exchange(
+            frames.map_batches(
+                count_in_batch, batch_format="pyarrow", batch_size=None
+            )
+        )
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )

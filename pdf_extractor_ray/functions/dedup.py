@@ -46,6 +46,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from pdf_extractor_ray.functions.common import (
+    coalesce_for_exchange,
+    coalesce_width as _coalesce_width,
+)
+
 __all__ = [
     "md5_hex",
     "exact_dedup_summary",
@@ -125,7 +130,7 @@ def exact_dedup_summary(
         return g
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
         .select_columns(["text_hash", "keep_doc_id", "dup_count"])
@@ -190,7 +195,7 @@ def key_dedup_summary(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
         .select_columns([key_col, "keep_doc_id", "dup_count"])
@@ -271,7 +276,11 @@ def incremental_dedup(
     tagged = new_ds.map_batches(tag_new, batch_format="pyarrow").union(
         known_hashes.map_batches(tag_known, batch_format="pyarrow")
     )
-    return tagged.groupby("_bucket").map_groups(anti, batch_format="pandas")
+    return (
+        coalesce_for_exchange(tagged)
+        .groupby("_bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
 
 
 # Per-worker cache of broadcast verify sides (keyed by object ref hex):
@@ -445,22 +454,6 @@ def minhash_candidates(
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-
-
-def _coalesce_width() -> int:
-    """Target block count for pre-exchange coalesces: 2x cluster CPUs.
-
-    Sort-based groupby pays per-block reduce-task overhead, so a pile
-    of near-empty blocks (the usual shape of band/pair streams at
-    small scale) makes the exchange overhead-bound; coalescing to a
-    CPU-proportional width keeps partition count matched to the
-    cluster rather than to the upstream block count, and still scales
-    with the cluster on a 256-node run (2 x total cores)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(16, 2 * cpus)
 
 
 def _dedupe_pairs_bucketed(

@@ -37,6 +37,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
 from ray.data.aggregate import Max, Min, Sum
 
 __all__ = ["sequence_pack"]
@@ -80,8 +82,11 @@ def sequence_pack(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     totals = (
-        ds.select_columns([id_col, tokens_col])
-        .map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(
+            ds.select_columns([id_col, tokens_col]).map_batches(
+                partial, batch_format="pyarrow"
+            )
+        )
         .groupby("_bucket")
         .aggregate(Sum("t", alias_name="t"))
         .to_pandas()  # n_buckets rows — bounded by the constant
@@ -108,7 +113,7 @@ def sequence_pack(
         return g.drop(columns=["_bucket"])
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(tag, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(assign, batch_format="pandas")
     )

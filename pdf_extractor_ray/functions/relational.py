@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 __all__ = [
@@ -146,7 +148,9 @@ def top_revenue_orders(
         )
 
     per_order = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(
+            lineitem.map_batches(partial, batch_format="pyarrow")
+        )
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
@@ -191,7 +195,7 @@ def events_tumbling_window(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        events.map_batches(bucket, batch_format="pyarrow")
+        coalesce_for_exchange(events.map_batches(bucket, batch_format="pyarrow"))
         .groupby(["event_type", "window_start"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -234,8 +238,11 @@ def distinct_users_per_type(
         )
 
     partial = (
-        events.select_columns(["event_type", "user_id"])
-        .map_batches(local_distinct, batch_format="pyarrow")
+        coalesce_for_exchange(
+            events.select_columns(["event_type", "user_id"]).map_batches(
+                local_distinct, batch_format="pyarrow"
+            )
+        )
         .groupby("bucket")
         .map_groups(count_in_bucket, batch_format="pandas")
     )
@@ -493,7 +500,9 @@ def topk_per_group(
         return out
 
     return (
-        counted.map_batches(add_bucket, batch_format="pyarrow")
+        coalesce_for_exchange(
+            counted.map_batches(add_bucket, batch_format="pyarrow")
+        )
         .groupby("_bucket")
         .map_groups(rank, batch_format="pandas")
     )
@@ -607,7 +616,7 @@ def order_priority_revenue(
         )
 
     per_bucket = (
-        left.union(right)
+        coalesce_for_exchange(left.union(right))
         .groupby("_bucket")
         .map_groups(join_in_bucket, batch_format="pandas")
     )
@@ -661,7 +670,7 @@ def events_hopping_window(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        events.map_batches(expand, batch_format="pyarrow")
+        coalesce_for_exchange(events.map_batches(expand, batch_format="pyarrow"))
         .groupby(["event_type", "window_start"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -728,4 +737,8 @@ def exact_quantiles(
             out[f"p{round(q * 100)}_c"] = [val]
         return pd.DataFrame(out)
 
-    return hist.groupby(group_col).map_groups(quantiles, batch_format="pandas")
+    return (
+        coalesce_for_exchange(hist)
+        .groupby(group_col)
+        .map_groups(quantiles, batch_format="pandas")
+    )

@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
 __all__ = ["redact_pii_batch", "redact_pii", "paragraph_hash_counts"]
 
 # RE2-compatible (no lookbehind/lookahead) so the oracle can run the
@@ -121,7 +123,7 @@ def paragraph_hash_counts(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )

@@ -28,6 +28,8 @@ import re
 
 import pyarrow as pa
 
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
 __all__ = [
     "doc_stats_batch",
     "word_topk",
@@ -134,7 +136,7 @@ def word_topk(ds, k: int = 20, text_col: str = "text"):
         return g.sort_values(["n", "word"], ascending=[False, True]).head(k)
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(bucket_topk, batch_format="pandas")
     )
@@ -215,8 +217,11 @@ def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "t
         return g.nlargest(4 * k, "n")
 
     cand = (
-        ds.map_batches(mg_summary, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+        coalesce_for_exchange(
+            ds.map_batches(mg_summary, batch_format="pyarrow").map_batches(
+                add_bucket, batch_format="pyarrow"
+            )
+        )
         .groupby("_bucket")
         .map_groups(bucket_merge_prune, batch_format="pandas")
     )
@@ -297,7 +302,7 @@ def tfidf_top_terms(
     # coarse word-bucket exchange (vocabulary-keyed aggregate groups
     # explode at web scale), vectorized merge per bucket
     df_tbl = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
+        coalesce_for_exchange(ds.map_batches(df_partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(df_merge, batch_format="pandas")
         .to_pandas()
