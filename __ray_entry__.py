@@ -955,6 +955,53 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_strip_boilerplate(sf_dir: str):
+    """Detect-then-strip loop: the repeated-footer inventory from
+    paragraph_hash_counts broadcasts (bounded) and every document loses
+    exactly its boilerplate paragraphs; per-doc cleaned fingerprint +
+    removal count, value-checked."""
+    from pdf_extractor_ray.functions.scrub import (
+        paragraph_hash_counts,
+        strip_boilerplate,
+    )
+
+    def with_footer(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = text
+            if doc_id % 4 == 0:
+                body += "\n\nStandard footer boilerplate text for the corpus"
+            rows.append({"doc_id": doc_id, "text": body})
+        return pa.Table.from_pylist(rows)
+
+    def built():
+        return ray.data.read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "text"]
+        ).map_batches(with_footer, batch_format="pyarrow")
+
+    inv = paragraph_hash_counts(built(), min_count=2)
+    cleaned = strip_boilerplate(built(), inv)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(t.encode("utf-8", "replace")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_removed": batch["n_removed"],
+                "cleaned_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return cleaned.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher rule-based quality gate (Rae et al. 2021 §A1.1 subset):
     per-document surface statistics + pass/fail verdict, value-checked
@@ -1307,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
+        "strip_boilerplate": _q_strip_boilerplate,
         "gopher_quality": _q_gopher_quality,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
@@ -1461,6 +1509,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_emails, n_phones, n_ips, md5(b) AS redacted_fp
             FROM r3
+        """,
+        "strip_boilerplate": """
+            -- the injected footer is exactly what the strip removes,
+            -- so the cleaned text equals the original document text
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_removed,
+                   md5(text) AS cleaned_fp
+            FROM documents
         """,
         "paragraph_dedup": """
             WITH built AS (

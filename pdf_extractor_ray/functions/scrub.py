@@ -25,7 +25,12 @@ import ray.data
 
 from pdf_extractor_ray.functions.common import coalesce_for_exchange
 
-__all__ = ["redact_pii_batch", "redact_pii", "paragraph_hash_counts"]
+__all__ = [
+    "redact_pii_batch",
+    "redact_pii",
+    "paragraph_hash_counts",
+    "strip_boilerplate",
+]
 
 # RE2-compatible (no lookbehind/lookahead) so the oracle can run the
 # SAME patterns via DuckDB regexp_replace/extract_all.
@@ -127,3 +132,51 @@ def paragraph_hash_counts(
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def strip_boilerplate(
+    ds: ray.data.Dataset,
+    inventory: ray.data.Dataset,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Remove the paragraphs listed in a boilerplate ``inventory``
+    (the output of :func:`paragraph_hash_counts`) from every document.
+
+    The inventory is BOUNDED (min-count-filtered repeated paragraphs,
+    not the corpus), so it broadcasts as a frozen hash set via one
+    ``ray.put``; the strip itself is a shuffle-free per-row pass.
+    Output replaces ``text_col`` with the cleaned text and adds
+    ``n_removed``.
+    """
+    inv_df = inventory.to_pandas()
+    # an empty Ray dataset can surface without its schema columns
+    hashes = (
+        frozenset(inv_df["para_hash"])
+        if "para_hash" in inv_df.columns
+        else frozenset()
+    )
+    ref = ray.put(hashes)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        texts, removed = [], []
+        for t in batch[text_col].to_pylist():
+            paras = (t or "").split("\n\n")
+            kept = [
+                p
+                for p in paras
+                if hashlib.md5(p.encode("utf-8", "replace")).hexdigest()
+                not in bl
+            ]
+            texts.append("\n\n".join(kept))
+            removed.append(len(paras) - len(kept))
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name != text_col
+        }
+        cols[text_col] = pa.array(texts, pa.string())
+        cols["n_removed"] = pa.array(removed, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(clean, batch_format="pyarrow")

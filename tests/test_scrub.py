@@ -82,3 +82,48 @@ class TestParagraphHashCounts:
         out = paragraph_hash_counts(ds, min_count=2).to_pandas()
         # the whitespace-only paragraph must not count as repeated
         assert len(out) == 0
+
+
+class TestStripBoilerplate:
+    def test_detect_then_strip_roundtrip(self, ray_session):
+        from pdf_extractor_ray.functions.scrub import (
+            paragraph_hash_counts,
+            strip_boilerplate,
+        )
+
+        footer = "cookie banner text"
+        bodies = [
+            f"unique body {i}" + ("\n\n" + footer if i % 2 == 0 else "")
+            for i in range(20)
+        ]
+
+        def mk():
+            return ray_session.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(list(range(20)), pa.int64()),
+                        "text": bodies,
+                    }
+                )
+            ).repartition(4)
+
+        inv = paragraph_hash_counts(mk(), min_count=2)
+        out = strip_boilerplate(mk(), inv).to_pandas().sort_values("doc_id")
+        assert out["n_removed"].tolist() == [1 if i % 2 == 0 else 0 for i in range(20)]
+        assert out["text"].tolist() == [f"unique body {i}" for i in range(20)]
+
+    def test_empty_inventory_is_identity(self, ray_session):
+        import pandas as pd
+
+        from pdf_extractor_ray.functions.scrub import strip_boilerplate
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1], pa.int64()), "text": ["a\n\nb"]}
+            )
+        )
+        inv = ray_session.data.from_pandas(
+            pd.DataFrame({"para_hash": pd.Series([], dtype="str")})
+        )
+        out = strip_boilerplate(ds, inv).to_pandas()
+        assert out.iloc[0]["text"] == "a\n\nb" and out.iloc[0]["n_removed"] == 0
