@@ -955,6 +955,20 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping-window chunking (pretraining/RAG prep): per-chunk
+    word counts + fingerprints, value-checked per chunk."""
+    from pdf_extractor_ray.functions.chunking import chunk_documents
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = chunk_documents(
+        docs, chunk_words=40, overlap=10, with_fingerprint=True
+    )
+    return out.select_columns(
+        ["doc_id", "chunk_idx", "n_words_chunk", "chunk_fp"]
+    )
+
+
 def _q_strip_boilerplate(sf_dir: str):
     """Detect-then-strip loop: the repeated-footer inventory from
     paragraph_hash_counts broadcasts (bounded) and every document loses
@@ -1355,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "paragraph_dedup": _q_paragraph_dedup,
         "strip_boilerplate": _q_strip_boilerplate,
+        "chunk_documents": _q_chunk_documents,
         "gopher_quality": _q_gopher_quality,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
@@ -1509,6 +1524,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_emails, n_phones, n_ips, md5(b) AS redacted_fp
             FROM r3
+        """,
+        # Chunking: starts at word indices 0, stride, 2*stride, ...
+        # (stride = 40 - 10 = 30); list_slice is 1-based inclusive.
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, i AS chunk_idx,
+                     list_slice(ws, i * 30 + 1, i * 30 + 40) AS chunk
+              FROM w, UNNEST(range(0,
+                     CAST(ceil(len(ws) / 30.0) AS BIGINT))) AS t(i)
+              WHERE len(ws) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS BIGINT) AS n_words_chunk,
+                   md5(array_to_string(chunk, ' ')) AS chunk_fp
+            FROM c
         """,
         "strip_boilerplate": """
             -- the injected footer is exactly what the strip removes,
