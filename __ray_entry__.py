@@ -707,6 +707,24 @@ def _q_asof_orders(sf_dir: str):
     return latest_order_asof(events, orders)
 
 
+def _q_asof_orders_partitioned(sf_dir: str):
+    """Big-right-side as-of join: both sides hash-partitioned on a
+    coarse customer bucket, per-bucket vectorized merge_asof — the
+    scale path when the order side cannot broadcast. Same oracle as
+    the broadcast variant (results must be identical)."""
+    from pdf_extractor_ray.functions.relational import (
+        latest_order_asof_partitioned,
+    )
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return latest_order_asof_partitioned(events, orders)
+
+
 def _emb_with_dups(sf_dir: str) -> ray.data.Dataset:
     """embeddings plus an exact copy of every 10th vector (id
     +1_000_000) — near-dup ground truth mirrored by the oracle."""
@@ -1345,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "sessionize_events": _q_sessionize_events,
         "asof_orders": _q_asof_orders,
+        "asof_orders_partitioned": _q_asof_orders_partitioned,
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
@@ -2031,6 +2050,19 @@ def oracle_sql() -> dict[str, str]:
                                             ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS session_idx
             FROM x
+        """,
+        "asof_orders_partitioned": """
+            WITH r AS (SELECT o_custkey, o_orderdate,
+                              max(o_totalprice) AS o_totalprice
+                       FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_type,
+                   count(*) AS n_events,
+                   count(r.o_totalprice) AS n_matched,
+                   CAST(coalesce(sum(CAST(floor(r.o_totalprice*100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS sum_price_c
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+            GROUP BY e.event_type
         """,
         "asof_orders": """
             WITH r AS (SELECT o_custkey, o_orderdate,

@@ -22,9 +22,9 @@ Patterns demonstrated (each is the scale-path shape, not the easy one):
   - as-of join: latest order at-or-before each event's timestamp —
     the order side rides as a broadcast (``ray.put`` once), probed per
     batch with ``pd.merge_asof`` (vectorized backward search); the
-    event side never shuffles. At 100 TB with a huge right side, swap
-    the broadcast for hash-partitioning both sides on the key and a
-    sort-merge within each partition.
+    event side never shuffles. The big-right-side swap IS implemented:
+    ``latest_order_asof_partitioned`` hash-partitions both sides on a
+    coarse customer bucket and runs the same merge_asof per bucket.
 """
 
 from __future__ import annotations
@@ -53,6 +53,7 @@ __all__ = [
     "sessionize_users",
     "sessionize_events",
     "latest_order_asof",
+    "latest_order_asof_partitioned",
     "topk_per_group",
     "order_priority_revenue",
     "exact_quantiles",
@@ -451,6 +452,92 @@ def latest_order_asof(
         )
 
     partials = events.map_batches(probe, batch_format="pandas")
+    return partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("sum_price_c", alias_name="sum_price_c"),
+    )
+
+
+def latest_order_asof_partitioned(
+    events: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The big-right-side as-of join (the swap the broadcast variant's
+    docstring promises): when the order side is itself corpus-sized,
+    neither side broadcasts — both key on a coarse customer bucket,
+    ONE exchange co-locates each bucket, and a per-bucket vectorized
+    ``merge_asof`` (sorted within the bucket) probes exactly like the
+    broadcast path. Identical output to ``latest_order_asof`` (pinned
+    by test and by sharing the driver oracle)."""
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        return pa.table(
+            {
+                "_bucket": pa.array((users % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "ts": pc.cast(batch["ts"], pa.timestamp("us")),
+                "price": pa.array(np.zeros(n, dtype=np.float64)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        custs = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(custs)
+        return pa.table(
+            {
+                "_bucket": pa.array((custs % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "event_type": pa.array([""] * n, pa.string()),
+                "user_id": batch["o_custkey"],
+                "ts": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                "price": pc.cast(batch["o_totalprice"], pa.float64()),
+            }
+        )
+
+    def probe_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == 0]
+        right = (
+            group[group["_side"] == 1]
+            .groupby(["user_id", "ts"], as_index=False)
+            .agg(price=("price", "max"))
+            .sort_values("ts")
+        )
+        b = left[["event_type", "user_id", "ts"]].sort_values("ts")
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        right = right.rename(columns={"ts": "o_orderdate"})
+        right["o_orderdate"] = right["o_orderdate"].astype("datetime64[us]")
+        m = pd.merge_asof(
+            b, right,
+            left_on="ts", right_on="o_orderdate",
+            by="user_id", direction="backward",
+        )
+        matched = m["price"].notna()
+        price_c = np.floor(m["price"].fillna(0.0) * 100 + 0.5).astype("int64")
+        part = pd.DataFrame(
+            {
+                "event_type": m["event_type"],
+                "matched": matched.astype("int64"),
+                "price_c": price_c.where(matched, 0),
+            }
+        )
+        return part.groupby("event_type", as_index=False).agg(
+            n_events=("matched", "size"),
+            n_matched=("matched", "sum"),
+            sum_price_c=("price_c", "sum"),
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+    partials = tagged.groupby("_bucket").map_groups(
+        probe_in_bucket, batch_format="pandas"
+    )
     return partials.groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("n_matched", alias_name="n_matched"),

@@ -496,3 +496,41 @@ class TestPivotAndRollup:
         assert fine["revenue_c"].sum() == total["revenue_c"].iloc[0]
         assert flag["revenue_c"].sum() == total["revenue_c"].iloc[0]
         assert fine["n_rows"].sum() == total["n_rows"].iloc[0]
+
+
+class TestAsofPartitioned:
+    def test_partitioned_equals_broadcast(self, ray_session):
+        """The big-right-side as-of variant must produce byte-identical
+        rollups to the broadcast path on the same inputs."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import (
+            latest_order_asof,
+            latest_order_asof_partitioned,
+        )
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id", "ts"]
+        )
+        orders_pd = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ).to_pandas()
+        a = latest_order_asof(events, orders_pd).to_pandas()
+        events2 = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_type", "user_id", "ts"]
+        )
+        orders_ds = ray.data.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        b = latest_order_asof_partitioned(events2, orders_ds).to_pandas()
+        key = "event_type"
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
