@@ -973,6 +973,25 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the corpus (with injected re-crawl
+    dups) checked for 8-gram overlap against an eval set (docs 0..19).
+    Contaminated = the benchmark docs themselves plus their duplicate
+    copies; per-doc hit counts value-checked."""
+    from pdf_extractor_ray.functions.decontaminate import contamination_flags
+
+    corpus = _docs_with_dups(sf_dir)
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < 20))
+
+    benchmark = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(bench_only, batch_format="pyarrow")
+    return contamination_flags(corpus, benchmark, n=8)
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping-window chunking (pretraining/RAG prep): per-chunk
     word counts + fingerprints, value-checked per chunk."""
@@ -1389,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "strip_boilerplate": _q_strip_boilerplate,
         "chunk_documents": _q_chunk_documents,
+        "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
@@ -1543,6 +1563,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_emails, n_phones, n_ips, md5(b) AS redacted_fp
             FROM r3
+        """,
+        "decontaminate": f"""
+            WITH d AS ({_DUP_SQL}),
+            bw AS (
+              SELECT regexp_extract_all(text, '\\S+') AS ws
+              FROM documents WHERE doc_id < 20
+            ),
+            bg AS (
+              SELECT DISTINCT
+                     md5(array_to_string(list_slice(ws, i + 1, i + 8), ' '))
+                         AS g
+              FROM bw, UNNEST(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+            ),
+            dw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM d),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(list_slice(ws, i + 1, i + 8), ' '))
+                         AS g
+              FROM dw, UNNEST(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+            ),
+            h AS (SELECT doc_id, count(*) AS n_hits
+                  FROM dg JOIN bg USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM d LEFT JOIN h USING (doc_id)
         """,
         # Chunking: starts at word indices 0, stride, 2*stride, ...
         # (stride = 40 - 10 = 30); list_slice is 1-based inclusive.
