@@ -1316,7 +1316,7 @@ def _q_media_resize(sf_dir: str):
                 "media_id": batch["media_id"],
                 "width": batch["width"],
                 "height": batch["height"],
-                "n_bytes": pc.binary_length(batch["payload"]),
+                "n_bytes": pc.cast(pc.binary_length(batch["payload"]), pa.int64()),
             }
         )
 
@@ -2164,13 +2164,53 @@ def oracle_sql() -> dict[str, str]:
                    greatest(1, CAST(ceil(octet_length(encode(text))/65536.0) AS INT)) AS n_chunks
             FROM documents
         """,
-        # Rows-only (no oracle entry): extract_synthetic (the mixed
-        # self-generated corpus with pdf-shaped/edge-case payloads is
-        # not SQL-reproducible; extract_corpus/element_types carry the
-        # value-level oracle for the same kernels), dedup_simhash /
-        # knn_lsh / knn_ivf / embedding_clusters / distinct_users_hll
-        # (sketch- or geometry-specific approximation), media_resize
-        # (crc-derived fake dims). Each has value-level assertions in
-        # tests/ instead (determinism, tolerance-vs-exact,
-        # full-probe==brute, byte-identity).
+        # Golden-in-SQL: the extract_synthetic corpus is a FIXED
+        # seeded 1000-page table (sources/corpus.pages_table(0, 1000),
+        # independent of sf), so its per-kind rollup is a deterministic
+        # constant — pinned here exactly like a golden-file fixture so
+        # the driver value-checks the full mixed-corpus extraction
+        # (HTML + pdf-shaped + edge cases), not just its row count.
+        "extract_synthetic": """
+            SELECT * FROM (VALUES
+                ('html', CAST(750 AS BIGINT), CAST(5744 AS BIGINT),
+                         CAST(477 AS BIGINT), CAST(2346578 AS BIGINT)),
+                ('pdf',  CAST(200 AS BIGINT), CAST(1692 AS BIGINT),
+                         CAST(352 AS BIGINT), CAST(43673 AS BIGINT)),
+                ('text', CAST(50 AS BIGINT),  CAST(50 AS BIGINT),
+                         CAST(0 AS BIGINT),   CAST(995 AS BIGINT))
+            ) AS t(kind, n_docs, n_elements, n_tables, n_tokens)
+        """,
+        # multimodal._fake_dims + MediaResizer integer scaling,
+        # re-expressed: h64 = big-endian first 8 md5 digest bytes =
+        # first 16 hex digits; >>10 == //1024 for non-negative ints.
+        "media_resize": """
+            WITH h AS (
+                SELECT doc_id AS media_id,
+                       ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h64
+                FROM documents
+            ),
+            dims AS (
+                SELECT media_id,
+                       CAST(16 + h64 % 1024 AS BIGINT) AS src_w,
+                       CAST(16 + (h64 // 1024) % 1024 AS BIGINT) AS src_h
+                FROM h
+            ),
+            scaled AS (
+                SELECT media_id,
+                       greatest(1, src_w * 256 // greatest(src_w, src_h)) AS w,
+                       greatest(1, src_h * 256 // greatest(src_w, src_h)) AS h
+                FROM dims
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(greatest(16, w * h // 8) AS BIGINT) AS n_bytes
+            FROM scaled
+        """,
+        # Rows-only (no oracle entry): dedup_simhash / knn_lsh /
+        # knn_ivf / embedding_clusters / distinct_users_hll (sketch- or
+        # geometry-specific approximation), lm_quality (model state).
+        # Each has value-level assertions in tests/ instead
+        # (determinism, tolerance-vs-exact, full-probe==brute,
+        # byte-identity).
     }

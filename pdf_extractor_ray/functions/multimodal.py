@@ -19,6 +19,7 @@ sized per decoder.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import pyarrow as pa
@@ -33,6 +34,18 @@ __all__ = [
     "media_resize",
     "frame_sample",
 ]
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake (width, height) for a media payload.
+
+    md5-derived (NOT crc32) so the derivation is expressible as a
+    DuckDB oracle: ``('0x' || substr(md5(text), 1, 16))::UBIGINT``
+    equals the big-endian first 8 digest bytes used here, which lets
+    the driver value-check the resize stage end to end.
+    """
+    h64 = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    return 16 + h64 % 1024, 16 + (h64 >> 10) % 1024
+
 
 MEDIA_FEATURE_SCHEMA = pa.schema(
     [
@@ -68,8 +81,7 @@ class MediaFeatureExtractor:
                 "media decoding requires an image/audio library; "
                 "use decoder='fake' for the deterministic stand-in"
             )
-        crc = zlib.crc32(payload)
-        return 16 + crc % 1024, 16 + (crc >> 10) % 1024  # fake (w, h)
+        return _fake_dims(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -141,8 +153,6 @@ class MediaResizer:
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
         if self.decoder == "strict":
             raise NotImplementedError(
                 "image resizing requires PIL/libvips; use decoder='fake'"
@@ -152,10 +162,13 @@ class MediaResizer:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             payload = payload or b""
-            crc = zlib.crc32(payload)
-            src_w, src_h = 16 + crc % 1024, 16 + (crc >> 10) % 1024
-            scale = self.target / max(src_w, src_h)
-            w, h = max(1, int(src_w * scale)), max(1, int(src_h * scale))
+            src_w, src_h = _fake_dims(payload)
+            # integer-only scaling: exactly reproducible in ANSI SQL
+            # (float scaling would invite last-ulp divergence vs the
+            # DuckDB oracle)
+            maxd = max(src_w, src_h)
+            w = max(1, src_w * self.target // maxd)
+            h = max(1, src_h * self.target // maxd)
             out_len = max(16, (w * h) // 8)  # ~realistic compressed size
             seed = hashlib.md5(payload).digest()
             reps = out_len // len(seed) + 1
