@@ -61,6 +61,46 @@ _DUP_SQL = (
 )
 
 
+# Shared CTE chain for the cluster oracles: exact 3-gram Jaccard pairs
+# (same derivation the dedup_minhash oracle uses) -> symmetric edges ->
+# transitive closure by recursive CTE -> min reachable id per node.
+_CLUSTER_CTES = f"""
+    d AS ({_DUP_SQL}),
+    s AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(words) < 3
+                      THEN [array_to_string(words, ' ')]
+                      ELSE list_transform(range(1, len(words)-1),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 END) AS sh
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\S+') AS words
+              FROM d)
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM p WHERE j >= 0.8
+        UNION
+        SELECT doc_b, doc_a FROM p WHERE j >= 0.8
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+"""
+
+
 def _cents(col):
     """float -> exact integer centi-units: floor(x*100 + 0.5)."""
     return pc.cast(
@@ -222,6 +262,34 @@ def _q_dedup_ngram(sf_dir: str):
         )
 
     return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+def _q_dup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: verified MinHash pairs fed to the
+    distributed hash-min connected-components pass (A~B, B~C put A and
+    C in one cluster even when A!~C). cluster_id = min member id."""
+    from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    pairs = minhash_dedup_pairs(_docs_with_dups(sf_dir), threshold=0.8)
+    return connected_components(pairs)
+
+
+def _q_dedup_survivors(sf_dir: str):
+    """Fuzzy-dedup survivor ids: one canonical doc per near-dup
+    cluster plus every unclustered doc (bucketed anti-join, nothing
+    broadcast)."""
+    from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+    from pdf_extractor_ray.functions.graph import (
+        canonical_doc_ids,
+        connected_components,
+    )
+
+    docs = _docs_with_dups(sf_dir)
+    clusters = connected_components(
+        minhash_dedup_pairs(docs, threshold=0.8)
+    )
+    return canonical_doc_ids(docs.select_columns(["doc_id"]), clusters)
 
 
 def _load_query_vectors(sf_dir: str, n: int):
@@ -1368,6 +1436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
         "neardup_bucketed": _q_neardup_bucketed,
         "knn_brute": _q_knn_brute,
@@ -1997,6 +2067,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b FROM p WHERE j >= 0.8
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM clusters
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM d
+            WHERE doc_id NOT IN
+                  (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
         """,
         "dedup_ngram": """
             WITH s AS (

@@ -1,0 +1,263 @@
+"""Distributed connected components over a near-duplicate pair stream.
+
+The last stage of corpus-scale fuzzy dedup: verified near-dup PAIRS
+(MinHash / SimHash output) must become transitive CLUSTERS so exactly
+one canonical document per cluster survives — A~B and B~C put A and C
+in the same cluster even when A!~C. The reference deduplicates only
+within single documents (tables per page), so this operator is part of
+the corpus-scale extension surface (SURVEY.md §8.4), not a port.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+``min(self, neighbors)``; each round every node takes the min label
+over itself and its neighbors; fixpoint in O(graph diameter) rounds
+(near-dup graphs are clique-ish — diameter 1-3 in practice). Each
+round is TWO coarse-bucket exchanges (the repo-wide pattern — see
+functions/common.py):
+
+  1. edges x labels cogroup on src-bucket  -> messages (dst, label)
+  2. (messages ∪ labels) groupby node-bucket -> min label per node
+
+Nothing is ever collected on the driver: per round the driver sees one
+scalar (the label-sum convergence signal — labels are non-increasing,
+so an unchanged sum IS the fixpoint). The edge set is materialized
+once into the object store: it is candidate-pair-sized (dup-fraction x
+corpus, two int64s per row), not corpus-sized, and re-deriving it from
+the lazy LSH pipeline every round would re-run MinHash per round.
+
+Only nodes that appear in >=1 pair are emitted; every other doc is a
+singleton cluster by definition (callers treat absence as
+``cluster_id == doc_id``), keeping the cluster state O(duplicates)
+instead of O(corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .common import coalesce_for_exchange
+
+__all__ = ["connected_components", "canonical_doc_ids"]
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic coarse bucket for int64 node ids."""
+    return (
+        (ids.astype(np.uint64) * _MIX) % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+# one aligned narrow schema for every exchange in this module:
+# label rows are (key=node, payload=label, side=0);
+# edge rows are  (key=src,  payload=dst,   side=1)
+_STEP_SCHEMA = pa.schema(
+    [
+        pa.field("key", pa.int64()),
+        pa.field("payload", pa.int64()),
+        pa.field("side", pa.int8()),
+        pa.field("bucket", pa.int64()),
+    ]
+)
+
+CLUSTER_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.int64()), pa.field("cluster_id", pa.int64())]
+)
+
+
+def _tag(ds: ray.data.Dataset, key: str, payload: str, side: int,
+         n_buckets: int) -> ray.data.Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch[payload].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": k,
+                "payload": p,
+                "side": np.full(len(k), side, dtype=np.int8),
+                "bucket": _bucket(k, n_buckets),
+            },
+            schema=_STEP_SCHEMA,
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _min_payload_per_key(tagged: ray.data.Dataset) -> ray.data.Dataset:
+    """(key=node, payload=label) rows -> Dataset[node, label] with the
+    min label per node. Coarse-bucket exchange + in-bucket pandas."""
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("key", as_index=False)["payload"].min()
+        return out.rename(columns={"key": "node", "payload": "label"})
+
+    return (
+        coalesce_for_exchange(tagged)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _label_sum(labels: ray.data.Dataset) -> int:
+    """Scalar convergence signal; the driver sees one int per round
+    (per-block partials, Python-int exact sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(vals.sum())], pa.int64())})
+
+    parts = labels.map_batches(partial, batch_format="pyarrow").take_all()
+    return sum(int(r["s"]) for r in parts)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 30,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Cluster an undirected edge list; ``cluster_id`` is the min node
+    id in each component. Returns Dataset[doc_id, cluster_id] covering
+    every node that appears in an edge."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    # candidate-pair-sized, reused every round -> materialize once
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(CLUSTER_SCHEMA.empty_table())
+
+    # round 0 fused into initialization: label(v) = min(v, neighbors)
+    init = _tag(edges, "src", "dst", side=0, n_buckets=n_buckets)
+    self_rows = _tag(edges, "src", "src", side=0, n_buckets=n_buckets)
+    labels = _min_payload_per_key(init.union(self_rows)).materialize()
+    prev_sum = _label_sum(labels)
+
+    def join_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        labs = group[group["side"] == 0][["key", "payload"]].rename(
+            columns={"payload": "label"}
+        )
+        es = group[group["side"] == 1][["key", "payload"]]
+        m = es.merge(labs, on="key", how="inner")
+        # message: neighbor dst hears src's current label
+        return pd.DataFrame(
+            {
+                "key": m["payload"].astype(np.int64),
+                "payload": m["label"].astype(np.int64),
+            }
+        )
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": batch["key"].cast(pa.int64()),
+                "payload": batch["payload"].cast(pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8)),
+                "bucket": pa.array(_bucket(k, n_buckets)),
+            },
+            schema=_STEP_SCHEMA,
+        )
+
+    for _ in range(max_iters):
+        # exchange 1: edges x labels cogroup on src -> (dst, src_label)
+        lab_t = _tag(labels, "node", "label", side=0, n_buckets=n_buckets)
+        edge_t = _tag(edges, "src", "dst", side=1, n_buckets=n_buckets)
+        messages = (
+            coalesce_for_exchange(lab_t.union(edge_t))
+            .groupby("bucket")
+            .map_groups(join_in_bucket, batch_format="pandas")
+        )
+
+        # exchange 2: fold messages into labels, min per node
+        msg_t = messages.map_batches(rebucket, batch_format="pyarrow")
+        lab_self = _tag(labels, "node", "label", side=0, n_buckets=n_buckets)
+        new_labels = _min_payload_per_key(msg_t.union(lab_self)).materialize()
+
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease: fixpoint
+            break
+        prev_sum = new_sum
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"].cast(pa.int64()),
+                "cluster_id": batch["label"].cast(pa.int64()),
+            },
+            schema=CLUSTER_SCHEMA,
+        )
+
+    return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def canonical_doc_ids(
+    doc_ids: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """Fuzzy-dedup survivor set: every id in ``doc_ids`` except
+    non-canonical cluster members (``doc_id != cluster_id``).
+
+    Bucketed cogroup ANTI-join on the id, mirroring
+    ``dedup.incremental_dedup``: both sides shuffle narrow (id, side)
+    rows keyed on a coarse id bucket — the drop side is O(duplicates)
+    but is still joined distributed rather than broadcast, so a
+    30%-dup crawl cannot blow a single node. Output: Dataset[doc_id].
+    """
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ids,
+                "payload": ids,
+                "side": np.zeros(len(ids), np.int8),
+                "bucket": _bucket(ids, n_buckets),
+            },
+            schema=_STEP_SCHEMA,
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pa.compute.not_equal(batch["doc_id"], batch["cluster_id"])
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ids,
+                "payload": ids,
+                "side": np.ones(len(ids), np.int8),
+                "bucket": _bucket(ids, n_buckets),
+            },
+            schema=_STEP_SCHEMA,
+        )
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        drop = set(group.loc[group["side"] == 1, "key"].tolist())
+        keep = group[(group["side"] == 0) & (~group["key"].isin(drop))]
+        return pd.DataFrame({"doc_id": keep["key"].astype(np.int64)})
+
+    tagged = doc_ids.map_batches(tag_docs, batch_format="pyarrow").union(
+        clusters.map_batches(tag_drops, batch_format="pyarrow")
+    )
+    return (
+        coalesce_for_exchange(tagged)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )

@@ -1,0 +1,126 @@
+"""connected_components / canonical_doc_ids (functions/graph.py)."""
+
+import random
+
+import pandas as pd
+import pytest
+
+
+def _cc(ray, edges, **kw):
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    out = connected_components(ray.data.from_arrow(tbl), **kw).to_pandas()
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def _brute(edges):
+    """Union-find ground truth (min-id representative)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_chain_is_transitive(self, ray_session):
+        got = _cc(ray_session, [(1, 2), (2, 3), (5, 6)])
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    def test_long_path_worst_case_diameter(self, ray_session):
+        # a 12-node path with the min id at the FAR end exercises the
+        # propagation loop (needs ~diameter rounds, not 1)
+        ids = list(range(11, -1, -1))
+        edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+        got = _cc(ray_session, edges)
+        assert got == {i: 0 for i in range(12)}
+
+    def test_matches_union_find_on_random_graph(self, ray_session):
+        rng = random.Random(42)
+        nodes = rng.sample(range(10_000), 120)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc(ray_session, edges) == _brute(edges)
+
+    def test_empty_pairs(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.graph import connected_components
+
+        empty = ray_session.data.from_arrow(
+            pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        )
+        out = connected_components(empty)
+        assert out.count() == 0
+        # pandas conversion of a 0-row dataset drops columns; the
+        # Dataset schema is the contract
+        assert out.schema().names == ["doc_id", "cluster_id"]
+
+    def test_deterministic(self, ray_session):
+        edges = [(1, 5), (5, 9), (2, 4), (9, 13), (20, 21)]
+        assert _cc(ray_session, edges) == _cc(ray_session, edges)
+
+    def test_duplicate_and_reversed_edges_are_harmless(self, ray_session):
+        got = _cc(ray_session, [(2, 1), (1, 2), (2, 1), (3, 2)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestCanonicalDocIds:
+    def test_survivors_are_all_minus_noncanonical(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.graph import (
+            canonical_doc_ids,
+            connected_components,
+        )
+
+        ray = ray_session
+        edges = pa.table(
+            {"doc_a": pa.array([1, 2, 7], pa.int64()),
+             "doc_b": pa.array([2, 3, 8], pa.int64())}
+        )
+        clusters = connected_components(ray.data.from_arrow(edges))
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+        )
+        out = canonical_doc_ids(docs, clusters).to_pandas()
+        # {1,2,3} keeps 1; {7,8} keeps 7; everything else survives
+        assert sorted(out["doc_id"]) == [0, 1, 4, 5, 6, 7, 9]
+
+    def test_no_clusters_keeps_everything(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.graph import (
+            CLUSTER_SCHEMA,
+            canonical_doc_ids,
+        )
+
+        ray = ray_session
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
+        )
+        clusters = ray.data.from_arrow(CLUSTER_SCHEMA.empty_table())
+        out = canonical_doc_ids(docs, clusters).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
