@@ -687,6 +687,80 @@ def _q_url_dedup(sf_dir: str):
     return key_dedup_summary(pages, key_col="url", id_col="doc_id")
 
 
+def _docs_with_urls(sf_dir: str):
+    """Documents with synthetic crawl urls: host site-{doc_id % 37}
+    .example.com (37 domains at every sf), path /page/{doc_id}. The
+    domain_* oracles rebuild the same host expression in SQL."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://site-{i % 37}.example.com/page/{i}" for i in ids]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    return docs.map_batches(add_url, batch_format="pyarrow")
+
+
+def _q_domain_counts(sf_dir: str):
+    """Docs per registrable host over synthetic crawl urls: zero-copy
+    RE2 host extraction, per-batch value_counts collapse, one coarse
+    host-bucket exchange (functions/weburl.py)."""
+    from pdf_extractor_ray.functions.weburl import domain_counts
+
+    return domain_counts(_docs_with_urls(sf_dir))
+
+
+def _q_domain_cap(sf_dir: str):
+    """Per-domain quota: keep <=5 docs per host by the deterministic
+    md5(doc_id) rank (reproduced by the oracle's row_number window).
+    Batch-local prune first, so the exchange carries <=k rows per
+    (host, batch)."""
+    from pdf_extractor_ray.functions.weburl import cap_per_domain
+
+    return cap_per_domain(_docs_with_urls(sf_dir), k=5)
+
+
+def _q_domain_blocklist(sf_dir: str):
+    """Host blocklist filter: hosts site-{0,7,14,21,28,35}.example.com
+    are blocked; the list ships via one ray.put, never per batch."""
+    from pdf_extractor_ray.functions.weburl import (
+        add_host,
+        filter_blocked_domains,
+    )
+
+    blocked = frozenset(f"site-{j}.example.com" for j in range(0, 37, 7))
+    kept = filter_blocked_domains(_docs_with_urls(sf_dir), blocked)
+    return add_host(kept).select_columns(["doc_id", "host"])
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC + ASCII-whitespace collapse +
+    strip) over deterministically dirtied documents: leading ' \\t',
+    doubled inner spaces, trailing blank lines. Arrow-kernel path
+    (textstats.normalize_batch); the oracle rebuilds the dirtying and
+    normalization with nfc_normalize/regexp_replace/trim/md5."""
+    from pdf_extractor_ray.functions.textstats import normalize_batch
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        texts = [
+            " \t" + (t or "").replace(" ", "  ") + "\n\n"
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    return docs.map_batches(dirty, batch_format="pyarrow").map_batches(
+        normalize_batch, batch_format="pyarrow"
+    )
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -1445,6 +1519,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "url_dedup": _q_url_dedup,
+        "domain_counts": _q_domain_counts,
+        "domain_cap": _q_domain_cap,
+        "domain_blocklist": _q_domain_blocklist,
+        "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
         "tfidf_terms": _q_tfidf_terms,
@@ -2108,6 +2186,41 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT url, min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM p GROUP BY url
+        """,
+        "domain_counts": """
+            WITH p AS (SELECT 'site-' || (doc_id % 37) || '.example.com' AS host
+                       FROM documents)
+            SELECT host, count(*) AS n FROM p GROUP BY host
+        """,
+        "domain_cap": """
+            WITH p AS (SELECT doc_id,
+                              'site-' || (doc_id % 37) || '.example.com' AS host
+                       FROM documents)
+            SELECT doc_id, host FROM p
+            QUALIFY row_number() OVER (
+                PARTITION BY host
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+        """,
+        "domain_blocklist": """
+            SELECT doc_id,
+                   'site-' || (doc_id % 37) || '.example.com' AS host
+            FROM documents
+            WHERE (doc_id % 37) % 7 <> 0
+        """,
+        "normalize_text": """
+            WITH m AS (SELECT doc_id,
+                              ' ' || chr(9) || replace(text, ' ', '  ')
+                                  || chr(10) || chr(10) AS t
+                       FROM documents),
+            n AS (SELECT doc_id,
+                         trim(regexp_replace(nfc_normalize(t),
+                                             '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))
+                             AS norm
+                  FROM m)
+            SELECT doc_id,
+                   length(norm) AS n_chars_norm,
+                   md5(norm) AS norm_hash
+            FROM n
         """,
         "word_topk": """
             WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word

@@ -32,6 +32,8 @@ from pdf_extractor_ray.functions.common import coalesce_for_exchange
 
 __all__ = [
     "doc_stats_batch",
+    "normalize_text",
+    "normalize_batch",
     "word_topk",
     "word_heavy_hitters",
     "tfidf_top_terms",
@@ -159,6 +161,74 @@ def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ):
         batch = batch.append_column(name, pa.array([s[name] for s in stats], typ))
     return batch
+
+
+# Explicit ASCII whitespace class, NOT \s: Python's \s additionally
+# matches unicode spaces (\xa0,  , ...) that RE2/DuckDB's \s does
+# not, so the oracle would silently diverge on non-ASCII whitespace.
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text(text: str) -> str:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    unicode NFC, ASCII-whitespace runs collapsed to one space, outer
+    whitespace stripped. Exactly mirrored by the SQL oracle
+    (nfc_normalize + regexp_replace + trim)."""
+    import unicodedata
+
+    return _ASCII_WS_RE.sub(" ", unicodedata.normalize("NFC", text or "")).strip()
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc normalized length + content hash (the usual precursor
+    columns for exact dedup over normalized text). NFC + whitespace
+    collapse run as Arrow kernels (utf8proc / RE2); only the md5 is a
+    per-row loop (no vectorized digest kernel exists)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    # NFC: pyarrow 16's utf8_normalize(form="NFC") decomposes but
+    # never composes (upstream bug, fixed in Arrow 17), so compose in
+    # Python — but only the rows that need it: NFC is the identity on
+    # pure-ASCII strings, and byte length == codepoint length detects
+    # those without leaving Arrow.
+    nonascii = pc.not_equal(pc.binary_length(col), pc.utf8_length(col))
+    if pc.any(nonascii).as_py():
+        vals = col.to_pylist()
+        flags = nonascii.to_pylist()
+        col = pa.array(
+            [
+                unicodedata.normalize("NFC", v) if f else v
+                for v, f in zip(vals, flags)
+            ],
+            pa.string(),
+        )
+    normed = pc.utf8_trim(
+        pc.replace_substring_regex(
+            col,
+            pattern=_ASCII_WS_RE.pattern,
+            replacement=" ",
+        ),
+        characters=" ",
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_norm": pc.utf8_length(normed).cast(pa.int64()),
+            "norm_hash": pa.array(
+                [
+                    hashlib.md5(n.encode("utf-8")).hexdigest()
+                    for n in normed.to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
 
 
 def word_heavy_hitters(ds, k: int = 20, capacity: int = 2048, text_col: str = "text"):

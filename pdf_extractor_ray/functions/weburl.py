@@ -1,0 +1,191 @@
+"""URL/domain operators for crawl-corpus curation.
+
+Common-Crawl-style pipelines filter and rebalance by registrable
+domain before anything else touches the text: per-domain quotas stop a
+single link-farm from dominating the training mix, and blocklists drop
+known-bad hosts outright. The reference operates on single documents
+and has no corpus-level URL surface, so these are corpus-scale
+extension operators (SURVEY.md §8.4), not ports.
+
+Shapes:
+  - host extraction is a zero-copy Arrow regex (pyarrow.compute
+    ``extract_regex`` — RE2, compiled once per process);
+  - per-domain counting mirrors word_topk: per-batch value_counts
+    collapse, then ONE coarse host-bucket exchange with an in-bucket
+    pandas merge (hosts are high-cardinality — never a raw
+    ``groupby(host)``);
+  - the quota cap prunes per batch first (the k survivors of a batch
+    are a superset of that batch's global survivors), so the exchange
+    carries at most k rows per (host, batch);
+  - the blocklist is the broadcast-small-side pattern: one ``ray.put``
+    of a frozenset, read per task, never re-shipped per batch.
+
+Ranking inside a quota is by ``md5(str(doc_id))`` — a deterministic,
+seedless uniform order that DuckDB reproduces exactly
+(``md5(CAST(doc_id AS VARCHAR))``), so the cap is value-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .common import coalesce_for_exchange
+
+__all__ = [
+    "add_host",
+    "domain_counts",
+    "cap_per_domain",
+    "filter_blocked_domains",
+]
+
+# pc.extract_regex requires NAMED groups (unnamed groups raise)
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
+
+
+def _host_array(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized host extraction; non-matching urls -> null."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, _HOST_RE)
+    return pc.struct_field(ex, ["host"])
+
+
+def _host_bucket(hosts) -> np.ndarray:
+    """Deterministic coarse bucket for host strings (pandas' stable
+    siphash kernel — C speed, process-independent)."""
+    arr = np.asarray(hosts, dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % 512).astype(np.int64)
+
+
+def add_host(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
+    """Append a ``host`` column extracted from ``url_col``."""
+
+    def ex(batch: pa.Table) -> pa.Table:
+        return batch.append_column("host", _host_array(batch[url_col]))
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def domain_counts(
+    ds: ray.data.Dataset, url_col: str = "url"
+) -> ray.data.Dataset:
+    """Docs per host: per-batch collapse -> one host-bucket exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = _host_array(batch[url_col]).to_pandas()
+        vc = hosts.value_counts()
+        return pa.table(
+            {
+                "host": pa.array(vc.index.astype(str)),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+                "_bucket": pa.array(_host_bucket(vc.index.to_numpy())),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("host", as_index=False)["n"].sum()
+
+    return (
+        coalesce_for_exchange(
+            ds.map_batches(partial, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _rank_keys(ids) -> list[str]:
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def cap_per_domain(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Keep at most ``k`` docs per host, chosen by the deterministic
+    md5 rank order. Output: Dataset[doc_id, host]."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch[id_col].to_numpy(zero_copy_only=False),
+                "host": _host_array(batch[url_col]).to_pandas(),
+            }
+        )
+        df["_rk"] = _rank_keys(df["doc_id"])
+        # ties impossible (md5 of distinct ids), but doc_id breaks any
+        kept = (
+            df.sort_values(["_rk", "doc_id"])
+            .groupby("host", sort=False)
+            .head(k)
+        )
+        kept["_bucket"] = _host_bucket(kept["host"].to_numpy())
+        # drop the pandas schema metadata (dict) so Ray's shuffle can
+        # hash-dedupe block schemas
+        return pa.Table.from_pandas(
+            kept, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def global_prune(group: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            group.sort_values(["_rk", "doc_id"])
+            .groupby("host", sort=False)
+            .head(k)
+        )
+        return kept[["doc_id", "host"]]
+
+    return (
+        coalesce_for_exchange(
+            ds.map_batches(local_prune, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(global_prune, batch_format="pandas")
+    )
+
+
+def filter_blocked_domains(
+    ds: ray.data.Dataset,
+    blocked: frozenset[str] | set[str],
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Drop rows whose host is in ``blocked``. The blocklist is put in
+    the object store ONCE and read per task (zero-copy plasma), never
+    serialized per batch."""
+    blocked_ref = ray.put(sorted(set(blocked)))
+
+    def keep(batch: pa.Table, *, _ref=blocked_ref) -> pa.Table:
+        bl_arr = _blocked_value_set(_ref)
+        hosts = _host_array(batch[url_col])
+        mask = pc.fill_null(
+            pc.and_(
+                pc.is_valid(hosts),
+                pc.invert(pc.is_in(hosts, value_set=bl_arr)),
+            ),
+            False,
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# per-process cache: the Arrow value_set is built once per worker,
+# not once per batch
+_BLOCK_CACHE: dict = {}
+
+
+def _blocked_value_set(ref) -> pa.Array:
+    key = ref.hex()
+    if key not in _BLOCK_CACHE:
+        _BLOCK_CACHE.clear()  # one live blocklist per worker is enough
+        _BLOCK_CACHE[key] = pa.array(ray.get(ref), pa.string())
+    return _BLOCK_CACHE[key]

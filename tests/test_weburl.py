@@ -1,0 +1,221 @@
+"""URL/domain corpus operators (functions/weburl.py) and canonical
+text normalization (textstats.normalize_*) vs DuckDB goldens at
+sf0.001, plus unit pins for the tricky scalar semantics.
+
+The domain operators are corpus-scale extensions (SURVEY.md §8.4):
+the reference processes single documents and has no URL surface.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+URL_EXPR = "'https://site-' || (doc_id % 37) || '.example.com/page/' || doc_id"
+HOST_EXPR = "'site-' || (doc_id % 37) || '.example.com'"
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _urls_ds(ray):
+    import __ray_entry__ as E
+
+    return E._docs_with_urls(SF)
+
+
+class TestHostExtraction:
+    def test_host_array(self):
+        from pdf_extractor_ray.functions.weburl import _host_array
+
+        urls = pa.array(
+            [
+                "https://site-1.example.com/page/3",
+                "http://a.b.c:8080/x?q=1",
+                "ftp://files.example.org",
+                "not a url",
+                "//protocol-relative.example.com/x",
+                None,
+            ]
+        )
+        hosts = _host_array(urls).to_pylist()
+        assert hosts == [
+            "site-1.example.com",
+            "a.b.c",  # port stripped
+            "files.example.org",
+            None,
+            None,  # scheme required
+            None,
+        ]
+
+    def test_add_host(self, ray_session):
+        from pdf_extractor_ray.functions.weburl import add_host
+
+        ds = add_host(_urls_ds(ray_session))
+        row = ds.take(1)[0]
+        assert row["host"] == f"site-{row['doc_id'] % 37}.example.com"
+
+
+class TestDomainOps:
+    def test_domain_counts_golden(self, ray_session):
+        from pdf_extractor_ray.functions.weburl import domain_counts
+
+        got = _canon(domain_counts(_urls_ds(ray_session)).to_pandas())
+        want = _canon(
+            _duck()
+            .execute(
+                f"SELECT {HOST_EXPR} AS host, count(*) AS n "
+                "FROM documents GROUP BY host"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_cap_per_domain_golden(self, ray_session):
+        from pdf_extractor_ray.functions.weburl import cap_per_domain
+
+        got = _canon(cap_per_domain(_urls_ds(ray_session), k=5).to_pandas())
+        want = _canon(
+            _duck()
+            .execute(
+                f"""
+                WITH p AS (SELECT doc_id, {HOST_EXPR} AS host FROM documents)
+                SELECT doc_id, host FROM p
+                QUALIFY row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+                """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert got.groupby("host").size().max() <= 5
+
+    def test_cap_prunes_locally_before_exchange(self, ray_session):
+        """The batch-local prune alone must already keep a superset of
+        the global survivors (the correctness condition that lets the
+        exchange carry <=k rows per (host, batch))."""
+        import hashlib
+
+        from pdf_extractor_ray.functions.weburl import cap_per_domain
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        ids = docs["doc_id"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "host": [f"site-{i % 37}.example.com" for i in ids],
+            }
+        )
+        df["_rk"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        globally_kept = set(
+            df.sort_values(["_rk", "doc_id"])
+            .groupby("host", sort=False)
+            .head(5)["doc_id"]
+        )
+        # split into 7 arbitrary "batches"; local top-5 per host per batch
+        local = set()
+        for part in range(7):
+            b = df[df["doc_id"] % 7 == part]
+            local |= set(
+                b.sort_values(["_rk", "doc_id"])
+                .groupby("host", sort=False)
+                .head(5)["doc_id"]
+            )
+        assert globally_kept <= local
+
+    def test_filter_blocked(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.weburl import filter_blocked_domains
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "url": "https://bad.example.com/x"},
+                {"doc_id": 1, "url": "https://ok.example.com/y"},
+                {"doc_id": 2, "url": "not a url"},  # null host -> dropped
+                {"doc_id": 3, "url": "https://bad.example.com/z"},
+            ]
+        )
+        kept = filter_blocked_domains(ds, {"bad.example.com"})
+        assert sorted(r["doc_id"] for r in kept.take_all()) == [1]
+
+
+_TRICKY = [
+    "",
+    "   ",
+    "plain",
+    "  a  \t b\n\nc\r\n ",
+    "étude",  # NFD -> NFC composes to é
+    "a b",  # NBSP is NOT ASCII whitespace: must survive
+    "tab\tand\x0bvtab\fand\rall",
+    "ünïcodé  mixed \t\n",
+]
+
+
+class TestNormalize:
+    def test_scalar_semantics(self):
+        import unicodedata
+
+        from pdf_extractor_ray.functions.textstats import normalize_text
+
+        assert normalize_text("  a  \t b\n\nc ") == "a b c"
+        assert normalize_text("") == ""
+        assert normalize_text(None) == ""
+        # NFC composition
+        assert normalize_text("étude") == unicodedata.normalize(
+            "NFC", "étude"
+        )
+        assert normalize_text("étude") == "étude"
+        # unicode spaces are NOT collapsed (oracle parity: RE2/DuckDB
+        # \s is ASCII-only, so the Python side must be too)
+        assert normalize_text("a b") == "a b"
+
+    def test_batch_matches_scalar(self):
+        import hashlib
+
+        from pdf_extractor_ray.functions.textstats import (
+            normalize_batch,
+            normalize_text,
+        )
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(_TRICKY)), pa.int64()),
+                "text": pa.array(_TRICKY, pa.string()),
+            }
+        )
+        out = normalize_batch(batch).to_pydict()
+        for i, t in enumerate(_TRICKY):
+            n = normalize_text(t)
+            assert out["n_chars_norm"][i] == len(n)
+            assert (
+                out["norm_hash"][i]
+                == hashlib.md5(n.encode("utf-8")).hexdigest()
+            )
+
+    def test_golden_vs_duckdb(self, ray_session):
+        import __ray_entry__ as E
+
+        got = _canon(E._q_normalize_text(SF).to_pandas())
+        want = _canon(_duck().execute(E.oracle_sql()["normalize_text"]).df())
+        pd.testing.assert_frame_equal(got, want)
