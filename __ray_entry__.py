@@ -761,6 +761,87 @@ def _q_normalize_text(sf_dir: str):
     )
 
 
+def _docs_with_messy_urls(sf_dir: str):
+    """Documents with deliberately messy crawl urls (5 deterministic
+    variants by doc_id % 5: uppercase scheme/host, explicit default
+    ports, utm/fbclid tracking params, fragments) over 50 shared
+    paths, so canonicalization collapses them. The oracles rebuild the
+    same CASE expression in SQL."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = []
+        for i in batch["doc_id"].to_pylist():
+            b = i % 50
+            v = i % 5
+            if v == 0:
+                u = f"HTTPS://Site-{b}.Example.COM/a/{b}"
+            elif v == 1:
+                u = f"https://site-{b}.example.com:443/a/{b}"
+            elif v == 2:
+                u = f"https://site-{b}.example.com/a/{b}?utm_source=rss&id={b}"
+            elif v == 3:
+                u = f"https://site-{b}.example.com/a/{b}#section-2"
+            else:
+                u = f"http://site-{b}.example.com:80/a/{b}?fbclid=abc"
+            urls.append(u)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    return docs.map_batches(add_url, batch_format="pyarrow")
+
+
+def _q_url_canonical(sf_dir: str):
+    """Per-row url canonicalization (functions/webclean.py): lowercase
+    scheme/host, default-port strip, fragment drop, tracking-param
+    drop. Pure map_batches — no shuffle."""
+    from pdf_extractor_ray.functions.webclean import canonicalize
+
+    return canonicalize(_docs_with_messy_urls(sf_dir)).select_columns(
+        ["doc_id", "canon_url"]
+    )
+
+
+def _q_url_canonical_dedup(sf_dir: str):
+    """Canonicalize-then-dedup: raw url variants collapse onto their
+    canonical form; per canonical url the kept (min) doc and variant
+    count via the coarse key-bucket exchange."""
+    from pdf_extractor_ray.functions.webclean import canonical_url_dedup
+
+    return canonical_url_dedup(_docs_with_messy_urls(sf_dir))
+
+
+def _q_c4_filters(sf_dir: str):
+    """C4 line-filter stats (Raffel et al. 2020 §2.2) over documents
+    re-lined deterministically (every ' table ' becomes '.\\n' — the
+    synthetic corpus has no punctuation, so this plants terminal-dot
+    lines of naturally varying word counts), with 'lorem ipsum' /
+    code-brace poison on deterministic doc_ids. Per-doc verdict + md5
+    of the kept lines; the oracle replays every rule in SQL."""
+    from pdf_extractor_ray.functions.webclean import c4_stats
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def reline(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = (t or "").replace(" table ", ".\n")
+            if i % 97 == 0:
+                t += "\nlorem ipsum dolor"
+            if i % 89 == 0:
+                t += "\nif (x) { return; }"
+            texts.append(t)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())}
+        )
+
+    return c4_stats(docs.map_batches(reline, batch_format="pyarrow"))
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -1522,6 +1603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_counts": _q_domain_counts,
         "domain_cap": _q_domain_cap,
         "domain_blocklist": _q_domain_blocklist,
+        "url_canonical": _q_url_canonical,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "c4_filters": _q_c4_filters,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2206,6 +2290,148 @@ def oracle_sql() -> dict[str, str]:
                    'site-' || (doc_id % 37) || '.example.com' AS host
             FROM documents
             WHERE (doc_id % 37) % 7 <> 0
+        """,
+        # The messy-url CTE shared by the canonicalization oracles:
+        # same 5-variant CASE the Ray side synthesizes.
+        "url_canonical": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'HTTPS://Site-' || (doc_id % 50)
+                                   || '.Example.COM/a/' || (doc_id % 50)
+                       WHEN 1 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com:443/a/' || (doc_id % 50)
+                       WHEN 2 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '?utm_source=rss&id=' || (doc_id % 50)
+                       WHEN 3 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '#section-2'
+                       ELSE 'http://site-' || (doc_id % 50)
+                            || '.example.com:80/a/' || (doc_id % 50)
+                            || '?fbclid=abc'
+                     END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query
+              FROM u),
+            c AS (
+              SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                COALESCE(array_to_string(
+                  list_filter(string_split(query, '&'),
+                    x -> NOT (x = ''
+                              OR starts_with(lower(split_part(x, '=', 1)),
+                                             'utm_')
+                              OR lower(split_part(x, '=', 1)) IN
+                                 ('fbclid','gclid','msclkid','mc_eid',
+                                  'igshid'))),
+                  '&'), '') AS q
+              FROM p)
+            SELECT doc_id,
+                   scheme || '://' || host || path
+                     || CASE WHEN q = '' THEN '' ELSE '?' || q END
+                       AS canon_url
+            FROM c
+        """,
+        "url_canonical_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'HTTPS://Site-' || (doc_id % 50)
+                                   || '.Example.COM/a/' || (doc_id % 50)
+                       WHEN 1 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com:443/a/' || (doc_id % 50)
+                       WHEN 2 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '?utm_source=rss&id=' || (doc_id % 50)
+                       WHEN 3 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '#section-2'
+                       ELSE 'http://site-' || (doc_id % 50)
+                            || '.example.com:80/a/' || (doc_id % 50)
+                            || '?fbclid=abc'
+                     END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query
+              FROM u),
+            c AS (
+              SELECT doc_id, scheme ||  '://' ||
+                CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END ||
+                CASE WHEN path = '' THEN '/' ELSE path END ||
+                CASE WHEN COALESCE(array_to_string(
+                  list_filter(string_split(query, '&'),
+                    x -> NOT (x = ''
+                              OR starts_with(lower(split_part(x, '=', 1)),
+                                             'utm_')
+                              OR lower(split_part(x, '=', 1)) IN
+                                 ('fbclid','gclid','msclkid','mc_eid',
+                                  'igshid'))),
+                  '&'), '') = '' THEN ''
+                ELSE '?' || array_to_string(
+                  list_filter(string_split(query, '&'),
+                    x -> NOT (x = ''
+                              OR starts_with(lower(split_part(x, '=', 1)),
+                                             'utm_')
+                              OR lower(split_part(x, '=', 1)) IN
+                                 ('fbclid','gclid','msclkid','mc_eid',
+                                  'igshid'))),
+                  '&') END AS canon_url
+              FROM p)
+            SELECT canon_url, min(doc_id) AS keep_doc_id,
+                   count(*) AS dup_count
+            FROM c GROUP BY canon_url
+        """,
+        "c4_filters": """
+            WITH m AS (
+              SELECT doc_id,
+                     replace(text, ' table ', '.' || chr(10))
+                     || CASE WHEN doc_id % 97 = 0
+                             THEN chr(10) || 'lorem ipsum dolor'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 89 = 0
+                             THEN chr(10) || 'if (x) { return; }'
+                             ELSE '' END AS t
+              FROM documents),
+            l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM m),
+            k AS (SELECT doc_id, t, len(lines) AS n_lines,
+                         list_filter(lines,
+                           x -> regexp_matches(x, '[.!?"][ \\t\\r\\f\\x0b]*$')
+                                AND len(regexp_extract_all(x,
+                                        '[^ \\t\\r\\f\\x0b]+')) >= 5) AS kept
+                  FROM l)
+            SELECT doc_id, n_lines, len(kept) AS n_kept,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   contains(t, '{') AS has_brace,
+                   len(kept) >= 3
+                     AND NOT contains(lower(t), 'lorem ipsum')
+                     AND NOT contains(t, '{') AS c4_keep,
+                   md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
+            FROM k
         """,
         "normalize_text": """
             WITH m AS (SELECT doc_id,

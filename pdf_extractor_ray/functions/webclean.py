@@ -1,0 +1,161 @@
+"""Crawl-text cleaning operators: URL canonicalization and C4-style
+line filtering.
+
+Both are standard pre-dedup steps in web-corpus curation (Raffel et
+al. 2020 §2.2 for the C4 rules). The reference engine operates on
+single documents and has neither (its URL handling stops at file
+paths), so these are corpus-scale extension operators (SURVEY.md
+§8.4).
+
+Shapes: both are pure per-row ``map_batches`` transforms — no shuffle,
+embarrassingly parallel at 100 TB. The canonical-url dedup that
+usually follows reuses ``dedup.key_dedup_summary`` (coarse key-bucket
+exchange). All rules are defined by regex/splitting semantics DuckDB's
+RE2 replicates exactly, so the driver oracle checks per-row values.
+Whitespace classes are explicit ASCII sets (Python's ``\\s``/``\\S``
+also match unicode spaces; RE2's do not — see textstats.normalize).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = [
+    "canonicalize_url",
+    "canonicalize_batch",
+    "canonical_url_dedup",
+    "c4_stats_batch",
+    "c4_stats",
+]
+
+# scheme://host[:port]/path[?query][#fragment] — host may be empty,
+# path never contains ? or #
+_URL_PARTS_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_TRACKING_PARAMS = frozenset(
+    {"fbclid", "gclid", "msclkid", "mc_eid", "igshid"}
+)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Canonical form used for url-level dedup: lowercase scheme and
+    host, strip default ports (http:80 / https:443), drop the
+    fragment, drop tracking query params (utm_* and the usual click
+    ids), empty path -> '/'. Param order and path case are preserved
+    (path case is significant on most origins). Non-urls -> None."""
+    m = _URL_PARTS_RE.match(url or "")
+    if m is None:
+        return None
+    scheme = m["scheme"].lower()
+    host = m["host"].lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = m["path"] or "/"
+    kept: list[str] = []
+    for p in (m["query"] or "").split("&"):
+        name = p.split("=", 1)[0].lower()
+        if not p or name.startswith("utm_") or name in _TRACKING_PARAMS:
+            continue
+        kept.append(p)
+    return scheme + "://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append ``canon_url`` (see canonicalize_url; null for non-urls)."""
+    canon = [canonicalize_url(u) for u in batch[url_col].to_pylist()]
+    return batch.append_column("canon_url", pa.array(canon, pa.string()))
+
+
+def canonicalize(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
+    return ds.map_batches(canonicalize_batch, batch_format="pyarrow",
+                          fn_kwargs={"url_col": url_col})
+
+
+def canonical_url_dedup(
+    ds: ray.data.Dataset, url_col: str = "url", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact dedup on the canonical url: per canonical form, the kept
+    (minimum) id and how many raw variants collapsed into it. The
+    exchange is dedup.key_dedup_summary's coarse-bucket pattern."""
+    from pdf_extractor_ray.functions.dedup import key_dedup_summary
+
+    return key_dedup_summary(
+        canonicalize(ds, url_col), key_col="canon_url", id_col=id_col
+    )
+
+
+# ---------------------------------------------------------------- C4
+
+# ASCII-explicit (no \n: rules apply within a line)
+_LINE_WORD_RE = re.compile(r"[^ \t\r\f\v]+")
+_TERMINAL_RE = re.compile(r'[.!?"][ \t\r\f\v]*$')
+
+MIN_LINE_WORDS = 5
+MIN_KEPT_LINES = 3
+
+
+def c4_stats_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = MIN_LINE_WORDS,
+    min_kept_lines: int = MIN_KEPT_LINES,
+) -> pa.Table:
+    """Per-document C4 line-filter statistics + verdict for one batch:
+
+    - a line is KEPT iff it ends in terminal punctuation (. ! ? ")
+      modulo trailing ASCII whitespace AND has >= min_line_words words;
+    - the document PASSES iff it keeps >= min_kept_lines lines and
+      contains neither 'lorem ipsum' (case-insensitive) nor '{';
+    - ``clean_fp`` is md5 of the kept lines re-joined with \\n — the
+      value-level anchor for what the filter would emit.
+    """
+    out: dict[str, list] = {
+        "n_lines": [], "n_kept": [], "has_lorem": [],
+        "has_brace": [], "c4_keep": [], "clean_fp": [],
+    }
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        lines = t.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if _TERMINAL_RE.search(ln)
+            and len(_LINE_WORD_RE.findall(ln)) >= min_line_words
+        ]
+        has_lorem = "lorem ipsum" in t.lower()
+        has_brace = "{" in t
+        out["n_lines"].append(len(lines))
+        out["n_kept"].append(len(kept))
+        out["has_lorem"].append(has_lorem)
+        out["has_brace"].append(has_brace)
+        out["c4_keep"].append(
+            len(kept) >= min_kept_lines and not has_lorem and not has_brace
+        )
+        out["clean_fp"].append(
+            hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest()
+        )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array(out["n_lines"], pa.int64()),
+            "n_kept": pa.array(out["n_kept"], pa.int64()),
+            "has_lorem": pa.array(out["has_lorem"], pa.bool_()),
+            "has_brace": pa.array(out["has_brace"], pa.bool_()),
+            "c4_keep": pa.array(out["c4_keep"], pa.bool_()),
+            "clean_fp": pa.array(out["clean_fp"], pa.string()),
+        }
+    )
+
+
+def c4_stats(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(c4_stats_batch, batch_format="pyarrow", fn_kwargs=kw)

@@ -4,7 +4,8 @@ Runs every ``queries()`` entry at a given sf_dir, converts the result to
 pandas, and for entries with an ``oracle_sql()`` compares row count,
 sorted column names, and order-insensitive values against DuckDB.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+(with query names given, only those entries run)
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -67,6 +68,12 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print("unknown queries:", unknown)
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.monotonic()
@@ -105,4 +112,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, sys.argv[2:] or None))
