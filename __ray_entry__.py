@@ -2230,6 +2230,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b FROM p WHERE j >= 0.8
         """,
+        # Exact SimHash replay: md5_number_lower == the Python feature
+        # hash (md5 digest bytes 8..16 little-endian) by construction,
+        # so per-doc sketches match bit-for-bit; pigeonhole blocking
+        # (4 x 16-bit bands) makes candidate recall exact at hamming<=3,
+        # so the pair set is simply ALL pairs within the radius.
+        "dedup_simhash": f"""
+            WITH d AS ({_DUP_SQL}),
+            w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[^ \\t\\n\\r\\f\\x0b]+')) AS w
+                FROM d),
+            bits AS (
+                SELECT doc_id, b.i,
+                       sum(CASE WHEN (md5_number_lower(w) >> b.i) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM w CROSS JOIN (SELECT unnest(range(64)) AS i) b(i)
+                GROUP BY doc_id, b.i),
+            sh0 AS (
+                SELECT d.doc_id,
+                       COALESCE(sum(CASE WHEN bits.s > 0
+                                         THEN (1::HUGEINT << bits.i)
+                                         ELSE 0 END), 0) AS h
+                FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+                GROUP BY d.doc_id),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN h >= (1::HUGEINT << 63)
+                            THEN (h - (1::HUGEINT << 64))::BIGINT
+                            ELSE h::BIGINT END AS sh
+                FROM sh0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         "dup_clusters": f"""
             WITH RECURSIVE {_CLUSTER_CTES}
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

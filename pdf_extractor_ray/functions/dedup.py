@@ -774,8 +774,11 @@ def minhash_dedup_pairs(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (crc32 features, weight 1).
+    """64-bit SimHash over word unigrams (md5-low-64 features, weight 1).
 
+    The feature hash is ``md5(word)`` bytes 8..16 little-endian —
+    exactly DuckDB's ``md5_number_lower``, so the whole sketch (and the
+    Hamming-distance pair set) is replayable as a SQL value oracle.
     Bit expansion via ``np.unpackbits`` on the little-endian byte view
     (bit i of the unpacked row == ``(x >> i) & 1``) — ~25% cheaper than
     the shift-matrix formulation, identical output.
@@ -783,9 +786,14 @@ def simhash64(text: str) -> int:
     words = _WORD_RE.findall(text.lower())
     if not words:
         return 0
-    feats = np.array([zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64)
-    # expand crc32 to 64 bits deterministically
-    feats = feats * np.uint64(0x9E3779B97F4A7C15)
+    feats = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:16], "little")
+            for w in words
+        ),
+        dtype=np.uint64,
+        count=len(words),
+    )
     bytes_ = feats.view(np.uint8).reshape(len(feats), 8)
     bits = np.unpackbits(bytes_, axis=1, bitorder="little")
     sums = (2 * bits.astype(np.int32) - 1).sum(axis=0)

@@ -191,11 +191,59 @@ class TestSimhashPairs:
     def test_simhash64_pinned(self):
         from pdf_extractor_ray.functions.dedup import simhash64
 
-        # pinned against the pre-packbits implementation (bit i set iff
-        # signed bit-sum > 0)
+        # pinned against the DuckDB replay (md5_number_lower features;
+        # bit i set iff signed bit-sum > 0) — see the dedup_simhash
+        # oracle in __ray_entry__.py
         assert simhash64("hello world the quick brown fox") == (
-            9414793258278181630
+            1334057324351865661
         )
+
+    def test_simhash64_matches_duckdb_replay(self):
+        """The production sketch must equal the SQL oracle's formula
+        (md5_number_lower features, signed bit-vote) on arbitrary
+        ASCII text — the property the driver oracle stands on."""
+        import duckdb
+
+        from pdf_extractor_ray.functions.dedup import simhash64
+
+        texts = [
+            "hello world the quick brown fox",
+            "Alpha BETA  gamma\tdelta",
+            "",
+            "one",
+            "a b c d e f g h i j k l m n o p",
+            "repeated repeated repeated word word",
+        ]
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({i}, '{t}')" for i, t in enumerate(texts)
+        )
+        duck = dict(
+            con.sql(
+                f"""
+            WITH d(doc_id, text) AS (VALUES {vals}),
+            w AS (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text),
+                                '[^ \\t\\n\\r\\f\\x0b]+')) AS w
+                  FROM d),
+            bits AS (SELECT doc_id, b.i,
+                            sum(CASE WHEN (md5_number_lower(w) >> b.i) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS s
+                     FROM w CROSS JOIN
+                          (SELECT unnest(range(64)) AS i) b(i)
+                     GROUP BY doc_id, b.i),
+            sh AS (SELECT d.doc_id,
+                          COALESCE(sum(CASE WHEN bits.s > 0
+                                            THEN (1::HUGEINT << bits.i)
+                                            ELSE 0 END), 0) AS h
+                   FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+                   GROUP BY d.doc_id)
+            SELECT doc_id, h FROM sh
+            """
+            ).fetchall()
+        )
+        for i, t in enumerate(texts):
+            assert simhash64(t) == int(duck[i]), t
 
     def test_pairs_found_and_unique(self, ray_session):
         from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
