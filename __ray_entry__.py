@@ -15,6 +15,8 @@ ray.init()/ray.shutdown() here or in the library code these call.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -238,6 +240,16 @@ def _q_dedup_simhash(sf_dir: str):
     from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(_docs_with_dups(sf_dir), max_hamming=3)
+
+
+def _q_dup_ngram_spans(sf_dir: str):
+    """Exact substring-duplication signal (Lee et al. 2022): per doc,
+    total word-5-gram positions and how many carry a 5-gram occurring
+    >1 time corpus-wide. Two coarse exchanges (hash bucket, then doc
+    bucket); the planted exact copies light up with n_dup == n_ngrams."""
+    from pdf_extractor_ray.functions.dedup import dup_ngram_span_stats
+
+    return dup_ngram_span_stats(_docs_with_dups(sf_dir), n=5)
 
 
 def _q_dedup_ngram(sf_dir: str):
@@ -840,6 +852,81 @@ def _q_c4_filters(sf_dir: str):
         )
 
     return c4_stats(docs.map_batches(reline, batch_format="pyarrow"))
+
+
+def _warc_dir(sf_dir: str) -> str:
+    """Deterministic WARC shards synthesized from the documents table
+    (one gzipped file per ~100 docs, doc -> shard by doc_id % n, each
+    shard's records sorted by doc_id). Built once per sf_dir under
+    /tmp and reused; the build is input synthesis, not pipeline
+    compute, so a single-process writer is fine at oracle scale."""
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/graft_warc_{tag}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.sources.warc import write_warc
+
+        t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n_files = max(1, len(ids) // 100)
+        shards: list[list] = [[] for _ in range(n_files)]
+        for i, txt in zip(ids, texts):
+            shards[i % n_files].append((i, txt))
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for k, sh in enumerate(shards):
+            write_warc(
+                os.path.join(tmp, f"part-{k:05d}.warc.gz"),
+                sorted(sh),
+                compress=True,
+            )
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok")
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    return d
+
+
+def _q_warc_extract(sf_dir: str):
+    """WARC ingest lane (sources/warc.py): documents round-tripped
+    through gzipped multi-record WARC shards, read back by the
+    streaming WarcDatasource (one read task per file group, only
+    parsed Arrow blocks in the object store), then a per-record parse
+    emitting the fields the oracle recomputes from the original documents
+    table: doc_id (from the target URI), HTTP status, body byte length
+    and body md5."""
+    from pdf_extractor_ray.sources.warc import read_warc
+
+    ds = read_warc(_warc_dir(sf_dir), warc_types=("response",))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["url"], r"/doc/(?P<id>\d+)$"), "id"
+            ),
+            pa.int64(),
+        )
+        md5s = [
+            hashlib.md5(b or b"").hexdigest()
+            for b in batch["body"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "http_status": pc.cast(batch["http_status"], pa.int64()),
+                "body_len": pc.cast(
+                    pc.binary_length(batch["body"]), pa.int64()
+                ),
+                "body_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
 
 
 def _q_word_topk(sf_dir: str):
@@ -1591,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
+        "dup_ngram_spans": _q_dup_ngram_spans,
         "dup_clusters": _q_dup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
@@ -1606,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": _q_url_canonical,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "c4_filters": _q_c4_filters,
+        "warc_extract": _q_warc_extract,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2266,6 +2355,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
+        # Span oracle groups on the n-gram STRING itself — no hash to
+        # replicate; positions joined back classify per-doc counts.
+        "dup_ngram_spans": f"""
+            WITH d AS ({_DUP_SQL}),
+            w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[^ \\t\\n\\r\\f\\x0b]+') AS ws
+                FROM d),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 5
+                            THEN list_transform(range(1, len(ws) - 3),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                                      ws[i+4])
+                            ELSE [] END AS gs
+                FROM w),
+            p AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            t AS (SELECT gram, count(*) AS tot FROM p GROUP BY gram),
+            dd AS (
+                SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                FROM p JOIN t USING (gram) WHERE t.tot > 1
+                GROUP BY p.doc_id)
+            SELECT g.doc_id,
+                   CAST(len(g.gs) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(dd.n_dup, 0) AS BIGINT) AS n_dup
+            FROM g LEFT JOIN dd ON g.doc_id = dd.doc_id
+        """,
         "dup_clusters": f"""
             WITH RECURSIVE {_CLUSTER_CTES}
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2468,6 +2586,16 @@ def oracle_sql() -> dict[str, str]:
                      AND NOT contains(t, '{') AS c4_keep,
                    md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
             FROM k
+        """,
+        # WARC round trip: writer emits each document as an HTTP/200
+        # response whose body is exactly the utf-8 text, so every
+        # parsed field recomputes from `documents` alone.
+        "warc_extract": """
+            SELECT doc_id,
+                   CAST(200 AS BIGINT) AS http_status,
+                   CAST(strlen(text) AS BIGINT) AS body_len,
+                   md5(text) AS body_md5
+            FROM documents
         """,
         "normalize_text": """
             WITH m AS (SELECT doc_id,

@@ -64,6 +64,7 @@ __all__ = [
     "simhash64",
     "simhash_dedup_pairs",
     "ngram_jaccard",
+    "dup_ngram_span_stats",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -300,6 +301,129 @@ def _verify_side_cached(side_ref, id_col: str, text_col: str) -> dict:
         _VERIFY_SIDE_CACHE.clear()  # one corpus at a time per worker
         _VERIFY_SIDE_CACHE[key] = cached
     return cached
+
+
+# ------------------------------------------------- duplicate ngram spans
+
+
+def _ngram_hashes(text: str, n: int) -> np.ndarray:
+    """md5-low-64 of each word n-gram position (uint64[len(words)-n+1],
+    empty when the doc has fewer than n words). Same feature hash as
+    simhash64 (DuckDB ``md5_number_lower``), though the span oracle
+    groups on the ngram STRING so the hash needn't be SQL-replayed."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:16], "little")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(words) - n + 1,
+    )
+
+
+def dup_ngram_span_stats(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document exact substring-duplication signal (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    for each doc, how many of its word n-gram positions carry an
+    n-gram that occurs more than once in the WHOLE corpus (other docs
+    or repeats within the same doc). Output: (doc_id, n_ngrams,
+    n_dup), both BIGINT; docs with < n words appear with zeros.
+
+    Scale shape: per-batch (doc, hash)->count partials, ONE coarse
+    hash-bucket exchange to total each n-gram and classify positions,
+    then ONE coarse doc-bucket exchange summing per-doc partials.
+    Never a per-ngram group, never a driver materialization; skew-safe
+    because md5 buckets are uniform regardless of text skew.
+    n_buckets defaults to 8x the coalesce width (cluster-proportional:
+    enough groups for parallelism, few enough that per-group task
+    overhead stays amortized).
+    """
+    if n_buckets is None:
+        n_buckets = 8 * _coalesce_width()
+    doc_buckets = 2 * _coalesce_width()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        cnt_out: list[np.ndarray] = []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            hs = _ngram_hashes(t or "", n).view(np.int64)
+            if len(hs) == 0:
+                # per-doc sentinel (negative: md5-low-63 view can't
+                # produce it after the &-mask below) keeps empty docs
+                # in the output with zero counts
+                ids_out.append(np.array([i], dtype=np.int64))
+                hs_out.append(np.array([-1 - (i % 1024)], dtype=np.int64))
+                cnt_out.append(np.zeros(1, dtype=np.int64))
+                continue
+            hs &= np.int64(0x7FFFFFFFFFFFFFFF)
+            uh, c = np.unique(hs, return_counts=True)
+            ids_out.append(np.full(len(uh), i, dtype=np.int64))
+            hs_out.append(uh)
+            cnt_out.append(c.astype(np.int64))
+        ids_np = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+        hs_np = np.concatenate(hs_out) if hs_out else np.empty(0, np.int64)
+        cnt_np = np.concatenate(cnt_out) if cnt_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(hs_np % n_buckets),
+                "h": pa.array(hs_np),
+                id_col: pa.array(ids_np),
+                "cnt": pa.array(cnt_np),
+            }
+        )
+
+    def per_hash_bucket(group):
+        import pandas as pd
+
+        # pure numpy (bincount over unique-inverse) — a pandas
+        # groupby-transform here costs ~10ms/group of fixed overhead,
+        # which dominates when buckets are small
+        h = group["h"].to_numpy()
+        cnt = group["cnt"].to_numpy()
+        ids = group[id_col].to_numpy()
+        uh, hinv = np.unique(h, return_inverse=True)
+        tot = np.bincount(hinv, weights=cnt)
+        dup = np.where(tot[hinv] > 1, cnt, 0)
+        uid, dinv = np.unique(ids, return_inverse=True)
+        return pd.DataFrame(
+            {
+                id_col: uid,
+                "tot_partial": np.bincount(dinv, weights=cnt).astype(np.int64),
+                "dup_partial": np.bincount(dinv, weights=dup).astype(np.int64),
+                "doc_bucket": uid % doc_buckets,
+            }
+        )
+
+    def per_doc_bucket(group):
+        g = group.groupby(id_col, as_index=False)[
+            ["tot_partial", "dup_partial"]
+        ].sum()
+        return g.rename(
+            columns={"tot_partial": "n_ngrams", "dup_partial": "n_dup"}
+        )
+
+    pairs = coalesce_for_exchange(
+        ds.map_batches(emit, batch_format="pyarrow")
+    )
+    partials = coalesce_for_exchange(
+        pairs.groupby("bucket").map_groups(per_hash_bucket, batch_format="pandas")
+    )
+    return partials.groupby("doc_bucket").map_groups(
+        per_doc_bucket, batch_format="pandas"
+    )
 
 
 # -------------------------------------------------------------- minhash

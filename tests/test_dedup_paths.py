@@ -187,6 +187,53 @@ class TestIncrementalDedup:
         assert sorted(out["doc_id"]) == [1, 2]
 
 
+class TestDupNgramSpans:
+    def test_copies_and_uniques(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import dup_ngram_span_stats
+
+        uniq = [
+            " ".join(f"u{i}w{j}" for j in range(10)) for i in range(6)
+        ]
+        docs = uniq + [uniq[0], "tiny doc"]  # doc 6 = copy of doc 0; doc 7 < n words
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(8), pa.int64()),
+                    "text": docs,
+                }
+            )
+        ).repartition(3)
+        out = (
+            dup_ngram_span_stats(ds, n=5)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == 8
+        # 10 words -> 6 positions of 5-grams
+        assert (out.loc[1:5, "n_ngrams"] == 6).all()
+        assert (out.loc[1:5, "n_dup"] == 0).all()
+        # the copied pair: every position duplicated
+        assert out.loc[0, "n_dup"] == 6 and out.loc[6, "n_dup"] == 6
+        # short doc present with zeros
+        assert out.loc[7, "n_ngrams"] == 0 and out.loc[7, "n_dup"] == 0
+
+    def test_within_doc_repetition_counts(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import dup_ngram_span_stats
+
+        # "a b c d e a b c d e ..." — the 5-gram 'a b c d e' repeats
+        # inside ONE doc; both its positions are duplicated spans
+        t = " ".join(["a b c d e"] * 3)
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [t]})
+        )
+        out = dup_ngram_span_stats(ds, n=5).to_pandas().iloc[0]
+        assert out["n_ngrams"] == 11  # 15 words -> 11 positions
+        # positions 0,5,10 carry 'a b c d e' (3 occurrences); the
+        # other shifted 5-grams each appear twice -> all 11 duplicated
+        assert out["n_dup"] == 11
+
+
 class TestSimhashPairs:
     def test_simhash64_pinned(self):
         from pdf_extractor_ray.functions.dedup import simhash64
