@@ -929,6 +929,69 @@ def _q_warc_extract(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def _jsonl_dir(sf_dir: str) -> str:
+    """Deterministic JSONL shards from the documents table (the
+    interchange format most corpus releases ship as): one file per
+    ~100 docs, doc -> shard by doc_id % n, records sorted by doc_id.
+    Built once per sf_dir under /tmp, same pattern as _warc_dir."""
+    import json
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/graft_jsonl_{tag}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n_files = max(1, len(ids) // 100)
+        shards: list[list] = [[] for _ in range(n_files)]
+        for i, txt in zip(ids, texts):
+            shards[i % n_files].append((i, txt))
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for k, sh in enumerate(shards):
+            with open(os.path.join(tmp, f"part-{k:05d}.jsonl"), "w") as fh:
+                for i, txt in sorted(sh):
+                    fh.write(
+                        json.dumps({"doc_id": i, "text": txt or ""}) + "\n"
+                    )
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok")
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    return d
+
+
+def _q_jsonl_extract(sf_dir: str):
+    """JSONL ingest lane: documents round-tripped through sharded
+    .jsonl files, read back with ray.data.read_json (Arrow streaming
+    JSON reader, one task per file group), then a per-record parse
+    emitting what the oracle recomputes from `documents`."""
+    ds = ray.data.read_json(
+        _jsonl_dir(sf_dir), file_extensions=["jsonl"]
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch["text"]), pa.int64()
+                ),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -1695,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "c4_filters": _q_c4_filters,
         "warc_extract": _q_warc_extract,
+        "jsonl_extract": _q_jsonl_extract,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2595,6 +2659,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(200 AS BIGINT) AS http_status,
                    CAST(strlen(text) AS BIGINT) AS body_len,
                    md5(text) AS body_md5
+            FROM documents
+        """,
+        "jsonl_extract": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS text_md5
             FROM documents
         """,
         "normalize_text": """
