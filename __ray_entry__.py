@@ -992,6 +992,36 @@ def _q_jsonl_extract(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def _q_quality_topk(sf_dir: str):
+    """Quality pruning as exact global top-K selection
+    (functions/selection.py): keep the best 20% of documents by an
+    integer score (word count here) with the md5-salted tie-break —
+    two streaming scans + a histogram, never a global sort. The
+    oracle replays the identical rank as a row_number window."""
+    from pdf_extractor_ray.functions.selection import select_top_k_global
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    n = docs.count()  # parquet metadata only
+
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pc.cast(
+                    pc.count_substring_regex(
+                        batch["text"], r"[^ \t\n\r\f\v]+"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return select_top_k_global(scored, k=n // 5)
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -1759,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": _q_c4_filters,
         "warc_extract": _q_warc_extract,
         "jsonl_extract": _q_jsonl_extract,
+        "quality_topk": _q_quality_topk,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2660,6 +2691,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_len,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "quality_topk": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            '[^ \\t\\n\\r\\f\\x0b]+')) AS BIGINT) AS score
+                FROM documents),
+            r AS (
+                SELECT doc_id, score,
+                       row_number() OVER (
+                           ORDER BY score DESC,
+                                    md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn
+                FROM s)
+            SELECT doc_id, score FROM r
+            WHERE rn <= (SELECT CAST(count(*) // 5 AS BIGINT)
+                         FROM documents)
         """,
         "jsonl_extract": """
             SELECT doc_id,

@@ -1,0 +1,153 @@
+"""Exact global top-K selection without a global sort.
+
+The quality-pruning step of a training-data pipeline ("keep the best
+20% of the corpus by score") is a selection, not a sort: nobody needs
+the 100 TB survivor set ordered, only membership. A full
+``Dataset.sort`` + ``limit`` is an all-to-all exchange of every row;
+this operator does it with two streaming scans and O(cells) driver
+state:
+
+1. histogram pass — per-batch counts per (score, salt_byte) cell,
+   where ``salt_byte`` is the first byte of ``md5(str(id))`` (uniform
+   regardless of id skew). The cell table is ``distinct_scores x 256``
+   rows — tiny for quantized scores (the documented assumption: use
+   integer / centi-unit scores, same rule the driver oracles follow).
+2. the driver orders cells by rank key (score DESC, salt ASC),
+   cumulates to find the boundary cell, and refines ONLY that cell:
+   its members (expected ties/256) are collected, ranked exactly by
+   (salt_hex, id), and the final cutoff row is fixed.
+3. filter pass — a broadcast predicate (score, boundary cell, cutoff
+   within cell) keeps exactly K rows.
+
+Rank order is (score DESC, md5(str(id)) ASC, id ASC) — replayable in
+SQL as ``row_number() OVER (ORDER BY score DESC, md5(CAST(id AS
+VARCHAR)), id) <= K``, which is the driver oracle for
+``quality_topk``. The md5 salt also makes the kept set stable and
+unbiased within a score tie (keeping "smallest doc_id" would bias
+toward whatever the id order encodes — usually crawl time).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+__all__ = ["select_top_k_global"]
+
+
+def _salt_hex(ids) -> list[str]:
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def select_top_k_global(
+    ds: ray.data.Dataset,
+    k: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Rows with global rank <= k by (score DESC, md5(id) ASC, id ASC).
+
+    Driver state: the (score, salt_byte) cell histogram plus the one
+    boundary cell's members — never the dataset. Input is consumed
+    twice (histogram + filter), so pass a cheap-to-recompute or
+    persisted dataset, not an expensive unfused pipeline tail.
+    """
+    if k <= 0:
+        return ds.filter(lambda row: False)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        salts = np.array(
+            [int(h[:2], 16) for h in _salt_hex(batch[id_col].to_pylist())],
+            dtype=np.int64,
+        )
+        key = scores.astype(np.int64) * 256 + salts
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "score": pa.array(uk // 256),
+                "salt_byte": pa.array(uk % 256),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def merge_cells(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["score", "salt_byte"], as_index=False)[
+            "cnt"
+        ].sum()
+
+    cells = (
+        coalesce_for_exchange(ds.map_batches(hist, batch_format="pyarrow"))
+        .groupby("score")
+        .map_groups(merge_cells, batch_format="pandas")
+        .to_pandas()  # bounded: distinct_scores x 256 rows
+    )
+    # rank order: score DESC, salt ASC
+    cells = cells.sort_values(
+        ["score", "salt_byte"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cum = cells["cnt"].cumsum()
+    total = int(cum.iloc[-1]) if len(cum) else 0
+    if k >= total:
+        return ds
+    b = int(np.searchsorted(cum.to_numpy(), k))  # first cell where cum >= k
+    need_in_boundary = k - (int(cum.iloc[b - 1]) if b > 0 else 0)
+    b_score = int(cells.loc[b, "score"])
+    b_salt = int(cells.loc[b, "salt_byte"])
+
+    if need_in_boundary == 0:
+        boundary_cutoff = None  # boundary cell entirely excluded
+    else:
+        # refine: exact rank inside the ONE boundary cell
+        def in_boundary(batch: pa.Table) -> pa.Table:
+            scores = batch[score_col].to_numpy(zero_copy_only=False)
+            ids = batch[id_col].to_pylist()
+            hexes = _salt_hex(ids)
+            mask = (scores == b_score) & np.array(
+                [int(h[:2], 16) == b_salt for h in hexes]
+            )
+            sel = np.flatnonzero(mask)
+            return pa.table(
+                {
+                    "salt_hex": pa.array([hexes[j] for j in sel]),
+                    id_col: pa.array([ids[j] for j in sel]),
+                }
+            )
+
+        members = (
+            ds.map_batches(in_boundary, batch_format="pyarrow").to_pandas()
+        )  # expected ties/256 rows
+        members = members.sort_values(["salt_hex", id_col]).reset_index(
+            drop=True
+        )
+        row = members.iloc[need_in_boundary - 1]
+        boundary_cutoff = (str(row["salt_hex"]), int(row[id_col]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_pylist()
+        hexes = _salt_hex(ids)
+        salts = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+        mask = (scores > b_score) | (
+            (scores == b_score) & (salts < b_salt)
+        )
+        if boundary_cutoff is not None:
+            ch, cid = boundary_cutoff
+            in_cell = (scores == b_score) & (salts == b_salt)
+            within = np.array(
+                [
+                    (h, i) <= (ch, cid)
+                    for h, i in zip(hexes, ids)
+                ]
+            )
+            mask |= in_cell & within
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

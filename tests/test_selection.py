@@ -1,0 +1,67 @@
+"""Exact global top-K selection (functions/selection.py) vs a pandas
+replay of the rank (score DESC, md5(str(id)) ASC, id ASC)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_extractor_ray.functions.selection import select_top_k_global
+
+
+def _rank_keep(df: pd.DataFrame, k: int) -> set:
+    r = df.copy()
+    r["salt"] = [hashlib.md5(str(i).encode()).hexdigest() for i in r.doc_id]
+    r = r.sort_values(
+        ["score", "salt", "doc_id"], ascending=[False, True, True]
+    )
+    return set(r.head(k).doc_id)
+
+
+def _ds(ray, scores):
+    ids = list(range(len(scores)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+    ).repartition(5)
+
+
+class TestSelectTopK:
+    def test_matches_rank_replay(self, ray_session):
+        rng = np.random.RandomState(7)
+        scores = rng.randint(0, 40, size=500).tolist()
+        ds = _ds(ray_session, scores)
+        df = pd.DataFrame({"doc_id": range(500), "score": scores})
+        for k in (1, 37, 100, 499):
+            got = set(
+                select_top_k_global(ds, k=k).to_pandas().doc_id
+            )
+            assert got == _rank_keep(df, k), k
+
+    def test_all_ties_exercises_boundary_refinement(self, ray_session):
+        # one score for every row: selection is decided entirely by
+        # the salted tie-break inside (possibly) one histogram cell
+        n, k = 400, 123
+        ds = _ds(ray_session, [5] * n)
+        df = pd.DataFrame({"doc_id": range(n), "score": [5] * n})
+        got = select_top_k_global(ds, k=k).to_pandas()
+        assert len(got) == k
+        assert set(got.doc_id) == _rank_keep(df, k)
+
+    def test_k_zero_and_k_all(self, ray_session):
+        ds = _ds(ray_session, [1, 2, 3])
+        assert select_top_k_global(ds, k=0).count() == 0
+        assert select_top_k_global(ds, k=3).count() == 3
+        assert select_top_k_global(ds, k=99).count() == 3
+
+    def test_negative_scores(self, ray_session):
+        ds = _ds(ray_session, [-5, -1, -3, -1])
+        df = pd.DataFrame({"doc_id": range(4), "score": [-5, -1, -3, -1]})
+        got = set(select_top_k_global(ds, k=2).to_pandas().doc_id)
+        assert got == _rank_keep(df, 2)
