@@ -992,6 +992,20 @@ def _q_jsonl_extract(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def _q_shuffle_export(sf_dir: str):
+    """Deterministic training shuffle + sharding
+    (functions/sampling.py::shuffle_shards): md5 permutation of the
+    corpus into 16 shards with in-shard positions; one shard-key
+    exchange. Oracle replays shard and rank with md5_number_lower +
+    a row_number window."""
+    from pdf_extractor_ray.functions.sampling import shuffle_shards
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return shuffle_shards(docs, n_shards=16).select_columns(
+        ["doc_id", "shard", "pos"]
+    )
+
+
 def _q_quality_topk(sf_dir: str):
     """Quality pruning as exact global top-K selection
     (functions/selection.py): keep the best 20% of documents by an
@@ -1790,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "jsonl_extract": _q_jsonl_extract,
         "quality_topk": _q_quality_topk,
+        "shuffle_export": _q_shuffle_export,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2691,6 +2706,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_len,
                    md5(text) AS body_md5
             FROM documents
+        """,
+        "shuffle_export": """
+            WITH s AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS salt_hex,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16
+                            AS BIGINT) AS shard
+                FROM documents)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY shard
+                        ORDER BY salt_hex, doc_id) - 1 AS BIGINT) AS pos
+            FROM s
         """,
         "quality_topk": """
             WITH s AS (

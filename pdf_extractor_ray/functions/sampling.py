@@ -22,7 +22,12 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["hash_keep_mask", "hash_sample", "stratified_sample"]
+__all__ = [
+    "hash_keep_mask",
+    "hash_sample",
+    "stratified_sample",
+    "shuffle_shards",
+]
 
 
 def hash_keep_mask(ids, pct: int, salt: str = "") -> list[bool]:
@@ -77,3 +82,52 @@ def stratified_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Deterministic training shuffle + sharding: every row gets
+    (shard, pos) such that reading shards in order, each sorted by
+    pos, replays a fixed md5 permutation of the corpus.
+
+    shard = md5(salt||id) low-64 % n_shards (uniform regardless of id
+    skew); pos = the row's rank within its shard by (salt_hex, id).
+    Both are (salt, id)-pure — re-running on a re-partitioned input
+    gives byte-identical shard assignments, which is what makes the
+    export resumable (a finished shard never changes).
+
+    Exchange shape: ONE groupby on the shard key (shards are the
+    natural output partitions, corpus/n_shards rows each); the
+    in-shard rank is a vectorized argsort. SQL replay: row_number()
+    OVER (PARTITION BY shard ORDER BY salt_hex, id).
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hexes = [
+            hashlib.md5(f"{salt}{i}".encode("utf-8")).hexdigest()
+            for i in ids
+        ]
+        shards = [
+            int.from_bytes(bytes.fromhex(h[16:32]), "little") % n_shards
+            for h in hexes
+        ]
+        batch = batch.append_column("salt_hex", pa.array(hexes, pa.string()))
+        return batch.append_column(
+            "shard", pa.array(shards, pa.int64())
+        )
+
+    def rank(group):  # one whole shard
+        g = group.sort_values(["salt_hex", id_col]).reset_index(drop=True)
+        g["pos"] = g.index.astype("int64")
+        return g
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -126,3 +126,54 @@ class TestStratifiedSample:
         )
         b = set(hash_sample(ds2, pct=25).to_pandas()["doc_id"])
         assert a == b
+
+
+class TestShuffleShards:
+    def test_partition_invariance_and_permutation(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.sampling import shuffle_shards
+
+        t = pa.table({"doc_id": pa.array(range(300), pa.int64())})
+        a = (
+            shuffle_shards(ray_session.data.from_arrow(t), n_shards=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            shuffle_shards(
+                ray_session.data.from_arrow(t).repartition(7), n_shards=8
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # (salt, id)-pure: identical assignment under any partitioning
+        assert a[["doc_id", "shard", "pos"]].equals(
+            b[["doc_id", "shard", "pos"]]
+        )
+        # a permutation: within each shard, pos is 0..len-1 exactly
+        for s, g in a.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+        # md5 shards are roughly balanced
+        sizes = a.groupby("shard").size()
+        assert len(sizes) == 8 and sizes.min() > 300 / 8 / 3
+
+    def test_salt_changes_permutation(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.sampling import shuffle_shards
+
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(200), pa.int64())})
+        )
+        a = shuffle_shards(ds, n_shards=4).to_pandas().sort_values("doc_id")
+        c = (
+            shuffle_shards(ds, n_shards=4, salt="epoch2")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert not (
+            a["shard"].to_numpy() == c["shard"].to_numpy()
+        ).all()
