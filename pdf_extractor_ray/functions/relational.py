@@ -44,6 +44,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 __all__ = [
     "broadcast_join",
+    "range_join_broadcast",
     "pricing_summary",
     "top_revenue_orders",
     "events_tumbling_window",
@@ -78,6 +79,51 @@ def broadcast_join(
         return batch.merge(ray.get(ref), on=on, how=how)
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def range_join_broadcast(
+    ds: ray.data.Dataset,
+    ranges: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    key_col: str = "range_key",
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Interval-lookup join: each row matches the range with
+    ``lo <= value < hi`` (IP-geolocation / time-window / price-band
+    shape). The range table must be NON-OVERLAPPING; it is sorted by
+    ``lo`` once on the driver, broadcast with ``ray.put``, and probed
+    per batch with one vectorized ``searchsorted`` — the big side
+    never shuffles and the probe is O(log n_ranges) per row.
+    ``how='left'`` keeps non-matching rows with a null key; 'inner'
+    drops them. Overlapping ranges need an interval tree instead —
+    assert-guarded here rather than silently wrong.
+
+    Ray Data has no native range join; the composition is the
+    documented custom-operator path (broadcast small side + map_batches
+    probe). Big-big range joins should bucket both sides on aligned
+    interval bins first (same pattern as asof_join_partitioned)."""
+    r = ranges.sort_values(lo_col).reset_index(drop=True)
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if len(r) > 1 and not (hi[:-1] <= lo[1:]).all():
+        raise ValueError("ranges overlap; range_join_broadcast needs disjoint ranges")
+    ref = ray.put((lo, hi, r[key_col].to_numpy()))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        l, h, k = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(l, v, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        ok = (idx >= 0) & (v < h[safe]) & (v >= l[safe])
+        keys = np.where(ok, k[safe], None)
+        out = batch.append_column(key_col, pa.array(keys.tolist()))
+        if how == "inner":
+            out = out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:

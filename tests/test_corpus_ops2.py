@@ -534,3 +534,81 @@ class TestAsofPartitioned:
             b.sort_values(key).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestRangeJoinBroadcast:
+    def _ranges(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "lo": [0, 10, 30],
+                "hi": [5, 20, 40],
+                "range_key": ["a", "b", "c"],
+            }
+        )
+
+    def test_inner_drops_gaps_and_bounds(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.relational import (
+            range_join_broadcast,
+        )
+
+        # values probe: inside, on-lo (in), on-hi (out), gap, below, above
+        vals = [0.0, 4.999, 5.0, 10.0, 19.999, 25.0, -1.0, 39.0, 40.0]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(vals)), pa.int64()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        ).repartition(3)
+        out = (
+            range_join_broadcast(ds, self._ranges(), value_col="value")
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        got = dict(zip(out.event_id, out.range_key))
+        assert got == {0: "a", 1: "a", 3: "b", 4: "b", 7: "c"}
+
+    def test_left_keeps_nulls(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.relational import (
+            range_join_broadcast,
+        )
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "value": pa.array([2.0, 7.0], pa.float64()),
+                }
+            )
+        )
+        out = (
+            range_join_broadcast(
+                ds, self._ranges(), value_col="value", how="left"
+            )
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert list(out.range_key) == ["a", None]
+
+    def test_overlap_guard(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pdf_extractor_ray.functions.relational import (
+            range_join_broadcast,
+        )
+
+        bad = pd.DataFrame(
+            {"lo": [0, 3], "hi": [5, 8], "range_key": ["a", "b"]}
+        )
+        with _pytest.raises(ValueError, match="overlap"):
+            range_join_broadcast(
+                ray_session.data.range(1), bad, value_col="id"
+            )
