@@ -1044,6 +1044,58 @@ def _q_range_band(sf_dir: str):
     )
 
 
+def _q_range_band_partitioned(sf_dir: str):
+    """Same banding as range_band through the big-range-side path
+    (range_join_partitioned: bin-aligned cogroup, no broadcast) —
+    identical oracle, so the driver checks the two paths agree."""
+    from pdf_extractor_ray.functions.relational import range_join_partitioned
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "value"]
+    )
+    ranges = pd.DataFrame(
+        {
+            "lo": [i * 25 for i in range(40)],
+            "hi": [i * 25 + 18 for i in range(40)],
+            "range_key": [f"band-{i:02d}" for i in range(40)],
+        }
+    )
+    joined = range_join_partitioned(
+        events, ranges, value_col="value", bin_width=100.0, n_buckets=32
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "range_key": batch["range_key"],
+                "value_c": pc.cast(
+                    pc.floor(
+                        pc.add(pc.multiply(batch["value"], 100.0), 0.5)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ).to_pandas()
+        g = df.groupby("range_key", as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        coalesce_for_exchange(
+            joined.map_batches(partial, batch_format="pyarrow")
+        )
+        .groupby("range_key")
+        .aggregate(Sum("n_events"), Sum("sum_value_c"))
+        .rename_columns(
+            {
+                "sum(n_events)": "n_events",
+                "sum(sum_value_c)": "sum_value_c",
+            }
+        )
+    )
+
+
 def _q_shuffle_export(sf_dir: str):
     """Deterministic training shuffle + sharding
     (functions/sampling.py::shuffle_shards): md5 permutation of the
@@ -1858,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": _q_quality_topk,
         "shuffle_export": _q_shuffle_export,
         "range_band": _q_range_band,
+        "range_band_partitioned": _q_range_band_partitioned,
         "normalize_text": _q_normalize_text,
         "word_topk": _q_word_topk,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2761,6 +2814,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "range_band": """
+            WITH r AS (
+                SELECT i*25 AS lo, i*25 + 18 AS hi,
+                       'band-' || lpad(CAST(i AS VARCHAR), 2, '0')
+                           AS range_key
+                FROM range(40) t(i)),
+            j AS (
+                SELECT r.range_key,
+                       CAST(floor(e.value*100 + 0.5) AS BIGINT) AS value_c
+                FROM events e
+                JOIN r ON e.value >= r.lo AND e.value < r.hi)
+            SELECT range_key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(value_c) AS BIGINT) AS sum_value_c
+            FROM j GROUP BY range_key
+        """,
+        "range_band_partitioned": """
             WITH r AS (
                 SELECT i*25 AS lo, i*25 + 18 AS hi,
                        'band-' || lpad(CAST(i AS VARCHAR), 2, '0')

@@ -45,6 +45,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 __all__ = [
     "broadcast_join",
     "range_join_broadcast",
+    "range_join_partitioned",
     "pricing_summary",
     "top_revenue_orders",
     "events_tumbling_window",
@@ -124,6 +125,108 @@ def range_join_broadcast(
         return out
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def range_join_partitioned(
+    ds: ray.data.Dataset,
+    ranges: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    key_col: str = "range_key",
+    bin_width: float = 100.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The big-range-side variant of ``range_join_broadcast``: when the
+    range table is too large to broadcast (100M IP blocks), co-locate
+    rows and ranges by value bin instead. Bin ``floor(value /
+    bin_width)``; every range replicates to each bin it overlaps
+    (choose bin_width >= typical range width so replication stays
+    ~1x); ONE coarse exchange on ``bin % n_buckets`` brings each row
+    together with every range that could contain it, and the in-bucket
+    probe is the same sorted searchsorted. Disjointness makes the
+    nearest-lo candidate the only possible container, so presence of
+    unrelated bins' ranges in a shared bucket cannot mis-join.
+
+    Inner semantics (matched rows only). Output matches
+    ``range_join_broadcast(how='inner')`` row-for-row — pinned by
+    test.
+    """
+    r = ranges.sort_values(lo_col).reset_index(drop=True)
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if len(r) > 1 and not (hi[:-1] <= lo[1:]).all():
+        raise ValueError("ranges overlap; range joins need disjoint ranges")
+    # replicate each range to its overlapped bins (driver-side: the
+    # range table is the SMALLER side even when too big to broadcast
+    # per-task; at true 100M-range scale this expansion itself becomes
+    # a map_batches over a ranges Dataset — same math, same exchange)
+    rep_rows = []
+    for lo_v, hi_v, k in zip(lo, hi, r[key_col].to_numpy()):
+        b0 = int(np.floor(lo_v / bin_width))
+        b1 = int(np.floor(np.nextafter(hi_v, -np.inf) / bin_width))
+        for b in range(b0, b1 + 1):
+            rep_rows.append((b % n_buckets, lo_v, hi_v, k))
+    rep = pd.DataFrame(
+        rep_rows, columns=["_bucket", lo_col, hi_col, key_col]
+    ).astype({lo_col: "float64", hi_col: "float64", "_bucket": "int64"})
+
+    row_schema = ds.schema()
+    row_schema_cols = list(row_schema.names)
+    row_types = dict(zip(row_schema.names, row_schema.types))
+    # one explicit unioned schema: row cols (native types) + range cols
+    union_cols = row_schema_cols + [lo_col, hi_col, key_col, "_bucket", "_side"]
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        n = batch.num_rows
+        batch = batch.append_column(lo_col, pa.nulls(n, pa.float64()))
+        batch = batch.append_column(hi_col, pa.nulls(n, pa.float64()))
+        batch = batch.append_column(key_col, pa.nulls(n, pa.string()))
+        batch = batch.append_column("_bucket", pa.array(bins % n_buckets))
+        batch = batch.append_column(
+            "_side", pa.array(np.zeros(n, dtype=np.int8))
+        )
+        return batch.select(union_cols)
+
+    def pad_ranges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        for c in row_schema_cols:
+            if c not in batch.schema.names:
+                batch = batch.append_column(c, pa.nulls(n, row_types[c]))
+        return batch.select(union_cols)
+
+    ranges_ds = ray.data.from_pandas(rep.assign(_side=np.int8(1)))
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group[group["_side"] == 0]
+        rr = (
+            group[group["_side"] == 1][[lo_col, hi_col, key_col]]
+            .drop_duplicates(subset=[lo_col])
+            .sort_values(lo_col)
+        )
+        if not len(rows) or not len(rr):
+            return pd.DataFrame(
+                columns=row_schema_cols + [key_col]
+            )
+        l = rr[lo_col].to_numpy()
+        h = rr[hi_col].to_numpy()
+        k = rr[key_col].to_numpy()
+        v = rows[value_col].to_numpy()
+        idx = np.searchsorted(l, v, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        ok = (idx >= 0) & (v < h[safe]) & (v >= l[safe])
+        out = rows.loc[ok, row_schema_cols].copy()
+        out[key_col] = k[safe[ok]]
+        return out
+
+    unioned = ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        ranges_ds.map_batches(pad_ranges, batch_format="pyarrow")
+    )
+    return unioned.groupby("_bucket").map_groups(
+        probe, batch_format="pandas"
+    )
 
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:

@@ -612,3 +612,51 @@ class TestRangeJoinBroadcast:
             range_join_broadcast(
                 ray_session.data.range(1), bad, value_col="id"
             )
+
+
+class TestRangeJoinPartitioned:
+    def test_matches_broadcast_path(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.relational import (
+            range_join_broadcast,
+            range_join_partitioned,
+        )
+
+        rng = np.random.RandomState(11)
+        vals = (rng.rand(2000) * 1000).round(3)
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(2000), pa.int64()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        ).repartition(6)
+        # irregular disjoint ranges with gaps, some spanning bins
+        ranges = pd.DataFrame(
+            {
+                "lo": [0, 40, 95, 210, 420, 430, 700],
+                "hi": [30, 90, 205, 400, 428, 650, 1000],
+                "range_key": list("abcdefg"),
+            }
+        )
+        want = (
+            range_join_broadcast(ds, ranges, value_col="value")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            range_join_partitioned(
+                ds, ranges, value_col="value", bin_width=100.0, n_buckets=8
+            )
+            .to_pandas()[["event_id", "value", "range_key"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert list(want["event_id"]) == list(got["event_id"])
+        assert list(want["range_key"]) == list(got["range_key"])
+        assert len(want) > 100  # the test actually joined things
