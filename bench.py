@@ -126,6 +126,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "word_topk",
             "sessionize",
             "asof_orders",
+            "dup_ngram_spans",
+            "quality_topk",
+            "range_band",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -65,3 +65,36 @@ class TestSelectTopK:
         df = pd.DataFrame({"doc_id": range(4), "score": [-5, -1, -3, -1]})
         got = set(select_top_k_global(ds, k=2).to_pandas().doc_id)
         assert got == _rank_keep(df, 2)
+
+
+class TestDriverBoundedness:
+    def test_driver_collects_only_histogram_and_boundary_cell(
+        self, ray_session, monkeypatch
+    ):
+        """The driver may receive the (score x salt_byte) histogram
+        and the one boundary cell's members — never anything
+        corpus-proportional."""
+        import ray.data
+
+        n, k = 5000, 1234
+        scores = [i % 30 for i in range(n)]
+        ds = _ds(ray_session, scores)
+
+        collected = []
+        orig = ray.data.Dataset.to_pandas
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "to_pandas",
+            lambda self, *a, **kw: collected.append(orig(self, *a, **kw))
+            or collected[-1],
+        )
+        out = select_top_k_global(ds, k=k)
+        # driver collects during planning: histogram (+ boundary cell)
+        assert 1 <= len(collected) <= 2
+        assert len(collected[0]) <= 30 * 256  # histogram cells
+        if len(collected) == 2:
+            # boundary cell: one score value, one salt byte — of the
+            # ~167 docs per score, ~1/256 land in the cell; allow wide
+            # slack but forbid corpus-proportional sizes
+            assert len(collected[1]) < n / 10
+        assert out.count() == k
