@@ -306,23 +306,43 @@ def _verify_side_cached(side_ref, id_col: str, text_col: str) -> dict:
 # ------------------------------------------------- duplicate ngram spans
 
 
-def _ngram_hashes(text: str, n: int) -> np.ndarray:
-    """md5-low-64 of each word n-gram position (uint64[len(words)-n+1],
-    empty when the doc has fewer than n words). Same feature hash as
-    simhash64 (DuckDB ``md5_number_lower``), though the span oracle
-    groups on the ngram STRING so the hash needn't be SQL-replayed."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < n:
-        return np.empty(0, dtype=np.uint64)
-    grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:16], "little")
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(words) - n + 1,
-    )
+# position-weight base for the rolling n-gram combine (odd 64-bit)
+_NGRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _batch_ngram_hashes(texts: list, n: int) -> list[np.ndarray]:
+    """Per-doc uint64 n-gram position hashes for a whole batch.
+
+    ONE vectorized ``pandas.util.hash_array`` call hashes every word
+    in the batch (SipHash at C speed — the per-ngram md5 loop this
+    replaced cost ~25 s of worker CPU per 16M positions), then each
+    doc's n-gram hash is a position-weighted uint64 polynomial over a
+    sliding window of its word hashes. The span oracle groups on the
+    n-gram STRING, so the hash only needs to be deterministic and
+    collision-sparse (64-bit — ~1e-5 collision odds at 16M distinct
+    n-grams), not SQL-replayable."""
+    import pandas as pd
+
+    per_doc_words = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    flat = [w for ws in per_doc_words for w in ws]
+    if flat:
+        wh = pd.util.hash_array(np.array(flat, dtype=object))
+    else:
+        wh = np.empty(0, dtype=np.uint64)
+    powers = _NGRAM_P ** np.arange(n, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for ws in per_doc_words:
+        m = len(ws)
+        if m < n:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(
+                wh[pos : pos + m], n
+            )
+            out.append((win * powers).sum(axis=1, dtype=np.uint64))
+        pos += m
+    return out
 
 
 def dup_ngram_span_stats(
@@ -356,19 +376,18 @@ def dup_ngram_span_stats(
         ids_out: list[np.ndarray] = []
         hs_out: list[np.ndarray] = []
         cnt_out: list[np.ndarray] = []
-        for i, t in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            hs = _ngram_hashes(t or "", n).view(np.int64)
+        per_doc = _batch_ngram_hashes(batch[text_col].to_pylist(), n)
+        for i, hs64 in zip(batch[id_col].to_pylist(), per_doc):
+            hs = hs64.view(np.int64)
             if len(hs) == 0:
-                # per-doc sentinel (negative: md5-low-63 view can't
-                # produce it after the &-mask below) keeps empty docs
-                # in the output with zero counts
+                # per-doc sentinel (negative: the &-masked hashes below
+                # can't produce it) keeps empty docs in the output with
+                # zero counts
                 ids_out.append(np.array([i], dtype=np.int64))
                 hs_out.append(np.array([-1 - (i % 1024)], dtype=np.int64))
                 cnt_out.append(np.zeros(1, dtype=np.int64))
                 continue
-            hs &= np.int64(0x7FFFFFFFFFFFFFFF)
+            hs = hs & np.int64(0x7FFFFFFFFFFFFFFF)
             uh, c = np.unique(hs, return_counts=True)
             ids_out.append(np.full(len(uh), i, dtype=np.int64))
             hs_out.append(uh)
