@@ -120,3 +120,26 @@ class TestRayLane:
         out = E._q_c4_filters(SF).to_pandas()
         assert len(out) > 0
         assert (out["n_kept"] <= out["n_lines"]).all()
+
+
+class TestBatchScalarEquivalence:
+    def test_vectorized_batch_matches_scalar(self):
+        from pdf_extractor_ray.functions.webclean import canonicalize_batch
+
+        urls = [
+            "HTTPS://A.com:443/Path#f",
+            "http://b.com:80/",
+            "http://b.com:8080/x?a=1&utm_x=2&b=3",
+            "https://c.com",
+            "https://c.com/?utm_only=1",
+            "not a url",
+            "",
+            None,
+            "ftp://files.example.com:21/pub",
+            "https://d.com/x?fbclid=1&FBCLID=2&gclid&a==b&&z=9#frag",
+            "http://e.com/percent%20path?q=%20v",
+        ]
+        t = pa.table({"url": pa.array(urls, pa.string())})
+        got = canonicalize_batch(t)["canon_url"].to_pylist()
+        want = [canonicalize_url(u) for u in urls]
+        assert got == want
