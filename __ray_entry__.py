@@ -1096,6 +1096,71 @@ def _q_range_band_partitioned(sf_dir: str):
     )
 
 
+def _q_partitioned_sink(sf_dir: str):
+    """Partitioned parquet sink round trip (the resumable-output
+    shape: one directory per partition key): write documents
+    hive-partitioned by lang, read the directory back, and emit
+    per-lang recovery proof — count, id sum, char sum, and an md5 of
+    the sorted id list. The oracle computes the same four from the
+    source table, so a lost/duplicated row or mangled text in the
+    sink path breaks the hash."""
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/graft_sink_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.utf8_length(batch["text"]),
+            }
+        ).to_pandas()
+        g = df.groupby("lang").agg(
+            ids=("doc_id", lambda s: list(s)),
+            sum_chars=("n_chars", "sum"),
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "ids": pa.array(g["ids"], pa.list_(pa.int64())),
+                "sum_chars": pa.array(
+                    g["sum_chars"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(i for lst in group["ids"] for i in lst)
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_docs": np.int64(len(ids)),
+                "sum_doc_id": np.int64(sum(ids)),
+                "sum_chars": np.int64(group["sum_chars"].sum()),
+                "ids_md5": [
+                    hashlib.md5(
+                        ",".join(str(i) for i in ids).encode()
+                    ).hexdigest()
+                ],
+            }
+        )
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _q_shuffle_export(sf_dir: str):
     """Deterministic training shuffle + sharding
     (functions/sampling.py::shuffle_shards): md5 permutation of the
@@ -1909,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_extract": _q_jsonl_extract,
         "quality_topk": _q_quality_topk,
         "shuffle_export": _q_shuffle_export,
+        "partitioned_sink": _q_partitioned_sink,
         "range_band": _q_range_band,
         "range_band_partitioned": _q_range_band_partitioned,
         "normalize_text": _q_normalize_text,
@@ -2844,6 +2910,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(value_c) AS BIGINT) AS sum_value_c
             FROM j GROUP BY range_key
+        """,
+        "partitioned_sink": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id)) AS ids_md5
+            FROM documents GROUP BY lang
         """,
         "shuffle_export": """
             WITH s AS (
