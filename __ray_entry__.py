@@ -1096,6 +1096,92 @@ def _q_range_band_partitioned(sf_dir: str):
     )
 
 
+def _q_crawl_curate(sf_dir: str):
+    """End-to-end crawl curation chain, every stage a prior
+    oracle-green operator: WARC shards -> streaming record parse ->
+    messy-url attach -> canonicalize -> exact URL-level dedup (keep
+    min doc per canonical url, full rows via the coarse-bucket
+    exchange) -> C4 line filter -> surviving (doc_id, canon_url,
+    clean_fp). The oracle replays the whole chain in one CTE stack."""
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+    from pdf_extractor_ray.functions.webclean import (
+        c4_stats_batch,
+        canonicalize,
+    )
+    from pdf_extractor_ray.sources.warc import read_warc
+
+    recs = read_warc(_warc_dir(sf_dir), warc_types=("response",))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["url"], r"/doc/(?P<id>\d+)$"), "id"
+            ),
+            pa.int64(),
+        ).to_pylist()
+        texts = [
+            (b or b"").decode("utf-8") for b in batch["body"].to_pylist()
+        ]
+        urls = []
+        for i in ids:
+            b, v = i % 50, i % 5
+            if v == 0:
+                u = f"HTTPS://Site-{b}.Example.COM/a/{b}"
+            elif v == 1:
+                u = f"https://site-{b}.example.com:443/a/{b}"
+            elif v == 2:
+                u = f"https://site-{b}.example.com/a/{b}?utm_source=rss&id={b}"
+            elif v == 3:
+                u = f"https://site-{b}.example.com/a/{b}#section-2"
+            else:
+                u = f"http://site-{b}.example.com:80/a/{b}?fbclid=abc"
+            urls.append(u)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    rows = canonicalize(recs.map_batches(parse, batch_format="pyarrow"))
+    # exact_dedup keys on its text_col's md5 — the canonical url here —
+    # and keeps the min-id FULL row per key via the bucket exchange
+    kept = exact_dedup(rows, text_col="canon_url")
+
+    def c4_pass(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        relined = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = (t or "").replace(" table ", ".\n")
+            if i % 97 == 0:
+                t += "\nlorem ipsum dolor"
+            if i % 89 == 0:
+                t += "\nif (x) { return; }"
+            relined.append(t)
+        stats = c4_stats_batch(
+            pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": pa.array(relined, pa.string()),
+                }
+            )
+        )
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canon_url": batch["canon_url"],
+                "clean_fp": stats["clean_fp"],
+                "c4_keep": stats["c4_keep"],
+            }
+        )
+        return out.filter(pc.equal(out["c4_keep"], True)).drop_columns(
+            ["c4_keep"]
+        )
+
+    return kept.map_batches(c4_pass, batch_format="pyarrow")
+
+
 def _q_partitioned_sink(sf_dir: str):
     """Partitioned parquet sink round trip (the resumable-output
     shape: one directory per partition key): write documents
@@ -1975,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": _q_quality_topk,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
+        "crawl_curate": _q_crawl_curate,
         "range_band": _q_range_band,
         "range_band_partitioned": _q_range_band_partitioned,
         "normalize_text": _q_normalize_text,
@@ -2910,6 +2997,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(value_c) AS BIGINT) AS sum_value_c
             FROM j GROUP BY range_key
+        """,
+        "crawl_curate": """
+            WITH u AS (
+              SELECT doc_id, text,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'HTTPS://Site-' || (doc_id % 50)
+                                   || '.Example.COM/a/' || (doc_id % 50)
+                       WHEN 1 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com:443/a/' || (doc_id % 50)
+                       WHEN 2 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '?utm_source=rss&id=' || (doc_id % 50)
+                       WHEN 3 THEN 'https://site-' || (doc_id % 50)
+                                   || '.example.com/a/' || (doc_id % 50)
+                                   || '#section-2'
+                       ELSE 'http://site-' || (doc_id % 50)
+                            || '.example.com:80/a/' || (doc_id % 50)
+                            || '?fbclid=abc'
+                     END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, text,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query
+              FROM u),
+            c AS (
+              SELECT doc_id, text, scheme || '://' ||
+                CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END ||
+                CASE WHEN path = '' THEN '/' ELSE path END ||
+                CASE WHEN COALESCE(array_to_string(
+                  list_filter(string_split(query, '&'),
+                    x -> NOT (x = ''
+                              OR starts_with(lower(split_part(x, '=', 1)),
+                                             'utm_')
+                              OR lower(split_part(x, '=', 1)) IN
+                                 ('fbclid','gclid','msclkid','mc_eid',
+                                  'igshid'))),
+                  '&'), '') = '' THEN ''
+                ELSE '?' || array_to_string(
+                  list_filter(string_split(query, '&'),
+                    x -> NOT (x = ''
+                              OR starts_with(lower(split_part(x, '=', 1)),
+                                             'utm_')
+                              OR lower(split_part(x, '=', 1)) IN
+                                 ('fbclid','gclid','msclkid','mc_eid',
+                                  'igshid'))),
+                  '&') END AS canon_url
+              FROM p),
+            s AS (
+              SELECT doc_id, text, canon_url,
+                     row_number() OVER (PARTITION BY canon_url
+                                        ORDER BY doc_id) AS rn
+              FROM c),
+            m AS (
+              SELECT doc_id, canon_url,
+                     replace(text, ' table ', '.' || chr(10))
+                     || CASE WHEN doc_id % 97 = 0
+                             THEN chr(10) || 'lorem ipsum dolor'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 89 = 0
+                             THEN chr(10) || 'if (x) { return; }'
+                             ELSE '' END AS t
+              FROM s WHERE rn = 1),
+            l AS (SELECT doc_id, canon_url, t,
+                         string_split(t, chr(10)) AS lines FROM m),
+            k AS (SELECT doc_id, canon_url, t,
+                         list_filter(lines,
+                           x -> regexp_matches(x, '[.!?"][ \\t\\r\\f\\x0b]*$')
+                                AND len(regexp_extract_all(x,
+                                        '[^ \\t\\r\\f\\x0b]+')) >= 5) AS kept
+                  FROM l)
+            SELECT doc_id, canon_url,
+                   md5(COALESCE(array_to_string(kept, chr(10)), ''))
+                       AS clean_fp
+            FROM k
+            WHERE len(kept) >= 3
+              AND NOT contains(lower(t), 'lorem ipsum')
+              AND NOT contains(t, '{')
         """,
         "partitioned_sink": """
             SELECT lang,
