@@ -308,6 +308,16 @@ def extract_from_markdown_text(
     i = 0
     blank_run = 0  # blank lines seen since the last content line
 
+    # Current blank-free paragraph run inside text_content — a setext
+    # underline promotes exactly this run (commonmark binds the
+    # underline to the whole preceding paragraph, and markdown-it hands
+    # the reference its full multi-line inline content).
+    para_start_idx = 0  # index in text_content where the run began
+    para_start_lineno = 0  # 1-based source line of the run's first line
+    para_prev_last = 0  # text_last_line before the run began
+    hr_break_pending = False  # a thematic break ends the paragraph
+    # without flushing text (the reference walk has no hr branch)
+
     in_table = False
     table_lines: list[str] = []
     table_start_line = 0
@@ -456,6 +466,7 @@ def extract_from_markdown_text(
                 emit_table(table_lines, table_start_line, lineno - 1)
                 in_table = False
                 table_lines = []
+            hr_break_pending = True
             i += 1
             continue
 
@@ -514,12 +525,14 @@ def extract_from_markdown_text(
             else None
         )
 
-        # setext heading: a prose line underlined by === (h1) or ---
+        # setext heading: a paragraph underlined by === (h1) or ---
         # (h2) on the very next line (commonmark; markdown-it emits
-        # heading_open h1/h2 for it). Simplification vs commonmark: a
-        # MULTI-line paragraph flushes its earlier lines as text and
-        # only the underlined line becomes the heading
-        # (tests/test_commonmark_parity.py documents this).
+        # heading_open h1/h2 for it). The underline binds to the WHOLE
+        # preceding blank-free paragraph run — markdown-it hands the
+        # reference a multi-line inline content whose soft breaks
+        # clean_section_title then drops (category-C strip,
+        # markdown_extractor.py:116-140), so 'l1\nl2\n===' titles as
+        # 'l1l2' here exactly as it does there.
         if (
             not marker_style
             and item is None
@@ -530,9 +543,21 @@ def extract_from_markdown_text(
         ):
             nxt = lines[i + 1].strip()
             if nxt and nxt[0] in "=-" and _SETEXT_RE.match(nxt):
+                continues_para = (
+                    text_content and not prev_blank and not hr_break_pending
+                )
+                if continues_para:
+                    para = text_content[para_start_idx:]
+                    del text_content[para_start_idx:]
+                    text_last_line = para_prev_last
+                    title = "\n".join(para + [stripped])
+                    start = para_start_lineno
+                else:
+                    title = stripped
+                    start = lineno
                 flush_text()
                 emit_heading(
-                    stripped, 1 if nxt[0] == "=" else 2, lineno, lineno + 1
+                    title, 1 if nxt[0] == "=" else 2, start, lineno + 1
                 )
                 i += 2
                 continue
@@ -542,6 +567,11 @@ def extract_from_markdown_text(
             text_start_line = lineno
         elif gap_flushed:
             text_start_line = lineno
+        if not text_content or prev_blank or hr_break_pending:
+            para_start_idx = len(text_content)
+            para_start_lineno = lineno
+            para_prev_last = text_last_line
+        hr_break_pending = False
         text_content.append(content_line)
         text_last_line = lineno
         i += 1

@@ -6,13 +6,16 @@ code, nested blockquotes, thematic breaks.
 
 Documented deviations from full commonmark (each asserted below so a
 future change is caught):
-  - a MULTI-line paragraph followed by a setext underline flushes its
-    earlier lines as text and promotes only the underlined line to the
-    heading (commonmark promotes the whole paragraph);
   - a 4-space-indented line that directly continues a paragraph stays
     text (commonmark agrees: indented code cannot interrupt a
     paragraph), and a blank-separated indented run inside a loose list
     becomes code (commonmark keeps it list content).
+
+A multi-line paragraph followed by a setext underline promotes the
+WHOLE paragraph into the heading (commonmark / markdown-it inline
+content), whose soft breaks clean_section_title's category-C strip
+then drops — 'l1\nl2\n===' titles as 'l1l2', byte-identical to the
+reference's clean_section_title (markdown_extractor.py:116-140).
 """
 
 from pdf_extractor_ray.kernel.markdown_extract import (
@@ -46,9 +49,30 @@ class TestSetextHeadings:
         els = extract_from_markdown_text("Top\n===\n\nchild text")
         assert els[1]["section_path"] == ["1. Top"]
 
-    def test_deviation_multiline_paragraph_promotes_last_line_only(self):
-        # commonmark would promote "l1\nl2" wholly into the heading
-        assert tc("l1\nl2\n===") == [("text", "l1"), ("heading", "1. l2")]
+    def test_multiline_paragraph_promotes_whole_paragraph(self):
+        # commonmark promotes "l1\nl2" wholly into the heading; the
+        # newline drops in clean_section_title's category-C strip
+        assert tc("l1\nl2\n===") == [("heading", "1. l1l2")]
+
+    def test_blank_line_bounds_the_promoted_paragraph(self):
+        # a blank line ends the paragraph: only "l2" underlines
+        assert tc("p\n\nl2\n===") == [("text", "p"), ("heading", "1. l2")]
+
+    def test_hr_bounds_the_promoted_paragraph(self):
+        # a thematic break ends the paragraph WITHOUT flushing text
+        # (reference walk has no hr branch) — the pre-break text then
+        # flushes when the heading does
+        assert tc("a\n***\nb\n===") == [("text", "a"), ("heading", "1. b")]
+
+    def test_promoted_paragraph_spans_merged_gap_correctly(self):
+        # one blank merges paragraphs into one text element (flush gap
+        # is >= 2), but the setext underline still binds only to the
+        # blank-free run it terminates
+        assert tc("keep\n\nl1\nl2\n===\n\nbody") == [
+            ("text", "keep"),
+            ("heading", "1. l1l2"),
+            ("text", "body"),
+        ]
 
 
 class TestThematicBreaks:
