@@ -646,6 +646,19 @@ def _q_value_quantiles(sf_dir: str):
     return exact_quantiles(events, qs=(0.5, 0.9))
 
 
+def _q_quantiles_sampled(sf_dir: str):
+    """Sampled-quantile sketch path (deterministic 10% hash sample ->
+    exact histogram quantiles on the sample). Approximate vs the full
+    data (pinned in tests) but bit-deterministic, so the oracle replays
+    the identical sample in SQL and matches exactly."""
+    from pdf_extractor_ray.functions.sketches import sampled_quantiles
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return sampled_quantiles(events, qs=(0.5, 0.9), pct=10)
+
+
 def _q_distinct_users(sf_dir: str):
     from pdf_extractor_ray.functions.relational import distinct_users_per_type
 
@@ -2089,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
+        "quantiles_sampled": _q_quantiles_sampled,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "brand_topk": _q_brand_topk,
@@ -2640,6 +2654,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.9)
                        AS p90_c
             FROM events GROUP BY event_type
+        """,
+        "quantiles_sampled": """
+            WITH s AS (
+                SELECT event_type, value FROM events
+                WHERE (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100) < 10
+            )
+            SELECT event_type,
+                   quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5)
+                       AS p50_c,
+                   quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.9)
+                       AS p90_c
+            FROM s GROUP BY event_type
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

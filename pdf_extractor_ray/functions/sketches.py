@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["hll_distinct_per_key", "hll_estimate"]
+__all__ = ["hll_distinct_per_key", "hll_estimate", "sampled_quantiles"]
 
 _P = 12           # 2^12 = 4096 registers, ~1.6% standard error
 _M = 1 << _P
@@ -108,4 +108,38 @@ def hll_distinct_per_key(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(merge, batch_format="pandas")
+    )
+
+
+def sampled_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    qs: tuple = (0.5, 0.9),
+    pct: int = 10,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles from a deterministic hash sample.
+
+    The scale path for UNBOUNDED-cardinality values, where
+    ``exact_quantiles``' value-histogram exchange grows with the number
+    of distinct values: sample ~``pct``% of rows by id hash (pure
+    per-row predicate, shuffle-free, reproducible across runs/engines —
+    ``sampling.hash_sample``), then run the exact histogram quantiles
+    on the sample. Error is the usual order-statistic sampling bound
+    (~1/sqrt(pct% * n) quantile deviation), while the exchange carries
+    only the SAMPLE's value cardinality.
+
+    Because membership is (salt, id)-pure — never RNG or order — the
+    result is bit-deterministic, so the driver oracle can replay the
+    identical sample in SQL and match exactly; accuracy vs the full
+    data is pinned separately in tests.
+    """
+    from .relational import exact_quantiles
+    from .sampling import hash_sample
+
+    sample = hash_sample(ds, pct=pct, id_col=id_col, salt=salt)
+    return exact_quantiles(
+        sample, value_col=value_col, group_col=group_col, qs=qs
     )

@@ -660,3 +660,73 @@ class TestRangeJoinPartitioned:
         assert list(want["event_id"]) == list(got["event_id"])
         assert list(want["range_key"]) == list(got["range_key"])
         assert len(want) > 100  # the test actually joined things
+
+
+class TestSampledQuantiles:
+    def test_tracks_exact_quantiles_within_rank_tolerance(self, ray_session):
+        """The statistically right check: a sampled q-quantile must land
+        between the exact (q-eps) and (q+eps) quantiles, eps from the
+        binomial order-statistic bound ~2*sqrt(q(1-q)/m) for a sample
+        of m rows. Runs at sf0.01 so per-type samples are large enough
+        for the bound to be meaningful (VALUE-distance bounds are the
+        wrong test — they depend on local density)."""
+        import duckdb
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.sketches import sampled_quantiles
+
+        sf = "/root/testdata/sf0.01"
+        events = ray.data.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        got = _to_pandas(
+            sampled_quantiles(events, qs=(0.5, 0.9), pct=20)
+        ).set_index("event_type")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet')"
+        )
+        want = con.execute(
+            "SELECT event_type, count(*) AS n, "
+            "quantile_disc(CAST(floor(value*100+0.5) AS BIGINT), "
+            "  [0.35, 0.5, 0.65, 0.78, 0.9, 0.97]) AS qv "
+            "FROM events GROUP BY event_type"
+        ).df().set_index("event_type")
+        assert set(got.index) == set(want.index)
+        for et in want.index:
+            lo35, _, hi65, lo78, _, hi97 = [int(v) for v in want.loc[et, "qv"]]
+            assert lo35 <= int(got.loc[et, "p50_c"]) <= hi65, (
+                et, "p50", int(got.loc[et, "p50_c"]), lo35, hi65,
+            )
+            assert lo78 <= int(got.loc[et, "p90_c"]) <= hi97, (
+                et, "p90", int(got.loc[et, "p90_c"]), lo78, hi97,
+            )
+
+    def test_sample_quantiles_match_duck_replay_exactly(self, ray_session):
+        """Bit-determinism: DuckDB replaying the identical hash sample
+        must agree EXACTLY (the property the driver oracle relies on)."""
+        import ray.data
+
+        from pdf_extractor_ray.functions.sketches import sampled_quantiles
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        got = _canon(_to_pandas(sampled_quantiles(events, qs=(0.5, 0.9), pct=10)))
+        want = _canon(
+            _duck()
+            .execute(
+                "WITH s AS (SELECT event_type, value FROM events "
+                "WHERE (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT "
+                "% 100) < 10) "
+                "SELECT event_type, "
+                "quantile_disc(CAST(floor(value*100+0.5) AS BIGINT), 0.5) AS p50_c, "
+                "quantile_disc(CAST(floor(value*100+0.5) AS BIGINT), 0.9) AS p90_c "
+                "FROM s GROUP BY event_type"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want)
