@@ -63,12 +63,18 @@ def _slim_element(element: dict[str, Any]) -> dict[str, Any]:
     shapes) serialize without special-casing."""
     content = element["content"]
     meta = element.get("metadata", {})
+    tc = element.get("token_count")
+    if tc is None:
+        # only recount when the envelope didn't carry a count —
+        # dict.get's default evaluates eagerly, which silently doubled
+        # the per-element tokenization cost (14% of kernel wall)
+        tc = token_count(content)
     return {
         "type": element["type"],
         "content": content,
         "page": element.get("page", meta.get("page", 1)),
         "line_span": list(element.get("line_span", (0, 0))),
-        "token_count": element.get("token_count", token_count(content)),
+        "token_count": tc,
         "section_id": element.get("section_id", ""),
         "section_path": list(element.get("section_path", ())),
         "section_hash_path": list(element.get("section_hash_path", ())),
