@@ -68,6 +68,36 @@ _HR_RE = re.compile(r"^(?:-\s*){3,}$|^(?:\*\s*){3,}$|^(?:_\s*){3,}$")
 _BLOCKQUOTE_RE = re.compile(r"^(?:>\s?)+")
 _INDENT_CODE_RE = re.compile(r"^(?:    |\t)(.*)$")
 
+
+def _indent_width(line: str) -> int:
+    """Leading-indent width in columns (commonmark tab stop = 4)."""
+    w = 0
+    for ch in line:
+        if ch == " ":
+            w += 1
+        elif ch == "\t":
+            w += 4 - (w % 4)
+        else:
+            break
+    return w
+
+
+def _strip_indent_cols(line: str, cols: int) -> str:
+    """Remove ``cols`` columns of leading indentation."""
+    w = 0
+    i = 0
+    for ch in line:
+        if w >= cols:
+            break
+        if ch == " ":
+            w += 1
+        elif ch == "\t":
+            w += 4 - (w % 4)
+        else:
+            break
+        i += 1
+    return line[i:]
+
 # Paired inline emphasis/code markers, stripped by the marker-style
 # path (marker's JSON blocks carry plain text + style spans; the
 # markers never reach its element texts — marker_processor.py).
@@ -318,6 +348,14 @@ def extract_from_markdown_text(
     hr_break_pending = False  # a thematic break ends the paragraph
     # without flushing text (the reference walk has no hr branch)
 
+    # Active list context: content column of the most recent list item
+    # (None outside lists). Inside a list, commonmark moves the
+    # indented-code threshold to content-col + 4 — a 4-space line after
+    # a blank is a PARAGRAPH of the loose item, not code — and
+    # markdown-it hands the reference that paragraph's inline content,
+    # which the <2-line-gap rule then merges into the item's text.
+    list_ctx: int | None = None
+
     in_table = False
     table_lines: list[str] = []
     table_start_line = 0
@@ -359,20 +397,29 @@ def extract_from_markdown_text(
         # code element after flushing text (markdown_extractor.py:524).
         # Checked before the first-char dispatch — '    # x' is code,
         # not a heading, and an indented fence/table line is code too.
+        # Inside a list the threshold is content-col + 4 (commonmark);
+        # below it the line falls through to the text path as a
+        # paragraph of the loose item.
+        code_strip = 4 if list_ctx is None else list_ctx + 4
         if (
             not marker_style
             and (prev_blank or not text_content)
             and not in_table
             and _INDENT_CODE_RE.match(raw)
+            and _indent_width(raw) >= code_strip
         ):
             flush_text()
             start = lineno
             code_lines = []
             while i < n and (
-                not lines[i].strip() or _INDENT_CODE_RE.match(lines[i])
+                not lines[i].strip()
+                or _indent_width(lines[i]) >= code_strip
             ):
-                m = _INDENT_CODE_RE.match(lines[i])
-                code_lines.append(m.group(1) if m else "")
+                code_lines.append(
+                    _strip_indent_cols(lines[i], code_strip)
+                    if lines[i].strip()
+                    else ""
+                )
                 i += 1
             while code_lines and not code_lines[-1].strip():
                 code_lines.pop()
@@ -408,6 +455,7 @@ def extract_from_markdown_text(
                 emit_table(table_lines, table_start_line, lineno - 1)
                 in_table = False
                 table_lines = []
+            list_ctx = None
             marker, info = fence.group(1), fence.group(2).strip()
             code_lines: list[str] = []
             start = lineno
@@ -439,6 +487,7 @@ def extract_from_markdown_text(
                 in_table = False
                 table_lines = []
             current_page = int(page_match.group(1))
+            list_ctx = None
             i += 1
             continue
 
@@ -450,6 +499,7 @@ def extract_from_markdown_text(
                 emit_table(table_lines, table_start_line, lineno - 1)
                 in_table = False
                 table_lines = []
+            list_ctx = None
             emit_heading(
                 heading.group(2).strip(), len(heading.group(1)), lineno, lineno
             )
@@ -467,6 +517,7 @@ def extract_from_markdown_text(
                 in_table = False
                 table_lines = []
             hr_break_pending = True
+            list_ctx = None  # a thematic break ends any open list
             i += 1
             continue
 
@@ -477,6 +528,7 @@ def extract_from_markdown_text(
                 emit_table(table_lines, table_start_line, lineno - 1)
                 in_table = False
                 table_lines = []
+            list_ctx = None
             image_data = parse_markdown_image(stripped)
             metadata = {
                 "alt": image_data["alt"] if image_data else "",
@@ -507,6 +559,7 @@ def extract_from_markdown_text(
                 in_table = True
                 table_start_line = lineno
                 table_lines = []
+                list_ctx = None
             table_lines.append(stripped)
             i += 1
             continue
@@ -556,6 +609,7 @@ def extract_from_markdown_text(
                     title = stripped
                     start = lineno
                 flush_text()
+                list_ctx = None
                 emit_heading(
                     title, 1 if nxt[0] == "=" else 2, start, lineno + 1
                 )
@@ -563,6 +617,15 @@ def extract_from_markdown_text(
                 continue
 
         content_line = item.group(2) if item else stripped
+        if item:
+            list_ctx = item.start(2)  # content column of the item
+        elif (
+            prev_blank
+            and list_ctx is not None
+            and _indent_width(raw) < list_ctx
+        ):
+            # an unindented paragraph after a blank ends the list
+            list_ctx = None
         if not text_content:
             text_start_line = lineno
         elif gap_flushed:

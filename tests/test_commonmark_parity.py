@@ -8,8 +8,13 @@ Documented deviations from full commonmark (each asserted below so a
 future change is caught):
   - a 4-space-indented line that directly continues a paragraph stays
     text (commonmark agrees: indented code cannot interrupt a
-    paragraph), and a blank-separated indented run inside a loose list
-    becomes code (commonmark keeps it list content).
+    paragraph).
+
+Inside a list the indented-code threshold moves to content-col + 4
+(commonmark): a blank-separated 4-space run after `- item` is a
+PARAGRAPH of the loose item (merged into the item's text by the
+<2-line-gap rule, as the reference's markdown-it walk would), and only
+content-col + 4 columns strip from true in-list code blocks.
 
 A multi-line paragraph followed by a setext underline promotes the
 WHOLE paragraph into the heading (commonmark / markdown-it inline
@@ -117,6 +122,42 @@ class TestIndentedCode:
     def test_interior_blank_lines_kept(self):
         out = tc("    a = 1\n\n    b = 2")
         assert out == [("code", "a = 1\n\nb = 2")]
+
+
+class TestLooseListContinuation:
+    def test_blank_separated_indented_run_is_item_paragraph(self):
+        # commonmark: 4 spaces < content-col(2) + 4 -> paragraph of the
+        # loose item; 1-line gap merges it into the item's text
+        assert tc("- item\n\n    continued") == [("text", "item\ncontinued")]
+
+    def test_six_space_run_inside_list_is_code(self):
+        out = tc("- item\n\n      code")
+        assert out == [("text", "item"), ("code", "code")]
+
+    def test_deep_indent_keeps_extra_columns(self):
+        out = tc("- item\n\n        x = 1")
+        assert out == [("text", "item"), ("code", "  x = 1")]
+
+    def test_unindented_paragraph_ends_the_list(self):
+        # 'para' after a blank at column 0 closes the list, so a later
+        # 4-space run is plain indented code again
+        out = tc("- item\n\npara\n\n    code")
+        assert out == [("text", "item\npara"), ("code", "code")]
+
+    def test_ordered_item_content_column(self):
+        # '1. ' puts content at column 3 -> threshold 7; a 4-space run
+        # stays item text, a 7-space run is code
+        assert tc("1. item\n\n    cont") == [("text", "item\ncont")]
+        out = tc("1. item\n\n       code")
+        assert out == [("text", "item"), ("code", "code")]
+
+    def test_heading_resets_list_context(self):
+        out = tc("- item\n\n# H\n\n    code")
+        assert out == [
+            ("text", "item"),
+            ("heading", "1. H"),
+            ("code", "code"),
+        ]
 
 
 class TestLazyContinuation:
