@@ -646,6 +646,41 @@ def _q_value_quantiles(sf_dir: str):
     return exact_quantiles(events, qs=(0.5, 0.9))
 
 
+def _q_crawl_refresh(sf_dir: str):
+    """Crawl-refresh compaction (last-writer-wins per url): documents
+    wear synthetic versioned urls (doc_id % 200, ~2-3 dumps' worth of
+    versions per url) and a deterministic fetch_ts; keep the newest
+    version per url via the coarse url-bucket exchange."""
+    from pdf_extractor_ray.functions.dedup import latest_version
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://example.org/page-{i % 200}" for i in ids]
+        ts = (ids * 7919) % 1000000
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": batch["doc_id"],
+                "fetch_ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    return latest_version(docs.map_batches(versions, batch_format="pyarrow"))
+
+
+def _q_inverted_index(sf_dir: str):
+    """Sharded inverted-index build: per term (df >= 5), document
+    frequency + md5 fingerprint of the sorted postings list."""
+    from pdf_extractor_ray.functions.textstats import inverted_index_summary
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return inverted_index_summary(docs, min_df=5)
+
+
 def _q_quantiles_sampled(sf_dir: str):
     """Sampled-quantile sketch path (deterministic 10% hash sample ->
     exact histogram quantiles on the sample). Approximate vs the full
@@ -2102,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
+        "crawl_refresh": _q_crawl_refresh,
+        "inverted_index": _q_inverted_index,
         "quantiles_sampled": _q_quantiles_sampled,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -2654,6 +2691,31 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.9)
                        AS p90_c
             FROM events GROUP BY event_type
+        """,
+        "crawl_refresh": """
+            WITH v AS (
+              SELECT doc_id,
+                     'https://example.org/page-' || CAST(doc_id % 200 AS VARCHAR) AS url,
+                     CAST((doc_id * 7919) % 1000000 AS BIGINT) AS fetch_ts
+              FROM documents),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY url ORDER BY fetch_ts DESC, doc_id DESC) AS rn
+              FROM v)
+            SELECT url, doc_id, fetch_ts FROM r WHERE rn = 1
+        """,
+        "inverted_index": """
+            WITH p AS (
+              SELECT DISTINCT word, doc_id FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents)),
+            a AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS df,
+                     md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                         AS postings_fp
+              FROM p GROUP BY word)
+            SELECT word, df, postings_fp FROM a WHERE df >= 5
         """,
         "quantiles_sampled": """
             WITH s AS (

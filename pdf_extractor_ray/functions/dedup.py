@@ -1025,3 +1025,42 @@ def simhash_dedup_pairs(
     # buckets, hamming equal) dedupe in a coarse pair-bucket groupby —
     # no single-partition funnel.
     return _dedupe_pairs_bucketed(cand, n_buckets=128)
+
+
+def latest_version(
+    ds: ray.data.Dataset,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Crawl-refresh compaction: keep the NEWEST row per key across
+    dumps (max ``ts_col``, ties broken by max ``id_col`` so the pick is
+    deterministic under any block layout).
+
+    The snapshot-merge step of an incremental crawl: union the
+    partitioned outputs of N dumps, then last-writer-wins per url.
+    Same shuffle shape as ``exact_dedup``: a coarse key-bucket exchange
+    (never one group per url) with a vectorized in-bucket
+    sort + drop_duplicates. One pass, one shuffle — unavoidable, the
+    output is full surviving rows.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        buckets = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+
+    def keep_newest(group):
+        g = group.sort_values(
+            [key_col, ts_col, id_col], ascending=[True, False, False]
+        )
+        return g.drop_duplicates(subset=[key_col], keep="first").drop(
+            columns=["_bucket"]
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(keep_newest, batch_format="pandas")
+    )

@@ -46,6 +46,7 @@ _WORD_RE = re.compile(r"\S+")
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
 _PUNCT_RE = re.compile(r"[^A-Za-z0-9\s]")
 _WS_RE = re.compile(r"\s+")
+_INDEX_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
@@ -410,3 +411,69 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index_summary(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    n_buckets: int = 512,
+):
+    """Sharded inverted-index build: per term, its document frequency
+    and an md5 fingerprint of the sorted postings list.
+
+    The retrieval-index shape at corpus scale: per-batch the doc->word
+    explode collapses to DISTINCT (word, doc) pairs (in-batch set, so
+    the exchange carries the batch's postings, never the token
+    stream), pairs co-locate by a coarse WORD bucket — each bucket is
+    one shard of the index, the partitioning a real postings store
+    would persist per shard — and the in-bucket merge builds each
+    term's sorted postings vectorized. Output per term: ``df`` and
+    ``postings_fp`` = md5 of the comma-joined sorted ids (the full
+    list is shard-local; only the fingerprint leaves, so the result
+    stays term-cardinality-sized). Tokenization matches word_topk:
+    ``[a-z0-9]+`` over lower(text), mirrored by the SQL oracle.
+    """
+    import hashlib
+    import zlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words_out: list[str] = []
+        ids_out: list[int] = []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for w in set(_INDEX_TOKEN_RE.findall((text or "").lower())):
+                words_out.append(w)
+                ids_out.append(did)
+        buckets = [zlib.crc32(w.encode()) % n_buckets for w in words_out]
+        return pa.table(
+            {
+                "_bucket": pa.array(buckets, pa.int64()),
+                "word": pa.array(words_out, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+            }
+        )
+
+    def build_shard(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["word", id_col]).drop_duplicates(
+            ["word", id_col]
+        )
+        agg = g.groupby("word")[id_col].agg(
+            df="size",
+            postings_fp=lambda s: hashlib.md5(
+                ",".join(str(i) for i in s).encode()
+            ).hexdigest(),
+        )
+        agg = agg.reset_index()
+        agg["df"] = agg["df"].astype("int64")
+        return agg[agg["df"] >= min_df]
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(ds.map_batches(pairs, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(build_shard, batch_format="pandas")
+    )

@@ -325,3 +325,99 @@ class TestSimhashPairs:
         assert len(got) == 1
         assert (got.iloc[0]["doc_a"], got.iloc[0]["doc_b"]) == (1, 2)
         assert got.iloc[0]["hamming"] == 0
+
+
+class TestLatestVersion:
+    def test_keeps_newest_per_key_vs_duck(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.dedup import latest_version
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+
+        def versions(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"u-{i % 20}" for i in ids], pa.string()
+                    ),
+                    "doc_id": batch["doc_id"],
+                    "fetch_ts": pa.array((ids * 7919) % 1000, pa.int64()),
+                }
+            )
+
+        got = (
+            latest_version(docs.map_batches(versions, batch_format="pyarrow"))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[["url", "doc_id", "fetch_ts"]]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            "WITH v AS (SELECT doc_id, 'u-' || CAST(doc_id % 20 AS VARCHAR) AS url, "
+            "CAST((doc_id * 7919) % 1000 AS BIGINT) AS fetch_ts FROM documents), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY url "
+            "ORDER BY fetch_ts DESC, doc_id DESC) AS rn FROM v) "
+            "SELECT url, doc_id, fetch_ts FROM r WHERE rn = 1 ORDER BY url"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestInvertedIndex:
+    def test_postings_match_duck(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import inverted_index_summary
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        got = (
+            inverted_index_summary(docs, min_df=3)
+            .to_pandas()
+            .sort_values("word")
+            .reset_index(drop=True)[["word", "df", "postings_fp"]]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            "WITH p AS (SELECT DISTINCT word, doc_id FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+            "FROM documents)), "
+            "a AS (SELECT word, CAST(count(*) AS BIGINT) AS df, "
+            "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_fp "
+            "FROM p GROUP BY word) "
+            "SELECT word, df, postings_fp FROM a WHERE df >= 3 ORDER BY word"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_duplicate_doc_word_pairs_collapse_across_batches(self, ray_session):
+        """A word appearing in the same doc in MANY batches (a doc split
+        across batch boundaries can't happen, but unioned dumps can
+        repeat rows) must count once per (word, doc)."""
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import inverted_index_summary
+
+        rows = [{"doc_id": 1, "text": "alpha beta"}] * 3 + [
+            {"doc_id": 2, "text": "alpha alpha gamma"}
+        ]
+        ds = ray.data.from_items(rows, override_num_blocks=2)
+        got = inverted_index_summary(ds, min_df=1).to_pandas()
+        by_word = got.set_index("word")["df"].to_dict()
+        assert by_word == {"alpha": 2, "beta": 1, "gamma": 1}
