@@ -1339,6 +1339,42 @@ def _q_quality_topk(sf_dir: str):
     return select_top_k_global(scored, k=n // 5)
 
 
+def _q_token_budget(sf_dir: str):
+    """Training-corpus selection under a TOKEN budget (the real
+    currency): greedy prefix in rank order (word-count score DESC,
+    md5-salted tie-break) while the running token total stays within
+    budget. Same histogram machinery as quality_topk with per-cell
+    token sums; the oracle replays the identical walk as a window
+    cumsum."""
+    from pdf_extractor_ray.functions.selection import select_token_budget
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pc.cast(
+                    pc.count_substring_regex(
+                        batch["text"], r"[^ \t\n\r\f\v]+"
+                    ),
+                    pa.int64(),
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        batch["text"], r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return select_token_budget(scored, budget=16_000)
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -2107,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "jsonl_extract": _q_jsonl_extract,
         "quality_topk": _q_quality_topk,
+        "token_budget": _q_token_budget,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
         "crawl_curate": _q_crawl_curate,
@@ -3195,6 +3232,24 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY shard
                         ORDER BY salt_hex, doc_id) - 1 AS BIGINT) AS pos
             FROM s
+        """,
+        "token_budget": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            '[^ \\t\\n\\r\\f\\x0b]+')) AS BIGINT) AS score,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT doc_id, score, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY score DESC,
+                                    md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM s)
+            SELECT doc_id, score, n_tokens FROM r WHERE cum <= 16000
         """,
         "quality_topk": """
             WITH s AS (

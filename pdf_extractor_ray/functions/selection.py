@@ -39,7 +39,7 @@ import ray.data
 
 from pdf_extractor_ray.functions.common import coalesce_for_exchange
 
-__all__ = ["select_top_k_global"]
+__all__ = ["select_top_k_global", "select_token_budget"]
 
 
 def _salt_hex(ids) -> list[str]:
@@ -146,6 +146,136 @@ def select_top_k_global(
                     (h, i) <= (ch, cid)
                     for h, i in zip(hexes, ids)
                 ]
+            )
+            mask |= in_cell & within
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def select_token_budget(
+    ds: ray.data.Dataset,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Greedy-prefix selection under a TOKEN budget: walk rows in rank
+    order (score DESC, md5(str(id)) ASC, id ASC) and keep every row
+    while the running token total (including the row) stays <= budget.
+
+    The real form of training-corpus selection — "the best N tokens",
+    not "the best N documents". Same machinery as
+    ``select_top_k_global`` with the histogram carrying per-cell TOKEN
+    sums next to counts: two streaming scans, O(distinct_scores x 256)
+    driver state, one boundary cell refined exactly. SQL-replayable as
+    ``sum(tokens) OVER (ORDER BY score DESC, md5(...), id) <= budget``
+    (the driver oracle), which is what pins the greedy-prefix
+    semantics: a later smaller doc never back-fills a skipped slot.
+    """
+    if budget <= 0:
+        # keep the schema (a filter(False) yields column-less blocks)
+        return ds.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        toks = batch[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        salts = np.array(
+            [int(h[:2], 16) for h in _salt_hex(batch[id_col].to_pylist())],
+            dtype=np.int64,
+        )
+        key = scores.astype(np.int64) * 256 + salts
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv)
+        tok = np.bincount(inv, weights=toks).astype(np.int64)
+        return pa.table(
+            {
+                "score": pa.array(uk // 256),
+                "salt_byte": pa.array(uk % 256),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "tok": pa.array(tok),
+            }
+        )
+
+    def merge_cells(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["score", "salt_byte"], as_index=False)[
+            ["cnt", "tok"]
+        ].sum()
+
+    cells = (
+        coalesce_for_exchange(ds.map_batches(hist, batch_format="pyarrow"))
+        .groupby("score")
+        .map_groups(merge_cells, batch_format="pandas")
+        .to_pandas()  # bounded: distinct_scores x 256 rows
+    )
+    if not len(cells):
+        return ds
+    cells = cells.sort_values(
+        ["score", "salt_byte"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cum_tok = cells["tok"].cumsum()
+    if budget >= int(cum_tok.iloc[-1]):
+        return ds
+    # boundary cell: the first whose cumulative tokens exceed budget
+    b = int(np.searchsorted(cum_tok.to_numpy(), budget + 1))
+    spent_before = int(cum_tok.iloc[b - 1]) if b > 0 else 0
+    b_score = int(cells.loc[b, "score"])
+    b_salt = int(cells.loc[b, "salt_byte"])
+
+    # refine inside the boundary cell: exact (salt_hex, id) walk with
+    # running token totals
+    def in_boundary(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_pylist()
+        hexes = _salt_hex(ids)
+        toks = batch[token_col].to_numpy(zero_copy_only=False)
+        mask = (scores == b_score) & np.array(
+            [int(h[:2], 16) == b_salt for h in hexes]
+        )
+        sel = np.flatnonzero(mask)
+        return pa.table(
+            {
+                "salt_hex": pa.array([hexes[j] for j in sel]),
+                id_col: pa.array([ids[j] for j in sel]),
+                "tok": pa.array(
+                    toks[sel].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    members = (
+        ds.map_batches(in_boundary, batch_format="pyarrow").to_pandas()
+    )  # expected ties/256 rows
+    members = members.sort_values(["salt_hex", id_col]).reset_index(drop=True)
+    within_cum = members["tok"].cumsum() + spent_before
+    fits = within_cum <= budget
+    if not bool(fits.any()):
+        boundary_cutoff = None  # boundary cell entirely excluded
+    else:
+        last = int(fits[fits].index[-1])
+        # greedy prefix: the FIRST overflow stops the walk — rows after
+        # it in the cell are out even if individually small
+        if not bool(fits.iloc[: last + 1].all()):
+            last = int(np.flatnonzero(~fits.to_numpy())[0]) - 1
+        if last < 0:
+            boundary_cutoff = None
+        else:
+            row = members.iloc[last]
+            boundary_cutoff = (str(row["salt_hex"]), int(row[id_col]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_pylist()
+        hexes = _salt_hex(ids)
+        salts = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+        mask = (scores > b_score) | ((scores == b_score) & (salts < b_salt))
+        if boundary_cutoff is not None:
+            ch, cid = boundary_cutoff
+            in_cell = (scores == b_score) & (salts == b_salt)
+            within = np.array(
+                [(h, i) <= (ch, cid) for h, i in zip(hexes, ids)]
             )
             mask |= in_cell & within
         return batch.filter(pa.array(mask))

@@ -98,3 +98,65 @@ class TestDriverBoundedness:
             # slack but forbid corpus-proportional sizes
             assert len(collected[1]) < n / 10
         assert out.count() == k
+
+
+def _budget_keep(df: pd.DataFrame, budget: int) -> set:
+    """Serial replay of the greedy token-budget prefix."""
+    r = df.copy()
+    r["salt"] = [hashlib.md5(str(i).encode()).hexdigest() for i in r.doc_id]
+    r = r.sort_values(
+        ["score", "salt", "doc_id"], ascending=[False, True, True]
+    )
+    kept, total = set(), 0
+    for _, row in r.iterrows():
+        if total + int(row.n_tokens) > budget:
+            break
+        total += int(row.n_tokens)
+        kept.add(int(row.doc_id))
+    return kept
+
+
+def _budget_ds(ray, scores, tokens):
+    ids = list(range(len(scores)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "n_tokens": pa.array(tokens, pa.int64()),
+            }
+        )
+    ).repartition(5)
+
+
+class TestSelectTokenBudget:
+    def test_matches_serial_replay(self, ray_session):
+        from pdf_extractor_ray.functions.selection import select_token_budget
+
+        rng = np.random.RandomState(11)
+        scores = rng.randint(0, 40, size=500).tolist()
+        tokens = rng.randint(10, 200, size=500).tolist()
+        ds = _budget_ds(ray_session, scores, tokens)
+        df = pd.DataFrame(
+            {"doc_id": range(500), "score": scores, "n_tokens": tokens}
+        )
+        for budget in (0, 137, 5000, 20000, 10**9):
+            got = select_token_budget(ds, budget=budget).to_pandas()
+            want = _budget_keep(df, budget)
+            got_ids = set(got["doc_id"]) if len(got) else set()
+            assert got_ids == want, budget
+            if len(got):
+                assert int(got["n_tokens"].sum()) <= budget
+
+    def test_all_same_score_ties_cut_by_salt_walk(self, ray_session):
+        from pdf_extractor_ray.functions.selection import select_token_budget
+
+        n = 300
+        ds = _budget_ds(ray_session, [7] * n, [50] * n)
+        df = pd.DataFrame(
+            {"doc_id": range(n), "score": [7] * n, "n_tokens": [50] * n}
+        )
+        got = select_token_budget(ds, budget=5025).to_pandas()
+        want = _budget_keep(df, 5025)
+        assert set(got.doc_id) == want
+        assert len(got) == 100  # 100 * 50 = 5000 <= 5025 < 5050
