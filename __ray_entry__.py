@@ -1375,6 +1375,20 @@ def _q_token_budget(sf_dir: str):
     return select_token_budget(scored, budget=16_000)
 
 
+def _q_bm25(sf_dir: str):
+    """Distributed BM25 retrieval for the query 'stream hash join':
+    constant-size global-stats pass (N, avgdl, per-term df), broadcast
+    scoring, per-batch top-k + tiny global merge. Scores in integer
+    milli-units; the oracle replays the identical Robertson-idf
+    formula with matching float associativity."""
+    from pdf_extractor_ray.functions.textstats import bm25_topk
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, "stream hash join", k=10)
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -2144,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_extract": _q_jsonl_extract,
         "quality_topk": _q_quality_topk,
         "token_budget": _q_token_budget,
+        "bm25": _q_bm25,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
         "crawl_curate": _q_crawl_curate,
@@ -3232,6 +3247,33 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY shard
                         ORDER BY salt_hex, doc_id) - 1 AS BIGINT) AS pos
             FROM s
+        """,
+        "bm25": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                  AS term
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM w GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT sum(dl) FROM dl) AS total_len),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM w WHERE term IN ('hash', 'join', 'stream')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)
+                                 + 1.0)
+                              * tf.tf * (1.2 + 1.0)
+                              / (tf.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.dl
+                                    / (st.total_len / st.n_docs)))) AS score
+                   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                        CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, CAST(floor(score * 1000 + 0.5) AS BIGINT) AS score_m
+            FROM sc ORDER BY score_m DESC, doc_id LIMIT 10
         """,
         "token_budget": """
             WITH s AS (

@@ -477,3 +477,115 @@ def inverted_index_summary(
         .groupby("_bucket")
         .map_groups(build_shard, batch_format="pandas")
     )
+
+
+def bm25_topk(
+    ds,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Distributed BM25 retrieval: global top-k documents for a query.
+
+    The retrieval counterpart of ``inverted_index_summary`` — the
+    two-pass global-statistic pattern ``tfidf_top_terms`` uses, with
+    the Robertson idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``:
+
+    pass 1: one streaming scan emits per-batch partials for the only
+      global stats BM25 needs — doc count, total token count (for
+      avgdl), and per-QUERY-TERM document frequencies (|query| + 2
+      rows per batch; the exchange is constant-size, never
+      vocabulary-sized).
+    pass 2: the tiny {term: df, N, avgdl} table broadcasts into a
+      stateless map_batches that scores each document locally
+      (tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) per term) and
+      keeps its batch's top-k; the k x n_batches candidate stream
+      coalesces and a global sort + limit finishes. Driver never sees
+      more than the candidate stream.
+
+    Scores are emitted as integer milli-units (floor(x*1000 + 0.5)),
+    ties broken by ascending id — the exact rank the SQL oracle
+    replays. Zero-scoring documents (no query term) are dropped.
+    """
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    terms = sorted(set(_WORD_TOKEN_RE.findall(query.lower())))
+    if not terms:
+        raise ValueError("query has no indexable terms")
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        df_counts: Counter = Counter()
+        n = batch.num_rows
+        total_len = 0
+        for t in batch[text_col].to_pylist():
+            words = _WORD_TOKEN_RE.findall((t or "").lower())
+            total_len += len(words)
+            wset = set(words)
+            for q in terms:
+                if q in wset:
+                    df_counts[q] += 1
+        keys = ["_n_docs", "_total_len"] + terms
+        vals = [n, total_len] + [df_counts.get(q, 0) for q in terms]
+        return pa.table(
+            {
+                "stat": pa.array(keys, pa.string()),
+                "value": pa.array(vals, pa.int64()),
+            }
+        )
+
+    stats = (
+        coalesce_for_exchange(
+            ds.map_batches(stat_partial, batch_format="pyarrow")
+        )
+        .groupby("stat")
+        .sum("value")
+        .to_pandas()  # |query| + 2 rows
+    )
+    stat = dict(zip(stats["stat"], stats["sum(value)"]))
+    n_docs = int(stat["_n_docs"])
+    avgdl = float(stat["_total_len"]) / n_docs
+    idf = {
+        q: math.log((n_docs - int(stat.get(q, 0)) + 0.5)
+                    / (int(stat.get(q, 0)) + 0.5) + 1.0)
+        for q in terms
+    }
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_ids: list[int] = []
+        out_scores: list[int] = []
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            words = _WORD_TOKEN_RE.findall((t or "").lower())
+            dl = len(words)
+            if not dl:
+                continue
+            tf = Counter(words)
+            score = 0.0
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            for q in terms:
+                f = tf.get(q, 0)
+                if f:
+                    score += idf[q] * f * (k1 + 1.0) / (f + norm)
+            if score > 0.0:
+                out_ids.append(did)
+                out_scores.append(int(np.floor(score * 1000 + 0.5)))
+        df = pd.DataFrame({id_col: out_ids, "score_m": out_scores})
+        df = df.sort_values(
+            ["score_m", id_col], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        coalesce_for_exchange(
+            ds.map_batches(score_batch, batch_format="pyarrow")
+        )
+        .sort(["score_m", id_col], descending=[True, False])
+        .limit(k)
+    )

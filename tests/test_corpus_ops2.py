@@ -730,3 +730,70 @@ class TestSampledQuantiles:
             .df()
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestBm25:
+    def test_matches_duck_replay(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import bm25_topk
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        got = _canon(_to_pandas(bm25_topk(docs, "stream hash join", k=10)))
+        want = _canon(
+            _duck()
+            .execute(
+                """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT sum(dl) FROM dl) AS total_len),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM w WHERE term IN ('hash', 'join', 'stream')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                              * tf.tf * (1.2 + 1.0)
+                              / (tf.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.dl / (st.total_len / st.n_docs)))) AS score
+                   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, CAST(floor(score * 1000 + 0.5) AS BIGINT) AS score_m
+            FROM sc ORDER BY score_m DESC, doc_id LIMIT 10
+            """
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_block_layout_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import bm25_topk
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        a = _canon(_to_pandas(bm25_topk(docs, "customer order", k=5)))
+        b = _canon(
+            _to_pandas(bm25_topk(docs.repartition(17), "customer order", k=5))
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_query_raises(self, ray_session):
+        import pytest as _pytest
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import bm25_topk
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        with _pytest.raises(ValueError):
+            bm25_topk(docs, "!!! ???")
