@@ -670,6 +670,37 @@ def _q_crawl_refresh(sf_dir: str):
     return latest_version(docs.map_batches(versions, batch_format="pyarrow"))
 
 
+def _q_crawl_changes(sf_dir: str):
+    """Content-change detection over synthetic revisits: 100 urls x ~5
+    fetches each (doc_id % 100), content version flips every 3rd
+    revisit (doc_id // 300), hash = md5(url:ver). Keeps first fetch +
+    changed fetches via the coarse url-bucket exchange; the oracle
+    replays the lag() window."""
+    from pdf_extractor_ray.functions.dedup import content_change_log
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def revisits(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://example.org/page-{i % 100}" for i in ids]
+        hashes = [
+            hashlib.md5(f"{u}:{i // 300}".encode()).hexdigest()
+            for u, i in zip(urls, ids)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": batch["doc_id"],
+                "fetch_ts": batch["doc_id"],
+                "text_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return content_change_log(docs.map_batches(revisits, batch_format="pyarrow"))
+
+
 def _q_inverted_index(sf_dir: str):
     """Sharded inverted-index build: per term (df >= 5), document
     frequency + md5 fingerprint of the sorted postings list."""
@@ -2190,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
         "crawl_refresh": _q_crawl_refresh,
+        "crawl_changes": _q_crawl_changes,
         "inverted_index": _q_inverted_index,
         "quantiles_sampled": _q_quantiles_sampled,
         "distinct_users": _q_distinct_users,
@@ -2755,6 +2787,24 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY url ORDER BY fetch_ts DESC, doc_id DESC) AS rn
               FROM v)
             SELECT url, doc_id, fetch_ts FROM r WHERE rn = 1
+        """,
+        "crawl_changes": """
+            WITH v AS (
+              SELECT doc_id,
+                     'https://example.org/page-' || CAST(doc_id % 100 AS VARCHAR) AS url,
+                     doc_id AS fetch_ts,
+                     md5('https://example.org/page-' || CAST(doc_id % 100 AS VARCHAR)
+                         || ':' || CAST(doc_id // 300 AS VARCHAR)) AS text_hash
+              FROM documents),
+            d AS (
+              SELECT *, lag(text_hash) OVER (
+                  PARTITION BY url ORDER BY fetch_ts, doc_id) AS prev_hash
+              FROM v)
+            SELECT url, doc_id, fetch_ts, text_hash,
+                   CASE WHEN prev_hash IS NULL THEN 'new'
+                        ELSE 'changed' END AS change_type
+            FROM d
+            WHERE prev_hash IS NULL OR text_hash <> prev_hash
         """,
         "inverted_index": """
             WITH p AS (

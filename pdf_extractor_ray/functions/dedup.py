@@ -1064,3 +1064,46 @@ def latest_version(
         .groupby("_bucket")
         .map_groups(keep_newest, batch_format="pandas")
     )
+
+
+def content_change_log(
+    ds: ray.data.Dataset,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Crawl content-change detection: per key, keep the first fetch
+    ('new') and every fetch whose content hash differs from the
+    PREVIOUS fetch ('changed'); unchanged revisits drop. The diff step
+    of incremental crawl storage — what turns N dumps of mostly-static
+    pages into a change log.
+
+    Shuffle shape: rows enter the exchange already narrowed to
+    (key, ts, id, hash); a coarse key-bucket co-locates each key's
+    history, and the in-bucket kernel is one vectorized sort + groupby
+    shift compare (never one aggregate group per key). The SQL replay
+    is the lag() window the oracle runs.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        buckets = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+
+    def diff(group):
+        g = group.sort_values([key_col, ts_col, id_col])
+        prev = g.groupby(key_col)[hash_col].shift()
+        keep = prev.isna() | (g[hash_col] != prev)
+        g = g[keep].copy()
+        g["change_type"] = np.where(
+            prev[keep].isna(), "new", "changed"
+        )
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(diff, batch_format="pandas")
+    )

@@ -421,3 +421,81 @@ class TestInvertedIndex:
         got = inverted_index_summary(ds, min_df=1).to_pandas()
         by_word = got.set_index("word")["df"].to_dict()
         assert by_word == {"alpha": 2, "beta": 1, "gamma": 1}
+
+
+class TestContentChangeLog:
+    def test_hand_case_change_types(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.dedup import content_change_log
+
+        rows = [
+            {"url": "a", "doc_id": 1, "fetch_ts": 1, "text_hash": "h1"},
+            {"url": "a", "doc_id": 2, "fetch_ts": 2, "text_hash": "h1"},  # drop
+            {"url": "a", "doc_id": 3, "fetch_ts": 3, "text_hash": "h2"},  # changed
+            {"url": "a", "doc_id": 4, "fetch_ts": 4, "text_hash": "h2"},  # drop
+            {"url": "a", "doc_id": 5, "fetch_ts": 5, "text_hash": "h1"},  # changed (back)
+            {"url": "b", "doc_id": 6, "fetch_ts": 1, "text_hash": "h9"},  # new
+        ]
+        out = (
+            content_change_log(ray.data.from_items(rows, override_num_blocks=3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 3, 5, 6]
+        assert out["change_type"].tolist() == ["new", "changed", "changed", "new"]
+
+    def test_matches_lag_window_sql(self, ray_session):
+        import hashlib
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.dedup import content_change_log
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+
+        def revisits(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            urls = [f"u-{i % 10}" for i in ids]
+            hashes = [
+                hashlib.md5(f"{u}:{i // 30}".encode()).hexdigest()
+                for u, i in zip(urls, ids)
+            ]
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "doc_id": batch["doc_id"],
+                    "fetch_ts": batch["doc_id"],
+                    "text_hash": pa.array(hashes, pa.string()),
+                }
+            )
+
+        got = (
+            content_change_log(docs.map_batches(revisits, batch_format="pyarrow"))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[
+                ["url", "doc_id", "fetch_ts", "text_hash", "change_type"]
+            ]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            "WITH v AS (SELECT doc_id, 'u-' || CAST(doc_id % 10 AS VARCHAR) AS url, "
+            "doc_id AS fetch_ts, "
+            "md5('u-' || CAST(doc_id % 10 AS VARCHAR) || ':' || CAST(doc_id // 30 AS VARCHAR)) AS text_hash "
+            "FROM documents), "
+            "d AS (SELECT *, lag(text_hash) OVER (PARTITION BY url ORDER BY fetch_ts, doc_id) AS prev_hash FROM v) "
+            "SELECT url, doc_id, fetch_ts, text_hash, "
+            "CASE WHEN prev_hash IS NULL THEN 'new' ELSE 'changed' END AS change_type "
+            "FROM d WHERE prev_hash IS NULL OR text_hash <> prev_hash ORDER BY doc_id"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
