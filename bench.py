@@ -129,6 +129,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "dup_ngram_spans",
             "quality_topk",
             "range_band",
+            "bm25",
+            "token_budget",
+            "crawl_refresh",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -548,8 +548,17 @@ def bm25_topk(
         .sum("value")
         .to_pandas()  # |query| + 2 rows
     )
-    stat = dict(zip(stats["stat"], stats["sum(value)"]))
-    n_docs = int(stat["_n_docs"])
+    stat = dict(zip(stats["stat"], stats["sum(value)"])) if len(stats) else {}
+    n_docs = int(stat.get("_n_docs", 0))
+    if n_docs == 0 or int(stat.get("_total_len", 0)) == 0:
+        # empty corpus (or all-empty texts): nothing can score
+        return ds.map_batches(
+            lambda b: pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "score_m": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
     avgdl = float(stat["_total_len"]) / n_docs
     idf = {
         q: math.log((n_docs - int(stat.get(q, 0)) + 0.5)

@@ -797,3 +797,18 @@ class TestBm25:
         )
         with _pytest.raises(ValueError):
             bm25_topk(docs, "!!! ???")
+
+
+def test_bm25_empty_corpus_returns_empty(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_extractor_ray.functions.textstats import bm25_topk
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    out = bm25_topk(empty, "stream hash join", k=5).to_pandas()
+    assert len(out) == 0
