@@ -712,6 +712,38 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index_summary(docs, min_df=5)
 
 
+def _q_index_sink(sf_dir: str):
+    """Inverted-index shards persisted to a partitioned parquet store
+    (one directory per word-hash shard — the resumable layout a
+    postings store needs) and read back: the round trip must preserve
+    every (term, df, postings_fp) exactly, which the inverted_index
+    oracle then checks value-for-value."""
+    import shutil
+    import zlib
+
+    from pdf_extractor_ray.functions.textstats import inverted_index_summary
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    idx = inverted_index_summary(docs, min_df=5)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shards = [
+            zlib.crc32(w.encode()) % 8 for w in batch["word"].to_pylist()
+        ]
+        return batch.append_column("shard", pa.array(shards, pa.int64()))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/graft_index_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    idx.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    back = ray.data.read_parquet(out_dir)
+    return back.select_columns(["word", "df", "postings_fp"])
+
+
 def _q_quantiles_sampled(sf_dir: str):
     """Sampled-quantile sketch path (deterministic 10% hash sample ->
     exact histogram quantiles on the sample). Approximate vs the full
@@ -2223,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_refresh": _q_crawl_refresh,
         "crawl_changes": _q_crawl_changes,
         "inverted_index": _q_inverted_index,
+        "index_sink": _q_index_sink,
         "quantiles_sampled": _q_quantiles_sampled,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -2805,6 +2838,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS change_type
             FROM d
             WHERE prev_hash IS NULL OR text_hash <> prev_hash
+        """,
+        "index_sink": """
+            WITH p AS (
+              SELECT DISTINCT word, doc_id FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents)),
+            a AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS df,
+                     md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                         AS postings_fp
+              FROM p GROUP BY word)
+            SELECT word, df, postings_fp FROM a WHERE df >= 5
         """,
         "inverted_index": """
             WITH p AS (

@@ -128,3 +128,60 @@ class TestResume:
         la, lb = read_lineage(out_a), read_lineage(out_b)
         assert la[0]["url_sha256"] == lb[0]["url_sha256"]
         assert la[0]["row_count"] == lb[0]["row_count"]
+
+
+class TestMidRunFailure:
+    def test_failed_shard_leaves_earlier_commits_and_resumes(
+        self, ray_session, corpus_dir, tmp_path
+    ):
+        """Operational story end-to-end: a shard that CRASHES mid-run
+        (corrupt input) leaves every earlier partition committed and no
+        partial output for itself; after the input is repaired, a rerun
+        executes only the missing shards and the final url set is
+        exact."""
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines import run_resumable_extraction
+        from pdf_extractor_ray.state.lineage import read_lineage
+
+        work = str(tmp_path / "pages")
+        shutil.copytree(corpus_dir, work)
+        files = sorted(os.path.join(work, f) for f in os.listdir(work))
+        # poison shard 1: truncate its parquet file mid-byte
+        good = open(files[1], "rb").read()
+        with open(files[1], "wb") as f:
+            f.write(good[: len(good) // 3])
+
+        out_dir = str(tmp_path / "out")
+        with pytest.raises(Exception):
+            run_resumable_extraction(files, out_dir)
+
+        # shard 0 committed; shard 1 neither committed nor half-written
+        lineage = read_lineage(out_dir)
+        assert [l["partition_id"] for l in lineage] == [0]
+        assert not os.path.exists(os.path.join(out_dir, "part=00001"))
+        leftovers = [
+            d for d in os.listdir(out_dir) if d.endswith(".tmp")
+        ]
+        # a stale .tmp from the crash is allowed; a committed dir is not
+
+        # repair and resume
+        with open(files[1], "wb") as f:
+            f.write(good)
+        res = run_resumable_extraction(files, out_dir)
+        assert res["skipped"] == [0]
+        assert sorted(res["ran"]) == [1, 2]
+        urls = (
+            pads.dataset(
+                out_dir, format="parquet",
+                partitioning="hive", ignore_prefixes=["_lineage", "."],
+            )
+            .to_table(columns=["url"])["url"]
+            .to_pylist()
+        )
+        src = (
+            pads.dataset(work, format="parquet")
+            .to_table(columns=["url"])["url"]
+            .to_pylist()
+        )
+        assert sorted(urls) == sorted(src)
