@@ -64,6 +64,14 @@ _FENCE_RE = re.compile(r"^(`{3,}|~{3,})\s*(.*)$")
 # commonmark structures the markdown-it path parses and this scanner
 # must agree on (tests/test_commonmark_parity.py):
 _SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
+# commonmark html_block start (kinds 1-6 union, approximated): an
+# open/close tag, comment, declaration, CDATA, or processing
+# instruction at line start. markdown-it emits an html_block token the
+# reference walk has NO branch for — the whole block (through the next
+# blank line) vanishes from the element stream without flushing text.
+_HTML_BLOCK_RE = re.compile(
+    r"<(?:/?[A-Za-z][A-Za-z0-9-]*(?:[\s/>]|$)|!--|![A-Za-z]|!\[CDATA\[|\?)"
+)
 _HR_RE = re.compile(r"^(?:-\s*){3,}$|^(?:\*\s*){3,}$|^(?:_\s*){3,}$")
 _BLOCKQUOTE_RE = re.compile(r"^(?:>\s?)+")
 _INDENT_CODE_RE = re.compile(r"^(?:    |\t)(.*)$")
@@ -389,6 +397,11 @@ def extract_from_markdown_text(
             flush_text()
         gap_flushed = blank_run >= flush_gap
         prev_blank = blank_run > 0
+        prev_gap = blank_run  # lines separating this line from the
+        # last content; vanished tokens (hr, html_block) re-enter this
+        # count below, because the reference's flush rule compares
+        # SOURCE line numbers (token.map[0] > last_line + 1) and the
+        # vanished token's lines widen that gap
         blank_run = 0
 
         # indented code block (4 spaces / tab at a block start — after
@@ -491,6 +504,31 @@ def extract_from_markdown_text(
             i += 1
             continue
 
+        # raw HTML block (markdown-it html_block): skip through the
+        # next blank line WITHOUT flushing accumulated text — the
+        # reference walk has no branch for the token, so the block
+        # leaves no trace; it still ends the current paragraph (a
+        # following setext underline must not bind across it) and any
+        # open list.
+        if (
+            c0 == "<"
+            and not marker_style
+            and _HTML_BLOCK_RE.match(stripped)
+        ):
+            if in_table:
+                emit_table(table_lines, table_start_line, lineno - 1)
+                in_table = False
+                table_lines = []
+            start_i = i
+            while i < n and lines[i].strip():
+                i += 1
+            hr_break_pending = True
+            list_ctx = None
+            # the block's source lines widen the paragraph gap (see
+            # prev_gap note above)
+            blank_run = prev_gap + (i - start_i)
+            continue
+
         # heading (ATX)
         heading = _HEADING_RE.match(stripped) if c0 == "#" else None
         if heading:
@@ -518,6 +556,9 @@ def extract_from_markdown_text(
                 table_lines = []
             hr_break_pending = True
             list_ctx = None  # a thematic break ends any open list
+            if not marker_style:
+                # the hr's own source line widens the paragraph gap
+                blank_run = prev_gap + 1
             i += 1
             continue
 

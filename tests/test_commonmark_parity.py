@@ -95,6 +95,13 @@ class TestThematicBreaks:
         out = tc("para\n---")
         assert out == [("heading", "1. para")]
 
+    def test_break_line_counts_toward_the_gap(self):
+        # reference flush rule compares SOURCE lines (token.map[0] >
+        # last_line + 1): one blank + the hr line = a 2-line gap, so
+        # 'a' and 'b' flush separately even though only one line is
+        # blank
+        assert tc("a\n\n***\nb") == [("text", "a"), ("text", "b")]
+
 
 class TestIndentedCode:
     def test_block_after_blank_is_code(self):
@@ -191,3 +198,48 @@ class TestBlockquotes:
         out = extract_from_markdown_text("> | a | b |\n> |---|---|\n> | 1 | 2 |")
         assert out[0]["type"] == "table"
         assert out[0]["metadata"]["table"]["rows"] == [["1", "2"]]
+
+
+class TestHtmlBlocks:
+    """markdown-it emits html_block tokens the reference walk has no
+    branch for: raw block-level HTML (through the next blank line)
+    vanishes from the element stream without flushing text."""
+
+    def test_div_block_vanishes_without_flush(self):
+        assert tc("a\n\n<div>\nraw\n</div>\n\nb") == [
+            ("text", "a"),
+            ("text", "b"),
+        ]
+
+    def test_block_interrupting_paragraph_vanishes(self):
+        # kind-6 blocks interrupt paragraphs; the block swallows the
+        # blank-free run after it, text resumes past the blank
+        assert tc("para\n<div>x</div>\nswallowed\n\nafter") == [
+            ("text", "para"),
+            ("text", "after"),
+        ]
+
+    def test_non_page_comment_vanishes_page_marker_survives(self):
+        out = extract_from_markdown_text(
+            "<!-- note -->\n\n<!-- page: 2 -->\n\ntext"
+        )
+        assert [(e["type"], e["content"]) for e in out] == [("text", "text")]
+        assert out[0]["page"] == 2
+
+    def test_html_block_bounds_setext_paragraph(self):
+        # the vanished block is still a paragraph boundary: '===' binds
+        # only to 'b', and 'a' flushes as its own text element
+        assert tc("a\n<br/>\nswallowed\n\nb\n===") == [
+            ("text", "a"),
+            ("heading", "1. b"),
+        ]
+
+    def test_inline_html_mid_line_stays_text(self):
+        # html_INLINE (mid-paragraph markup) is part of the inline
+        # content markdown-it hands the reference — it stays
+        assert tc("keep <b>this</b> line") == [
+            ("text", "keep <b>this</b> line")
+        ]
+
+    def test_lt_without_tag_shape_stays_text(self):
+        assert tc("< 3 and <3 stay") == [("text", "< 3 and <3 stay")]
