@@ -72,6 +72,11 @@ _SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
 _HTML_BLOCK_RE = re.compile(
     r"<(?:/?[A-Za-z][A-Za-z0-9-]*(?:[\s/>]|$)|!--|![A-Za-z]|!\[CDATA\[|\?)"
 )
+# link reference definition '[label]: dest' — consumed by the
+# commonmark parser itself (no token at all reaches the reference
+# walk); single-line form only, and only at a block start (a ref def
+# cannot interrupt a paragraph).
+_LINK_DEF_RE = re.compile(r"\[[^\]\[]+\]:\s*\S+")
 _HR_RE = re.compile(r"^(?:-\s*){3,}$|^(?:\*\s*){3,}$|^(?:_\s*){3,}$")
 _BLOCKQUOTE_RE = re.compile(r"^(?:>\s?)+")
 _INDENT_CODE_RE = re.compile(r"^(?:    |\t)(.*)$")
@@ -527,6 +532,18 @@ def extract_from_markdown_text(
             # the block's source lines widen the paragraph gap (see
             # prev_gap note above)
             blank_run = prev_gap + (i - start_i)
+            continue
+
+        # link reference definition: vanishes before tokenization (the
+        # walk never sees it); its source line still widens the gap
+        if (
+            c0 == "["
+            and not marker_style
+            and (prev_blank or not text_content or hr_break_pending)
+            and _LINK_DEF_RE.match(stripped)
+        ):
+            blank_run = prev_gap + 1
+            i += 1
             continue
 
         # heading (ATX)

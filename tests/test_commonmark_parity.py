@@ -243,3 +243,21 @@ class TestHtmlBlocks:
 
     def test_lt_without_tag_shape_stays_text(self):
         assert tc("< 3 and <3 stay") == [("text", "< 3 and <3 stay")]
+
+
+class TestLinkReferenceDefinitions:
+    def test_definition_vanishes_at_block_start(self):
+        assert tc("[ref]: https://example.org\n\ntext [x][ref]") == [
+            ("text", "text [x][ref]")
+        ]
+
+    def test_definition_cannot_interrupt_paragraph(self):
+        # mid-paragraph it is ordinary text (commonmark agrees)
+        assert tc("a\n[ref]: /url") == [("text", "a\n[ref]: /url")]
+
+    def test_definition_line_widens_the_gap(self):
+        # blank + def line = 2-line gap -> separate text elements
+        assert tc("a\n\n[r]: /u\nb") == [("text", "a"), ("text", "b")]
+
+    def test_plain_bracket_text_stays(self):
+        assert tc("[not a def] plain") == [("text", "[not a def] plain")]
