@@ -1438,6 +1438,22 @@ def _q_token_budget(sf_dir: str):
     return select_token_budget(scored, budget=16_000)
 
 
+def _q_script_stats(sf_dir: str):
+    """Per-document Unicode-script classification rolled up to doc
+    counts per dominant script — the wrong-script / mixed-script spam
+    signal. Stateless map_batches; tiny direct groupby (<= 6 groups)."""
+    from pdf_extractor_ray.functions.textstats import script_counts_batch
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(script_counts_batch, batch_format="pyarrow")
+        .groupby("script")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def _q_bm25(sf_dir: str):
     """Distributed BM25 retrieval for the query 'stream hash join':
     constant-size global-stats pass (N, avgdl, per-term df), broadcast
@@ -2222,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": _q_quality_topk,
         "token_budget": _q_token_budget,
         "bm25": _q_bm25,
+        "script_stats": _q_script_stats,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
         "crawl_curate": _q_crawl_curate,
@@ -3343,6 +3360,30 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY shard
                         ORDER BY salt_hex, doc_id) - 1 AS BIGINT) AS pos
             FROM s
+        """,
+        "script_stats": """
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS latin,
+                len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyrillic,
+                len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS greek,
+                len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) AS cjk,
+                len(regexp_extract_all(text, '[؀-ۿ]')) AS arabic
+              FROM documents),
+            d AS (
+              SELECT CASE
+                WHEN latin=0 AND cyrillic=0 AND greek=0 AND cjk=0
+                     AND arabic=0 THEN 'none'
+                WHEN latin >= cyrillic AND latin >= greek AND latin >= cjk
+                     AND latin >= arabic THEN 'latin'
+                WHEN cyrillic >= greek AND cyrillic >= cjk
+                     AND cyrillic >= arabic THEN 'cyrillic'
+                WHEN greek >= cjk AND greek >= arabic THEN 'greek'
+                WHEN cjk >= arabic THEN 'cjk'
+                ELSE 'arabic' END AS script
+              FROM c)
+            SELECT script, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY script
         """,
         "bm25": """
             WITH w AS (SELECT doc_id,

@@ -598,3 +598,43 @@ def bm25_topk(
         .sort(["score_m", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+# Unicode script ranges, expressed as plain codepoint ranges (NOT \p
+# classes: the Python and DuckDB/RE2 sides must share the exact same
+# character sets, and Python re has no \p support). Tie order below is
+# fixed and mirrored in the SQL oracle's CASE.
+_SCRIPT_RES = (
+    ("latin", re.compile("[A-Za-zÀ-ɏ]")),
+    ("cyrillic", re.compile("[Ѐ-ӿ]")),
+    ("greek", re.compile("[Ͱ-Ͽ]")),
+    ("cjk", re.compile("[一-鿿぀-ヿ]")),
+    ("arabic", re.compile("[؀-ۿ]")),
+)
+
+
+def script_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document Unicode-script character counts + dominant script
+    ('none' when no scripted character occurs; ties resolve in the
+    fixed order latin > cyrillic > greek > cjk > arabic). The
+    mixed-script / wrong-script signal of web curation (e.g. latin
+    pages stuffed with CJK spam), stateless and shuffle-free."""
+    texts = batch[text_col].to_pylist()
+    counts = {
+        name: [len(rx.findall(t or "")) for t in texts]
+        for name, rx in _SCRIPT_RES
+    }
+    dominant = []
+    for i in range(len(texts)):
+        best_name, best_n = "none", 0
+        for name, _ in _SCRIPT_RES:
+            n = counts[name][i]
+            if n > best_n:
+                best_name, best_n = name, n
+        dominant.append(best_name)
+    res = batch
+    for name, _ in _SCRIPT_RES:
+        res = res.append_column(
+            f"n_{name}", pa.array(counts[name], pa.int64())
+        )
+    return res.append_column("script", pa.array(dominant, pa.string()))

@@ -103,3 +103,75 @@ class TestRepetitionStats:
     def test_threshold_override(self):
         r = self._rep("the cat sat on the cat sat here", max_top2=0.6, max_top3=0.8)
         assert r["rep_passes"] is True
+
+
+class TestScriptStats:
+    def test_dominant_script_per_branch(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.textstats import script_counts_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(
+                    [
+                        "plain english text",
+                        "русский текст про dataset",   # cyrillic-dominant
+                        "日本語のテキストです",            # cjk
+                        "نص عربي قصير",                 # arabic (latin 0)
+                        "1234 :-) 5678",                # none
+                        "λλ ab",                        # tie 2-2 -> latin wins
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = script_counts_batch(batch).to_pandas().set_index("doc_id")
+        assert out.loc[1, "script"] == "latin"
+        assert out.loc[2, "script"] == "cyrillic"
+        assert out.loc[3, "script"] == "cjk"
+        assert out.loc[4, "script"] == "arabic"
+        assert out.loc[5, "script"] == "none"
+        assert out.loc[6, "script"] == "latin"
+        assert int(out.loc[2, "n_cyrillic"]) > int(out.loc[2, "n_latin"]) > 0
+
+    def test_matches_duck_case_replay(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.textstats import script_counts_batch
+
+        sf = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        got = (
+            docs.map_batches(script_counts_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "script"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            "WITH c AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS latin, "
+            "len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyrillic, "
+            "len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS greek, "
+            "len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) AS cjk, "
+            "len(regexp_extract_all(text, '[؀-ۿ]')) AS arabic FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN latin=0 AND cyrillic=0 AND greek=0 AND cjk=0 AND arabic=0 THEN 'none' "
+            "WHEN latin >= cyrillic AND latin >= greek AND latin >= cjk AND latin >= arabic THEN 'latin' "
+            "WHEN cyrillic >= greek AND cyrillic >= cjk AND cyrillic >= arabic THEN 'cyrillic' "
+            "WHEN greek >= cjk AND greek >= arabic THEN 'greek' "
+            "WHEN cjk >= arabic THEN 'cjk' ELSE 'arabic' END AS script "
+            "FROM c ORDER BY doc_id"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
