@@ -201,6 +201,9 @@ class TestCommonmarkProperties:
                 "    indented code", "\tcode", "# head", "## sub",
                 "Title", "| a | b |", "|---|---|", "- item", "1. item",
                 "```", "<!-- page: 2 -->", "![alt](src)", "",
+                "<div>", "</div>", "<br/>", "<!-- note -->",
+                "<![CDATA[x]]>", "<?pi?>", "[ref]: /url", "[not a ref",
+                "< 3 loose angle", "      six-space code",
             ]
         ),
     )
