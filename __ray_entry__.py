@@ -2047,6 +2047,51 @@ def _q_sequence_pack(sf_dir: str):
     )
 
 
+def _q_training_chain(sf_dir: str):
+    """The composed training-data chain over the documents table —
+    gopher quality gate -> exact content dedup (keep min id) ->
+    2048-token sequence packing -> per-pack rollup — each stage a
+    prior oracle-green operator, the whole chain replayed in one CTE
+    stack (like crawl_curate for the crawl side)."""
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+    from pdf_extractor_ray.functions.packing import sequence_pack
+    from pdf_extractor_ray.functions.quality import gopher_stats_batch
+    from pdf_extractor_ray.functions.textstats import doc_stats_batch
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        stats = gopher_stats_batch(batch, text_col="text", min_stopwords=1)
+        return batch.filter(stats["passes"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id")
+    stats = deduped.map_batches(doc_stats_batch, batch_format="pyarrow")
+    packed = sequence_pack(
+        stats.select_columns(["doc_id", "n_tokens"]), budget=2048
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"pack_id": batch["pack_id"], "n_tokens": batch["n_tokens"]}
+        ).to_pandas()
+        g = df.groupby("pack_id", as_index=False).agg(
+            n_docs=("n_tokens", "size"), pack_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        coalesce_for_exchange(packed.map_batches(partial, batch_format="pyarrow"))
+        .groupby("pack_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pack_tokens", alias_name="pack_tokens"),
+        )
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-language rebalancing sample (deterministic hash membership,
     shuffle-free) — per-stratum keep rates, rolled up per lang."""
@@ -2288,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
+        "training_chain": _q_training_chain,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "media_features": _q_media_features,
@@ -2635,6 +2681,50 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT CAST(floor(before / 4096) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM c GROUP BY 1
+        """,
+        "training_chain": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                     len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> regexp_matches(x, '\\S')) AS lines,
+                     len(list_distinct(regexp_extract_all(lower(text),
+                         '\\b(?:the|be|to|of|and|that|have|with)\\b')))
+                       AS n_stop
+              FROM documents),
+            g AS (
+              SELECT doc_id, text FROM s
+              WHERE (n_words BETWEEN 50 AND 100000)
+                AND CASE WHEN n_words > 0
+                         THEN word_chars / CAST(n_words AS DOUBLE)
+                         ELSE 0 END BETWEEN 3.0 AND 10.0
+                AND CASE WHEN n_words > 0
+                         THEN n_alpha / CAST(n_words AS DOUBLE)
+                         ELSE 0 END >= 0.80
+                AND CASE WHEN len(lines) > 0
+                         THEN 1.0 - len(list_distinct(lines))
+                                      / CAST(len(lines) AS DOUBLE)
+                         ELSE 0 END <= 0.30
+                AND n_stop >= 1),
+            d AS (
+              SELECT min(doc_id) AS doc_id, text FROM g GROUP BY text),
+            t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+              FROM d),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS before
+              FROM t)
+            SELECT CAST(floor(before / 2048) AS BIGINT) AS pack_id,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
             FROM c GROUP BY 1
