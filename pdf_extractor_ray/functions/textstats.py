@@ -566,16 +566,26 @@ def bm25_topk(
         for q in terms
     }
 
+    # prune early: only docs containing SOME query term ever pay the
+    # full tokenization (dl) — the prefilter matches a term exactly as
+    # a maximal [a-z0-9]+ run (lookarounds, NOT \b: \b treats '_' as a
+    # word char, the token class does not)
+    qt_re = re.compile(
+        r"(?<![a-z0-9])(?:" + "|".join(re.escape(q) for q in terms)
+        + r")(?![a-z0-9])"
+    )
+
     def score_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         out_ids: list[int] = []
         out_scores: list[int] = []
         for did, t in zip(ids, batch[text_col].to_pylist()):
-            words = _WORD_TOKEN_RE.findall((t or "").lower())
-            dl = len(words)
-            if not dl:
+            lower = (t or "").lower()
+            hits = qt_re.findall(lower)
+            if not hits:
                 continue
-            tf = Counter(words)
+            dl = len(_WORD_TOKEN_RE.findall(lower))
+            tf = Counter(hits)
             score = 0.0
             norm = k1 * (1.0 - b + b * dl / avgdl)
             for q in terms:
