@@ -1653,6 +1653,17 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_cooccurrence(sf_dir: str):
+    """Pairwise event-type co-occurrence (2-itemset market-basket):
+    users whose history contains both types, per unordered pair."""
+    from pdf_extractor_ray.functions.relational import cooccurrence_pairs
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    return cooccurrence_pairs(events)
+
+
 def _q_group_topk(sf_dir: str):
     """Top-3 most active users per event_type (windowed rank). The
     per-(type, user) counts come from per-batch partials merged inside
@@ -2301,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
+        "cooccurrence": _q_cooccurrence,
         "group_topk": _q_group_topk,
         "priority_revenue": _q_priority_revenue,
         "text_stats": _q_text_stats,
@@ -3673,6 +3685,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                    % 100) < 10
             GROUP BY lang
+        """,
+        "cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            p AS (SELECT a.user_id, a.event_type AS t1, b.event_type AS t2
+                  FROM ut a JOIN ut b
+                    ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type)
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY t1, t2
         """,
         "group_topk": """
             WITH c AS (SELECT event_type, user_id, count(*) AS n_events

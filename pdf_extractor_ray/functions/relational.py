@@ -978,3 +978,68 @@ def exact_quantiles(
         .groupby(group_col)
         .map_groups(quantiles, batch_format="pandas")
     )
+
+
+def cooccurrence_pairs(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Pairwise co-occurrence mining (the 2-itemset of market-basket
+    analysis): for every unordered item pair (t1 < t2), the number of
+    users whose history contains both.
+
+    Distributed shape: per-batch DISTINCT (user, item) partials (the
+    exchange carries each user's item set, never the event stream), a
+    coarse user-bucket exchange co-locates each user's items, pairs
+    emit and PRE-AGGREGATE inside the bucket (one row per pair per
+    bucket), and a final small groupby sums partials. Pair explosion
+    is bounded per user by its item-set size — cap extreme users
+    upstream if item cardinality is unbounded.
+    """
+    import itertools
+    import zlib
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {user_col: batch[user_col], item_col: batch[item_col]}
+        ).to_pandas()
+        g = df.drop_duplicates([user_col, item_col])
+        g["_bucket"] = (
+            g[user_col].astype("int64") % n_buckets
+            if g[user_col].dtype.kind in "iu"
+            else [zlib.crc32(str(u).encode()) % n_buckets for u in g[user_col]]
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([user_col, item_col])
+        rows: dict[tuple, int] = {}
+        for _, items in g.groupby(user_col)[item_col]:
+            for t1, t2 in itertools.combinations(sorted(set(items)), 2):
+                rows[(t1, t2)] = rows.get((t1, t2), 0) + 1
+        if not rows:
+            return pd.DataFrame({"t1": [], "t2": [], "n_users": []})
+        keys = list(rows.keys())
+        return pd.DataFrame(
+            {
+                "t1": [k[0] for k in keys],
+                "t2": [k[1] for k in keys],
+                "n_users": pd.Series(
+                    [rows[k] for k in keys], dtype="int64"
+                ),
+            }
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(
+            events.map_batches(distinct_partial, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

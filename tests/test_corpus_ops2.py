@@ -812,3 +812,49 @@ def test_bm25_empty_corpus_returns_empty(ray_session):
     )
     out = bm25_topk(empty, "stream hash join", k=5).to_pandas()
     assert len(out) == 0
+
+
+class TestCooccurrence:
+    def test_matches_self_join_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import cooccurrence_pairs
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "event_type"]
+        )
+        got = _canon(_to_pandas(cooccurrence_pairs(events)))
+        want = _canon(
+            _duck()
+            .execute(
+                "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+                "p AS (SELECT a.user_id, a.event_type AS t1, b.event_type AS t2 "
+                "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+                "AND a.event_type < b.event_type) "
+                "SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_users "
+                "FROM p GROUP BY t1, t2"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hand_case(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import cooccurrence_pairs
+
+        rows = [
+            {"user_id": 1, "event_type": "a"},
+            {"user_id": 1, "event_type": "b"},
+            {"user_id": 1, "event_type": "a"},  # dup event collapses
+            {"user_id": 2, "event_type": "a"},
+            {"user_id": 2, "event_type": "b"},
+            {"user_id": 2, "event_type": "c"},
+            {"user_id": 3, "event_type": "a"},  # singleton: no pairs
+        ]
+        out = (
+            _to_pandas(cooccurrence_pairs(
+                ray.data.from_items(rows, override_num_blocks=3)))
+            .set_index(["t1", "t2"])["n_users"].to_dict()
+        )
+        assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
