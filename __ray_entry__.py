@@ -1653,6 +1653,18 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_retention(sf_dir: str):
+    """Weekly retention cohorts: per Monday-aligned week, active users
+    and how many return the next week (integer week arithmetic on
+    epoch micros, replayed exactly in SQL)."""
+    from pdf_extractor_ray.functions.relational import retention_cohorts
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    return retention_cohorts(events)
+
+
 def _q_cooccurrence(sf_dir: str):
     """Pairwise event-type co-occurrence (2-itemset market-basket):
     users whose history contains both types, per unordered pair."""
@@ -2312,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
+        "retention": _q_retention,
         "cooccurrence": _q_cooccurrence,
         "group_topk": _q_group_topk,
         "priority_revenue": _q_priority_revenue,
@@ -3685,6 +3698,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                    % 100) < 10
             GROUP BY lang
+        """,
+        "retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     (CAST(epoch_us(ts) AS BIGINT) // 86400000000 - 4) // 7
+                         AS week
+              FROM events),
+            act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week),
+            ret AS (SELECT a.week, count(*) AS n_retained
+                    FROM uw a JOIN uw b
+                      ON a.user_id = b.user_id AND b.week = a.week + 1
+                    GROUP BY a.week)
+            SELECT act.week,
+                   CAST(act.n_active AS BIGINT) AS n_active,
+                   CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained
+            FROM act LEFT JOIN ret ON act.week = ret.week
         """,
         "cooccurrence": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -1043,3 +1043,80 @@ def cooccurrence_pairs(
         .groupby(["t1", "t2"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Weekly retention: per Monday-aligned week index, how many users
+    were active, and how many of them were also active the NEXT week.
+
+    Week index is pure integer arithmetic on epoch microseconds
+    ((days - 4) // 7, Monday-aligned), replayed exactly by the SQL
+    oracle. Distributed shape: per-batch DISTINCT (user, week)
+    partials, a coarse user-bucket exchange co-locates each user's
+    week set, the in-bucket kernel counts per-week activity and
+    week -> week+1 transitions vectorized, and a small final groupby
+    sums partials (weeks are few; users are not).
+    """
+    import numpy as np
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        # normalize the unit first — inputs arrive as timestamp[s/ms/us]
+        # depending on the source, and a raw int64 cast would read the
+        # stored unit verbatim
+        us = (
+            ts.cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        week = (us // 86_400_000_000 - 4) // 7
+        df = pd.DataFrame(
+            {
+                user_col: batch[user_col].to_numpy(zero_copy_only=False),
+                "week": week,
+            }
+        ).drop_duplicates()
+        df["_bucket"] = df[user_col].astype("int64") % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_cohorts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([user_col, "week"]).sort_values(
+            [user_col, "week"]
+        )
+        active = g.groupby("week").size()
+        nxt = g["week"].shift(-1)
+        same_user = g[user_col].eq(g[user_col].shift(-1))
+        retained_rows = g[same_user & (nxt == g["week"] + 1)]
+        retained = retained_rows.groupby("week").size()
+        out = pd.DataFrame(
+            {
+                "week": active.index.astype("int64"),
+                "n_active": active.to_numpy().astype("int64"),
+                "n_retained": retained.reindex(active.index, fill_value=0)
+                .to_numpy()
+                .astype("int64"),
+            }
+        )
+        return out
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(
+            events.map_batches(week_partial, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_cohorts, batch_format="pandas")
+        .groupby("week")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+    )

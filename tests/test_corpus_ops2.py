@@ -858,3 +858,55 @@ class TestCooccurrence:
             .set_index(["t1", "t2"])["n_users"].to_dict()
         )
         assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+class TestRetention:
+    def test_matches_self_join_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import retention_cohorts
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts"]
+        )
+        got = _canon(_to_pandas(retention_cohorts(events)))
+        want = _canon(
+            _duck()
+            .execute(
+                "WITH uw AS (SELECT DISTINCT user_id, "
+                "(CAST(epoch_us(ts) AS BIGINT) // 86400000000 - 4) // 7 AS week "
+                "FROM events), "
+                "act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY week), "
+                "ret AS (SELECT a.week, count(*) AS n_retained FROM uw a JOIN uw b "
+                "ON a.user_id = b.user_id AND b.week = a.week + 1 GROUP BY a.week) "
+                "SELECT act.week, CAST(act.n_active AS BIGINT) AS n_active, "
+                "CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained "
+                "FROM act LEFT JOIN ret ON act.week = ret.week"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hand_case_gap_week_not_retained(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import retention_cohorts
+
+        mon = datetime.datetime(2024, 1, 1)  # a Monday
+        wk = datetime.timedelta(days=7)
+        rows = [
+            {"user_id": 1, "ts": mon},
+            {"user_id": 1, "ts": mon + wk},          # retained w0
+            {"user_id": 2, "ts": mon},
+            {"user_id": 2, "ts": mon + 2 * wk},       # gap: NOT retained w0
+            {"user_id": 3, "ts": mon + wk},
+        ]
+        out = (
+            _to_pandas(retention_cohorts(
+                ray.data.from_items(rows, override_num_blocks=2)))
+            .sort_values("week").reset_index(drop=True)
+        )
+        assert out["n_active"].tolist() == [2, 2, 1]
+        assert out["n_retained"].tolist() == [1, 0, 0]
