@@ -1653,6 +1653,18 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_transitions(sf_dir: str):
+    """Markov transition counts between event types along each user's
+    (ts, event_id)-ordered stream; oracle = lag window replay."""
+    from pdf_extractor_ray.functions.relational import transition_counts
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return transition_counts(events)
+
+
 def _q_retention(sf_dir: str):
     """Weekly retention cohorts: per Monday-aligned week, active users
     and how many return the next week (integer week arithmetic on
@@ -2324,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
+        "transitions": _q_transitions,
         "retention": _q_retention,
         "cooccurrence": _q_cooccurrence,
         "group_topk": _q_group_topk,
@@ -3698,6 +3711,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                    % 100) < 10
             GROUP BY lang
+        """,
+        "transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS from_type
+              FROM events)
+            SELECT from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "retention": """
             WITH uw AS (

@@ -1120,3 +1120,71 @@ def retention_cohorts(
             Sum("n_retained", alias_name="n_retained"),
         )
     )
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Markov transition counts: for each ordered pair (from_type,
+    to_type), how many consecutive event pairs in a user's
+    (ts, id)-ordered stream make that transition. The behavioral-model
+    counterpart of sessionization, same shuffle shape: full rows only
+    narrow to (user, type, ts, id), one coarse user-bucket exchange,
+    and the in-bucket kernel is a sort + shift compare (no per-user
+    groupby); final small groupby sums per-bucket partials.
+    """
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = (
+            ts.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                user_col: batch[user_col].to_numpy(zero_copy_only=False),
+                type_col: batch[type_col].to_pylist(),
+                "_ts": us,
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["_bucket"] = df[user_col].astype("int64") % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_transitions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, "_ts", id_col])
+        same_user = g[user_col].eq(g[user_col].shift())
+        pairs = pd.DataFrame(
+            {
+                "from_type": g[type_col].shift(),
+                "to_type": g[type_col],
+            }
+        )[same_user]
+        if not len(pairs):
+            return pd.DataFrame(
+                {"from_type": [], "to_type": [], "n": []}
+            )
+        out = pairs.groupby(
+            ["from_type", "to_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(
+            events.map_batches(narrow, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_transitions, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -910,3 +910,54 @@ class TestRetention:
         )
         assert out["n_active"].tolist() == [2, 2, 1]
         assert out["n_retained"].tolist() == [1, 0, 0]
+
+
+class TestTransitions:
+    def test_matches_lag_window_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import transition_counts
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        got = _canon(_to_pandas(transition_counts(events)))
+        want = _canon(
+            _duck()
+            .execute(
+                "WITH o AS (SELECT user_id, event_type, "
+                "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+                "AS from_type FROM events) "
+                "SELECT from_type, event_type AS to_type, "
+                "CAST(count(*) AS BIGINT) AS n "
+                "FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hand_case_order_and_user_isolation(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import transition_counts
+
+        base = datetime.datetime(2024, 1, 1)
+        sec = datetime.timedelta(seconds=1)
+        rows = [
+            {"user_id": 1, "event_type": "a", "ts": base, "event_id": 1},
+            {"user_id": 1, "event_type": "b", "ts": base + sec, "event_id": 2},
+            {"user_id": 1, "event_type": "a", "ts": base + 2 * sec, "event_id": 3},
+            # same ts: event_id breaks the tie -> c before d
+            {"user_id": 2, "event_type": "c", "ts": base, "event_id": 4},
+            {"user_id": 2, "event_type": "d", "ts": base, "event_id": 5},
+            # user boundary: no a->c transition across users
+        ]
+        out = (
+            _to_pandas(transition_counts(
+                ray.data.from_items(rows, override_num_blocks=2)))
+            .set_index(["from_type", "to_type"])["n"].to_dict()
+        )
+        assert out == {("a", "b"): 1, ("b", "a"): 1, ("c", "d"): 1}
