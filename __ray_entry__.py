@@ -1653,6 +1653,18 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase: users completing each
+    prefix in strictly increasing ts order (greedy earliest-occurrence
+    walk == the oracle's nested-min SQL)."""
+    from pdf_extractor_ray.functions.relational import funnel_steps
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_steps(events, steps=["view", "click", "purchase"])
+
+
 def _q_transitions(sf_dir: str):
     """Markov transition counts between event types along each user's
     (ts, event_id)-ordered stream; oracle = lag window replay."""
@@ -2336,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
+        "funnel": _q_funnel,
         "transitions": _q_transitions,
         "retention": _q_retention,
         "cooccurrence": _q_cooccurrence,
@@ -3711,6 +3724,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                    % 100) < 10
             GROUP BY lang
+        """,
+        "funnel": """
+            WITH a AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            b AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN a ON e.user_id = a.user_id
+              WHERE e.event_type = 'click' AND e.ts > a.t
+              GROUP BY e.user_id),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN b ON e.user_id = b.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > b.t
+              GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                     CAST((SELECT count(*) FROM a) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), 'click',
+                     CAST((SELECT count(*) FROM b) AS BIGINT)
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'purchase',
+                     CAST((SELECT count(*) FROM c) AS BIGINT))
         """,
         "transitions": """
             WITH o AS (

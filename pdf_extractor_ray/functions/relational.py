@@ -1188,3 +1188,92 @@ def transition_counts(
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def funnel_steps(
+    events: ray.data.Dataset,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Ordered funnel completion: for each prefix of ``steps``, how
+    many users performed those event types in strictly increasing
+    timestamp order (first occurrence of step k AFTER the first
+    qualifying occurrence of step k-1).
+
+    Shape: rows narrow to (user, step_idx, ts) — only events whose
+    type is a funnel step survive the map — one coarse user-bucket
+    exchange, and the in-bucket kernel walks each user's per-step
+    earliest-qualifying times vectorized per step (len(steps) passes
+    over the bucket, no per-user Python loop). Output: one row per
+    step with the completing-user count.
+    """
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = (
+            ts.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = batch[type_col].to_pylist()
+        idx = np.array([step_idx.get(t, -1) for t in types], dtype=np.int64)
+        keep = idx >= 0
+        df = pd.DataFrame(
+            {
+                user_col: batch[user_col].to_numpy(zero_copy_only=False)[
+                    keep
+                ],
+                "_step": idx[keep],
+                "_ts": us[keep],
+            }
+        )
+        df["_bucket"] = df[user_col].astype("int64") % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    n_steps = len(steps)
+
+    def bucket_funnel(group: pd.DataFrame) -> pd.DataFrame:
+        # users as categorical index 0..u-1
+        users, uidx = np.unique(group[user_col].to_numpy(), return_inverse=True)
+        u = len(users)
+        sidx = group["_step"].to_numpy()
+        ts = group["_ts"].to_numpy()
+        INF = np.iinfo(np.int64).max
+        # reach[k][user] = earliest time user completed steps 0..k in order
+        reach = np.full(u, -1, dtype=np.int64)  # step -1: completed at -inf
+        counts = []
+        for k in range(n_steps):
+            mask = sidx == k
+            # earliest event of step k per user that is strictly after
+            # the user's reach time for step k-1
+            cand_t = ts[mask]
+            cand_u = uidx[mask]
+            ok = cand_t > reach[cand_u]
+            best = np.full(u, INF, dtype=np.int64)
+            np.minimum.at(best, cand_u[ok], cand_t[ok])
+            reach = best
+            counts.append(int((best != INF).sum()))
+        return pd.DataFrame(
+            {
+                "step_idx": pd.Series(range(n_steps), dtype="int64"),
+                "step": [steps[k] for k in range(n_steps)],
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(
+            events.map_batches(narrow, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(bucket_funnel, batch_format="pandas")
+        .groupby(["step_idx", "step"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

@@ -961,3 +961,67 @@ class TestTransitions:
             .set_index(["from_type", "to_type"])["n"].to_dict()
         )
         assert out == {("a", "b"): 1, ("b", "a"): 1, ("c", "d"): 1}
+
+
+class TestFunnel:
+    def test_matches_nested_min_sql(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import funnel_steps
+
+        events = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+        )
+        got = _canon(_to_pandas(
+            funnel_steps(events, steps=["view", "click", "purchase"])))
+        want = _canon(
+            _duck()
+            .execute(
+                "WITH a AS (SELECT user_id, min(ts) AS t FROM events "
+                "WHERE event_type='view' GROUP BY user_id), "
+                "b AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                "JOIN a ON e.user_id=a.user_id "
+                "WHERE e.event_type='click' AND e.ts > a.t GROUP BY e.user_id), "
+                "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                "JOIN b ON e.user_id=b.user_id "
+                "WHERE e.event_type='purchase' AND e.ts > b.t GROUP BY e.user_id) "
+                "SELECT * FROM ("
+                "SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, "
+                "CAST((SELECT count(*) FROM a) AS BIGINT) AS n_users "
+                "UNION ALL SELECT CAST(1 AS BIGINT), 'click', "
+                "CAST((SELECT count(*) FROM b) AS BIGINT) "
+                "UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', "
+                "CAST((SELECT count(*) FROM c) AS BIGINT))"
+            )
+            .df()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hand_case_order_matters(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import funnel_steps
+
+        base = datetime.datetime(2024, 1, 1)
+        s = datetime.timedelta(seconds=1)
+        rows = [
+            # user 1: full funnel in order
+            {"user_id": 1, "event_type": "view", "ts": base},
+            {"user_id": 1, "event_type": "click", "ts": base + s},
+            {"user_id": 1, "event_type": "purchase", "ts": base + 2 * s},
+            # user 2: click BEFORE view -> stops at step 1
+            {"user_id": 2, "event_type": "click", "ts": base},
+            {"user_id": 2, "event_type": "view", "ts": base + s},
+            # user 3: view+click same ts -> strict order fails step 2
+            {"user_id": 3, "event_type": "view", "ts": base},
+            {"user_id": 3, "event_type": "click", "ts": base},
+        ]
+        out = (
+            _to_pandas(funnel_steps(
+                ray.data.from_items(rows, override_num_blocks=2),
+                steps=["view", "click", "purchase"]))
+            .set_index("step")["n_users"].to_dict()
+        )
+        assert out == {"view": 3, "click": 1, "purchase": 1}
