@@ -1603,6 +1603,20 @@ def _q_neardup_bucketed(sf_dir: str):
     return out.select_columns(["vec_a", "vec_b"])
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (ADC search over m=8 x 8-bit codes) —
+    the compressed-vector end of the ANN family. Approximate, so
+    rows-only at the gate; recall/determinism pinned in pytest."""
+    from pdf_extractor_ray.functions.similarity import knn_pq
+
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    out = knn_pq(emb, mat, ids, k=5, m=8, nbits=8)  # pandas
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def _q_knn_ivf(sf_dir: str):
     from pdf_extractor_ray.functions.similarity import knn_ivf
 
@@ -2318,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_pq": _q_knn_pq,
         "url_dedup": _q_url_dedup,
         "domain_counts": _q_domain_counts,
         "domain_cap": _q_domain_cap,

@@ -106,3 +106,60 @@ class TestNeardupCellCap:
             b.sort_values(key).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestKnnPq:
+    def test_recall_vs_brute_and_determinism(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.similarity import (
+            knn_bruteforce,
+            knn_pq,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").head(5)
+        qids = df["vec_id"].tolist()
+        qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        emb = ray.data.read_parquet(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        exact = knn_bruteforce(emb, qmat, qids, k=10)
+        approx1 = knn_pq(emb, qmat, qids, k=10, m=8, nbits=8)
+        approx2 = knn_pq(emb, qmat, qids, k=10, m=8, nbits=8)
+        # bit-determinism across runs
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            approx1.reset_index(drop=True), approx2.reset_index(drop=True)
+        )
+        # recall@10 against brute force, averaged over queries
+        recalls = []
+        for qid in qids:
+            want = set(exact[exact.query_id == qid]["neighbor_id"])
+            got = set(approx1[approx1.query_id == qid]["neighbor_id"])
+            recalls.append(len(want & got) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_self_is_top1(self, ray_session):
+        """A query that IS a database vector must rank itself first
+        (its codes reconstruct to the nearest codewords of itself)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.similarity import knn_pq
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").head(3)
+        qids = df["vec_id"].tolist()
+        qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        emb = ray.data.read_parquet(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+        out = knn_pq(emb, qmat, qids, k=3, m=8, nbits=8)
+        for qid in qids:
+            top1 = out[(out["query_id"] == qid) & (out["rank"] == 1)]["neighbor_id"].iloc[0]
+            assert top1 == qid, (qid, top1)
