@@ -47,6 +47,7 @@ import ray
 import ray.data
 
 from pdf_extractor_ray.functions.common import (
+    bucket_ids,
     coalesce_for_exchange,
     coalesce_width as _coalesce_width,
 )
@@ -116,9 +117,7 @@ def exact_dedup_summary(
                 "text_hash": hashes,
                 "keep_doc_id": [v[0] for v in agg.values()],
                 "dup_count": [v[1] for v in agg.values()],
-                "_bucket": pa.array(
-                    [zlib.crc32(h.encode()) % 1024 for h in hashes], pa.int64()
-                ),
+                "_bucket": pa.array(bucket_ids(hashes, 1024), pa.int64()),
             }
         )
 
@@ -153,7 +152,7 @@ def exact_dedup(
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
-        buckets = [zlib.crc32(h.encode()) % 1024 for h in hashes]
+        buckets = bucket_ids(hashes, 1024)
         batch = batch.append_column("text_hash", pa.array(hashes, pa.string()))
         return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
 
@@ -187,7 +186,7 @@ def key_dedup_summary(
         g = df.groupby(key_col, as_index=False).agg(
             keep_doc_id=(id_col, "min"), dup_count=(id_col, "size")
         )
-        g["_bucket"] = [zlib.crc32(str(k).encode()) % 1024 for k in g[key_col]]
+        g["_bucket"] = bucket_ids(g[key_col].to_numpy(), 1024)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def merge(group):
@@ -246,7 +245,7 @@ def incremental_dedup(
 
     def tag_new(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
-        buckets = [zlib.crc32(h.encode()) % n_buckets for h in hashes]
+        buckets = bucket_ids(hashes, n_buckets)
         return pa.table(
             {
                 "_bucket": pa.array(buckets, pa.int64()),
@@ -258,7 +257,7 @@ def incremental_dedup(
 
     def tag_known(batch: pa.Table) -> pa.Table:
         hs = batch["text_hash"].to_pylist()
-        buckets = [zlib.crc32(h.encode()) % n_buckets for h in hs]
+        buckets = bucket_ids(hs, n_buckets)
         return pa.table(
             {
                 "_bucket": pa.array(buckets, pa.int64()),
@@ -1047,8 +1046,7 @@ def latest_version(
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        buckets = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+        buckets = bucket_ids(batch[key_col], n_buckets)
         return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
 
     def keep_newest(group):
@@ -1088,8 +1086,7 @@ def content_change_log(
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        buckets = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+        buckets = bucket_ids(batch[key_col], n_buckets)
         return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
 
     def diff(group):

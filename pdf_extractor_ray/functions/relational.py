@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from pdf_extractor_ray.functions.common import coalesce_for_exchange
+from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 __all__ = [
@@ -1006,11 +1006,7 @@ def cooccurrence_pairs(
             {user_col: batch[user_col], item_col: batch[item_col]}
         ).to_pandas()
         g = df.drop_duplicates([user_col, item_col])
-        g["_bucket"] = (
-            g[user_col].astype("int64") % n_buckets
-            if g[user_col].dtype.kind in "iu"
-            else [zlib.crc32(str(u).encode()) % n_buckets for u in g[user_col]]
-        )
+        g["_bucket"] = bucket_ids(g[user_col].to_numpy(), n_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

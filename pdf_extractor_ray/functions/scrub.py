@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from pdf_extractor_ray.functions.common import coalesce_for_exchange
+from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 
 __all__ = [
     "redact_pii_batch",
@@ -105,10 +105,7 @@ def paragraph_hash_counts(
             {
                 "para_hash": pa.array(hashes, pa.string()),
                 "n_docs": pa.array(list(counts.values()), pa.int64()),
-                "_bucket": pa.array(
-                    [zlib.crc32(h.encode()) % n_buckets for h in hashes],
-                    pa.int64(),
-                ),
+                "_bucket": pa.array(bucket_ids(hashes, n_buckets), pa.int64()),
             }
         )
 

@@ -28,7 +28,7 @@ import re
 
 import pyarrow as pa
 
-from pdf_extractor_ray.functions.common import coalesce_for_exchange
+from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 
 __all__ = [
     "doc_stats_batch",
@@ -122,9 +122,7 @@ def word_topk(ds, k: int = 20, text_col: str = "text"):
             {
                 "word": pa.array(words, pa.string()),
                 "n": pa.array(list(counts.values()), pa.int64()),
-                "_bucket": pa.array(
-                    [zlib.crc32(w.encode()) % 256 for w in words], pa.int64()
-                ),
+                "_bucket": pa.array(bucket_ids(words, 256), pa.int64()),
             }
         )
 
@@ -359,9 +357,7 @@ def tfidf_top_terms(
             {
                 "word": pa.array(words, pa.string()),
                 "df": pa.array(list(counts.values()), pa.int64()),
-                "_bucket": pa.array(
-                    [zlib.crc32(w.encode()) % 256 for w in words], pa.int64()
-                ),
+                "_bucket": pa.array(bucket_ids(words, 256), pa.int64()),
             }
         )
 
@@ -447,7 +443,7 @@ def inverted_index_summary(
             for w in set(_INDEX_TOKEN_RE.findall((text or "").lower())):
                 words_out.append(w)
                 ids_out.append(did)
-        buckets = [zlib.crc32(w.encode()) % n_buckets for w in words_out]
+        buckets = bucket_ids(words_out, n_buckets)
         return pa.table(
             {
                 "_bucket": pa.array(buckets, pa.int64()),
