@@ -340,11 +340,17 @@ def _q_dedup_embedding(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
+    """Random-hyperplane LSH ANN with data-sampled planes: hyperplanes
+    = the 6 lowest-id corpus vectors, so the sign-pattern bucketing is
+    exactly replayable by the SQL oracle (raw dot products — signs are
+    scale-invariant). Value-checked end to end at the driver gate; the
+    seeded-Gaussian-planes default stays pinned by pytest."""
     from pdf_extractor_ray.functions.similarity import knn_lsh
 
-    ids, mat = _load_query_vectors(sf_dir, 5)
+    pids, planes = _load_query_vectors(sf_dir, 6)
+    ids, mat = pids[:5], planes[:5]
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_lsh(emb, mat, ids, k=5, dim=mat.shape[1])  # pandas
+    out = knn_lsh(emb, mat, ids, k=5, plane_vectors=planes)  # pandas
     return out[["query_id", "neighbor_id", "rank"]]
 
 
@@ -1605,24 +1611,34 @@ def _q_neardup_bucketed(sf_dir: str):
 
 def _q_knn_pq(sf_dir: str):
     """Product-quantization ANN (ADC search over m=8 x 8-bit codes) —
-    the compressed-vector end of the ANN family. Approximate, so
-    rows-only at the gate; recall/determinism pinned in pytest."""
+    the compressed-vector end of the ANN family. The driver-gated
+    config uses data-point codebooks (iters=0, init="first": codewords
+    = the 256 lowest-id normalized vectors' subvectors), which the SQL
+    oracle replays exactly (list_slice + list_distance argmin encode,
+    ADC table join); the Lloyd-trained default stays pinned by pytest
+    (recall/determinism/degeneration anchors)."""
     from pdf_extractor_ray.functions.similarity import knn_pq
 
     ids, mat = _load_query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
-    out = knn_pq(emb, mat, ids, k=5, m=8, nbits=8)  # pandas
+    out = knn_pq(emb, mat, ids, k=5, m=8, nbits=8, iters=0, init="first")
     return out[["query_id", "neighbor_id", "rank"]]
 
 
 def _q_knn_ivf(sf_dir: str):
+    """Partial-probe IVF (nprobe=4 of 16 cells) with data-point
+    centroids (iters=0, init="first": the 16 lowest-id vectors), so
+    cell assignment, probed-cell selection and the final top-k are all
+    replayed exactly by the SQL oracle. The Lloyd-trained default is
+    still exercised by ``knn_ivf_fullprobe`` (centroid-invariant) and
+    pytest."""
     from pdf_extractor_ray.functions.similarity import knn_ivf
 
     ids, mat = _load_query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_ivf(emb, mat, ids, k=5, n_cells=16, nprobe=4)  # pandas
+    out = knn_ivf(emb, mat, ids, k=5, n_cells=16, nprobe=4, iters=0, init="first")
     return out[["query_id", "neighbor_id", "rank"]]
 
 
@@ -1751,12 +1767,15 @@ def _q_group_topk(sf_dir: str):
 
 
 def _q_embedding_clusters(sf_dir: str):
-    """Per-cluster vector counts after broadcast k-means assignment."""
+    """Per-cluster vector counts after broadcast centroid assignment.
+    Data-point centroids (iters=0, init="first": the 16 lowest-id
+    vectors) make the assignment a pure cosine argmax the SQL oracle
+    replays row for row; the Lloyd-trained path stays pytest-pinned."""
     from pdf_extractor_ray.functions.similarity import cluster_assign
 
     emb = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return (
-        cluster_assign(emb, n_clusters=16)
+        cluster_assign(emb, n_clusters=16, iters=0, init="first")
         .groupby("cluster")
         .aggregate(Count(alias_name="n_vectors"))
     )
@@ -2880,6 +2899,127 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY cos DESC, neighbor_id) AS rn
                        FROM s)
             SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
+        """,
+        # LSH replay: planes = the 6 lowest-id vectors; bucket code =
+        # bit pattern of dot-product signs (scale-invariant, so raw
+        # dots replay the library's normalized ones); probe set = each
+        # query's code plus its 6 Hamming-1 neighbors (multiprobe).
+        "knn_lsh": """
+            WITH p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane,
+                              embedding AS pe
+                       FROM embeddings ORDER BY vec_id LIMIT 6),
+                 codes AS (SELECT e.vec_id,
+                                  CAST(sum(CASE WHEN list_dot_product(e.embedding, p.pe) > 0
+                                                THEN CAST(1 << p.plane AS BIGINT)
+                                                ELSE 0 END) AS BIGINT) AS code
+                           FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+                 q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+                 qc AS (SELECT q.qid, c.code FROM q JOIN codes c ON c.vec_id = q.qid),
+                 probe AS (SELECT DISTINCT code FROM (
+                               SELECT code FROM qc
+                               UNION ALL
+                               SELECT xor(code, CAST(1 << i AS BIGINT)) AS code
+                               FROM qc CROSS JOIN (SELECT unnest(range(6)) AS i) t(i))),
+                 kept AS (SELECT e.vec_id, e.embedding
+                          FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
+                          WHERE c.code IN (SELECT code FROM probe)),
+                 s AS (SELECT q.qid AS query_id, kept.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, kept.embedding) AS cos
+                       FROM q CROSS JOIN kept),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
+        """,
+        # IVF replay: centroids = the 16 lowest-id vectors (iters=0,
+        # init="first"); every vector goes to its argmax-cosine cell
+        # (ties -> lowest cell), queries probe their top-4 cells, and
+        # the exact top-5 is taken over vectors in the probed union.
+        "knn_ivf": """
+            WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                              embedding AS ce
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+                 q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+                 qc AS (SELECT q.qid, c.cell,
+                               row_number() OVER (PARTITION BY q.qid
+                                                  ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                                                           c.cell) AS rn
+                        FROM q CROSS JOIN c),
+                 probe AS (SELECT DISTINCT cell FROM qc WHERE rn <= 4),
+                 a AS (SELECT e.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                                          c.cell) AS rn
+                       FROM embeddings e CROSS JOIN c),
+                 kept AS (SELECT e.vec_id, e.embedding
+                          FROM embeddings e
+                          JOIN a ON a.vec_id = e.vec_id AND a.rn = 1
+                          JOIN probe ON probe.cell = a.cell),
+                 s AS (SELECT q.qid AS query_id, kept.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, kept.embedding) AS cos
+                       FROM q CROSS JOIN kept),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
+        """,
+        # PQ/ADC replay: normalize every vector, codebook_j = subvector
+        # j of the 256 lowest-id normalized vectors (iters=0,
+        # init="first"); encode = per-subspace nearest codeword
+        # (list_distance, ties -> lowest codeword); ADC distance =
+        # sum_j d2(query_sub_j, codeword(code_vj)); rank by (dist asc,
+        # neighbor asc) — exactly the library's (-score desc, id asc).
+        "knn_pq": """
+            WITH en AS (SELECT vec_id,
+                               list_transform(embedding,
+                                   x -> x / sqrt(list_dot_product(embedding, embedding))) AS e
+                        FROM embeddings),
+                 bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS be
+                        FROM en ORDER BY vec_id LIMIT 256),
+                 sp AS (SELECT unnest(range(8)) AS j),
+                 enc AS (SELECT v.vec_id, sp.j, bk.c,
+                                row_number() OVER (PARTITION BY v.vec_id, sp.j
+                                    ORDER BY list_distance(
+                                        list_slice(v.e, sp.j * 8 + 1, sp.j * 8 + 8),
+                                        list_slice(bk.be, sp.j * 8 + 1, sp.j * 8 + 8)) ASC,
+                                        bk.c ASC) AS rn
+                         FROM en v CROSS JOIN sp CROSS JOIN bk),
+                 vcodes AS (SELECT vec_id, j, c FROM enc WHERE rn = 1),
+                 q AS (SELECT vec_id AS qid, e AS qe
+                       FROM en ORDER BY vec_id LIMIT 5),
+                 adc AS (SELECT q.qid, sp.j, bk.c,
+                                power(list_distance(
+                                    list_slice(q.qe, sp.j * 8 + 1, sp.j * 8 + 8),
+                                    list_slice(bk.be, sp.j * 8 + 1, sp.j * 8 + 8)), 2) AS d2
+                         FROM q CROSS JOIN sp CROSS JOIN bk),
+                 dist AS (SELECT adc.qid AS query_id, vcodes.vec_id AS neighbor_id,
+                                 sum(adc.d2) AS dist
+                          FROM vcodes
+                          JOIN adc ON adc.j = vcodes.j AND adc.c = vcodes.c
+                          GROUP BY 1, 2),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY dist ASC, neighbor_id) AS rn
+                       FROM dist)
+            SELECT query_id, neighbor_id, rn AS rank FROM r WHERE rn <= 5
+        """,
+        # Cluster-count replay: same data-point centroids as knn_ivf's
+        # oracle; assignment = argmax cosine (ties -> lowest cell).
+        "embedding_clusters": """
+            WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                              embedding AS ce
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+                 a AS (SELECT e.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY e.vec_id
+                                                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                                          c.cell) AS rn
+                       FROM embeddings e CROSS JOIN c)
+            SELECT cell AS cluster, count(*) AS n_vectors
+            FROM a WHERE rn = 1 GROUP BY cell
         """,
         "text_stats": f"""
             WITH s AS (SELECT lang, {_STATS_EXPR} FROM documents)

@@ -75,6 +75,42 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _topk_per_query(
+    sims: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-query top-k by (score desc, id asc).
+
+    ``argpartition`` prunes each row to the top-k score mass first
+    (including every boundary tie so determinism matches a full sort),
+    then a ``lexsort`` over that small candidate set fixes the exact
+    (-score, id) order. Replaces the former per-query Python
+    ``sorted(range(B), key=lambda ...)`` — O(Q*B log B) interpreted
+    comparisons in the hot inner loop of every ANN batch kernel.
+
+    Returns flat (query_index, selected_ids, selected_scores).
+    """
+    Q, B = sims.shape
+    kk = min(k, B)
+    if kk == 0 or Q == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    out_q, out_i, out_s = [], [], []
+    full = np.arange(B)
+    for qi in range(Q):
+        row = sims[qi]
+        if kk < B:
+            part = np.argpartition(-row, kk - 1)[:kk]
+            cand = np.flatnonzero(row >= row[part].min())
+        else:
+            cand = full
+        order = np.lexsort((ids[cand], -row[cand]))[:kk]
+        sel = cand[order]
+        out_q.append(np.full(kk, qi, dtype=np.int64))
+        out_i.append(ids[sel])
+        out_s.append(row[sel])
+    return np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s)
+
+
 def cosine_topk_local(
     queries: np.ndarray, ids: list, vectors: np.ndarray, k: int
 ) -> list[list[tuple]]:
@@ -83,11 +119,11 @@ def cosine_topk_local(
     qn = _normalize(queries)
     vn = _normalize(vectors)
     sims = qn @ vn.T  # (Q, N)
-    out = []
-    for qi in range(sims.shape[0]):
-        row = sims[qi]
-        order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:k]
-        out.append([(ids[j], float(row[j])) for j in order])
+    ids_np = np.asarray(ids, dtype=np.int64)
+    qi, ni, sc = _topk_per_query(sims, ids_np, k)
+    out: list[list[tuple]] = [[] for _ in range(sims.shape[0])]
+    for q, n, c in zip(qi, ni, sc):
+        out[int(q)].append((int(n), float(c)))
     return out
 
 
@@ -108,25 +144,21 @@ def knn_bruteforce(
     # batch and skip an actor pool's ramp-up entirely.
     q_ref = ray.put(_normalize(np.asarray(query_vectors, dtype=np.float64)))
 
+    qids_np = np.asarray(query_ids, dtype=np.int64)
+
     def batch_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
         mat = _normalize(_arrow_matrix(batch[vec_col]))
         sims = q @ mat.T  # (Q, B)
-        rows_q, rows_n, rows_c = [], [], []
-        kk = min(k, len(ids))
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            order = sorted(range(len(ids)), key=lambda j: (-row[j], ids[j]))[:kk]
-            for j in order:
-                rows_q.append(query_ids[qi])
-                rows_n.append(ids[j])
-                rows_c.append(float(row[j]))
+        qi, ni, sc = _topk_per_query(sims, ids, k)
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
+                "query_id": pa.array(qids_np[qi], pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "cosine": pa.array(sc, pa.float64()),
             }
         )
 
@@ -183,6 +215,7 @@ def knn_lsh(
     dim: int = 64,
     multiprobe: bool = True,
     seed: int = 42,
+    plane_vectors: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Approximate top-k via random-hyperplane LSH buckets.
 
@@ -192,6 +225,12 @@ def knn_lsh(
     search touches only the probed buckets, i.e. roughly
     ``(1 + n_planes) / 2**n_planes`` of the corpus with multiprobe.
 
+    ``plane_vectors`` overrides the seeded Gaussian planes with caller
+    supplied ones (data-sampled hyperplanes — the classic "use corpus
+    points as planes" variant). Sign patterns are scale-invariant, so
+    a SQL oracle can replay the bucketing with raw dot products; this
+    is what makes the driver-gated query value-checkable end to end.
+
     Recall caveat (measured on the synthetic embeddings): LSH recall
     tracks the *cluster structure* of the data. On structureless
     (uniform random) vectors recall ~= scanned fraction — there is no
@@ -199,7 +238,11 @@ def knn_lsh(
     trade scan cost for recall. On real embedding corpora (which
     cluster) the same setting yields far higher recall.
     """
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    if plane_vectors is not None:
+        planes = np.asarray(plane_vectors, dtype=np.float64)
+        n_planes = planes.shape[0]
+    else:
+        planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     q_buckets = ((q @ planes.T) > 0).astype(np.int64)
     probe: set[int] = set()
@@ -209,43 +252,37 @@ def knn_lsh(
         if multiprobe:
             for b in range(n_planes):
                 probe.add(code ^ (1 << b))
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put(np.asarray(sorted(probe), dtype=np.int64))
     planes_ref = ray.put(planes)
     q_ref = ray.put(q)
+    qids_np = np.asarray(query_ids, dtype=np.int64)
 
     def bucket_filter_topk(batch: pa.Table) -> pa.Table:
         """Keep only vectors in probed buckets, emit per-batch top-k.
 
         Stateless task: the numpy broadcasts read zero-copy from plasma;
-        the probe set is tiny (deserialization is microseconds)."""
-        probe_s = ray.get(probe_ref)
+        the probe array is tiny (deserialization is microseconds)."""
+        probe_a = ray.get(probe_ref)
         planes_b = ray.get(planes_ref)
         q_b = ray.get(q_ref)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
         mat = _normalize(_arrow_matrix(batch[vec_col]))
         codes = ((mat @ planes_b.T) > 0).astype(np.int64)
         codes = (codes * (1 << np.arange(planes_b.shape[0]))).sum(axis=1)
-        keep = [j for j, c in enumerate(codes) if int(c) in probe_s]
-        rows_q, rows_n, rows_c = [], [], []
-        if keep:
-            sub = mat[keep]
-            sub_ids = [ids[j] for j in keep]
-            sims = q_b @ sub.T
-            kk = min(k, len(sub_ids))
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                order = sorted(
-                    range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
-                )[:kk]
-                for j in order:
-                    rows_q.append(query_ids[qi])
-                    rows_n.append(sub_ids[j])
-                    rows_c.append(float(row[j]))
+        keep = np.flatnonzero(np.isin(codes, probe_a))
+        if len(keep):
+            sims = q_b @ mat[keep].T
+            qi, ni, sc = _topk_per_query(sims, ids[keep], k)
+        else:
+            qi = ni = np.empty(0, dtype=np.int64)
+            sc = np.empty(0, dtype=np.float64)
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
+                "query_id": pa.array(qids_np[qi], pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "cosine": pa.array(sc, pa.float64()),
             }
         )
 
@@ -254,13 +291,30 @@ def knn_lsh(
 
 
 def _kmeans_centroids(
-    sample: np.ndarray, n_cells: int, iters: int = 5, seed: int = 42
+    sample: np.ndarray,
+    n_cells: int,
+    iters: int = 5,
+    seed: int = 42,
+    init: str = "random",
 ) -> np.ndarray:
-    """Deterministic spherical k-means on an in-memory sample."""
+    """Deterministic spherical k-means on an in-memory sample.
+
+    ``init="first"`` seeds the centroids with the first ``n_cells``
+    sample rows instead of a seeded random choice; with ``iters=0``
+    the centroids ARE those rows (classic data-point centroids). That
+    combination is exactly replayable by a SQL oracle (cosine argmax
+    against named corpus rows), which is how the driver value-checks
+    the partial-probe IVF / cluster-assignment queries.
+    """
     sample = _normalize(sample)
     n_cells = min(n_cells, len(sample))
-    idx = np.random.RandomState(seed).choice(len(sample), size=n_cells, replace=False)
-    cent = sample[np.sort(idx)].copy()
+    if init == "first":
+        cent = sample[:n_cells].copy()
+    else:
+        idx = np.random.RandomState(seed).choice(
+            len(sample), size=n_cells, replace=False
+        )
+        cent = sample[np.sort(idx)].copy()
     for _ in range(iters):
         assign = (sample @ cent.T).argmax(axis=1)
         for c in range(n_cells):
@@ -269,6 +323,22 @@ def _kmeans_centroids(
                 cent[c] = pts.mean(axis=0)
         cent = _normalize(cent)
     return cent
+
+
+def _train_sample(
+    ds: ray.data.Dataset, vec_col: str, id_col: str, train_rows: int
+) -> np.ndarray:
+    """Bounded driver-side training sample, ordered by id.
+
+    ``limit(train_rows)`` bounds the fetch (fixed size at any corpus
+    scale); sorting the in-memory sample by id makes the row order —
+    and therefore seeded/first-row centroid inits — independent of
+    block arrival order, so training state is a pure function of the
+    data, replayable by the oracle."""
+    df = ds.limit(train_rows).to_pandas()
+    if id_col in df.columns:
+        df = df.sort_values(id_col)
+    return _to_matrix(df[vec_col].tolist())
 
 
 def knn_ivf(
@@ -282,6 +352,8 @@ def knn_ivf(
     nprobe: int = 4,
     train_rows: int = 2048,
     seed: int = 42,
+    iters: int = 5,
+    init: str = "random",
 ) -> ray.data.Dataset:
     """Approximate top-k via IVF cell probing (FAISS IVF-Flat shape).
 
@@ -292,46 +364,48 @@ def knn_ivf(
     queries' probed cells never enter the similarity matmul. The only
     cross-task data movement is the bounded per-batch top-k candidate
     stream (same merge as brute force).
+
+    ``iters=0, init="first"`` gives data-point centroids (the lowest
+    ``n_cells`` ids) — same IVF machinery, SQL-replayable training
+    state; the driver-gated ``knn_ivf`` query runs this variant so its
+    result is value-checked, while the Lloyd-trained default stays
+    pinned by pytest (and by ``knn_ivf_fullprobe``, whose result is
+    centroid-invariant).
     """
-    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
-    cent = _kmeans_centroids(sample, n_cells, seed=seed)
+    sample = _train_sample(ds, vec_col, id_col, train_rows)
+    cent = _kmeans_centroids(sample, n_cells, iters=iters, seed=seed, init=init)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     nprobe = min(nprobe, len(cent))
-    # union of each query's top-nprobe cells
-    q_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    # union of each query's top-nprobe cells (stable: ties -> lowest
+    # cell index, matching the oracle's ORDER BY cos DESC, cell ASC)
+    q_cells = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, :nprobe]
     probe = set(int(c) for c in q_cells.ravel())
     cent_ref = ray.put(cent)
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put(np.asarray(sorted(probe), dtype=np.int64))
     q_ref = ray.put(q)
+    qids_np = np.asarray(query_ids, dtype=np.int64)
 
     def cell_filter_topk(batch: pa.Table) -> pa.Table:
         cent_b = ray.get(cent_ref)  # zero-copy plasma read
-        probe_s = ray.get(probe_ref)
+        probe_a = ray.get(probe_ref)
         q_b = ray.get(q_ref)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
         mat = _normalize(_arrow_matrix(batch[vec_col]))
         cells = (mat @ cent_b.T).argmax(axis=1)
-        keep = [j for j, c in enumerate(cells) if int(c) in probe_s]
-        rows_q, rows_n, rows_c = [], [], []
-        if keep:
-            sub = mat[keep]
-            sub_ids = [ids[j] for j in keep]
-            sims = q_b @ sub.T
-            kk = min(k, len(sub_ids))
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                order = sorted(
-                    range(len(sub_ids)), key=lambda j: (-row[j], sub_ids[j])
-                )[:kk]
-                for j in order:
-                    rows_q.append(query_ids[qi])
-                    rows_n.append(sub_ids[j])
-                    rows_c.append(float(row[j]))
+        keep = np.flatnonzero(np.isin(cells, probe_a))
+        if len(keep):
+            sims = q_b @ mat[keep].T
+            qi, ni, sc = _topk_per_query(sims, ids[keep], k)
+        else:
+            qi = ni = np.empty(0, dtype=np.int64)
+            sc = np.empty(0, dtype=np.float64)
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
+                "query_id": pa.array(qids_np[qi], pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "cosine": pa.array(sc, pa.float64()),
             }
         )
 
@@ -346,6 +420,8 @@ def cluster_assign(
     id_col: str = "vec_id",
     train_rows: int = 2048,
     seed: int = 42,
+    iters: int = 5,
+    init: str = "random",
 ) -> ray.data.Dataset:
     """Assign every vector to its nearest k-means centroid (cosine).
 
@@ -353,10 +429,12 @@ def cluster_assign(
     ``knn_ivf``); assignment is one broadcast + one matmul per batch —
     embarrassingly parallel, no shuffle. Output: (id, cluster). At
     100 TB this is the standard embedding-space bucketing step feeding
-    per-cluster dedup / sampling / curriculum jobs.
+    per-cluster dedup / sampling / curriculum jobs. ``iters=0,
+    init="first"`` = SQL-replayable data-point centroids (see
+    ``_kmeans_centroids``).
     """
-    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
-    cent = _kmeans_centroids(sample, n_clusters, seed=seed)
+    sample = _train_sample(ds, vec_col, id_col, train_rows)
+    cent = _kmeans_centroids(sample, n_clusters, iters=iters, seed=seed, init=init)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -400,7 +478,7 @@ def embedding_neardup_bucketed(
     bounds both memory (sims matrix) and work instead of letting one
     skewed cell OOM a task.
     """
-    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
+    sample = _train_sample(ds, vec_col, id_col, train_rows)
     cent = _kmeans_centroids(sample, n_clusters, seed=seed)
     cent_ref = ray.put(cent)
 
@@ -445,10 +523,14 @@ def embedding_neardup_bucketed(
 
 
 def _pq_codebooks(
-    sample: np.ndarray, m: int, nbits: int, seed: int = 42
+    sample: np.ndarray, m: int, nbits: int, seed: int = 42,
+    iters: int = 8, init: str = "random",
 ) -> np.ndarray:
     """Deterministic per-subspace k-means codebooks: (m, 2^nbits,
-    d/m). Euclidean k-means per subspace (the standard PQ trainer)."""
+    d/m). Euclidean k-means per subspace (the standard PQ trainer).
+    ``iters=0, init="first"`` = codewords are the first 2^nbits sample
+    rows' subvectors (SQL-replayable, same contract as
+    ``_kmeans_centroids``)."""
     n, d = sample.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -459,9 +541,12 @@ def _pq_codebooks(
     for j in range(m):
         x = sample[:, j * sub : (j + 1) * sub]
         kk = min(ksize, n)
-        idx = np.sort(rng.choice(n, size=kk, replace=False))
-        cent = x[idx].copy()
-        for _ in range(8):
+        if init == "first":
+            cent = x[:kk].copy()
+        else:
+            idx = np.sort(rng.choice(n, size=kk, replace=False))
+            cent = x[idx].copy()
+        for _ in range(iters):
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             for c in range(kk):
@@ -483,6 +568,8 @@ def knn_pq(
     nbits: int = 5,
     train_rows: int = 2048,
     seed: int = 42,
+    iters: int = 8,
+    init: str = "random",
 ) -> "pd.DataFrame":
     """Approximate top-k via product quantization with asymmetric
     distance (FAISS PQ/ADC shape) — the memory-bound end of the ANN
@@ -506,9 +593,9 @@ def knn_pq(
     """
     import pandas as pd
 
-    sample = _to_matrix(ds.limit(train_rows).to_pandas()[vec_col].tolist())
+    sample = _train_sample(ds, vec_col, id_col, train_rows)
     sample = _normalize(sample)
-    books = _pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
+    books = _pq_codebooks(sample, m=m, nbits=nbits, seed=seed, iters=iters, init=init)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     d = q.shape[1]
     sub = d // m
@@ -522,40 +609,37 @@ def knn_pq(
         adc[:, j, :] = (diff ** 2).sum(axis=2)
     books_ref = ray.put(books)
     adc_ref = ray.put(adc)
+    qids_np = np.asarray(query_ids, dtype=np.int64)
 
     def batch_pq_topk(batch: pa.Table) -> pa.Table:
         books_b = ray.get(books_ref)
         adc_b = ray.get(adc_ref)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
         mat = _normalize(_arrow_matrix(batch[vec_col]))
         n = len(ids)
         codes = np.empty((n, m), dtype=np.int64)
         for j in range(m):
+            # direct (x - c)^2 form, NOT the x^2 - 2xc + c^2 expansion:
+            # the expansion loses ~8 bits to cancellation and can flip
+            # the argmin on near-tied codewords, which would desync the
+            # integer codes from the oracle's list_distance replay.
             x = mat[:, j * sub : (j + 1) * sub]
-            d2 = (
-                (x ** 2).sum(axis=1)[:, None]
-                - 2.0 * (x @ books_b[j].T)
-                + (books_b[j] ** 2).sum(axis=1)[None, :]
-            )
+            d2 = ((x[:, None, :] - books_b[j][None, :, :]) ** 2).sum(axis=2)
             codes[:, j] = d2.argmin(axis=1)
-        # approx squared distance per (query, vector): gather + sum
-        rows_q, rows_n, rows_c = [], [], []
-        kk = min(k, n)
-        for qi in range(adc_b.shape[0]):
-            dist = adc_b[qi][np.arange(m)[None, :], codes].sum(axis=1)
-            score = -dist  # higher is better, like cosine
-            order = sorted(
-                range(n), key=lambda jj: (-score[jj], ids[jj])
-            )[:kk]
-            for jj in order:
-                rows_q.append(query_ids[qi])
-                rows_n.append(ids[jj])
-                rows_c.append(float(score[jj]))
+        # approx squared distance per (query, vector): one gathered ADC
+        # table per subspace, accumulated into a (Q, B) score matrix
+        # (higher = better, like cosine), then the shared top-k kernel.
+        scores = np.zeros((adc_b.shape[0], n), dtype=np.float64)
+        for j in range(m):
+            scores -= adc_b[:, j, codes[:, j]]
+        qi, ni, sc = _topk_per_query(scores, ids, k)
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
+                "query_id": pa.array(qids_np[qi], pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "cosine": pa.array(sc, pa.float64()),
             }
         )
 

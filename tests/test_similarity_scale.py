@@ -163,3 +163,123 @@ class TestKnnPq:
         for qid in qids:
             top1 = out[(out["query_id"] == qid) & (out["rank"] == 1)]["neighbor_id"].iloc[0]
             assert top1 == qid, (qid, top1)
+
+
+class TestVectorizedTopk:
+    """The argpartition+lexsort kernel must match a naive full sort by
+    (-score, id asc) exactly, including boundary ties."""
+
+    def test_matches_naive_sort_with_ties(self):
+        from pdf_extractor_ray.functions.similarity import _topk_per_query
+
+        rng = np.random.RandomState(3)
+        # quantized scores force many exact ties, including at the
+        # top-k boundary
+        sims = np.round(rng.standard_normal((7, 200)), 1)
+        ids = rng.permutation(200).astype(np.int64)
+        for k in (1, 5, 50, 200, 300):
+            qi, ni, sc = _topk_per_query(sims, ids, k)
+            kk = min(k, 200)
+            for q in range(7):
+                row = sims[q]
+                naive = sorted(range(200), key=lambda j: (-row[j], ids[j]))[:kk]
+                got_ids = ni[qi == q].tolist()
+                assert got_ids == [int(ids[j]) for j in naive], (q, k)
+                assert np.allclose(sc[qi == q], [row[j] for j in naive])
+
+    def test_empty_and_degenerate(self):
+        from pdf_extractor_ray.functions.similarity import _topk_per_query
+
+        qi, ni, sc = _topk_per_query(np.empty((0, 5)), np.arange(5), 3)
+        assert len(qi) == len(ni) == len(sc) == 0
+        # all-equal scores: pure id ascending
+        sims = np.zeros((2, 6))
+        ids = np.array([5, 3, 1, 4, 0, 2], dtype=np.int64)
+        qi, ni, _ = _topk_per_query(sims, ids, 3)
+        assert ni[qi == 0].tolist() == [0, 1, 2]
+        assert ni[qi == 1].tolist() == [0, 1, 2]
+
+
+class TestSqlReplayableVariants:
+    """iters=0 + init="first" (data-point centroids/codebooks) and
+    plane_vectors (data-sampled hyperplanes) are the driver-gated
+    configs; pin their semantics here so the oracle contract cannot
+    drift."""
+
+    def test_first_init_centroids_are_first_rows(self):
+        from pdf_extractor_ray.functions.similarity import (
+            _kmeans_centroids,
+            _normalize,
+        )
+
+        rng = np.random.RandomState(0)
+        sample = rng.standard_normal((40, 8))
+        cent = _kmeans_centroids(sample, 4, iters=0, init="first")
+        assert np.allclose(cent, _normalize(sample)[:4])
+
+    def test_lsh_data_planes_deterministic_and_self_top1(self, ray_session):
+        import ray
+        from pdf_extractor_ray.functions.similarity import knn_lsh
+
+        ds = _emb_ds(ray, 300, dim=16)
+        mat = np.asarray(
+            ds.limit(6).to_pandas().sort_values("vec_id")["embedding"].tolist()
+        )
+        a = knn_lsh(ds, mat[:5], list(range(5)), k=5, plane_vectors=mat)
+        b = knn_lsh(ds, mat[:5], list(range(5)), k=5, plane_vectors=mat)
+        assert a.equals(b)
+        top1 = a[a["rank"] == 1]
+        assert (top1["neighbor_id"].to_numpy() == top1["query_id"].to_numpy()).all()
+
+    def test_pq_first_init_codebooks_are_first_subvectors(self):
+        from pdf_extractor_ray.functions.similarity import (
+            _normalize,
+            _pq_codebooks,
+        )
+
+        rng = np.random.RandomState(1)
+        sample = _normalize(rng.standard_normal((20, 8)))
+        books = _pq_codebooks(sample, m=2, nbits=3, iters=0, init="first")
+        assert books.shape == (2, 8, 4)
+        assert np.allclose(books[0], sample[:8, :4])
+        assert np.allclose(books[1], sample[:8, 4:])
+
+    def test_ivf_first_init_matches_restricted_brute(self, ray_session):
+        """Partial-probe IVF with data-point centroids == brute force
+        restricted to vectors assigned to the probed cells (the exact
+        invariant the SQL oracle replays)."""
+        import ray
+        from pdf_extractor_ray.functions.similarity import (
+            _normalize,
+            knn_ivf,
+        )
+
+        ds = _emb_ds(ray, 400, dim=16)
+        df = ds.limit(2048).to_pandas().sort_values("vec_id")
+        mat_all = np.asarray(df["embedding"].tolist())
+        qmat = mat_all[:5]
+        out = knn_ivf(
+            ds, qmat, list(range(5)), k=5, n_cells=8, nprobe=2,
+            iters=0, init="first",
+        )
+        # replay in numpy
+        vn = _normalize(mat_all)
+        cent = vn[:8]
+        qn = _normalize(qmat)
+        cells = (vn @ cent.T).argmax(axis=1)
+        probe = set(
+            int(c)
+            for c in np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :2].ravel()
+        )
+        keep = np.flatnonzero(np.isin(cells, sorted(probe)))
+        sims = qn @ vn[keep].T
+        for q in range(5):
+            row = sims[q]
+            naive = sorted(
+                range(len(keep)), key=lambda j: (-row[j], keep[j])
+            )[:5]
+            expect = [int(keep[j]) for j in naive]
+            got = out[out["query_id"] == q].sort_values("rank")[
+                "neighbor_id"
+            ].tolist()
+            assert got == expect, q
