@@ -1961,7 +1961,9 @@ def _q_strip_boilerplate(sf_dir: str):
             _t(sf_dir, "documents"), columns=["doc_id", "text"]
         ).map_batches(with_footer, batch_format="pyarrow")
 
-    inv = paragraph_hash_counts(built(), min_count=2)
+    # max_inventory exercises the bounded-broadcast path at the gate
+    # (10k never binds at sf scale, so the oracle is unchanged)
+    inv = paragraph_hash_counts(built(), min_count=2, max_inventory=10_000)
     cleaned = strip_boilerplate(built(), inv)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -3933,7 +3935,15 @@ def oracle_sql() -> dict[str, str]:
             FROM act LEFT JOIN ret ON act.week = ret.week
         """,
         "cooccurrence": """
-            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            -- per-user deterministic item cap (max_items_per_user=200):
+            -- keep each user's 200 smallest items, mirroring the
+            -- operator's bot-user pair-explosion guard
+            ut AS (SELECT user_id, event_type FROM (
+                       SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_type) AS rn
+                       FROM d) WHERE rn <= 200),
             p AS (SELECT a.user_id, a.event_type AS t1, b.event_type AS t2
                   FROM ut a JOIN ut b
                     ON a.user_id = b.user_id

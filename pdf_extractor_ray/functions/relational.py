@@ -985,6 +985,7 @@ def cooccurrence_pairs(
     user_col: str = "user_id",
     item_col: str = "event_type",
     n_buckets: int = 256,
+    max_items_per_user: int = 200,
 ) -> ray.data.Dataset:
     """Pairwise co-occurrence mining (the 2-itemset of market-basket
     analysis): for every unordered item pair (t1 < t2), the number of
@@ -994,9 +995,18 @@ def cooccurrence_pairs(
     exchange carries each user's item set, never the event stream), a
     coarse user-bucket exchange co-locates each user's items, pairs
     emit and PRE-AGGREGATE inside the bucket (one row per pair per
-    bucket), and a final small groupby sums partials. Pair explosion
-    is bounded per user by its item-set size — cap extreme users
-    upstream if item cardinality is unbounded.
+    bucket), and a final small groupby sums partials.
+
+    ``max_items_per_user`` caps the per-user pair explosion: a user's
+    item set is truncated DETERMINISTICALLY to its
+    ``max_items_per_user`` smallest items (sorted order) before
+    pairing, so one bot/crawler user with 10^4 distinct items emits at
+    most cap*(cap-1)/2 pairs instead of 5*10^7 in a single bucket
+    task. The truncation happens after the user-bucket exchange
+    co-locates the user's FULL distinct item set, so the kept subset
+    is a pure function of the data (same pattern as SimHash's
+    per-band document cap). The SQL oracle mirrors the cap with a
+    per-user row_number filter.
     """
     import itertools
     import zlib
@@ -1013,7 +1023,10 @@ def cooccurrence_pairs(
         g = group.drop_duplicates([user_col, item_col])
         rows: dict[tuple, int] = {}
         for _, items in g.groupby(user_col)[item_col]:
-            for t1, t2 in itertools.combinations(sorted(set(items)), 2):
+            s = sorted(set(items))
+            if len(s) > max_items_per_user:
+                s = s[:max_items_per_user]
+            for t1, t2 in itertools.combinations(s, 2):
                 rows[(t1, t2)] = rows.get((t1, t2), 0) + 1
         if not rows:
             return pd.DataFrame({"t1": [], "t2": [], "n_users": []})

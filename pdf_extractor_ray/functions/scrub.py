@@ -85,12 +85,25 @@ def paragraph_hash_counts(
     text_col: str = "text",
     min_count: int = 2,
     n_buckets: int = 1024,
+    max_inventory: int | None = None,
 ) -> ray.data.Dataset:
     """Cross-document repeated paragraphs: md5 per non-empty paragraph
     (split on blank lines), per-batch partial counts, one coarse
     hash-bucket exchange, in-bucket vectorized merge, filtered to
     ``count >= min_count``. Output: (para_hash, n_docs) — the
-    boilerplate inventory a cleaning pass subtracts."""
+    boilerplate inventory a cleaning pass subtracts.
+
+    ``max_inventory`` bounds the inventory to EXACTLY the N
+    most-repeated paragraphs, ranked (n_docs DESC, md5-salted hash
+    ASC, para_hash ASC) — the same contract as
+    :func:`..selection.select_top_k_global`, which does the global
+    selection with O(distinct_counts x 256) driver state. Each bucket
+    first prunes to its own top N (a global top-N member is always in
+    its bucket's top-N, so pruning is exactness-preserving) to bound
+    the exchange. At web scale the set of paragraphs repeated >=
+    min_count times is NOT meaningfully bounded (navboxes, footers,
+    licence blocks across millions of sites), so
+    :func:`strip_boilerplate` callers should always set this."""
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -114,6 +127,11 @@ def paragraph_hash_counts(
             n_docs=("n_docs", "sum")
         )
         g = g[g["n_docs"] >= min_count]
+        if max_inventory is not None and len(g) > max_inventory:
+            # per-bucket prune; final exact global top-N below
+            g = g.sort_values(
+                ["n_docs", "para_hash"], ascending=[False, True]
+            ).head(max_inventory)
         # typed Arrow output: most buckets are empty after the filter,
         # and empty object-dtype pandas columns trip Ray's block-size
         # estimator (log spam, no correctness impact)
@@ -124,11 +142,22 @@ def paragraph_hash_counts(
             }
         )
 
-    return (
+    inv = (
         coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
+    if max_inventory is not None:
+        from pdf_extractor_ray.functions.selection import select_top_k_global
+
+        # materialize: the selector scans its input twice (histogram +
+        # filter); post-prune the inventory is bounded per bucket, so
+        # it lives in the object store, never on the driver
+        inv = select_top_k_global(
+            inv.materialize(), max_inventory,
+            score_col="n_docs", id_col="para_hash",
+        )
+    return inv
 
 
 def strip_boilerplate(

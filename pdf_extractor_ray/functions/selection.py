@@ -128,7 +128,12 @@ def select_top_k_global(
             drop=True
         )
         row = members.iloc[need_in_boundary - 1]
-        boundary_cutoff = (str(row["salt_hex"]), int(row[id_col]))
+        cid = row[id_col]
+        # ids may be ints (doc_id) or strings (para_hash) — normalize
+        # numpy scalars so the (salt, id) tuple comparisons in keep()
+        # stay same-typed
+        cid = int(cid) if isinstance(cid, (int, np.integer)) else str(cid)
+        boundary_cutoff = (str(row["salt_hex"]), cid)
 
     def keep(batch: pa.Table) -> pa.Table:
         scores = batch[score_col].to_numpy(zero_copy_only=False)

@@ -1025,3 +1025,52 @@ class TestFunnel:
             .set_index("step")["n_users"].to_dict()
         )
         assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+class TestCooccurrenceCap:
+    def test_bot_user_item_set_truncated_deterministically(self, ray_session):
+        """A planted bot user with a huge distinct item set is capped
+        to its max_items_per_user smallest items BEFORE pairing, so
+        one degenerate user cannot explode a bucket task."""
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import cooccurrence_pairs
+
+        rows = [
+            {"user_id": 7, "event_type": f"item_{i:04d}"} for i in range(500)
+        ]
+        rows += [
+            {"user_id": 1, "event_type": "item_0000"},
+            {"user_id": 1, "event_type": "item_0001"},
+        ]
+        out = _to_pandas(
+            cooccurrence_pairs(
+                ray.data.from_items(rows, override_num_blocks=8),
+                max_items_per_user=3,
+            )
+        )
+        # bot contributes pairs only over its 3 smallest items
+        assert len(out) == 3  # (0,1) (0,2) (1,2)
+        d = out.set_index(["t1", "t2"])["n_users"].to_dict()
+        assert d == {
+            ("item_0000", "item_0001"): 2,
+            ("item_0000", "item_0002"): 1,
+            ("item_0001", "item_0002"): 1,
+        }
+
+    def test_cap_not_binding_is_identity(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.relational import cooccurrence_pairs
+
+        rows = [
+            {"user_id": u, "event_type": t}
+            for u in (1, 2)
+            for t in ("a", "b", "c")
+        ]
+        big = _to_pandas(
+            cooccurrence_pairs(ray.data.from_items(rows), max_items_per_user=100)
+        )
+        assert big.set_index(["t1", "t2"])["n_users"].to_dict() == {
+            ("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2,
+        }

@@ -127,3 +127,59 @@ class TestStripBoilerplate:
         )
         out = strip_boilerplate(ds, inv).to_pandas()
         assert out.iloc[0]["text"] == "a\n\nb" and out.iloc[0]["n_removed"] == 0
+
+
+class TestBoundedInventory:
+    def test_max_inventory_keeps_exact_top_n(self, ray_session):
+        """Degenerate all-repeated corpus: the inventory is bounded to
+        EXACTLY max_inventory rows — the most-repeated paragraphs — so
+        the strip_boilerplate broadcast can never scale with the
+        number of distinct repeated paragraphs."""
+        from pdf_extractor_ray.functions.scrub import paragraph_hash_counts
+
+        docs = []
+        for i in range(30):
+            parts = [f"unique body {i}", "mega common"]  # 30x
+            if i < 20:
+                parts.append("common twenty")  # 20x
+            if i < 10:
+                parts.append("common ten")  # 10x
+            docs.append("\n\n".join(parts))
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(30)), pa.int64()),
+                    "text": docs,
+                }
+            )
+        ).repartition(4)
+        inv = paragraph_hash_counts(ds, min_count=2, max_inventory=2).to_pandas()
+        assert len(inv) == 2
+        import hashlib
+
+        got = set(inv["para_hash"])
+        assert got == {
+            hashlib.md5(b"mega common").hexdigest(),
+            hashlib.md5(b"common twenty").hexdigest(),
+        }
+        assert sorted(inv["n_docs"].tolist(), reverse=True) == [30, 20]
+
+    def test_unbounded_matches_bounded_when_cap_does_not_bind(self, ray_session):
+        from pdf_extractor_ray.functions.scrub import paragraph_hash_counts
+
+        docs = [
+            "body %d\n\nshared footer" % i if i % 2 == 0 else "body %d" % i
+            for i in range(12)
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(12)), pa.int64()),
+                    "text": docs,
+                }
+            )
+        )
+        a = paragraph_hash_counts(ds, min_count=2).to_pandas()
+        b = paragraph_hash_counts(ds, min_count=2, max_inventory=100).to_pandas()
+        pd_sort = lambda d: d.sort_values("para_hash").reset_index(drop=True)
+        assert pd_sort(a).equals(pd_sort(b))
