@@ -13,15 +13,17 @@ All shuffles here move NARROW data (hashes + ids), never full documents:
   - SimHash near-dup: 64-bit sign-sum sketch, 4x16-bit band blocking,
     Hamming-distance verification
 
-Verification (default ``verify="bucket"``) is a hash-partitioned pair
+Verification ``verify="bucket"`` is a hash-partitioned pair
 join that never touches the driver: candidate pairs dedupe in a coarse
 pair-bucket groupby, candidate texts are selected by an id-bucketed
 cogroup semi-join (the only corpus-sized exchange), and each pair picks
 up its two texts through candidate-sized cogroup joins before a
 streaming exact-Jaccard verify. ``verify="broadcast"`` remains as the
 small-corpus fast path (candidate texts broadcast via ``ray.put``; its
-driver state scales with the near-dup fraction, not the corpus). The
-LSH banding itself carries 16 x 8-byte keys per document.
+driver state scales with the near-dup fraction, not the corpus).
+``verify="auto"`` (default) picks broadcast iff the counted candidate
+pair table is provably small, bucket otherwise. The LSH banding itself
+carries 16 x 8-byte keys per document.
 
 Order of operations at corpus scale: run ``exact_dedup`` BEFORE the
 near-dup passes. MinHash/SimHash candidate generation is O(pairs
@@ -641,13 +643,14 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
-    verify: str = "bucket",
+    verify: str = "auto",
     n_buckets: int = 256,
+    auto_broadcast_max: int = 50_000,
 ) -> ray.data.Dataset:
     """LSH candidates verified by exact n-gram Jaccard >= threshold.
 
-    ``verify="bucket"`` (default, the 100 TB path) keeps everything on
-    the cluster: candidate pairs dedupe in a coarse pair-bucket groupby,
+    ``verify="bucket"`` (the 100 TB path) keeps everything on the
+    cluster: candidate pairs dedupe in a coarse pair-bucket groupby,
     a bounded Bloom filter of candidate ids (built on-cluster, OR-ed on
     the driver as a stream of fixed-size bitmaps) prefilters the corpus,
     and the candidate-sized remainder flows through two bucketed
@@ -660,11 +663,26 @@ def minhash_dedup_pairs(
     candidate ids select texts via a broadcast-filter pass, and verify
     tasks read the candidate-sized broadcast — cheaper while candidates
     fit on one node, which a 30%-dup 100 TB crawl would not.
+
+    ``verify="auto"`` (default) counts the materialized candidate-pair
+    table (narrow: 2 int64/row; both paths consume it materialized
+    anyway) and takes broadcast when there are at most
+    ``auto_broadcast_max`` pairs — the driver then holds a provably
+    small pair table — and bucket otherwise. Both branches produce
+    identical results (pytest-pinned), so the switch is purely a cost
+    choice.
     """
-    if verify not in ("bucket", "broadcast"):
-        raise ValueError(f"verify must be 'bucket' or 'broadcast', got {verify!r}")
+    if verify not in ("auto", "bucket", "broadcast"):
+        raise ValueError(
+            f"verify must be 'auto', 'bucket' or 'broadcast', got {verify!r}"
+        )
 
     cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
+
+    if verify == "auto":
+        cand = cand.materialize()
+        n_cand = cand.count()  # metadata only after materialize
+        verify = "broadcast" if n_cand <= auto_broadcast_max else "bucket"
 
     if verify == "bucket":
         # Fully distributed verify. Driver state is ONE fixed-size

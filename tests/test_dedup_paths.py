@@ -499,3 +499,40 @@ class TestContentChangeLog:
             "FROM d WHERE prev_hash IS NULL OR text_hash <> prev_hash ORDER BY doc_id"
         ).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestAutoVerifySelect:
+    def test_auto_matches_both_paths_and_switches(self, ray_session):
+        """verify='auto' takes broadcast under the candidate threshold
+        and bucket above it, and both give the bucket path's answer."""
+        from pdf_extractor_ray.functions import dedup as dd
+
+        ds = _corpus(ray_session)
+        want = (
+            dd.minhash_dedup_pairs(ds, threshold=0.5, verify="bucket")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        lo = (
+            dd.minhash_dedup_pairs(
+                _corpus(ray_session), threshold=0.5, verify="auto",
+                auto_broadcast_max=10_000_000,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        hi = (
+            dd.minhash_dedup_pairs(
+                _corpus(ray_session), threshold=0.5, verify="auto",
+                auto_broadcast_max=0,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(lo, want)
+        pd.testing.assert_frame_equal(hi, want)
