@@ -16,6 +16,7 @@ ray.init()/ray.shutdown() here or in the library code these call.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -2188,6 +2189,56 @@ def _q_stratified_sample(sf_dir: str):
     ).aggregate(Count(alias_name="n_docs"))
 
 
+def _q_camelot_search(sf_dir: str):
+    """Per-page Camelot parameter search (reference
+    table_extraction.py:544-575 find_best_table_extraction +
+    corrections save/load :637-654): every page tries the 5-entry
+    parameter grid, each attempt scored by the quality blend under its
+    deterministic stand-in accuracy (md5_number_lower replayable), and
+    the best attempt wins (score desc, set index asc). One synthetic
+    single-table page per document; with no stream variant the grid is
+    constant across attempts, so the winner is the accuracy argmax the
+    SQL oracle replays exactly. Corrections-cache reuse is pinned in
+    pytest (cache hits skip the search)."""
+    from pdf_extractor_ray.kernel.pdfshape import find_best_table_extraction
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def search(batch: pa.Table) -> pa.Table:
+        ids, idxs, flavors, accs = [], [], [], []
+        for doc_id in batch["doc_id"].to_pylist():
+            page = {
+                "page_number": 1,
+                "blocks": [
+                    {
+                        "type": "table",
+                        "bbox": [10.0, 20.0, 100.0, 50.0],
+                        "cells": [
+                            {"row": 0, "col": 0, "text": "h1"},
+                            {"row": 0, "col": 1, "text": "h2"},
+                            {"row": 1, "col": 0, "text": f"v{doc_id}"},
+                            {"row": 1, "col": 1, "text": "x"},
+                        ],
+                    }
+                ],
+            }
+            best = find_best_table_extraction(page, str(doc_id))
+            ids.append(doc_id)
+            idxs.append(best["param_idx"])
+            flavors.append(best["parameters"]["flavor"])
+            accs.append(int(math.floor(best["accuracy"] * 100 + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "param_idx": pa.array(idxs, pa.int64()),
+                "flavor": pa.array(flavors, pa.string()),
+                "accuracy_c": pa.array(accs, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(search, batch_format="pyarrow")
+
+
 def _q_pdf_stream_fallback(sf_dir: str):
     """Quality-driven re-extraction fallback (reference
     context7/table_extractor.py:95-108: lattice accuracy < 80 retries
@@ -2423,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_chain": _q_training_chain,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
+        "camelot_search": _q_camelot_search,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -2836,6 +2888,29 @@ def oracle_sql() -> dict[str, str]:
                    THEN 's' || CAST(doc_id AS VARCHAR)
                    ELSE 'v' || CAST(doc_id AS VARCHAR) END AS cell
             FROM documents
+        """,
+        # parameter-search replay: the stand-in accuracy of attempt i
+        # on page doc_id is md5_number_lower('{doc_id}:{i}') % 10000
+        # centi-%; with a constant grid across attempts the quality
+        # blend is strictly monotone in accuracy, so the winner is the
+        # accuracy argmax (ties -> lowest set index). Sets 0-2 are
+        # lattice, 3-4 stream.
+        "camelot_search": """
+            WITH ps AS (SELECT unnest(range(5)) AS idx),
+                 acc AS (SELECT d.doc_id, ps.idx,
+                                CAST(md5_number_lower(
+                                    CAST(d.doc_id AS VARCHAR) || ':' ||
+                                    CAST(ps.idx AS VARCHAR)) % 10000
+                                    AS BIGINT) AS acc_c
+                         FROM documents d CROSS JOIN ps),
+                 r AS (SELECT doc_id, idx, acc_c,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY acc_c DESC, idx) AS rn
+                       FROM acc)
+            SELECT doc_id, CAST(idx AS BIGINT) AS param_idx,
+                   CASE WHEN idx <= 2 THEN 'lattice' ELSE 'stream' END AS flavor,
+                   acc_c AS accuracy_c
+            FROM r WHERE rn = 1
         """,
         "dedup_exact": f"""
             WITH d AS ({_DUP_SQL})

@@ -46,6 +46,9 @@ __all__ = [
     "table_quality",
     "is_scanned_pdf",
     "ocr_preprocess",
+    "CAMELOT_PARAMETER_SETS",
+    "param_set_accuracy",
+    "find_best_table_extraction",
 ]
 
 from pdf_extractor_ray.config import CONFIG
@@ -207,6 +210,116 @@ def table_quality(data: list[list[str]], accuracy: float) -> dict[str, float]:
         "accuracy": accuracy,
         "confidence": round(confidence, 2),
     }
+
+
+# Camelot per-page parameter search (reference table_extraction.py:
+# 544-575 read_tables_from_page: corrections-cache lookup ->
+# find_best_table_extraction over candidate parameter sets, keep best
+# by quality score -> save_parameters writes {parameters, accuracy
+# list} per page to the corrections JSON, :637-654). The candidate
+# grid below is the standard Camelot sweep: lattice at increasing
+# line_scale, then stream with loosening tolerances.
+CAMELOT_PARAMETER_SETS: tuple[dict[str, Any], ...] = (
+    {"flavor": "lattice", "line_scale": 15},
+    {"flavor": "lattice", "line_scale": 40},
+    {"flavor": "lattice", "line_scale": 60, "process_background": True},
+    {"flavor": "stream", "edge_tol": 50},
+    {"flavor": "stream", "edge_tol": 500, "row_tol": 10},
+)
+
+
+def param_set_accuracy(page_key: str, idx: int) -> float:
+    """Deterministic stand-in for the parser-reported accuracy of one
+    (page, parameter-set) extraction attempt — Camelot is absent
+    offline. Derivation is bytes 8..16 of md5 little-endian, i.e.
+    DuckDB's ``md5_number_lower``, so a SQL oracle replays the whole
+    search: ``md5_number_lower(key || ':' || idx) % 10000`` centi-%."""
+    import hashlib
+
+    h = hashlib.md5(f"{page_key}:{idx}".encode("utf-8")).digest()
+    return (int.from_bytes(h[8:16], "little") % 10000) / 100.0
+
+
+def find_best_table_extraction(
+    page: dict[str, Any],
+    page_key: str,
+    corrections: Optional[dict[str, dict[str, Any]]] = None,
+) -> dict[str, Any]:
+    """Per-page parameter search with corrections-cache reuse.
+
+    If ``corrections`` (the loaded corrections store: page_key ->
+    saved entry) has this page, extract ONCE with the cached
+    parameters and skip the search (reference ``load_parameters``
+    branch); otherwise every ``CAMELOT_PARAMETER_SETS`` entry is
+    attempted, each attempt's tables are scored with
+    ``table_quality(...)['confidence']`` under that attempt's
+    stand-in accuracy, and the best attempt wins (score desc, set
+    index asc). Lattice attempts parse the block's cell grid; stream
+    attempts parse ``stream_cells`` when the layout carries them
+    (falling back to the lattice grid) — so a page whose stream
+    variant is cleaner genuinely flips the winning flavor.
+
+    Returns a corrections entry the caller persists (the
+    ``save_parameters`` shape): ``parameters``, per-table
+    ``accuracies``, mean ``accuracy``, mean ``confidence``,
+    ``param_idx``, ``from_cache``, ``n_tables``.
+    """
+    blocks = [
+        b for b in (page.get("blocks") or []) if b.get("type") == "table"
+    ]
+
+    def attempt(idx: int, params: dict[str, Any]) -> dict[str, Any]:
+        acc = param_set_accuracy(page_key, idx)
+        confs, accs, n_tables = [], [], 0
+        for b in blocks:
+            cells = b.get("cells") or []
+            if params["flavor"] == "stream" and b.get("stream_cells"):
+                cells = b["stream_cells"]
+            grid = _cells_to_grid(cells)
+            if not grid:
+                continue
+            n_tables += 1
+            # compare on the UNROUNDED blend: table_quality's 2-dp
+            # rounding can collapse attempts whose accuracies differ
+            # by one centi-% into a tie, desyncing the winner from the
+            # oracle's exact integer ordering
+            q = table_quality(grid, acc)
+            raw = (
+                0.25 * q["completeness"] * 100
+                + 0.25 * q["consistency"] * 100
+                + 0.1 * q["whitespace"] * 100
+                + 0.4 * acc
+            )
+            confs.append(raw)
+            accs.append(acc)
+        conf = sum(confs) / len(confs) if confs else 0.0
+        return {
+            "param_idx": idx,
+            "parameters": dict(params),
+            "accuracies": accs,
+            "accuracy": round(sum(accs) / len(accs), 2) if accs else 0.0,
+            "confidence": round(conf, 2),
+            "_score": conf,
+            "n_tables": n_tables,
+        }
+
+    if corrections and page_key in corrections:
+        cached = corrections[page_key]
+        idx = int(cached.get("param_idx", 0))
+        out = attempt(idx, CAMELOT_PARAMETER_SETS[idx])
+        out.pop("_score")
+        out["from_cache"] = True
+        return out
+
+    best: Optional[dict[str, Any]] = None
+    for idx, params in enumerate(CAMELOT_PARAMETER_SETS):
+        a = attempt(idx, params)
+        if best is None or a["_score"] > best["_score"]:
+            best = a
+    assert best is not None
+    best.pop("_score")
+    best["from_cache"] = False
+    return best
 
 
 def _nearest_text(

@@ -331,3 +331,100 @@ class TestAdversarialCells:
         grid = _cells_to_grid(cells)
         assert len(grid) == 40 and len(grid[0]) == 12
         assert grid[39][11] == "39,11"
+
+
+class TestCamelotParameterSearch:
+    """find_best_table_extraction models the reference's per-page
+    parameter sweep (table_extraction.py:544-575) with corrections
+    cache reuse (:637-654)."""
+
+    PAGE = {
+        "page_number": 1,
+        "blocks": [
+            {
+                "type": "table",
+                "bbox": [0.0, 0.0, 10.0, 10.0],
+                "cells": [
+                    {"row": 0, "col": 0, "text": "a"},
+                    {"row": 0, "col": 1, "text": "b"},
+                    {"row": 1, "col": 0, "text": "c"},
+                    {"row": 1, "col": 1, "text": "d"},
+                ],
+            }
+        ],
+    }
+
+    def test_picks_accuracy_argmax_on_constant_grid(self):
+        from pdf_extractor_ray.kernel.pdfshape import (
+            CAMELOT_PARAMETER_SETS,
+            find_best_table_extraction,
+            param_set_accuracy,
+        )
+
+        best = find_best_table_extraction(self.PAGE, "k1")
+        accs = [param_set_accuracy("k1", i) for i in range(5)]
+        want = max(range(5), key=lambda i: (accs[i], -i))
+        assert best["param_idx"] == want
+        assert best["parameters"] == dict(CAMELOT_PARAMETER_SETS[want])
+        assert best["from_cache"] is False
+        assert best["n_tables"] == 1
+        assert best["accuracies"] == [accs[want]]
+
+    def test_cleaner_stream_variant_flips_flavor(self):
+        """A page whose stream cells are dramatically cleaner must be
+        able to win on quality even at lower stand-in accuracy."""
+        import copy
+
+        from pdf_extractor_ray.kernel.pdfshape import (
+            find_best_table_extraction,
+            param_set_accuracy,
+        )
+
+        page = copy.deepcopy(self.PAGE)
+        # lattice grid: mostly empty cells (completeness tanks)
+        page["blocks"][0]["cells"] = [
+            {"row": 0, "col": 0, "text": "a"},
+            {"row": 0, "col": 1, "text": ""},
+            {"row": 1, "col": 0, "text": ""},
+            {"row": 1, "col": 1, "text": ""},
+        ]
+        page["blocks"][0]["stream_cells"] = self.PAGE["blocks"][0]["cells"]
+        # pick a key where a lattice attempt has the max accuracy, so
+        # the flip is attributable to grid quality, not accuracy luck
+        key = next(
+            k
+            for k in (f"key{i}" for i in range(200))
+            if max(
+                range(5), key=lambda i: (param_set_accuracy(k, i), -i)
+            ) <= 2
+            and max(param_set_accuracy(k, i) for i in (3, 4)) > 20.0
+        )
+        best = find_best_table_extraction(page, key)
+        assert best["parameters"]["flavor"] == "stream"
+
+    def test_corrections_cache_skips_search(self):
+        from pdf_extractor_ray.kernel.pdfshape import (
+            find_best_table_extraction,
+            param_set_accuracy,
+        )
+
+        first = find_best_table_extraction(self.PAGE, "k2")
+        store = {"k2": first}
+        again = find_best_table_extraction(self.PAGE, "k2", corrections=store)
+        assert again["from_cache"] is True
+        assert again["param_idx"] == first["param_idx"]
+        assert again["accuracy"] == first["accuracy"]
+        # a cache entry forces its params even when search would differ
+        store2 = {"k2": {"param_idx": 3}}
+        forced = find_best_table_extraction(self.PAGE, "k2", corrections=store2)
+        assert forced["param_idx"] == 3
+        assert forced["parameters"]["flavor"] == "stream"
+        assert forced["accuracies"] == [param_set_accuracy("k2", 3)]
+
+    def test_no_tables_page(self):
+        from pdf_extractor_ray.kernel.pdfshape import find_best_table_extraction
+
+        best = find_best_table_extraction({"blocks": []}, "k3")
+        assert best["n_tables"] == 0
+        assert best["accuracy"] == 0.0
+        assert best["param_idx"] == 0  # all-zero scores: first set wins
