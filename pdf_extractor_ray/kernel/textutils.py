@@ -66,13 +66,25 @@ def token_count(text: str) -> int:
 
 
 def token_count_cl100k(text: str) -> int:
-    """Reference-parity token count: the pinned cl100k_base value when
-    the text appears in the reference golden fixture (exact tiktoken
-    parity — see kernel/cl100k_calibration.py), else the deterministic
-    regex count. Used by the marker-style extraction path whose golden
-    is the reference's tiktoken-counted fixture."""
+    """Reference-parity token count. Precedence:
+
+    1. the REAL cl100k_base BPE when its public ranks table is on disk
+       ($GRAFT_CL100K_PATH / data/cl100k_base.tiktoken) — exact
+       tiktoken counts on arbitrary text (kernel/bpe.py implements the
+       full engine: cl100k pre-tokenizer + byte-pair merge loop);
+    2. the pinned cl100k value when the text appears in the reference
+       golden fixture (kernel/cl100k_calibration.py — those pins ARE
+       tiktoken outputs, so 1 and 2 agree when both apply);
+    3. the deterministic regex count.
+
+    Used by the marker-style extraction path whose golden is the
+    reference's tiktoken-counted fixture."""
+    from pdf_extractor_ray.kernel.bpe import get_cl100k_encoder
     from pdf_extractor_ray.kernel.cl100k_calibration import cl100k_pinned_count
 
+    enc = get_cl100k_encoder()
+    if enc is not None:
+        return enc.count(text)
     pinned = cl100k_pinned_count(text)
     return pinned if pinned is not None else token_count(text)
 
