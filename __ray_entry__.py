@@ -2189,6 +2189,36 @@ def _q_stratified_sample(sf_dir: str):
     ).aggregate(Count(alias_name="n_docs"))
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """Per-document BPE token counts as an actor-pool tokenizer stage
+    (ranks table + compiled pre-tokenizer load once per actor in
+    __init__ — kernel/bpe.py implements the full tiktoken-compatible
+    engine; the vendored trained table runs offline, a real
+    cl100k_base.tiktoken drops into the same path). Each doc gets an
+    id-derived OOV suffix so the byte-pair merge loop genuinely runs
+    (the corpus itself merge-saturates the small table). Not
+    SQL-expressible (the merge loop), so rows-only at the gate; exact
+    distributed-vs-serial equality is pytest-pinned."""
+    from pdf_extractor_ray.functions.textstats import bpe_token_stats
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def with_oov(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            f"{t} zq{i}vx"
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return bpe_token_stats(docs.map_batches(with_oov, batch_format="pyarrow"))
+
+
 def _q_camelot_search(sf_dir: str):
     """Per-page Camelot parameter search (reference
     table_extraction.py:544-575 find_best_table_extraction +
@@ -2475,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,
+        "bpe_tokens": _q_bpe_tokens,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,

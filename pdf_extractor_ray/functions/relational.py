@@ -1009,7 +1009,6 @@ def cooccurrence_pairs(
     per-user row_number filter.
     """
     import itertools
-    import zlib
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         df = pa.table(

@@ -37,6 +37,8 @@ __all__ = [
     "word_topk",
     "word_heavy_hitters",
     "tfidf_top_terms",
+    "BPETokenCounter",
+    "bpe_token_stats",
     "STOPWORDS",
     "QUALITY_LONG",
     "QUALITY_SHORT",
@@ -110,7 +112,6 @@ def word_topk(ds, k: int = 20, text_col: str = "text"):
     ``lower(text)`` scanned with ``[a-z0-9]+`` (mirrored in the SQL
     oracle's regexp_extract_all).
     """
-    import zlib
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -346,7 +347,6 @@ def tfidf_top_terms(
 
     n_docs = ds.count()
 
-    import zlib
 
     def df_partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
@@ -432,7 +432,6 @@ def inverted_index_summary(
     ``[a-z0-9]+`` over lower(text), mirrored by the SQL oracle.
     """
     import hashlib
-    import zlib
 
     def pairs(batch: pa.Table) -> pa.Table:
         words_out: list[str] = []
@@ -644,3 +643,62 @@ def script_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             f"n_{name}", pa.array(counts[name], pa.int64())
         )
     return res.append_column("script", pa.array(dominant, pa.string()))
+
+
+class BPETokenCounter:
+    """Actor-pool tokenizer stage: the BPE ranks table loads ONCE per
+    actor in ``__init__`` (the model-load pattern — the table plus its
+    compiled pre-tokenizer and piece cache are per-process state, never
+    rebuilt per batch); ``__call__`` counts per row. ``table="cl100k"``
+    uses the real cl100k_base ranks when present on disk and falls back
+    to the vendored trained table (kernel/bpe.py) otherwise.
+
+    BPE counts are not SQL-expressible (the merge loop), so the driver
+    gate is rows-only; exact value checks are pytest (distributed ==
+    serial driver-side encode, including OOV pieces that exercise the
+    merge loop)."""
+
+    def __init__(
+        self,
+        table: str = "builtin",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        from pdf_extractor_ray.kernel.bpe import (
+            get_builtin_encoder,
+            get_cl100k_encoder,
+        )
+
+        self.enc = get_cl100k_encoder() if table == "cl100k" else None
+        if self.enc is None:
+            self.enc = get_builtin_encoder()
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        count = self.enc.count
+        n = [count(t or "") for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_bpe_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def bpe_token_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "builtin",
+    concurrency: int = 4,
+):
+    """Per-document BPE token counts as an actor-pool stage."""
+    return ds.map_batches(
+        BPETokenCounter,
+        fn_constructor_kwargs={
+            "table": table, "text_col": text_col, "id_col": id_col,
+        },
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

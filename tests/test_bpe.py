@@ -161,3 +161,34 @@ class TestCountPrecedence:
         novel = "definitely not in the golden fixture 0xDEADBEEF"
         assert cl100k_pinned_count(novel) is None
         assert token_count_cl100k(novel) == token_count(novel)
+
+
+class TestDistributedStage:
+    def test_actor_pool_counts_match_serial(self, ray_session):
+        """The distributed tokenizer stage equals serial driver-side
+        encoding row for row, including OOV text that exercises the
+        merge loop."""
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.textstats import bpe_token_stats
+        from pdf_extractor_ray.kernel.bpe import get_builtin_encoder
+
+        texts = [
+            f"the fast key order zq{i}vx novel-{i} café" for i in range(200)
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(200)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(8)
+        out = (
+            bpe_token_stats(ds, concurrency=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        enc = get_builtin_encoder()
+        assert out["n_bpe_tokens"].tolist() == [enc.count(t) for t in texts]
