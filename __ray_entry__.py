@@ -2189,6 +2189,34 @@ def _q_stratified_sample(sf_dir: str):
     ).aggregate(Count(alias_name="n_docs"))
 
 
+def _q_pagerank(sf_dir: str):
+    """Link-graph PageRank over a deterministic synthetic web graph
+    (3 out-links per doc via fixed affine maps mod N, self-loops and
+    duplicate edges removed — both sides derive the same graph). Five
+    damped iterations in exact integer micro-units (floor division
+    everywhere), so the SQL oracle replays each iteration bit for bit
+    through chained CTEs. The operator itself is two coarse-bucket
+    cogroup exchanges per iteration; the driver holds nothing."""
+    from pdf_extractor_ray.functions.graph import pagerank
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(edges, docs, n_iters=5, damping_pct=85)
+
+
 def _q_bpe_tokens(sf_dir: str):
     """Per-document BPE token counts as an actor-pool tokenizer stage
     (ranks table + compiled pre-tokenizer load once per actor in
@@ -2506,6 +2534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,
         "bpe_tokens": _q_bpe_tokens,
+        "pagerank": _q_pagerank,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -2538,6 +2567,46 @@ _PRED_LANG_EXPR = """
          WHEN stop_fr >= stop_de THEN 'fr'
          ELSE 'de' END AS pred_lang
 """
+
+
+def _pagerank_sql(n_iters: int = 5) -> str:
+    """Chained-CTE replay of the integer micro-unit PageRank: same
+    synthetic edge derivation, same floor-division update per
+    iteration (DuckDB // == Python // for the all-positive ranks)."""
+    cte = """
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 31 + 3) % (SELECT count(*) FROM documents)
+                FROM documents)
+            WHERE src <> dst),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for k in range(1, n_iters + 1):
+        cte += f""",
+        r{k} AS (
+            SELECT nd.doc_id,
+                   CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS doc_id,
+                       CAST(sum(p.r // o.deg) AS BIGINT) AS c
+                FROM edges e
+                JOIN r{k - 1} p ON p.doc_id = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.doc_id = nd.doc_id)"""
+    return (
+        "WITH " + cte
+        + f"\n        SELECT doc_id, r AS rank_u FROM r{n_iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2926,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         # blend is strictly monotone in accuracy, so the winner is the
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
+        "pagerank": _pagerank_sql(5),
         "camelot_search": """
             WITH ps AS (SELECT unnest(range(5)) AS idx),
                  acc AS (SELECT d.doc_id, ps.idx,

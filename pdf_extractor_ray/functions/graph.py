@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -261,3 +261,138 @@ def canonical_doc_ids(
         .groupby("bucket")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- pagerank
+
+PAGERANK_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.int64()), pa.field("rank_u", pa.int64())]
+)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Link-graph PageRank in exact integer micro-units — the crawl
+    curation signal (prioritize/weight pages by link authority).
+
+    Semantics (all int64 floor arithmetic, so a SQL oracle replays
+    every iteration bit for bit):
+
+        r0(v)  = 1_000_000                       (1.0 in micro-units)
+        r_k(v) = (100 - d) * 10_000
+                 + (d * sum_{u->v} (r_{k-1}(u) // outdeg(u))) // 100
+
+    with ``d = damping_pct``. Non-normalized form (base 0.15 per node);
+    dangling-node mass leaks — the standard simplification, documented
+    rather than silently wrong. Self-loops and duplicate edges are the
+    caller's contract to remove.
+
+    Distributed shape per iteration (the module's two-exchange label
+    pattern, SUM instead of MIN): edges and current ranks cogroup on a
+    coarse src bucket (every edge of a src lands with its rank row, so
+    outdeg and contributions compute in-bucket, vectorized), then
+    contributions and node markers cogroup on a dst bucket where the
+    damped update applies. Ranks materialize per iteration (node-sized,
+    object store — keeps the lineage chain flat); the driver holds
+    nothing. Output: (doc_id, rank_u) for every node.
+    """
+    base = (100 - damping_pct) * 10_000
+
+    def tag_nodes_rank(ranks: ray.data.Dataset) -> ray.data.Dataset:
+        return _tag(ranks, "node", "label", 0, n_buckets)
+
+    edges_tagged = _tag(edges, src_col, dst_col, 1, n_buckets).materialize()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": ids,
+                "label": np.full(len(ids), 1_000_000, dtype=np.int64),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    node_markers = _tag(
+        ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "zero": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", "zero", 0, n_buckets,
+    ).materialize()
+
+    def contribs(group: pd.DataFrame) -> pd.DataFrame:
+        """src-bucket cogroup: rank // outdeg per src, one row per edge."""
+        rk = group[group["side"] == 0]
+        eg = group[group["side"] == 1]
+        if eg.empty:
+            return pd.DataFrame({"dst": [], "contrib": []}).astype(
+                {"dst": "int64", "contrib": "int64"}
+            )
+        deg = eg.groupby("key")["payload"].transform("size").to_numpy()
+        rmap = pd.Series(rk["payload"].to_numpy(), index=rk["key"].to_numpy())
+        r = rmap.reindex(eg["key"].to_numpy()).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "dst": eg["payload"].to_numpy(dtype=np.int64),
+                "contrib": r // deg,
+            }
+        )
+
+    def apply_update(group: pd.DataFrame) -> pd.DataFrame:
+        """dst-bucket cogroup: damped update over summed contributions;
+        only rows with a node marker are emitted (edges into unknown
+        ids drop, matching the oracle's join-from-nodes)."""
+        marks = group[group["side"] == 0]
+        msgs = group[group["side"] == 1]
+        s = (
+            msgs.groupby("key")["payload"].sum()
+            if not msgs.empty
+            else pd.Series(dtype="int64")
+        )
+        nodes_in = marks["key"].drop_duplicates().to_numpy(dtype=np.int64)
+        c = s.reindex(nodes_in).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "node": nodes_in,
+                "label": base + (damping_pct * c) // 100,
+            }
+        )
+
+    for _ in range(n_iters):
+        msgs = (
+            coalesce_for_exchange(
+                tag_nodes_rank(ranks).union(edges_tagged)
+            )
+            .groupby("bucket")
+            .map_groups(contribs, batch_format="pandas")
+        )
+        msgs_tagged = _tag(msgs, "dst", "contrib", 1, n_buckets)
+        ranks = (
+            coalesce_for_exchange(msgs_tagged.union(node_markers))
+            .groupby("bucket")
+            .map_groups(apply_update, batch_format="pandas")
+        ).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["node"], "rank_u": batch["label"]},
+            schema=PAGERANK_SCHEMA,
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

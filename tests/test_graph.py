@@ -124,3 +124,84 @@ class TestCanonicalDocIds:
         clusters = ray.data.from_arrow(CLUSTER_SCHEMA.empty_table())
         out = canonical_doc_ids(docs, clusters).to_pandas()
         assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+class TestPageRank:
+    def _numpy_reference(self, edges, n, iters=5):
+        import numpy as np
+
+        deg = np.zeros(n, dtype=np.int64)
+        for s, _ in edges:
+            deg[s] += 1
+        r = np.full(n, 1_000_000, dtype=np.int64)
+        for _ in range(iters):
+            c = np.zeros(n, dtype=np.int64)
+            for s, d in edges:
+                c[d] += r[s] // deg[s]
+            r = 150_000 + (85 * c) // 100
+        return r
+
+    def test_matches_integer_reference_on_random_graph(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.graph import pagerank
+
+        rng = np.random.RandomState(11)
+        n = 120
+        edges = sorted(
+            {
+                (int(s), int(d))
+                for s, d in rng.randint(0, n, size=(400, 2))
+                if s != d
+            }
+        )
+        e_ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(6)
+        n_ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+        ).repartition(4)
+        out = (
+            pagerank(e_ds, n_ds, n_iters=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._numpy_reference(edges, n)
+        assert out["doc_id"].tolist() == list(range(n))
+        assert out["rank_u"].tolist() == want.tolist()
+
+    def test_sink_node_gets_base_only(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.graph import pagerank
+
+        # 0 -> 1, 2 isolated: node 2 ends at the damped fixpoint of the
+        # base term; node 0 receives nothing
+        e_ds = ray_session.data.from_arrow(
+            pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+        )
+        n_ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array([0, 1, 2], pa.int64())})
+        )
+        out = (
+            pagerank(e_ds, n_ds, n_iters=3)
+            .to_pandas()
+            .set_index("doc_id")["rank_u"]
+        )
+        # r(0): no in-links -> base after iter 1 and stays
+        assert out[0] == 150_000
+        assert out[2] == 150_000
+        # r(1): base + 85% of r(0) each round
+        r0_hist = [1_000_000, 150_000, 150_000]
+        want = 1_000_000
+        for k in range(3):
+            want = 150_000 + (85 * (r0_hist[k] // 1)) // 100
+        assert out[1] == want
