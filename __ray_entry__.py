@@ -2189,6 +2189,24 @@ def _q_stratified_sample(sf_dir: str):
     ).aggregate(Count(alias_name="n_docs"))
 
 
+def _q_dsir_score(sf_dir: str):
+    """DSIR-shaped data-selection importance scoring: hashed unigram
+    features (md5_number_lower % 256), Laplace-smoothed target/source
+    probability ratios kept as exact integer permille, per-doc score =
+    occurrence-sum of bin weights (functions/importance.py). Target
+    sample = docs 0..49. Bounded driver state (two 256-long count
+    vectors + the weight table); scoring is shuffle-free. The SQL
+    oracle replays counts, weights (HUGEINT floor arithmetic) and
+    scores bit for bit."""
+    from pdf_extractor_ray.functions.importance import dsir_importance
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    target = docs.filter(
+        expr="doc_id < 50"
+    )
+    return dsir_importance(docs, target, n_bins=256)
+
+
 def _q_pagerank(sf_dir: str):
     """Link-graph PageRank over a deterministic synthetic web graph
     (3 out-links per doc via fixed affine maps mod N, self-loops and
@@ -2535,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "camelot_search": _q_camelot_search,
         "bpe_tokens": _q_bpe_tokens,
         "pagerank": _q_pagerank,
+        "dsir_score": _q_dsir_score,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -2996,6 +3015,36 @@ def oracle_sql() -> dict[str, str]:
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
+        "dsir_score": """
+            WITH wds AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+')) AS word
+                         FROM documents),
+                 bx AS (SELECT doc_id,
+                               CAST(md5_number_lower(word) % 256 AS BIGINT) AS bin
+                        FROM wds),
+                 bins AS (SELECT unnest(range(256)) AS bin),
+                 tc AS (SELECT bin, count(*) AS c FROM bx
+                        WHERE doc_id < 50 GROUP BY bin),
+                 sc AS (SELECT bin, count(*) AS c FROM bx GROUP BY bin),
+                 tot AS (SELECT (SELECT count(*) FROM bx WHERE doc_id < 50) AS tt,
+                                (SELECT count(*) FROM bx) AS st),
+                 wt AS (SELECT bins.bin,
+                               CAST((CAST(COALESCE(tc.c, 0) + 1 AS HUGEINT)
+                                       * (tot.st + 256) * 1000)
+                                    // (CAST(COALESCE(sc.c, 0) + 1 AS HUGEINT)
+                                       * (tot.tt + 256)) AS BIGINT) AS w
+                        FROM bins
+                        LEFT JOIN tc ON tc.bin = bins.bin
+                        LEFT JOIN sc ON sc.bin = bins.bin
+                        CROSS JOIN tot)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sum(wt.w), 0) AS BIGINT) AS dsir_score
+            FROM documents d
+            LEFT JOIN bx ON bx.doc_id = d.doc_id
+            LEFT JOIN wt ON wt.bin = bx.bin
+            GROUP BY d.doc_id
+        """,
         "camelot_search": """
             WITH ps AS (SELECT unnest(range(5)) AS idx),
                  acc AS (SELECT d.doc_id, ps.idx,
