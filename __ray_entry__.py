@@ -2207,6 +2207,21 @@ def _q_dsir_score(sf_dir: str):
     return dsir_importance(docs, target, n_bins=256)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR selection end to end: importance scores (dsir_score) fed
+    into the exact global top-K selector (histogram + one boundary
+    cell, no global sort) — the 'importance resampling' step that
+    keeps the most target-like 100 documents. Oracle replays the
+    identical (score DESC, md5-salt ASC, id ASC) rank window over the
+    same score CTE."""
+    from pdf_extractor_ray.functions.selection import select_top_k_global
+
+    scores = _q_dsir_score(sf_dir)
+    return select_top_k_global(
+        scores.materialize(), 100, score_col="dsir_score", id_col="doc_id"
+    )
+
+
 def _q_pagerank(sf_dir: str):
     """Link-graph PageRank over a deterministic synthetic web graph
     (3 out-links per doc via fixed affine maps mod N, self-loops and
@@ -2554,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "pagerank": _q_pagerank,
         "dsir_score": _q_dsir_score,
+        "dsir_select": _q_dsir_select,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -2585,6 +2601,38 @@ _PRED_LANG_EXPR = """
          WHEN stop_en >= stop_fr AND stop_en >= stop_de THEN 'en'
          WHEN stop_fr >= stop_de THEN 'fr'
          ELSE 'de' END AS pred_lang
+"""
+
+
+_DSIR_SCORE_SQL = """
+            WITH wds AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+')) AS word
+                         FROM documents),
+                 bx AS (SELECT doc_id,
+                               CAST(md5_number_lower(word) % 256 AS BIGINT) AS bin
+                        FROM wds),
+                 bins AS (SELECT unnest(range(256)) AS bin),
+                 tc AS (SELECT bin, count(*) AS c FROM bx
+                        WHERE doc_id < 50 GROUP BY bin),
+                 sc AS (SELECT bin, count(*) AS c FROM bx GROUP BY bin),
+                 tot AS (SELECT (SELECT count(*) FROM bx WHERE doc_id < 50) AS tt,
+                                (SELECT count(*) FROM bx) AS st),
+                 wt AS (SELECT bins.bin,
+                               CAST((CAST(COALESCE(tc.c, 0) + 1 AS HUGEINT)
+                                       * (tot.st + 256) * 1000)
+                                    // (CAST(COALESCE(sc.c, 0) + 1 AS HUGEINT)
+                                       * (tot.tt + 256)) AS BIGINT) AS w
+                        FROM bins
+                        LEFT JOIN tc ON tc.bin = bins.bin
+                        LEFT JOIN sc ON sc.bin = bins.bin
+                        CROSS JOIN tot)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sum(wt.w), 0) AS BIGINT) AS dsir_score
+            FROM documents d
+            LEFT JOIN bx ON bx.doc_id = d.doc_id
+            LEFT JOIN wt ON wt.bin = bx.bin
+            GROUP BY d.doc_id
 """
 
 
@@ -3015,35 +3063,16 @@ def oracle_sql() -> dict[str, str]:
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
-        "dsir_score": """
-            WITH wds AS (SELECT doc_id,
-                                unnest(regexp_extract_all(lower(text),
-                                                          '[a-z0-9]+')) AS word
-                         FROM documents),
-                 bx AS (SELECT doc_id,
-                               CAST(md5_number_lower(word) % 256 AS BIGINT) AS bin
-                        FROM wds),
-                 bins AS (SELECT unnest(range(256)) AS bin),
-                 tc AS (SELECT bin, count(*) AS c FROM bx
-                        WHERE doc_id < 50 GROUP BY bin),
-                 sc AS (SELECT bin, count(*) AS c FROM bx GROUP BY bin),
-                 tot AS (SELECT (SELECT count(*) FROM bx WHERE doc_id < 50) AS tt,
-                                (SELECT count(*) FROM bx) AS st),
-                 wt AS (SELECT bins.bin,
-                               CAST((CAST(COALESCE(tc.c, 0) + 1 AS HUGEINT)
-                                       * (tot.st + 256) * 1000)
-                                    // (CAST(COALESCE(sc.c, 0) + 1 AS HUGEINT)
-                                       * (tot.tt + 256)) AS BIGINT) AS w
-                        FROM bins
-                        LEFT JOIN tc ON tc.bin = bins.bin
-                        LEFT JOIN sc ON sc.bin = bins.bin
-                        CROSS JOIN tot)
-            SELECT d.doc_id,
-                   CAST(COALESCE(sum(wt.w), 0) AS BIGINT) AS dsir_score
-            FROM documents d
-            LEFT JOIN bx ON bx.doc_id = d.doc_id
-            LEFT JOIN wt ON wt.bin = bx.bin
-            GROUP BY d.doc_id
+        "dsir_score": _DSIR_SCORE_SQL,
+        "dsir_select": f"""
+            WITH s AS ({_DSIR_SCORE_SQL}),
+                 r AS (SELECT doc_id, dsir_score,
+                              row_number() OVER (
+                                  ORDER BY dsir_score DESC,
+                                           md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rn
+                       FROM s)
+            SELECT doc_id, dsir_score FROM r WHERE rn <= 100
         """,
         "camelot_search": """
             WITH ps AS (SELECT unnest(range(5)) AS idx),
