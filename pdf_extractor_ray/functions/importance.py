@@ -52,6 +52,27 @@ def _word_bin(word: str, n_bins: int) -> int:
     return int.from_bytes(h[8:16], "little") % n_bins
 
 
+def _batch_word_bins(
+    texts: list, n_bins: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All word occurrences of a batch -> (bin id per occurrence,
+    per-doc occurrence counts). md5 runs once per DISTINCT word in the
+    batch (np.unique + inverse gather); everything else is numpy."""
+    words: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = _WORD_RE.findall((t or "").lower())
+        counts[i] = len(ws)
+        words.extend(ws)
+    if not words:
+        return np.empty(0, dtype=np.int64), counts
+    uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+    ubins = np.fromiter(
+        (_word_bin(w, n_bins) for w in uniq), dtype=np.int64, count=len(uniq)
+    )
+    return ubins[inv], counts
+
+
 def bin_word_counts(
     ds: ray.data.Dataset, text_col: str = "text", n_bins: int = 256
 ) -> np.ndarray:
@@ -61,14 +82,8 @@ def bin_word_counts(
     vector."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts = np.zeros(n_bins, dtype=np.int64)
-        memo: dict[str, int] = {}
-        for t in batch[text_col].to_pylist():
-            for w in _WORD_RE.findall((t or "").lower()):
-                b = memo.get(w)
-                if b is None:
-                    b = memo[w] = _word_bin(w, n_bins)
-                counts[b] += 1
+        occ_bins, _ = _batch_word_bins(batch[text_col].to_pylist(), n_bins)
+        counts = np.bincount(occ_bins, minlength=n_bins).astype(np.int64)
         nz = np.flatnonzero(counts)
         return pa.table(
             {
@@ -119,20 +134,18 @@ def dsir_importance(
 
     def score(batch: pa.Table) -> pa.Table:
         wt = ray.get(w_ref)  # zero-copy plasma read
-        memo: dict[str, int] = {}
-        scores = []
-        for t in batch[text_col].to_pylist():
-            s = 0
-            for word in _WORD_RE.findall((t or "").lower()):
-                b = memo.get(word)
-                if b is None:
-                    b = memo[word] = _word_bin(word, n_bins)
-                s += int(wt[b])
-            scores.append(s)
+        occ_bins, counts = _batch_word_bins(
+            batch[text_col].to_pylist(), n_bins
+        )
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        occ_w = wt[occ_bins]
+        totals = np.concatenate([[0], np.cumsum(occ_w)])
+        scores = totals[offsets[1:]] - totals[offsets[:-1]]
         return pa.table(
             {
                 id_col: batch[id_col],
-                "dsir_score": pa.array(scores, pa.int64()),
+                "dsir_score": pa.array(scores.astype(np.int64), pa.int64()),
             }
         )
 
