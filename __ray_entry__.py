@@ -253,6 +253,20 @@ def _q_dup_ngram_spans(sf_dir: str):
     return dup_ngram_span_stats(_docs_with_dups(sf_dir), n=5)
 
 
+def _q_strip_dup_spans(sf_dir: str):
+    """The REMOVAL step of Lee et al. 2022 exact substring dedup:
+    every word position covered by a corpus-duplicated 5-gram is cut
+    and the survivors re-joined (normalized word sequence contract).
+    Exchange 1 carries one row per n-gram position (the honest
+    substring-dedup currency); exchange 2 cogroups texts with dup
+    positions per doc bucket and cuts with an interval-union mask.
+    The oracle replays tokenization, 5-gram counting, position
+    coverage and the surviving join in SQL."""
+    from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs_with_dups(sf_dir), n=5)
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Pairwise exact 3-gram Jaccard within each source group."""
     from pdf_extractor_ray.functions.dedup import ngram_jaccard
@@ -2487,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
         "dup_clusters": _q_dup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
@@ -3558,6 +3573,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(g.gs) AS BIGINT) AS n_ngrams,
                    CAST(COALESCE(dd.n_dup, 0) AS BIGINT) AS n_dup
             FROM g LEFT JOIN dd ON g.doc_id = dd.doc_id
+        """,
+        "strip_dup_spans": f"""
+            WITH d AS ({_DUP_SQL}),
+            w0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[^ \\t\\n\\r\\f\\x0b]+') AS ws
+                FROM d),
+            w AS (
+                SELECT doc_id,
+                       unnest(ws) AS word,
+                       unnest(range(len(ws))) AS pos
+                FROM w0),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 5
+                            THEN list_transform(range(1, len(ws) - 3),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                                      ws[i+4])
+                            ELSE [] END AS gs
+                FROM w0),
+            p AS (SELECT doc_id, unnest(gs) AS gram,
+                         unnest(range(len(gs))) AS pos
+                  FROM g),
+            t AS (SELECT gram FROM p GROUP BY gram HAVING count(*) > 1),
+            st AS (SELECT p.doc_id, p.pos FROM p JOIN t USING (gram)),
+            cov AS (SELECT DISTINCT w.doc_id, w.pos
+                    FROM w JOIN st ON st.doc_id = w.doc_id
+                                  AND w.pos BETWEEN st.pos AND st.pos + 4),
+            kept AS (
+                SELECT w.doc_id,
+                       count(*) AS n_kept,
+                       string_agg(w.word, ' ' ORDER BY w.pos) AS kt
+                FROM w
+                WHERE NOT EXISTS (SELECT 1 FROM cov
+                                  WHERE cov.doc_id = w.doc_id
+                                    AND cov.pos = w.pos)
+                GROUP BY w.doc_id)
+            SELECT w0.doc_id,
+                   CAST(len(w0.ws) AS BIGINT) AS n_words,
+                   CAST(len(w0.ws) - COALESCE(k.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(k.kt, '') AS kept_text
+            FROM w0 LEFT JOIN kept k ON w0.doc_id = k.doc_id
         """,
         "dup_clusters": f"""
             WITH RECURSIVE {_CLUSTER_CTES}

@@ -446,6 +446,149 @@ def dup_ngram_span_stats(
     )
 
 
+def strip_dup_spans(
+    ds: ray.data.Dataset,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """The REMOVAL step of Lee et al. 2022 exact substring dedup: cut
+    every word position covered by a word n-gram that occurs more than
+    once corpus-wide, then re-join the survivors. Output one row per
+    input doc: (doc_id, n_words, n_removed, kept_text) where kept_text
+    joins the surviving lowercased words with single spaces (the
+    operator's contract is over the normalized word sequence, same
+    tokenization as :func:`dup_ngram_span_stats`).
+
+    Scale shape: exchange 1 carries one row per n-gram POSITION into a
+    coarse hash-bucket groupby that totals each n-gram and keeps only
+    duplicated positions — the honest currency of substring dedup,
+    the same cost class as an inverted-index build; exchange 2 is a
+    doc-bucket cogroup of (texts ∪ dup positions), so each doc's cut
+    happens once, in its bucket, with numpy interval-union masking.
+    Driver holds nothing; no per-ngram groups; md5-free (vectorized
+    hash_array word hashing via _batch_ngram_hashes).
+    """
+    if n_buckets is None:
+        n_buckets = 8 * _coalesce_width()
+    doc_buckets = 2 * _coalesce_width()
+
+    def emit_positions(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        per_doc = _batch_ngram_hashes(batch[text_col].to_pylist(), n)
+        for i, hs64 in zip(batch[id_col].to_pylist(), per_doc):
+            if len(hs64) == 0:
+                continue
+            hs = hs64.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            hs_out.append(hs)
+            pos_out.append(np.arange(len(hs), dtype=np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        hs_np = np.concatenate(hs_out)
+        return pa.table(
+            {
+                "bucket": pa.array(hs_np % n_buckets),
+                "h": pa.array(hs_np),
+                id_col: pa.array(np.concatenate(ids_out)),
+                "pos": pa.array(np.concatenate(pos_out)),
+            }
+        )
+
+    def dup_positions(group):
+        h = group["h"].to_numpy()
+        _, hinv, tot = np.unique(h, return_inverse=True, return_counts=True)
+        keep = tot[hinv] > 1
+        ids = group[id_col].to_numpy()[keep]
+        # arrow out: the downstream union with tag_texts' arrow blocks
+        # must be block-type-uniform for the sort boundary sampler
+        return pa.table(
+            {
+                "_bucket": pa.array(ids % doc_buckets),
+                "_side": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                id_col: pa.array(ids),
+                "pos": pa.array(group["pos"].to_numpy()[keep]),
+                text_col: pa.array([""] * len(ids), pa.string()),
+            }
+        )
+
+    def tag_texts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(ids)
+        return pa.table(
+            {
+                "_bucket": pa.array(ids % doc_buckets),
+                "_side": pa.array(np.ones(m, dtype=np.int8)),
+                id_col: pa.array(ids),
+                "pos": pa.array(np.full(m, -1, dtype=np.int64)),
+                text_col: batch[text_col].cast(pa.string()),
+            }
+        )
+
+    def cut(group):
+        import pandas as pd
+
+        side = group["_side"].to_numpy()
+        docs = group[side == 1]
+        pos_rows = group[side == 0]
+        starts_by_doc: dict[int, np.ndarray] = {
+            int(k): v["pos"].to_numpy()
+            for k, v in pos_rows.groupby(id_col)
+        }
+        out_id: list[int] = []
+        out_nw: list[int] = []
+        out_rm: list[int] = []
+        out_txt: list[str] = []
+        for i, t in zip(docs[id_col].to_numpy(), docs[text_col]):
+            words = _WORD_RE.findall((t or "").lower())
+            m = len(words)
+            ps = starts_by_doc.get(int(i))
+            if ps is None or m == 0:
+                out_id.append(int(i))
+                out_nw.append(m)
+                out_rm.append(0)
+                out_txt.append(" ".join(words))
+                continue
+            # interval-union mask over [p, p+n) via a +1/-1 diff array
+            diff = np.zeros(m + n + 1, dtype=np.int64)
+            np.add.at(diff, ps, 1)
+            np.add.at(diff, ps + n, -1)
+            mask = np.cumsum(diff[:m]) > 0
+            kept = [w for w, dead in zip(words, mask) if not dead]
+            out_id.append(int(i))
+            out_nw.append(m)
+            out_rm.append(int(mask.sum()))
+            out_txt.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "n_words": pd.Series(out_nw, dtype="int64"),
+                "n_removed": pd.Series(out_rm, dtype="int64"),
+                "kept_text": pd.Series(out_txt, dtype="object"),
+            }
+        )
+
+    positions = coalesce_for_exchange(
+        ds.map_batches(emit_positions, batch_format="pyarrow")
+    )
+    dup_pos = positions.groupby("bucket").map_groups(
+        dup_positions, batch_format="pandas"
+    )
+    tagged_texts = ds.map_batches(tag_texts, batch_format="pyarrow")
+    both = coalesce_for_exchange(tagged_texts.union(dup_pos))
+    return both.groupby("_bucket").map_groups(cut, batch_format="pandas")
+
+
 # -------------------------------------------------------------- minhash
 
 

@@ -234,6 +234,74 @@ class TestDupNgramSpans:
         assert out["n_dup"] == 11
 
 
+class TestStripDupSpans:
+    def test_removal_matches_serial_replay(self, ray_session):
+        import re
+        from collections import Counter
+
+        import numpy as np
+
+        from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "completely unique words here alpha beta gamma delta eps",
+            "tiny doc",
+            "prefix the quick brown fox jumps over something else",
+            "",
+            "The QUICK Brown fox jumps over the lazy dog today",  # case-folded copy of 0
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            )
+        ).repartition(3)
+        out = (
+            strip_dup_spans(ds, n=5)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == len(texts)
+
+        word_re, n = re.compile(r"\S+"), 5
+        docs = {i: word_re.findall(t.lower()) for i, t in enumerate(texts)}
+        cnt = Counter(
+            " ".join(ws[j : j + n])
+            for ws in docs.values()
+            for j in range(len(ws) - n + 1)
+        )
+        for i, ws in docs.items():
+            mask = np.zeros(len(ws), bool)
+            for j in range(len(ws) - n + 1):
+                if cnt[" ".join(ws[j : j + n])] > 1:
+                    mask[j : j + n] = True
+            row = out.loc[i]
+            assert row["n_words"] == len(ws)
+            assert row["n_removed"] == int(mask.sum())
+            assert row["kept_text"] == " ".join(
+                w for w, dead in zip(ws, mask) if not dead
+            )
+        # the case-folded copy pair is fully cut
+        assert out.loc[0, "n_removed"] == 10 and out.loc[5, "n_removed"] == 10
+        # partial overlap: doc 3 keeps only its non-shared words
+        assert out.loc[3, "kept_text"] == "prefix something else"
+
+    def test_within_doc_repeat_is_cut(self, ray_session):
+        from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+        t = " ".join(["a b c d e"] * 3)
+        ds = ray_session.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [t]})
+        )
+        out = strip_dup_spans(ds, n=5).to_pandas().iloc[0]
+        assert out["n_words"] == 15
+        assert out["n_removed"] == 15 and out["kept_text"] == ""
+
+
 class TestSimhashPairs:
     def test_simhash64_pinned(self):
         from pdf_extractor_ray.functions.dedup import simhash64
