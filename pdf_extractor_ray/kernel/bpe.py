@@ -43,6 +43,7 @@ __all__ = [
     "BPEEncoder",
     "get_cl100k_encoder",
     "get_builtin_encoder",
+    "train_from_histogram",
 ]
 
 # The published cl100k_base pre-tokenization pattern (tiktoken
@@ -141,6 +142,81 @@ class BPEEncoder:
         if inv is None:
             inv = self._inv = {r: t for t, r in self.ranks.items()}
         return b"".join(inv[i] for i in ids).decode("utf-8", errors="replace")
+
+
+def train_from_histogram(
+    piece_freq: dict[bytes, int], vocab_size: int
+) -> dict[bytes, int]:
+    """Standard BPE training (Sennrich et al. 2016 / GPT-2 style, byte
+    level) over a WEIGHTED PIECE HISTOGRAM — the classic reduction that
+    makes tokenizer training corpus-size-independent: the corpus only
+    contributes (distinct piece -> count), and the merge loop runs over
+    that bounded table. Start from the 256 single-byte tokens and
+    repeatedly merge the most frequent adjacent pair (ties -> the
+    lexicographically smallest pair, so training is fully
+    deterministic), assigning ranks in merge order.
+
+    Pair counts are maintained INCREMENTALLY: each merge re-segments
+    only the pieces that contain the merged pair (tracked in an
+    inverted pair->pieces index), so a merge costs O(sum of affected
+    segment lengths), not a full histogram sweep — the shape that
+    stays viable at 100k merges over millions of distinct pieces.
+    """
+    ranks: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    segs: dict[bytes, list[bytes]] = {
+        p: [p[i : i + 1] for i in range(len(p))] for p in piece_freq
+    }
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    pair_pieces: dict[tuple[bytes, bytes], set[bytes]] = {}
+    for p, seg in segs.items():
+        f = piece_freq[p]
+        for i in range(len(seg) - 1):
+            pair = (seg[i], seg[i + 1])
+            pair_counts[pair] += f
+            pair_pieces.setdefault(pair, set()).add(p)
+
+    while len(ranks) < vocab_size and pair_counts:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = best[0] + best[1]
+        # the same byte string can be reachable via two different
+        # splits (ab+c and a+bc); if it's already a token, re-segment
+        # with the existing rank and keep going
+        if merged not in ranks:
+            ranks[merged] = len(ranks)
+        for p in list(pair_pieces.get(best, ())):
+            seg = segs[p]
+            f = piece_freq[p]
+            # retract this piece's old pairs, re-segment, re-add new
+            for i in range(len(seg) - 1):
+                pair = (seg[i], seg[i + 1])
+                pair_counts[pair] -= f
+                if pair_counts[pair] <= 0:
+                    del pair_counts[pair]
+                ps = pair_pieces.get(pair)
+                if ps is not None:
+                    ps.discard(p)
+                    if not ps:
+                        del pair_pieces[pair]
+            i, out = 0, []
+            while i < len(seg):
+                if (
+                    i + 1 < len(seg)
+                    and seg[i] == best[0]
+                    and seg[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[p] = out
+            for i in range(len(out) - 1):
+                pair = (out[i], out[i + 1])
+                pair_counts[pair] += f
+                pair_pieces.setdefault(pair, set()).add(p)
+    return ranks
 
 
 _CL100K_SENTINEL = object()

@@ -33,48 +33,16 @@ from pdf_extractor_ray.kernel.bpe import CL100K_PATTERN
 
 
 def train(texts, vocab_size: int) -> dict[bytes, int]:
+    """Serial wrapper: corpus -> piece histogram -> the shared
+    deterministic merge loop (kernel/bpe.py train_from_histogram)."""
+    from pdf_extractor_ray.kernel.bpe import train_from_histogram
+
     pat = _regex.compile(CL100K_PATTERN)
     piece_freq: Counter[bytes] = Counter()
     for t in texts:
         for piece in pat.findall(t or ""):
             piece_freq[piece.encode("utf-8")] += 1
-
-    ranks: dict[bytes, int] = {bytes([b]): b for b in range(256)}
-    # each distinct piece as its current segmentation
-    segs: dict[bytes, list[bytes]] = {
-        p: [p[i : i + 1] for i in range(len(p))] for p in piece_freq
-    }
-    while len(ranks) < vocab_size:
-        pair_counts: Counter[tuple[bytes, bytes]] = Counter()
-        for p, seg in segs.items():
-            f = piece_freq[p]
-            for i in range(len(seg) - 1):
-                pair_counts[(seg[i], seg[i + 1])] += f
-        if not pair_counts:
-            break
-        # deterministic: max count, then lexicographically smallest pair
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merged = best[0] + best[1]
-        # the same byte string can be reachable via two different
-        # splits (ab+c and a+bc); if it's already a token, re-segment
-        # with the existing rank and keep going
-        if merged not in ranks:
-            ranks[merged] = len(ranks)
-        for p, seg in segs.items():
-            i, out = 0, []
-            while i < len(seg):
-                if (
-                    i + 1 < len(seg)
-                    and seg[i] == best[0]
-                    and seg[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(seg[i])
-                    i += 1
-            segs[p] = out
-    return ranks
+    return train_from_histogram(dict(piece_freq), vocab_size)
 
 
 def main() -> None:

@@ -192,3 +192,130 @@ class TestDistributedStage:
         )
         enc = get_builtin_encoder()
         assert out["n_bpe_tokens"].tolist() == [enc.count(t) for t in texts]
+
+
+class TestTrainer:
+    def test_incremental_equals_naive_reference(self):
+        """The incremental merge loop (kernel/bpe.py) must match a
+        straight re-count-every-merge reference implementation."""
+        from collections import Counter
+
+        from pdf_extractor_ray.kernel.bpe import train_from_histogram
+
+        hist = {
+            b"lower": 5,
+            b"lowest": 3,
+            b"newer": 6,
+            b"wider": 2,
+            b"new": 4,
+        }
+
+        def naive(piece_freq, vocab_size):
+            ranks = {bytes([b]): b for b in range(256)}
+            segs = {
+                p: [p[i : i + 1] for i in range(len(p))] for p in piece_freq
+            }
+            while len(ranks) < vocab_size:
+                pc = Counter()
+                for p, seg in segs.items():
+                    for i in range(len(seg) - 1):
+                        pc[(seg[i], seg[i + 1])] += piece_freq[p]
+                if not pc:
+                    break
+                best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                merged = best[0] + best[1]
+                if merged not in ranks:
+                    ranks[merged] = len(ranks)
+                for p, seg in segs.items():
+                    i, out = 0, []
+                    while i < len(seg):
+                        if (
+                            i + 1 < len(seg)
+                            and seg[i] == best[0]
+                            and seg[i + 1] == best[1]
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(seg[i])
+                            i += 1
+                    segs[p] = out
+            return ranks
+
+        for v in (260, 270, 300):
+            assert train_from_histogram(dict(hist), v) == naive(hist, v)
+
+    def test_vendored_table_reproduced(self):
+        """Re-training on the vendored table's corpus reproduces
+        graft_bpe_small.tiktoken byte for byte (determinism gate for
+        the shared merge loop)."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+        import regex as _regex
+
+        from pdf_extractor_ray.kernel.bpe import (
+            CL100K_PATTERN,
+            get_builtin_encoder,
+            train_from_histogram,
+        )
+
+        texts = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+        pat = _regex.compile(CL100K_PATTERN)
+        hist = Counter()
+        for t in texts:
+            for piece in pat.findall(t or ""):
+                hist[piece.encode("utf-8")] += 1
+        assert (
+            train_from_histogram(dict(hist), 1024)
+            == get_builtin_encoder().ranks
+        )
+
+    def test_distributed_equals_serial(self, ray_session):
+        """train_bpe (Ray histogram -> merge loop) == the serial
+        trainer on the same texts, and the encoder round-trips."""
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.tokenizer import train_bpe
+        from pdf_extractor_ray.kernel.bpe import train_from_histogram
+
+        texts = [
+            f"alpha beta gamma delta w{i % 17} repeat repeat token"
+            for i in range(300)
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(6)
+        enc = train_bpe(ds, vocab_size=300, min_count=1)
+
+        from collections import Counter
+        import regex as _regex
+        from pdf_extractor_ray.kernel.bpe import CL100K_PATTERN
+
+        pat = _regex.compile(CL100K_PATTERN)
+        hist = Counter()
+        for t in texts:
+            for piece in pat.findall(t):
+                hist[piece.encode("utf-8")] += 1
+        assert enc.ranks == train_from_histogram(dict(hist), 300)
+        ids = enc.encode("alpha beta repeat zqvx")
+        assert enc.decode(ids) == "alpha beta repeat zqvx"
+
+    def test_min_count_prunes_singletons(self, ray_session):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.tokenizer import piece_histogram
+
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array(
+                        ["common common rare1", "common rare2"], pa.string()
+                    )
+                }
+            )
+        )
+        out = piece_histogram(ds, pattern=r"\S+", min_count=2).to_pandas()
+        assert dict(zip(out["piece"], out["cnt"])) == {"common": 3}
