@@ -151,6 +151,66 @@ def _pages_from_documents(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
+def _linked_pages(sf_dir: str) -> ray.data.Dataset:
+    """Documents wrapped in HTML carrying deterministic anchors: doc d
+    gets (d % 3) + 1 links to https://t.example.org/{(d*7 + 13*j + 1) %
+    100000} with inner-markup anchor text 'see <b>doc N</b>', plus a
+    DECOY anchor inside a <script> body that a correct parser must not
+    emit. Both sides (Ray parser / SQL oracle) derive the same edges."""
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            k = (doc_id % 3) + 1
+            links = "".join(
+                f'<p>ref: <a href="https://t.example.org/'
+                f'{(doc_id * 7 + 13 * j + 1) % 100000}">see <b>doc '
+                f"{(doc_id * 7 + 13 * j + 1) % 100000}</b></a></p>"
+                for j in range(k)
+            )
+            urls.append(f"https://docs.example.org/{doc_id:08d}")
+            htmls.append(
+                f"<html><body><h1>Doc {doc_id}</h1><p>{text}</p>{links}"
+                f"<script>var s='<a href=\"https://evil.example/x\">"
+                f"decoy</a>';</script></body></html>".encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_link_graph(sf_dir: str):
+    """Distributed HTML link harvesting: the kernel tokenizer walks
+    each page (script bodies skipped — the planted decoy anchor must
+    NOT appear; inner <b> markup stripped from anchor text) and emits
+    one (src_url, pos, href, anchor) edge per anchor tag. The oracle
+    rebuilds the exact expected edge list from the deterministic
+    wrapper rule."""
+    from pdf_extractor_ray.functions.webgraph import extract_links
+
+    return extract_links(_linked_pages(sf_dir))
+
+
+def _q_anchor_stats(sf_dir: str):
+    """Per-target inbound-link stats over the harvested edges:
+    (href, n_inlinks, n_src) via distinct-pair partials + one coarse
+    href-hash exchange — the anchor-aggregation step search engines
+    run over the whole crawl."""
+    from pdf_extractor_ray.functions.webgraph import anchor_stats, extract_links
+
+    return anchor_stats(extract_links(_linked_pages(sf_dir)))
+
+
 # ---------------------------------------------------------------- entry
 
 
@@ -2294,6 +2354,46 @@ def _q_bpe_tokens(sf_dir: str):
     return bpe_token_stats(docs.map_batches(with_oov, batch_format="pyarrow"))
 
 
+def _q_bpe_piece_hist(sf_dir: str):
+    """The distributed half of BPE tokenizer training: the corpus's
+    pre-tokenization piece histogram (functions/tokenizer.py). Pieces
+    here are whitespace-split words (the pattern a SQL oracle can
+    replay; the cl100k pattern's lookahead is not RE2-expressible),
+    counted with per-batch Counter partials and one coarse
+    piece-hash-bucket exchange. min_count=2 prunes the singleton tail
+    — the knob that bounds the driver-side merge-loop table at
+    corpus scale."""
+    from pdf_extractor_ray.functions.tokenizer import piece_histogram
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return piece_histogram(docs, pattern=r"\S+", min_count=2)
+
+
+def _q_bpe_train(sf_dir: str):
+    """END-TO-END distributed BPE training: Ray piece histogram ->
+    deterministic incremental merge loop (ties to the
+    lexicographically smallest pair) -> the learned ranks table as
+    rows (token_b64, rank). Iterative/non-SQL (rows-only at the
+    gate); pytest pins distributed == serial trainer and that the
+    vendored graft_bpe_small.tiktoken is reproduced byte-identically
+    from its corpus."""
+    from pdf_extractor_ray.functions.tokenizer import train_bpe
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    enc = train_bpe(docs, vocab_size=320, pattern=r"\S+", min_count=2)
+    import base64
+
+    toks = sorted(enc.ranks.items(), key=lambda kv: kv[1])
+    return pa.table(
+        {
+            "token_b64": pa.array(
+                [base64.b64encode(t).decode() for t, _ in toks], pa.string()
+            ),
+            "rank": pa.array([r for _, r in toks], pa.int64()),
+        }
+    )
+
+
 def _q_camelot_search(sf_dir: str):
     """Per-page Camelot parameter search (reference
     table_extraction.py:544-575 find_best_table_extraction +
@@ -2582,6 +2682,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,
         "bpe_tokens": _q_bpe_tokens,
+        "bpe_piece_hist": _q_bpe_piece_hist,
+        "bpe_train": _q_bpe_train,
+        "link_graph": _q_link_graph,
+        "anchor_stats": _q_anchor_stats,
         "pagerank": _q_pagerank,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -3996,6 +4100,45 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT script, CAST(count(*) AS BIGINT) AS n_docs
             FROM d GROUP BY script
+        """,
+        "link_graph": """
+            WITH l AS (
+                SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS j
+                FROM documents)
+            SELECT 'https://docs.example.org/' ||
+                       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src_url,
+                   CAST(j AS BIGINT) AS pos,
+                   'https://t.example.org/' ||
+                       CAST((doc_id * 7 + 13 * j + 1) % 100000 AS VARCHAR)
+                       AS href,
+                   'see doc ' ||
+                       CAST((doc_id * 7 + 13 * j + 1) % 100000 AS VARCHAR)
+                       AS anchor
+            FROM l
+        """,
+        "anchor_stats": """
+            WITH l AS (
+                SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS j
+                FROM documents),
+            e AS (
+                SELECT 'https://docs.example.org/' ||
+                           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src,
+                       'https://t.example.org/' ||
+                           CAST((doc_id * 7 + 13 * j + 1) % 100000
+                                AS VARCHAR) AS href
+                FROM l)
+            SELECT href,
+                   CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_src
+            FROM e GROUP BY href
+        """,
+        "bpe_piece_hist": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(text,
+                    '[^ \\t\\n\\r\\f\\x0b]+')) AS piece
+                FROM documents)
+            SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY piece HAVING count(*) >= 2
         """,
         "bm25": """
             WITH w AS (SELECT doc_id,

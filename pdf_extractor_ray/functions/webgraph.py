@@ -1,0 +1,126 @@
+"""Web link-graph harvesting: anchor extraction + per-target stats.
+
+The web-scale companion to crawl curation and PageRank: harvest
+``(src_url, href, anchor_text)`` edges from raw page HTML with the
+kernel's real tokenizer (script/style contents invisible, inner markup
+stripped from anchor text — kernel/html_to_md.py:extract_anchors), and
+aggregate inbound-link stats per target with the repo's standard
+partial-plus-coarse-bucket-exchange shape. At 100 TB the edge stream
+is corpus-sized by nature (it IS the link graph); both operators
+stream — nothing is driver-materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from pdf_extractor_ray.functions.common import (
+    coalesce_for_exchange,
+    coalesce_width as _coalesce_width,
+)
+from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+__all__ = ["extract_links", "anchor_stats"]
+
+
+def extract_links(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """One row per anchor tag: (src_url, pos, href, anchor). ``pos``
+    is the 0-based anchor index within its page, making the output a
+    deterministic, orderable edge list. Pure streaming map_batches —
+    parsing is inherently per-document, but each batch is one task and
+    nothing leaves the operator except the edge rows."""
+
+    def links(batch: pa.Table) -> pa.Table:
+        src_out: list[str] = []
+        pos_out: list[int] = []
+        href_out: list[str] = []
+        anchor_out: list[str] = []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            for j, (href, anchor) in enumerate(extract_anchors(s)):
+                src_out.append(u)
+                pos_out.append(j)
+                href_out.append(href)
+                anchor_out.append(anchor)
+        return pa.table(
+            {
+                "src_url": pa.array(src_out, pa.string()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "href": pa.array(href_out, pa.string()),
+                "anchor": pa.array(anchor_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(links, batch_format="pyarrow")
+
+
+def anchor_stats(
+    links: ray.data.Dataset,
+    n_buckets: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-target inbound stats: (href, n_inlinks, n_src). Per-batch
+    partials collapse to distinct (href, src) pairs with counts — the
+    same honest currency as the inverted-index build — then ONE coarse
+    href-hash-bucket exchange totals links and counts distinct
+    sources per target."""
+    if n_buckets is None:
+        n_buckets = 2 * _coalesce_width()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "href": batch["href"].to_pylist(),
+                "src": batch["src_url"].to_pylist(),
+            }
+        )
+        g = df.groupby(["href", "src"], as_index=False).size()
+        hb = pd.util.hash_array(
+            g["href"].to_numpy(dtype=object)
+        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "bucket": pa.array(hb % n_buckets),
+                "href": pa.array(g["href"], pa.string()),
+                "src": pa.array(g["src"], pa.string()),
+                "cnt": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def total(group):
+        import pandas as pd
+
+        g = group.groupby("href").agg(
+            n_inlinks=("cnt", "sum"), n_src=("src", "nunique")
+        )
+        return pd.DataFrame(
+            {
+                "href": g.index,
+                "n_inlinks": g["n_inlinks"].to_numpy(np.int64),
+                "n_src": g["n_src"].to_numpy(np.int64),
+            }
+        )
+
+    partials = coalesce_for_exchange(
+        links.map_batches(partial, batch_format="pyarrow")
+    )
+    return partials.groupby("bucket").map_groups(total, batch_format="pandas")

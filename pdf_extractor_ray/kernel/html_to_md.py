@@ -38,7 +38,7 @@ from __future__ import annotations
 import re
 from html import unescape
 
-__all__ = ["html_to_markdown", "strip_html_tags"]
+__all__ = ["html_to_markdown", "strip_html_tags", "extract_anchors"]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
 # Closing-tag finders for raw-text skipping. Positions MUST be computed
@@ -366,3 +366,47 @@ def strip_html_tags(text: str) -> str:
     """Remove any residual angle-bracket tags (the bleach ``tags=[]``
     pass of corpus_utils.py:143)."""
     return _TAG_RE.sub("", text)
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """``(href, anchor_text)`` for every ``<a href=...>`` in document
+    order. Uses the same tokenizer and raw-text skipping as
+    :func:`html_to_markdown`, so ``<script>``/``<style>`` contents are
+    invisible (a decoy anchor inside a script body is NOT a link) and
+    inner markup is stripped from the anchor text (only data segments
+    are collected, whitespace-collapsed). Anchors without an ``href``
+    attribute are ignored; entities are left as-is (the tokenizer
+    contract throughout this module)."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    href: str | None = None
+    parts: list[str] = []
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            if href is not None:
+                parts.append(html[pos:])
+            break
+        if m.start() > pos and href is not None:
+            parts.append(html[pos : m.start()])
+        close_name, open_name, open_attrs = m.group(2), m.group(3), m.group(4)
+        pos = m.end()
+        if open_name:
+            tag = open_name.lower()
+            if tag in _RAW_TEXT:
+                mc = _RAW_CLOSE_RE[tag].search(html, pos)
+                pos = mc.end() if mc else n
+            elif tag == "a":
+                attrs = _parse_attrs(open_attrs or "")
+                href = attrs.get("href")
+                parts = []
+        elif close_name and close_name.lower() == "a":
+            if href is not None:
+                text = _collapse(
+                    _ANY_WS_RE.sub(" ", "".join(parts))
+                ).strip()
+                out.append((href, text))
+            href = None
+            parts = []
+    return out

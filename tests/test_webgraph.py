@@ -1,0 +1,86 @@
+"""Link-graph harvesting: kernel extract_anchors + the distributed
+extract_links / anchor_stats operators."""
+
+import pyarrow as pa
+
+
+class TestExtractAnchors:
+    def test_basic_and_markup_stripped(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        html = (
+            '<p>x <a href="https://a/1">see <b>doc 1</b></a> y '
+            '<a href="https://a/2">two</a></p>'
+        )
+        assert extract_anchors(html) == [
+            ("https://a/1", "see doc 1"),
+            ("https://a/2", "two"),
+        ]
+
+    def test_script_decoy_invisible(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        html = (
+            '<a href="https://ok/">real</a>'
+            "<script>var s='<a href=\"https://evil/\">decoy</a>';</script>"
+            "<style>.a { content: '<a href=\"https://evil2/\">x</a>' }</style>"
+        )
+        assert extract_anchors(html) == [("https://ok/", "real")]
+
+    def test_href_quoting_variants_and_missing(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        html = (
+            "<a href='https://sq/'>sq</a>"
+            "<a href=https://uq/>uq</a>"
+            "<a name=anchor-only>no href</a>"
+        )
+        assert extract_anchors(html) == [
+            ("https://sq/", "sq"),
+            ("https://uq/", "uq"),
+        ]
+
+    def test_whitespace_collapsed_and_unclosed(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        assert extract_anchors('<a href="u">  a\n\t b  </a>') == [("u", "a b")]
+        # unclosed anchor at EOF is dropped (never terminated)
+        assert extract_anchors('<a href="u">dangling') == []
+
+
+class TestLinkOperators:
+    def test_extract_and_stats(self, ray_session):
+        from pdf_extractor_ray.functions.webgraph import (
+            anchor_stats,
+            extract_links,
+        )
+
+        pages = [
+            ("u1", b'<a href="t/1">one</a><a href="t/2">two</a>'),
+            ("u2", b'<a href="t/1">uno</a>'),
+            ("u3", None),
+            # same target twice from one page: 2 inlinks, 1 distinct src
+            ("u4", b'<a href="t/3">x</a><a href="t/3">y</a>'),
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([p[0] for p in pages], pa.string()),
+                    "html": pa.array([p[1] for p in pages], pa.binary()),
+                }
+            )
+        ).repartition(2)
+        links = extract_links(ds).to_pandas()
+        assert len(links) == 5
+        assert links[links.src_url == "u1"]["pos"].tolist() == [0, 1]
+
+        stats = (
+            anchor_stats(extract_links(ds))
+            .to_pandas()
+            .set_index("href")
+            .sort_index()
+        )
+        assert stats.loc["t/1", "n_inlinks"] == 2
+        assert stats.loc["t/1", "n_src"] == 2
+        assert stats.loc["t/3", "n_inlinks"] == 2
+        assert stats.loc["t/3", "n_src"] == 1
