@@ -211,6 +211,86 @@ def _q_anchor_stats(sf_dir: str):
     return anchor_stats(extract_links(_linked_pages(sf_dir)))
 
 
+def _chunks_with_md5(chunks: ray.data.Dataset) -> ray.data.Dataset:
+    """(chunk_id, n_tokens, n_pieces, ids_md5): md5 of the
+    comma-joined ids proves exact content AND order of every
+    assembled chunk in a hash-comparable string column."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(
+                ",".join(str(int(x)) for x in ids).encode()
+            ).hexdigest()
+            for ids in batch["ids"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "chunk_id": batch["chunk_id"],
+                "n_tokens": batch["n_tokens"],
+                "n_pieces": batch["n_pieces"],
+                "ids_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    return chunks.map_batches(fp, batch_format="pyarrow")
+
+
+def _q_token_chunks(sf_dir: str):
+    """GPT-style concat-and-split over a SQL-derivable token stream:
+    doc d contributes one token (d*31 + j) % 32000 per word j, the
+    global stream (doc_id order) is cut into 512-token chunks by the
+    distributed prefix-sum + piece-assembly operator
+    (functions/packing.py token_stream_chunks), and each chunk's
+    ids_md5 pins exact content and order. The oracle replays the
+    stream with a window cumsum and string_agg(... ORDER BY pos)."""
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids_out = []
+        dids = batch["doc_id"].to_pylist()
+        for d, t in zip(dids, batch["text"].to_pylist()):
+            nw = len(_re.findall(r"\S+", t or ""))
+            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(ids_out, pa.list_(pa.int32())),
+            }
+        )
+
+    chunks = token_stream_chunks(
+        docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
+    )
+    return _chunks_with_md5(chunks)
+
+
+def _q_tokenize_chunks(sf_dir: str):
+    """The REAL training-data export tail: BPE-encode every document
+    with the actor-pool stage (vendored ranks table; a real cl100k
+    table drops in via ranks_path) and cut the global id stream into
+    512-token chunks. Token ids come from the merge loop, so no SQL
+    oracle (rows-only); pytest pins encode_corpus == serial encode and
+    token_stream_chunks == serial concat+split exactly."""
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+    from pdf_extractor_ray.functions.tokenizer import encode_corpus
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    enc = encode_corpus(docs).map_batches(
+        lambda b: b.select(["doc_id", "ids"]), batch_format="pyarrow"
+    )
+    return _chunks_with_md5(token_stream_chunks(enc, chunk_len=512))
+
+
 # ---------------------------------------------------------------- entry
 
 
@@ -2686,6 +2766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
+        "token_chunks": _q_token_chunks,
+        "tokenize_chunks": _q_tokenize_chunks,
         "pagerank": _q_pagerank,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -4100,6 +4182,31 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT script, CAST(count(*) AS BIGINT) AS n_docs
             FROM d GROUP BY script
+        """,
+        "token_chunks": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ \\t\\n\\r\\f\\x0b]+')) AS nw
+                FROM documents),
+            o AS (
+                SELECT doc_id, nw,
+                       sum(nw) OVER (ORDER BY doc_id) - nw AS off
+                FROM w),
+            tok AS (
+                SELECT doc_id, off, unnest(range(nw)) AS j FROM o),
+            c AS (
+                SELECT (off + j) // 512 AS chunk_id,
+                       off + j AS pos,
+                       (doc_id * 31 + j) % 32000 AS tid,
+                       doc_id
+                FROM tok)
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pieces,
+                   md5(string_agg(CAST(tid AS VARCHAR), ','
+                       ORDER BY pos)) AS ids_md5
+            FROM c GROUP BY chunk_id
         """,
         "link_graph": """
             WITH l AS (

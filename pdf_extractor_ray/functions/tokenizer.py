@@ -39,7 +39,74 @@ from pdf_extractor_ray.kernel.bpe import (
     train_from_histogram,
 )
 
-__all__ = ["piece_histogram", "train_bpe"]
+__all__ = ["piece_histogram", "train_bpe", "encode_corpus"]
+
+
+class _EncodeBatch:
+    """Actor-pool encoding stage: the ranks table loads and the
+    pre-tokenizer compiles ONCE per actor in ``__init__``; ``__call__``
+    encodes a batch. ``ranks_path=None`` uses the vendored builtin
+    table; a real cl100k_base.tiktoken path drops in unchanged."""
+
+    def __init__(self, ranks_path: Optional[str], pattern: str):
+        from pdf_extractor_ray.kernel.bpe import (
+            BPEEncoder,
+            get_builtin_encoder,
+        )
+
+        if ranks_path is None:
+            self.enc = get_builtin_encoder()
+        else:
+            self.enc = BPEEncoder.from_tiktoken_file(
+                ranks_path, pattern=pattern
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        enc = self.enc
+        ids_out = [
+            np.asarray(enc.encode(t or ""), dtype=np.int32)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ids": pa.array(
+                    [a.tolist() for a in ids_out], pa.list_(pa.int32())
+                ),
+                "n_tokens": pa.array(
+                    [len(a) for a in ids_out], pa.int64()
+                ),
+            }
+        )
+
+
+def encode_corpus(
+    ds: ray.data.Dataset,
+    ranks_path: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = CL100K_PATTERN,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Tokenize every document into BPE token ids — the step that
+    turns curated text into model-ready input. Output: (doc_id,
+    ids: list<int32>, n_tokens). Streaming actor-pool map_batches;
+    the encoder state lives per actor, never per batch."""
+    if text_col != "text" or id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b[id_col], "text": b[text_col]}
+            ),
+            batch_format="pyarrow",
+        )
+    return ds.map_batches(
+        _EncodeBatch,
+        fn_constructor_args=(ranks_path, pattern),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
 
 
 def piece_histogram(

@@ -177,3 +177,92 @@ class TestShuffleShards:
         assert not (
             a["shard"].to_numpy() == c["shard"].to_numpy()
         ).all()
+
+
+class TestTokenStreamChunks:
+    def test_equals_serial_concat_split(self, ray_session):
+        import numpy as np
+
+        from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+        rows = [
+            {"doc_id": i, "ids": [(i * 100 + j) % 32768 for j in range(i % 7)]}
+            for i in range(60)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "ids": pa.array(
+                    [r["ids"] for r in rows], pa.list_(pa.int32())
+                ),
+            }
+        )
+        out = (
+            token_stream_chunks(
+                ray_session.data.from_arrow(tbl).repartition(6), chunk_len=10
+            )
+            .to_pandas()
+            .sort_values("chunk_id")
+            .reset_index(drop=True)
+        )
+        stream = [x for r in rows for x in r["ids"]]
+        exp = [stream[i : i + 10] for i in range(0, len(stream), 10)]
+        assert len(out) == len(exp)
+        for i, chunk in enumerate(exp):
+            assert list(out.iloc[i]["ids"]) == chunk
+        assert out["chunk_id"].tolist() == list(range(len(exp)))
+        # a doc larger than a chunk splits cleanly
+        assert out["n_tokens"].iloc[:-1].eq(10).all()
+
+    def test_doc_spanning_many_chunks(self, ray_session):
+        from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "ids": pa.array(
+                    [list(range(25)), list(range(100, 103))],
+                    pa.list_(pa.int32()),
+                ),
+            }
+        )
+        out = (
+            token_stream_chunks(
+                ray_session.data.from_arrow(tbl), chunk_len=8
+            )
+            .to_pandas()
+            .sort_values("chunk_id")
+            .reset_index(drop=True)
+        )
+        stream = list(range(25)) + [100, 101, 102]
+        exp = [stream[i : i + 8] for i in range(0, len(stream), 8)]
+        assert [list(x) for x in out["ids"]] == exp
+        # chunk 3 holds the tail of doc 1 and the head of doc 2
+        assert out.iloc[3]["n_pieces"] == 2
+
+
+class TestEncodeCorpus:
+    def test_equals_serial_encode(self, ray_session):
+        from pdf_extractor_ray.functions.tokenizer import encode_corpus
+        from pdf_extractor_ray.kernel.bpe import get_builtin_encoder
+
+        texts = [f"the fast key order zq{i}vx" for i in range(40)]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(4)
+        out = (
+            encode_corpus(ds, concurrency=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        enc = get_builtin_encoder()
+        for i, t in enumerate(texts):
+            exp = enc.encode(t)
+            assert list(out.iloc[i]["ids"]) == exp
+            assert out.iloc[i]["n_tokens"] == len(exp)
