@@ -132,6 +132,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "bm25",
             "token_budget",
             "crawl_refresh",
+            "strip_dup_spans",
+            "anchor_stats",
+            "token_chunks",
+            "dsir_select",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -249,3 +249,37 @@ class TestCommonmarkProperties:
         els = extract_from_markdown_text(f"Heading Line\n{level_char * width}")
         assert els[0]["type"] == "heading"
         assert els[0]["metadata"]["level"] == (1 if level_char == "=" else 2)
+
+
+class TestExtractAnchorsProperties:
+    @SETTINGS
+    @given(html=st.text(alphabet=st.sampled_from(list("<>a href=\"'/scriptx y")), max_size=400))
+    def test_never_raises_on_tag_soup(self, html):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        for href, anchor in extract_anchors(html):
+            assert isinstance(href, str) and isinstance(anchor, str)
+            assert "<" not in anchor  # inner markup always stripped
+
+    @SETTINGS
+    @given(
+        hrefs=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters='<>"\'', blacklist_categories=("Cs",)
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            max_size=8,
+        )
+    )
+    def test_wellformed_roundtrip(self, hrefs):
+        from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+        html = "".join(
+            f'<p><a href="{h}">t{i}</a></p>' for i, h in enumerate(hrefs)
+        )
+        got = extract_anchors(html)
+        assert [h for h, _ in got] == hrefs
+        assert [a for _, a in got] == [f"t{i}" for i in range(len(hrefs))]
