@@ -452,6 +452,8 @@ def strip_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int | None = None,
+    prefilter: str = "none",
+    bloom_bits: int = 1 << 27,
 ) -> ray.data.Dataset:
     """The REMOVAL step of Lee et al. 2022 exact substring dedup: cut
     every word position covered by a word n-gram that occurs more than
@@ -463,18 +465,119 @@ def strip_dup_spans(
 
     Scale shape: exchange 1 carries one row per n-gram POSITION into a
     coarse hash-bucket groupby that totals each n-gram and keeps only
-    duplicated positions — the honest currency of substring dedup,
-    the same cost class as an inverted-index build; exchange 2 is a
-    doc-bucket cogroup of (texts ∪ dup positions), so each doc's cut
-    happens once, in its bucket, with numpy interval-union masking.
-    Driver holds nothing; no per-ngram groups; md5-free (vectorized
-    hash_array word hashing via _batch_ngram_hashes).
+    duplicated positions — the honest currency of substring dedup;
+    exchange 2 is a doc-bucket cogroup of (texts ∪ dup positions), so
+    each doc's cut happens once, in its bucket, with numpy
+    interval-union masking. Driver holds nothing corpus-proportional;
+    no per-ngram groups; md5-free (vectorized hash_array n-grams).
+
+    ``prefilter="bloom"`` runs a counting pass first — per-batch
+    unique-hash partials, the dup_ngram_span_stats exchange shape —
+    and folds the duplicated hashes into ONE bounded Bloom bitmap
+    (``bloom_bits``, 16 MiB default; buckets emit SPARSE set-bit
+    positions, so the collection stream is proportional to the dup
+    count, not buckets x bitmap). Exchange 1 then ships only
+    Bloom-HIT positions. Exactness is unaffected either way — no
+    false negatives, and false-positive positions arrive in their
+    hash bucket with total count 1 and are dropped by the same exact
+    test. Measured guidance (BASELINE.md): the default is "none"
+    because at short-doc corpora (20-word docs, 1M rows) the extra
+    tokenizing pass costs more than the position exchange it saves;
+    switch to "bloom" when documents are long (positions/doc high)
+    and duplication is sparse, which is when the position stream —
+    not tokenization — is the wall.
     """
     if n_buckets is None:
         n_buckets = 8 * _coalesce_width()
     doc_buckets = 2 * _coalesce_width()
 
+    bloom_ref = None
+    if prefilter == "bloom":
+        # three consumers below (count pass, position pass, text tag);
+        # a lazy input would re-run its whole upstream lineage per
+        # consumer — materialize once (same contract as sequence_pack)
+        ds = ds.materialize()
+        m_bits = int(bloom_bits)
+        m_bytes = (m_bits + 7) // 8
+
+        def _positions(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            u = h.astype(np.uint64)
+            p1 = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(m_bits)
+            p2 = (
+                u * np.uint64(0xBF58476D1CE4E5B9)
+                + np.uint64(0x94D049BB133111EB)
+            ) % np.uint64(m_bits)
+            return p1, p2
+
+        def count_partial(batch: pa.Table) -> pa.Table:
+            per_doc = _batch_ngram_hashes(batch[text_col].to_pylist(), n)
+            hs_list = [h for h in per_doc if len(h)]
+            if not hs_list:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int64()),
+                        "h": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            hs = np.concatenate(hs_list).view(np.int64) & np.int64(
+                0x7FFFFFFFFFFFFFFF
+            )
+            uh, c = np.unique(hs, return_counts=True)
+            return pa.table(
+                {
+                    "bucket": pa.array(uh % n_buckets),
+                    "h": pa.array(uh),
+                    "cnt": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        def bucket_dup_bits(group):
+            """Sparse: emit the SET-BIT POSITIONS of this bucket's dup
+            hashes (2 int64 rows per dup hash) — collection volume is
+            proportional to the dup count, never buckets x bitmap."""
+            h = group["h"].to_numpy()
+            uh, hinv = np.unique(h, return_inverse=True)
+            tot = np.bincount(hinv, weights=group["cnt"].to_numpy())
+            dup = uh[tot > 1]
+            import pandas as pd
+
+            if not len(dup):
+                return pd.DataFrame({"bit": pd.Series([], dtype="int64")})
+            p1, p2 = _positions(dup)
+            return pd.DataFrame(
+                {"bit": np.concatenate([p1, p2]).astype(np.int64)}
+            )
+
+        counts = coalesce_for_exchange(
+            ds.map_batches(count_partial, batch_format="pyarrow")
+        )
+        bloom = np.zeros(m_bytes, dtype=np.uint8)
+        for part in (
+            counts.groupby("bucket")
+            .map_groups(bucket_dup_bits, batch_format="pandas")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        ):
+            pos = part["bit"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            np.bitwise_or.at(
+                bloom,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8),
+            )
+        bloom_ref = ray.put(bloom)
+
+        def _bloom_hit(h: np.ndarray, bl: np.ndarray) -> np.ndarray:
+            hit = np.ones(len(h), dtype=bool)
+            for pos in _positions(h):
+                byte = (pos >> np.uint64(3)).astype(np.int64)
+                bit = (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8)
+                hit &= (bl[byte] & bit) != 0
+            return hit
+    elif prefilter != "none":
+        raise ValueError(f"unknown prefilter: {prefilter!r}")
+
     def emit_positions(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref) if bloom_ref is not None else None
         ids_out: list[np.ndarray] = []
         hs_out: list[np.ndarray] = []
         pos_out: list[np.ndarray] = []
@@ -483,9 +586,15 @@ def strip_dup_spans(
             if len(hs64) == 0:
                 continue
             hs = hs64.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+            pos = np.arange(len(hs), dtype=np.int64)
+            if bl is not None:
+                hit = _bloom_hit(hs, bl)
+                if not hit.any():
+                    continue
+                hs, pos = hs[hit], pos[hit]
             ids_out.append(np.full(len(hs), i, dtype=np.int64))
             hs_out.append(hs)
-            pos_out.append(np.arange(len(hs), dtype=np.int64))
+            pos_out.append(pos)
         if not ids_out:
             return pa.table(
                 {

@@ -301,6 +301,39 @@ class TestStripDupSpans:
         assert out["n_words"] == 15
         assert out["n_removed"] == 15 and out["kept_text"] == ""
 
+    def test_bloom_prefilter_identical_output(self, ray_session):
+        """The Bloom-prefiltered path must produce byte-identical
+        results (no false negatives; false positives die in the exact
+        in-bucket count)."""
+        from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+        texts = [
+            " ".join(f"u{i}w{j}" for j in range(12)) for i in range(30)
+        ]
+        texts += [texts[0], texts[5], "tiny", ""]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            )
+        ).repartition(4)
+        a = (
+            strip_dup_spans(ds, n=5, prefilter="none")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            strip_dup_spans(ds, n=5, prefilter="bloom", bloom_bits=1 << 16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert a.loc[0, "n_removed"] == 12  # planted copy fully cut
+
 
 class TestSimhashPairs:
     def test_simhash64_pinned(self):
