@@ -2434,6 +2434,21 @@ def _q_bpe_tokens(sf_dir: str):
     return bpe_token_stats(docs.map_batches(with_oov, batch_format="pyarrow"))
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Exact integer Gram (second-moment) matrix over the embeddings
+    table — the distributed-PCA accumulation: per-batch numpy Q.T@Q
+    partials over centi-quantized vectors (the exchange carries 2,080
+    upper-triangle cells per batch, never the row count), one tiny
+    groupby-sum. The SQL oracle replays the quantization and the full
+    pairwise-dimension product sum bit for bit."""
+    from pdf_extractor_ray.functions.similarity import embedding_gram
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return embedding_gram(emb)
+
+
 def _q_bpe_piece_hist(sf_dir: str):
     """The distributed half of BPE tokenizer training: the corpus's
     pre-tokenization piece histogram (functions/tokenizer.py). Pieces
@@ -2768,6 +2783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
         "tokenize_chunks": _q_tokenize_chunks,
+        "embedding_gram": _q_embedding_gram,
         "pagerank": _q_pagerank,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -4182,6 +4198,23 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT script, CAST(count(*) AS BIGINT) AS n_docs
             FROM d GROUP BY script
+        """,
+        "embedding_gram": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(embedding) AS v,
+                       unnest(range(len(embedding))) AS i
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, i,
+                       CAST(floor(CAST(v AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) AS qv
+                FROM x)
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_cc
+            FROM q a JOIN q b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         "token_chunks": """
             WITH w AS (

@@ -648,3 +648,76 @@ def knn_pq(
     out = out.rename(columns={"cosine": "score"})
     out["score_m"] = np.floor(out["score"] * 1000 + 0.5).astype("int64")
     return out[["query_id", "neighbor_id", "score_m", "rank"]]
+
+
+def embedding_gram(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    quant: int = 100,
+) -> ray.data.Dataset:
+    """Exact integer second-moment (Gram) matrix over an embedding
+    column — the accumulation half of distributed PCA / covariance:
+    G[i, j] = sum over rows of q_i * q_j with q = round(x * quant)
+    (the repo's centi-unit discipline, so the whole reduction is
+    int64-exact and SQL-replayable bit for bit).
+
+    Scale shape: each batch contributes ONE d x d partial via a numpy
+    ``Q.T @ Q`` matmul, emitted as upper-triangle (i, j, g) rows —
+    the exchange carries d*(d+1)/2 rows per batch (d=64 -> 2,080),
+    NEVER the row count; a tiny groupby-sum finishes. Driver holds
+    nothing. int64 headroom: |q| <= quant * |x|_max, so ~3e2-sized
+    entries overflow only past ~1e14 rows.
+
+    Output: (i, j, gram_cc) for i <= j, BIGINT.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _arrow_matrix(batch[vec_col])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(mat * quant + 0.5).astype(np.int64)
+        # numpy int64 matmul has no BLAS and is ~40x slower; a float64
+        # dgemm is EXACT when every partial sum stays under 2^53
+        # (integer products are exactly representable there), which a
+        # per-batch bound check guarantees before taking the fast path
+        amax = np.abs(q).max(initial=0)
+        if amax * amax * q.shape[0] < (1 << 52):
+            gram = np.rint(q.astype(np.float64).T @ q.astype(np.float64)).astype(
+                np.int64
+            )
+        else:
+            gram = q.T @ q  # (d, d) int64
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "g": pa.array(gram[iu, ju]),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "i": batch["i"],
+                "j": batch["j"],
+                "gram_cc": batch["sum(g)"],
+            }
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    return (
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["i", "j"])
+        .aggregate(_Sum("g"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

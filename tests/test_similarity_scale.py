@@ -283,3 +283,36 @@ class TestSqlReplayableVariants:
                 "neighbor_id"
             ].tolist()
             assert got == expect, q
+
+
+class TestEmbeddingGram:
+    def test_equals_serial_matmul(self, ray_session):
+        import numpy as np
+
+        from pdf_extractor_ray.functions.similarity import embedding_gram
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(200, 16)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = (
+            embedding_gram(
+                ray_session.data.from_arrow(tbl).repartition(7)
+            )
+            .to_pandas()
+            .sort_values(["i", "j"])
+            .reset_index(drop=True)
+        )
+        q = np.floor(mat.astype(np.float64) * 100 + 0.5).astype(np.int64)
+        gram = q.T @ q
+        iu, ju = np.triu_indices(16)
+        assert len(out) == len(iu)
+        assert (out["i"].to_numpy() == iu).all()
+        assert (out["j"].to_numpy() == ju).all()
+        assert (out["gram_cc"].to_numpy() == gram[iu, ju]).all()
