@@ -69,6 +69,17 @@ def token_stream_chunks(
     ds = ds.materialize()
     bounds = ds.aggregate(Min(id_col), Max(id_col))
     lo, hi = bounds[f"min({id_col})"], bounds[f"max({id_col})"]
+    if lo is None:  # empty input -> zero chunks
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "chunk_id": pa.array([], pa.int64()),
+                    "ids": pa.array([], pa.list_(pa.int32())),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_pieces": pa.array([], pa.int64()),
+                }
+            )
+        )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:
@@ -192,6 +203,13 @@ def sequence_pack(
     ds = ds.materialize()
     bounds = ds.aggregate(Min(id_col), Max(id_col))  # one pass, not two
     lo, hi = bounds[f"min({id_col})"], bounds[f"max({id_col})"]
+    if lo is None:  # empty input -> empty output, same added column
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "pack_id", pa.array([], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:

@@ -266,3 +266,31 @@ class TestEncodeCorpus:
             exp = enc.encode(t)
             assert list(out.iloc[i]["ids"]) == exp
             assert out.iloc[i]["n_tokens"] == len(exp)
+
+
+class TestEmptyInputs:
+    def test_sequence_pack_empty(self, ray_session):
+        from pdf_extractor_ray.functions.packing import sequence_pack
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        out = sequence_pack(ray_session.data.from_arrow(empty)).take_all()
+        assert out == []
+
+    def test_token_stream_chunks_empty(self, ray_session):
+        from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        out = token_stream_chunks(
+            ray_session.data.from_arrow(empty), chunk_len=8
+        ).take_all()
+        assert out == []
