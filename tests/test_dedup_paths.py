@@ -301,6 +301,41 @@ class TestStripDupSpans:
         assert out["n_words"] == 15
         assert out["n_removed"] == 15 and out["kept_text"] == ""
 
+    def test_collects_nothing_on_driver(self, ray_session, monkeypatch):
+        """The 100 TB property: the default path must never call
+        Dataset.to_pandas / take_all — dup classification, the text
+        cogroup and the cut all stay on the cluster."""
+        import ray.data
+
+        from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+        calls = []
+        orig = ray.data.Dataset.to_pandas
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "to_pandas",
+            lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1],
+        )
+        orig_ta = ray.data.Dataset.take_all
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "take_all",
+            lambda self, *a, **k: (calls.append(1), orig_ta(self, *a, **k))[1],
+        )
+        texts = [" ".join(f"g{i}w{j}" for j in range(8)) for i in range(20)]
+        texts.append(texts[0])
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            )
+        )
+        n = strip_dup_spans(ds, n=5).count()
+        assert calls == [], "strip_dup_spans must not materialize on the driver"
+        assert n == len(texts)
+
     def test_bloom_prefilter_identical_output(self, ray_session):
         """The Bloom-prefiltered path must produce byte-identical
         results (no false negatives; false positives die in the exact

@@ -294,3 +294,52 @@ class TestEmptyInputs:
             ray_session.data.from_arrow(empty), chunk_len=8
         ).take_all()
         assert out == []
+
+
+class TestChunksDriverDiscipline:
+    def test_only_bounded_tables_reach_driver(self, ray_session, monkeypatch):
+        """token_stream_chunks may to_pandas ONLY the n_buckets-row
+        offset table (constant-bounded); the piece stream and chunk
+        assembly must stay on the cluster."""
+        import ray.data
+
+        from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+        sizes = []
+        orig = ray.data.Dataset.to_pandas
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "to_pandas",
+            lambda self, *a, **k: (
+                lambda df: (sizes.append(len(df)), df)[1]
+            )(orig(self, *a, **k)),
+        )
+        orig_ta = ray.data.Dataset.take_all
+        takes = []
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "take_all",
+            lambda self, *a, **k: (takes.append(1), orig_ta(self, *a, **k))[1],
+        )
+        rows = [
+            {"doc_id": i, "ids": [(i * 10 + j) % 999 for j in range(i % 9)]}
+            for i in range(300)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "ids": pa.array(
+                    [r["ids"] for r in rows], pa.list_(pa.int32())
+                ),
+            }
+        )
+        out = token_stream_chunks(
+            ray_session.data.from_arrow(tbl).repartition(5),
+            chunk_len=16,
+            n_buckets=32,
+        )
+        n = out.count()
+        assert takes == []
+        # the only driver to_pandas is the per-bucket totals table
+        assert all(s <= 32 for s in sizes), sizes
+        assert n > 0
