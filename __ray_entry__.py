@@ -2434,6 +2434,41 @@ def _q_bpe_tokens(sf_dir: str):
     return bpe_token_stats(docs.map_batches(with_oov, batch_format="pyarrow"))
 
 
+def _q_strip_tokenize_chain(sf_dir: str):
+    """Composite: exact substring-dedup REMOVAL feeding GPT-style
+    token chunking — the cut corpus (strip_dup_spans kept_text)
+    becomes a SQL-derivable token stream ((doc_id*31 + j) % 32000 per
+    SURVIVING word j) that token_stream_chunks splits into 256-token
+    sequences. One streaming execution end to end; the oracle chains
+    the full strip CTE stack into the window-cumsum chunk replay, so
+    every chunk's content and order reflects the deduped corpus
+    bit for bit."""
+    from pdf_extractor_ray.functions.dedup import strip_dup_spans
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+    stripped = strip_dup_spans(_docs_with_dups(sf_dir), n=5)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids_out = []
+        dids = batch["doc_id"].to_pylist()
+        for d, t in zip(dids, batch["kept_text"].to_pylist()):
+            nw = len(_re.findall(r"\S+", t or ""))
+            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(ids_out, pa.list_(pa.int32())),
+            }
+        )
+
+    chunks = token_stream_chunks(
+        stripped.map_batches(to_ids, batch_format="pyarrow"), chunk_len=256
+    )
+    return _chunks_with_md5(chunks)
+
+
 def _q_embedding_gram(sf_dir: str):
     """Exact integer Gram (second-moment) matrix over the embeddings
     table — the distributed-PCA accumulation: per-batch numpy Q.T@Q
@@ -2784,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": _q_token_chunks,
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
+        "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -4198,6 +4234,65 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT script, CAST(count(*) AS BIGINT) AS n_docs
             FROM d GROUP BY script
+        """,
+        "strip_tokenize_chain": f"""
+            WITH d AS ({_DUP_SQL}),
+            w0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[^ \\t\\n\\r\\f\\x0b]+') AS ws
+                FROM d),
+            w AS (
+                SELECT doc_id,
+                       unnest(ws) AS word,
+                       unnest(range(len(ws))) AS pos
+                FROM w0),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 5
+                            THEN list_transform(range(1, len(ws) - 3),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                                      ws[i+4])
+                            ELSE [] END AS gs
+                FROM w0),
+            p AS (SELECT doc_id, unnest(gs) AS gram,
+                         unnest(range(len(gs))) AS pos
+                  FROM g),
+            t AS (SELECT gram FROM p GROUP BY gram HAVING count(*) > 1),
+            st AS (SELECT p.doc_id, p.pos FROM p JOIN t USING (gram)),
+            cov AS (SELECT DISTINCT w.doc_id, w.pos
+                    FROM w JOIN st ON st.doc_id = w.doc_id
+                                  AND w.pos BETWEEN st.pos AND st.pos + 4),
+            kept AS (
+                SELECT w.doc_id, count(*) AS n_kept
+                FROM w
+                WHERE NOT EXISTS (SELECT 1 FROM cov
+                                  WHERE cov.doc_id = w.doc_id
+                                    AND cov.pos = w.pos)
+                GROUP BY w.doc_id),
+            k2 AS (
+                SELECT w0.doc_id,
+                       COALESCE(kept.n_kept, 0) AS nw
+                FROM w0 LEFT JOIN kept ON w0.doc_id = kept.doc_id),
+            o AS (
+                SELECT doc_id, nw,
+                       sum(nw) OVER (ORDER BY doc_id) - nw AS off
+                FROM k2),
+            tok AS (
+                SELECT doc_id, off, unnest(range(nw)) AS j FROM o),
+            c AS (
+                SELECT (off + j) // 256 AS chunk_id,
+                       off + j AS pos,
+                       (doc_id * 31 + j) % 32000 AS tid,
+                       doc_id
+                FROM tok)
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pieces,
+                   md5(string_agg(CAST(tid AS VARCHAR), ','
+                       ORDER BY pos)) AS ids_md5
+            FROM c GROUP BY chunk_id
         """,
         "embedding_gram": """
             WITH x AS (
