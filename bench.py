@@ -92,7 +92,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # steady-state with warm workers, which is the regime that matters
     # at 100 TB.
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    extract_s = float("inf")
+    rep_times: list[float] = []
     for _ in range(reps):
         t0 = time.monotonic()
         parts = (
@@ -102,8 +102,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         )
         total_tokens = sum(r["s"] for r in parts)
         n_extracted = sum(r["n"] for r in parts)
-        extract_s = min(extract_s, time.monotonic() - t0)
+        rep_times.append(round(time.monotonic() - t0, 3))
         assert n_extracted == n_input, (n_extracted, n_input)
+    # rep 0 is cold (worker spawn + import); reps 1+ are warm steady
+    # state. All rep walls go into the artifact so a contested headline
+    # can be adjudicated from the JSON alone (VERDICT r03 finding #1).
+    extract_s = min(rep_times)
 
     # ---- representative query pipelines over the sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -160,6 +164,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bench_rows": n_input,
         "docs_per_sec": round(n_input / extract_s, 1),
         "total_tokens": int(total_tokens),
+        # full rep walls, in run order: rep[0] is the cold rep (worker
+        # spawn), the rest are warm. value == min(extract_reps).
+        "extract_reps": rep_times,
+        "rep_policy": f"min of {reps} in-process reps (rep 0 cold)",
     }
 
 
@@ -215,6 +223,8 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         "reps": reps,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "extract_reps_lo": r_lo.get("extract_reps"),
+        "extract_reps_hi": r_hi.get("extract_reps"),
         "bench_rows": r_hi["bench_rows"],
         "sf": sf_dir,
     }

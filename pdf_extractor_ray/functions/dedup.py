@@ -491,12 +491,16 @@ def strip_dup_spans(
         n_buckets = 8 * _coalesce_width()
     doc_buckets = 2 * _coalesce_width()
 
+    # multiple consumers below (position pass + text tag, and the
+    # bloom count pass when enabled); a lazy input would re-run its
+    # whole upstream lineage per consumer, and a nondeterministic
+    # upstream would make the position pass and the text pass disagree
+    # — materialize once unconditionally (same contract as
+    # sequence_pack)
+    ds = ds.materialize()
+
     bloom_ref = None
     if prefilter == "bloom":
-        # three consumers below (count pass, position pass, text tag);
-        # a lazy input would re-run its whole upstream lineage per
-        # consumer — materialize once (same contract as sequence_pack)
-        ds = ds.materialize()
         m_bits = int(bloom_bits)
         m_bytes = (m_bits + 7) // 8
 

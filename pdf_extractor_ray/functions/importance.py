@@ -117,6 +117,11 @@ def dsir_importance(
     The weight table derivation is exact integer arithmetic (module
     docstring), so the SQL oracle reproduces every score bit for bit.
     """
+    # ds is consumed twice (bin_word_counts source pass + the scoring
+    # map below); materialize once so a lazy/expensive upstream is not
+    # re-executed and the weight table can't diverge from the scored
+    # rows under a nondeterministic upstream
+    ds = ds.materialize()
     tgt = bin_word_counts(target, text_col, n_bins)
     src = bin_word_counts(ds, text_col, n_bins)
     tt, st = int(tgt.sum()), int(src.sum())

@@ -127,9 +127,21 @@ def paragraph_hash_counts(
         )
         g = g[g["n_docs"] >= min_count]
         if max_inventory is not None and len(g) > max_inventory:
-            # per-bucket prune; final exact global top-N below
+            # per-bucket prune; final exact global top-N below. MUST
+            # use the SAME tie-break as select_top_k_global —
+            # (n_docs DESC, md5(id) ASC, id ASC) — or a boundary-tied
+            # row the global salted order would keep can be pruned
+            # here (boilerplate counts cluster at n_docs == min_count,
+            # so boundary ties are the common case, not the corner).
+            g = g.assign(
+                _salt=[
+                    hashlib.md5(str(h).encode()).hexdigest()
+                    for h in g["para_hash"]
+                ]
+            )
             g = g.sort_values(
-                ["n_docs", "para_hash"], ascending=[False, True]
+                ["n_docs", "_salt", "para_hash"],
+                ascending=[False, True, True],
             ).head(max_inventory)
         # typed Arrow output: most buckets are empty after the filter,
         # and empty object-dtype pandas columns trip Ray's block-size

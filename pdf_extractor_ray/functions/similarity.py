@@ -115,15 +115,25 @@ def cosine_topk_local(
     queries: np.ndarray, ids: list, vectors: np.ndarray, k: int
 ) -> list[list[tuple]]:
     """Exact top-k over an in-memory matrix; returns per-query lists of
-    (vec_id, cosine) ordered by (cosine desc, vec_id asc)."""
+    (vec_id, cosine) ordered by (cosine desc, vec_id asc).
+
+    ``ids`` are coerced to int64 for the vectorized tie-break when
+    possible (the distributed knn_* entry points always pass int64);
+    non-numeric ids (strings, mixed) fall back to an object-dtype
+    lexsort — same order contract, interpreted comparisons."""
     qn = _normalize(queries)
     vn = _normalize(vectors)
     sims = qn @ vn.T  # (Q, N)
-    ids_np = np.asarray(ids, dtype=np.int64)
+    try:
+        ids_np = np.asarray(ids, dtype=np.int64)
+    except (ValueError, TypeError, OverflowError):
+        ids_np = np.asarray(ids, dtype=object)
     qi, ni, sc = _topk_per_query(sims, ids_np, k)
     out: list[list[tuple]] = [[] for _ in range(sims.shape[0])]
     for q, n, c in zip(qi, ni, sc):
-        out[int(q)].append((int(n), float(c)))
+        out[int(q)].append(
+            (int(n) if isinstance(n, (int, np.integer)) else n, float(c))
+        )
     return out
 
 
