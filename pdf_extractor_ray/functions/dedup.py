@@ -705,24 +705,96 @@ def strip_dup_spans(
 # -------------------------------------------------------------- minhash
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 of word k-shingles (deterministic across processes)."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
+def _batch_shingle_hashes(texts: list, k: int = 3) -> list[np.ndarray]:
+    """Per-doc int64 hashes of the UNIQUE word k-shingles for a whole
+    batch, fully vectorized: ONE ``pandas.util.hash_array`` call hashes
+    every word in the batch (SipHash at C speed), then each shingle's
+    hash is a position-weighted uint64 polynomial over a sliding window
+    of its word hashes — the `_batch_ngram_hashes` pattern, replacing
+    the former per-shingle ``zlib.crc32`` Python loop AND the per-
+    shingle string construction it hashed. Hash identity is internal:
+    LSH candidate sets depend on it only via recall, and hashed-set
+    Jaccard equals string-set Jaccard modulo 64-bit collisions
+    (~1e-5 odds at 16M distinct shingles). Docs shorter than ``k``
+    words hash their whole word sequence as one shingle; empty docs
+    hash to the single constant 0 (matching the old ``crc32(b"")``)."""
+    import pandas as pd
+
+    per_doc_words = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    flat = [w for ws in per_doc_words for w in ws]
+    if flat:
+        wh = pd.util.hash_array(np.array(flat, dtype=object))
     else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.array(
-        [zlib.crc32(s.encode("utf-8")) for s in set(shingles)], dtype=np.int64
-    )
+        wh = np.empty(0, dtype=np.uint64)
+    powers = _NGRAM_P ** np.arange(k, dtype=np.uint64)
+    mask = np.int64(0x7FFFFFFFFFFFFFFF)
+    out: list[np.ndarray] = []
+    pos = 0
+    for ws in per_doc_words:
+        m = len(ws)
+        if m == 0:
+            h = np.zeros(1, dtype=np.int64)
+        elif m < k:
+            v = (wh[pos : pos + m] * powers[:m]).sum(dtype=np.uint64)
+            h = np.array([v], dtype=np.uint64).view(np.int64) & mask
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(
+                wh[pos : pos + m], k
+            )
+            h = (
+                (win * powers).sum(axis=1, dtype=np.uint64).view(np.int64)
+                & mask
+            )
+        out.append(np.unique(h))
+        pos += m
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique word-k-shingle hashes of one text (deterministic across
+    processes); thin wrapper over the vectorized batch kernel."""
+    return _batch_shingle_hashes([text], k)[0]
+
+
+# cap on shingle positions per perm-matmul chunk: 64 perms x 64k
+# shingles x 8 B = 32 MiB of transient int64 — bounded regardless of
+# batch size or document length
+_SIG_CHUNK_SHINGLES = 65536
+
+
+def _batch_minhash_signatures(texts: list, k: int = 3) -> np.ndarray:
+    """(n_docs, 64) int64 minhash signatures for a whole batch: one
+    perm "matmul" per bounded chunk of concatenated shingle hashes with
+    a ``np.minimum.reduceat`` segment-min per doc, instead of a Python-
+    level 64-perm matmul call per document."""
+    hs = _batch_shingle_hashes(texts, k)
+    n = len(hs)
+    if n == 0:
+        return np.empty((0, _N_PERM), dtype=np.int64)
+    sigs = np.empty((n, _N_PERM), dtype=np.int64)
+    start = 0
+    while start < n:
+        end, tot = start, 0
+        # every doc contributes >= 1 hash, so the chunk always advances
+        while end < n and (tot == 0 or tot + len(hs[end]) <= _SIG_CHUNK_SHINGLES):
+            tot += len(hs[end])
+            end += 1
+        allh = np.concatenate(hs[start:end])
+        vals = (
+            _PERM_A[:, None] * allh[None, :] + _PERM_B[:, None]
+        ) % _MERSENNE  # (64, tot) — int64 wrap-mangle, same as before
+        offs = np.zeros(end - start, dtype=np.int64)
+        np.cumsum(
+            [len(h) for h in hs[start : end - 1]], out=offs[1:]
+        )
+        sigs[start:end] = np.minimum.reduceat(vals, offs, axis=1).T
+        start = end
+    return sigs
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     """64-perm minhash signature (int64[64])."""
-    h = _shingle_hashes(text, k)
-    # (a*h + b) mod p for each permutation, min over shingles
-    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    return _batch_minhash_signatures([text], k)[0]
 
 
 # Odd multipliers for the vectorized band hash (splitmix-style mixing;
@@ -800,9 +872,9 @@ def minhash_candidates(
                     "doc_id": pa.array([], pa.int64()),
                 }
             )
-        sigs = np.stack(
-            [minhash_signature(t or "", shingle_k) for t in texts]
-        )  # (n, 64)
+        sigs = _batch_minhash_signatures(
+            [t or "" for t in texts], shingle_k
+        )  # (n, 64), one vectorized pass over the whole batch
         hashes = _band_hashes(sigs, n_bands)  # (n, n_bands), vectorized
         n = len(ids)
         return pa.table(
