@@ -306,10 +306,59 @@ def pagerank(
     """
     base = (100 - damping_pct) * 10_000
 
-    def tag_nodes_rank(ranks: ray.data.Dataset) -> ray.data.Dataset:
-        return _tag(ranks, "node", "label", 0, n_buckets)
+    # pagerank's exchange-1 rows carry a 5th column: the STATIC
+    # out-degree, baked into the edge rows ONCE at setup (one extra
+    # src-bucket exchange) instead of a groupby-transform recomputed
+    # inside every iteration's contribs pass (VERDICT r03 #3)
+    pr_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("payload", pa.int64()),
+            ("deg", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
 
-    edges_tagged = _tag(edges, src_col, dst_col, 1, n_buckets).materialize()
+    def tag_nodes_rank(ranks: ray.data.Dataset) -> ray.data.Dataset:
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "key": k,
+                    "payload": p,
+                    "deg": np.zeros(len(k), dtype=np.int64),
+                    "side": np.full(len(k), 0, dtype=np.int8),
+                    "bucket": _bucket(k, n_buckets),
+                },
+                schema=pr_schema,
+            )
+
+        return ranks.map_batches(tag, batch_format="pyarrow")
+
+    def bake_deg(group: pd.DataFrame) -> pa.Table:
+        deg = (
+            group.groupby("key")["payload"].transform("size")
+            .to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "key": group["key"].to_numpy(dtype=np.int64),
+                "payload": group["payload"].to_numpy(dtype=np.int64),
+                "deg": deg,
+                "side": np.ones(len(group), dtype=np.int8),
+                "bucket": group["bucket"].to_numpy(dtype=np.int64),
+            },
+            schema=pr_schema,
+        )
+
+    edges_tagged = (
+        coalesce_for_exchange(_tag(edges, src_col, dst_col, 1, n_buckets))
+        .groupby("bucket")
+        .map_groups(bake_deg, batch_format="pandas")
+        .materialize()
+    )
 
     def init_rank(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -337,22 +386,27 @@ def pagerank(
     ).materialize()
 
     def contribs(group: pd.DataFrame) -> pd.DataFrame:
-        """src-bucket cogroup: rank // outdeg per src, one row per edge."""
+        """src-bucket cogroup: rank // outdeg per src (outdeg baked in
+        at setup), then an in-bucket SUM per dst so exchange 2 ships
+        one row per (bucket, dst) instead of one per edge — the same
+        total reaches apply_update (integer sum is associative), the
+        volume drops by the in-bucket dst multiplicity, which is
+        largest exactly where it matters (hot dsts)."""
         rk = group[group["side"] == 0]
         eg = group[group["side"] == 1]
         if eg.empty:
             return pd.DataFrame({"dst": [], "contrib": []}).astype(
                 {"dst": "int64", "contrib": "int64"}
             )
-        deg = eg.groupby("key")["payload"].transform("size").to_numpy()
         rmap = pd.Series(rk["payload"].to_numpy(), index=rk["key"].to_numpy())
         r = rmap.reindex(eg["key"].to_numpy()).fillna(0).to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "dst": eg["payload"].to_numpy(dtype=np.int64),
-                "contrib": r // deg,
+                "contrib": r // eg["deg"].to_numpy(dtype=np.int64),
             }
         )
+        return out.groupby("dst", as_index=False)["contrib"].sum()
 
     def apply_update(group: pd.DataFrame) -> pd.DataFrame:
         """dst-bucket cogroup: damped update over summed contributions;
