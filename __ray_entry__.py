@@ -1629,6 +1629,38 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(docs, "stream hash join", k=10)
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 leg ('stream hash join', top-10) fused
+    with an embedding leg (exact cosine top-10 for the lowest-vec_id
+    query vector, self excluded) via reciprocal-rank fusion in exact
+    integer micro-units — the reference's hybrid search semantics
+    (arangodb/search_api/hybrid.py:154-226) with score
+    sum(1_000_000 // (60 + rank)). Both legs are k-bounded, so the
+    fusion pipeline touches n_legs x 10 rows however big the corpus."""
+    from pdf_extractor_ray.functions.fusion import rank_from_scores, rrf_fuse
+    from pdf_extractor_ray.functions.similarity import knn_bruteforce
+    from pdf_extractor_ray.functions.textstats import bm25_topk
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    bm25_leg = rank_from_scores(
+        bm25_topk(docs, "stream hash join", k=10), "score_m"
+    )
+
+    ids, mat = _load_query_vectors(sf_dir, 1)
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    knn = knn_bruteforce(emb, mat, ids, k=11)  # pandas (bounded)
+    knn = knn[knn["neighbor_id"] != knn["query_id"]].head(10).copy()
+    knn["rank"] = range(1, len(knn) + 1)
+    knn_leg = ray.data.from_pandas(
+        knn.rename(columns={"neighbor_id": "doc_id"})[["doc_id", "rank"]]
+    )
+    return rrf_fuse([bm25_leg, knn_leg], rrf_k=60, top_n=10)
+
+
 def _q_word_topk(sf_dir: str):
     from pdf_extractor_ray.functions.textstats import word_topk
 
@@ -2753,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": _q_quality_topk,
         "token_budget": _q_token_budget,
         "bm25": _q_bm25,
+        "hybrid_rrf": _q_hybrid_rrf,
         "script_stats": _q_script_stats,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
@@ -4401,6 +4434,62 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, CAST(floor(score * 1000 + 0.5) AS BIGINT) AS score_m
             FROM sc ORDER BY score_m DESC, doc_id LIMIT 10
+        """,
+        # RRF hybrid fusion: the bm25 CTE stack above + a single-query
+        # exact-cosine leg, fused with integer micro-unit reciprocal
+        # ranks (1_000_000 // (60 + rank)) — pure integer arithmetic
+        # after the two legs' own rank orders, so the replay is exact.
+        "hybrid_rrf": """
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                  AS term
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM w GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT sum(dl) FROM dl) AS total_len),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM w WHERE term IN ('hash', 'join', 'stream')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)
+                                 + 1.0)
+                              * tf.tf * (1.2 + 1.0)
+                              / (tf.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.dl
+                                    / (st.total_len / st.n_docs)))) AS score
+                   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                        CROSS JOIN st
+                   GROUP BY tf.doc_id),
+            bm AS (SELECT doc_id,
+                          row_number() OVER (
+                              ORDER BY CAST(floor(score * 1000 + 0.5) AS BIGINT)
+                                           DESC,
+                                       doc_id) AS rank
+                   FROM sc),
+            q AS (SELECT vec_id AS qid, embedding AS qe
+                  FROM embeddings ORDER BY vec_id LIMIT 1),
+            s AS (SELECT e.vec_id AS doc_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS cos
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            kn AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+                   FROM s),
+            u AS (SELECT doc_id,
+                         CAST(1000000 AS BIGINT) // (60 + rank) AS part
+                  FROM bm WHERE rank <= 10
+                  UNION ALL
+                  SELECT doc_id,
+                         CAST(1000000 AS BIGINT) // (60 + rank) AS part
+                  FROM kn WHERE rank <= 10),
+            f AS (SELECT doc_id, CAST(sum(part) AS BIGINT) AS rrf_score_u
+                  FROM u GROUP BY doc_id)
+            SELECT doc_id, rrf_score_u,
+                   CAST(row_number() OVER (
+                       ORDER BY rrf_score_u DESC, doc_id) AS BIGINT) AS rank
+            FROM f ORDER BY rrf_score_u DESC, doc_id LIMIT 10
         """,
         "token_budget": """
             WITH s AS (
