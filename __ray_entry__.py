@@ -64,6 +64,66 @@ _DUP_SQL = (
 )
 
 
+def _strip_spans_min_sql(thr: int) -> str:
+    """strip_dup_spans oracle + a gaps-and-islands window: covered
+    positions group into maximal runs (pos - row_number is constant
+    within a run), and only runs of >= thr positions stay cut."""
+    return f"""
+        WITH d AS ({_DUP_SQL}),
+        w0 AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                       '[^ \\t\\n\\r\\f\\x0b]+') AS ws
+            FROM d),
+        w AS (
+            SELECT doc_id,
+                   unnest(ws) AS word,
+                   unnest(range(len(ws))) AS pos
+            FROM w0),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_transform(range(1, len(ws) - 3),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' ||
+                                  ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                                  ws[i+4])
+                        ELSE [] END AS gs
+            FROM w0),
+        p AS (SELECT doc_id, unnest(gs) AS gram,
+                     unnest(range(len(gs))) AS pos
+              FROM g),
+        t AS (SELECT gram FROM p GROUP BY gram HAVING count(*) > 1),
+        st AS (SELECT p.doc_id, p.pos FROM p JOIN t USING (gram)),
+        cov AS (SELECT DISTINCT w.doc_id, w.pos
+                FROM w JOIN st ON st.doc_id = w.doc_id
+                              AND w.pos BETWEEN st.pos AND st.pos + 4),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM cov),
+        lens AS (SELECT doc_id, grp, count(*) AS L
+                 FROM isl GROUP BY doc_id, grp),
+        cov2 AS (SELECT isl.doc_id, isl.pos
+                 FROM isl JOIN lens USING (doc_id, grp)
+                 WHERE lens.L >= {thr}),
+        kept AS (
+            SELECT w.doc_id,
+                   count(*) AS n_kept,
+                   string_agg(w.word, ' ' ORDER BY w.pos) AS kt
+            FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM cov2
+                              WHERE cov2.doc_id = w.doc_id
+                                AND cov2.pos = w.pos)
+            GROUP BY w.doc_id)
+        SELECT w0.doc_id,
+               CAST(len(w0.ws) AS BIGINT) AS n_words,
+               CAST(len(w0.ws) - COALESCE(k.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(k.kt, '') AS kept_text
+        FROM w0 LEFT JOIN kept k ON w0.doc_id = k.doc_id
+    """
+
+
 # Shared CTE chain for the cluster oracles: exact 3-gram Jaccard pairs
 # (same derivation the dedup_minhash oracle uses) -> symmetric edges ->
 # transitive closure by recursive CTE -> min reachable id per node.
@@ -405,6 +465,26 @@ def _q_strip_dup_spans(sf_dir: str):
     from pdf_extractor_ray.functions.dedup import strip_dup_spans
 
     return strip_dup_spans(_docs_with_dups(sf_dir), n=5)
+
+
+def _q_strip_spans_min(sf_dir: str, thr: int):
+    """Maximal-span removal (Lee et al.'s actual threshold rule):
+    duplicated 5-gram positions merge into maximal covered spans and
+    only spans >= thr words are cut — an isolated duplicated phrase
+    survives, a long verbatim block does not. The oracle extends the
+    strip_dup_spans CTE stack with a gaps-and-islands window over the
+    covered positions."""
+    from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs_with_dups(sf_dir), n=5, min_span_words=thr)
+
+
+def _q_strip_spans_min8(sf_dir: str):
+    return _q_strip_spans_min(sf_dir, 8)
+
+
+def _q_strip_spans_min30(sf_dir: str):
+    return _q_strip_spans_min(sf_dir, 30)
 
 
 def _q_dedup_ngram(sf_dir: str):
@@ -2764,6 +2844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "dup_ngram_spans": _q_dup_ngram_spans,
         "strip_dup_spans": _q_strip_dup_spans,
+        "strip_spans_min8": _q_strip_spans_min8,
+        "strip_spans_min30": _q_strip_spans_min30,
         "dup_clusters": _q_dup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
@@ -3890,6 +3972,8 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(k.kt, '') AS kept_text
             FROM w0 LEFT JOIN kept k ON w0.doc_id = k.doc_id
         """,
+        "strip_spans_min8": _strip_spans_min_sql(8),
+        "strip_spans_min30": _strip_spans_min_sql(30),
         "dup_clusters": f"""
             WITH RECURSIVE {_CLUSTER_CTES}
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -454,6 +454,7 @@ def strip_dup_spans(
     n_buckets: int | None = None,
     prefilter: str = "none",
     bloom_bits: int = 1 << 27,
+    min_span_words: int = 0,
 ) -> ray.data.Dataset:
     """The REMOVAL step of Lee et al. 2022 exact substring dedup: cut
     every word position covered by a word n-gram that occurs more than
@@ -462,6 +463,14 @@ def strip_dup_spans(
     joins the surviving lowercased words with single spaces (the
     operator's contract is over the normalized word sequence, same
     tokenization as :func:`dup_ngram_span_stats`).
+
+    ``min_span_words > 0`` applies Lee et al.'s actual threshold rule
+    (their 50-token minimum): adjacent/overlapping duplicated n-gram
+    positions merge into MAXIMAL spans first, and only maximal spans
+    of at least ``min_span_words`` words are cut — an isolated
+    duplicated 5-gram survives a ``min_span_words=50`` run, a 60-word
+    verbatim block does not. Values ``<= n`` are a no-op (every
+    maximal span is at least ``n`` words long by construction).
 
     Scale shape: exchange 1 carries one row per n-gram POSITION into a
     coarse hash-bucket groupby that totals each n-gram and keeps only
@@ -677,6 +686,20 @@ def strip_dup_spans(
             np.add.at(diff, ps, 1)
             np.add.at(diff, ps + n, -1)
             mask = np.cumsum(diff[:m]) > 0
+            if min_span_words > n:
+                # keep only MAXIMAL covered runs >= the threshold:
+                # run boundaries from the mask's edge diffs, then the
+                # same diff-array trick rebuilds the filtered mask
+                mm = np.diff(
+                    np.concatenate(([0], mask.astype(np.int8), [0]))
+                )
+                starts = np.flatnonzero(mm == 1)
+                ends = np.flatnonzero(mm == -1)
+                long = (ends - starts) >= min_span_words
+                diff2 = np.zeros(m + 1, dtype=np.int64)
+                np.add.at(diff2, starts[long], 1)
+                np.add.at(diff2, ends[long], -1)
+                mask = np.cumsum(diff2[:m]) > 0
             kept = [w for w, dead in zip(words, mask) if not dead]
             out_id.append(int(i))
             out_nw.append(m)

@@ -292,6 +292,80 @@ class TestStripDupSpans:
         # partial overlap: doc 3 keeps only its non-shared words
         assert out.loc[3, "kept_text"] == "prefix something else"
 
+    def test_min_span_words_threshold(self, ray_session):
+        """Lee et al.'s maximal-span rule: a short duplicated phrase
+        (one isolated 5-gram, maximal span = 5 words) survives a
+        min_span_words=8 run; a 12-word verbatim block (maximal span =
+        12) is cut at 8 but survives at 15; partial overlaps merge
+        before the length test."""
+        from pdf_extractor_ray.functions.dedup import strip_dup_spans
+
+        shared5 = "alpha beta gamma delta epsilon"
+        block12 = "one two three four five six seven eight nine ten eleven twelve"
+        texts = [
+            f"p0 {shared5} q0 r0 s0",            # isolated 5-gram dup
+            f"p1 {shared5} q1 r1 s1",
+            f"x0 {block12} y0",                   # 12-word block dup
+            f"x1 {block12} y1",
+        ]
+        ds = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            )
+        ).repartition(2)
+
+        def run(thr):
+            return (
+                strip_dup_spans(ds, n=5, min_span_words=thr)
+                .to_pandas()
+                .set_index("doc_id")
+                .sort_index()
+            )
+
+        base = run(0)
+        assert base.loc[0, "n_removed"] == 5  # plain rule cuts the 5-gram
+        assert base.loc[2, "n_removed"] == 12
+
+        at8 = run(8)
+        # 5-word maximal span < 8 -> survives intact
+        assert at8.loc[0, "n_removed"] == 0
+        assert at8.loc[0, "kept_text"] == texts[0].lower()
+        # 12-word maximal span >= 8 -> cut
+        assert at8.loc[2, "n_removed"] == 12
+        assert at8.loc[2, "kept_text"] == "x0 y0"
+
+        at15 = run(15)
+        assert at15.loc[2, "n_removed"] == 0  # 12 < 15 -> survives
+
+        # partial overlap: two dup 5-grams overlapping by 4 words merge
+        # into ONE 6-word maximal span -> cut at 6, kept at 7
+        ov = "o1 o2 o3 o4 o5 o6"
+        ds2 = ray_session.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        f"a {ov} b",
+                        f"c {ov[:14]} d e",   # shares o1..o5 (first 5-gram)
+                        f"f {ov[3:]} g h",    # shares o2..o6 (second 5-gram)
+                    ],
+                }
+            )
+        )
+        m6 = (
+            strip_dup_spans(ds2, n=5, min_span_words=6)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert m6.loc[0, "n_removed"] == 6
+        m7 = (
+            strip_dup_spans(ds2, n=5, min_span_words=7)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert m7.loc[0, "n_removed"] == 0
+
     def test_within_doc_repeat_is_cut(self, ray_session):
         from pdf_extractor_ray.functions.dedup import strip_dup_spans
 
