@@ -437,6 +437,63 @@ def _q_dedup_minhash(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"])
 
 
+def _q_incremental_minhash(sf_dir: str):
+    """Cross-dump near-dup: the old corpus's LSH band rows persist to
+    a parquet signature store; a new dump (exact copies of every
+    %10==5 doc at id+2M — the planted near-dups — plus fresh unmatched
+    %10==3 docs at id+3M) probes the store and candidates verify by
+    exact 3-gram Jaccard >= 0.8. Only the NEW dump is re-signed; the
+    oracle brute-forces exact Jaccard over new x old."""
+    import tempfile
+
+    from pdf_extractor_ray.functions.dedup import (
+        incremental_minhash,
+        minhash_band_table,
+    )
+
+    old = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % 10 == 5))
+        fresh = batch.filter(pa.array(ids % 10 == 3))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [
+                            copies["doc_id"].to_numpy(zero_copy_only=False)
+                            + 2_000_000,
+                            fresh["doc_id"].to_numpy(zero_copy_only=False)
+                            + 3_000_000,
+                        ]
+                    ).astype(np.int64)
+                ),
+                "text": pa.array(
+                    copies["text"].to_pylist()
+                    + [
+                        f"fresh {i}"
+                        for i in fresh["doc_id"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    new = old.map_batches(new_rows, batch_format="pyarrow")
+
+    # round-trip the signature store through parquet — the persisted
+    # cross-dump artifact the operator exists for
+    store_dir = tempfile.mkdtemp(prefix="incr_minhash_store_")
+    minhash_band_table(old).write_parquet(store_dir)
+    store = ray.data.read_parquet(store_dir)
+
+    out = incremental_minhash(new, store, old, threshold=0.8)
+    return out.select_columns(["doc_a", "doc_b"])
+
+
 def _q_dedup_simhash(sf_dir: str):
     from pdf_extractor_ray.functions.dedup import simhash_dedup_pairs
 
@@ -2840,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,
         "dedup_minhash": _q_dedup_minhash,
+        "incremental_minhash": _q_incremental_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "dup_ngram_spans": _q_dup_ngram_spans,
@@ -3859,6 +3917,49 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect(a.sh, b.sh))::DOUBLE /
                        len(list_distinct(list_concat(a.sh, b.sh))) AS j
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM p WHERE j >= 0.8
+        """,
+        # Cross-dump ground truth: exact 3-gram Jaccard over new x old
+        # (brute force BY DESIGN, like dedup_minhash). The new dump is
+        # the same deterministic derivation the Ray query builds.
+        "incremental_minhash": """
+            WITH newd AS (
+                SELECT doc_id + 2000000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 5
+                UNION ALL
+                SELECT doc_id + 3000000 AS doc_id,
+                       'fresh ' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents WHERE doc_id % 10 = 3
+            ),
+            sh AS (
+                SELECT doc_id, 0 AS is_new,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                         END) AS sh
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\\S+') AS words
+                      FROM documents)
+                UNION ALL
+                SELECT doc_id, 1 AS is_new,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                         END) AS sh
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\\S+') AS words
+                      FROM newd)
+            ),
+            p AS (
+                SELECT n.doc_id AS doc_a, o.doc_id AS doc_b,
+                       len(list_intersect(n.sh, o.sh))::DOUBLE /
+                       len(list_distinct(list_concat(n.sh, o.sh))) AS j
+                FROM sh n JOIN sh o ON n.is_new = 1 AND o.is_new = 0
             )
             SELECT doc_a, doc_b FROM p WHERE j >= 0.8
         """,

@@ -62,8 +62,10 @@ __all__ = [
     "incremental_dedup",
     "content_hashes",
     "minhash_signature",
+    "minhash_band_table",
     "minhash_candidates",
     "minhash_dedup_pairs",
+    "incremental_minhash",
     "simhash64",
     "simhash_dedup_pairs",
     "ngram_jaccard",
@@ -867,22 +869,22 @@ def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     return acc.view(np.int64)
 
 
-def minhash_candidates(
+def minhash_band_table(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 16,
     shingle_k: int = 3,
-    max_bucket: int = 200,
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs via LSH banding.
+    """(doc_id, band, band_hash) LSH band rows for every document —
+    n_bands rows per doc, one shuffle-free vectorized pass.
 
-    Emits unique (doc_a < doc_b) pairs from any shared band bucket.
-    Buckets larger than ``max_bucket`` are truncated (logged via the
-    ``truncated`` column) — a hot bucket at corpus scale means a
-    degenerate shingle (boilerplate); salt or drop it rather than
-    exploding O(n^2) pairs.
-    """
+    This IS the persistable minhash signature store (the band rows are
+    all that LSH probing ever reads): ``write_parquet`` its output
+    after each crawl dump and feed it back to
+    :func:`incremental_minhash` as the ``store`` side when the next
+    dump arrives — the cross-dump analogue of the ``content_hashes``
+    parquet-store pattern used by :func:`incremental_dedup`."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -911,6 +913,26 @@ def minhash_candidates(
                 ),
             }
         )
+
+    return ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+def minhash_candidates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs via LSH banding.
+
+    Emits unique (doc_a < doc_b) pairs from any shared band bucket.
+    Buckets larger than ``max_bucket`` are truncated (logged via the
+    ``truncated`` column) — a hot bucket at corpus scale means a
+    degenerate shingle (boilerplate); salt or drop it rather than
+    exploding O(n^2) pairs.
+    """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -941,9 +963,9 @@ def minhash_candidates(
     # groups. Cross-bucket duplicate pairs (same pair from bands in
     # different buckets) are possible; callers dedupe the (small)
     # verified output.
-    bands = ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
-        add_bucket, batch_format="pyarrow"
-    )
+    bands = minhash_band_table(
+        ds, text_col, id_col, n_bands, shingle_k
+    ).map_batches(add_bucket, batch_format="pyarrow")
     return (
         bands.repartition(_coalesce_width(), shuffle=False)
         .groupby("bucket")
@@ -1023,12 +1045,33 @@ def minhash_dedup_pairs(
     identical results (pytest-pinned), so the switch is purely a cost
     choice.
     """
+    cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
+    return _verify_candidates(
+        cand, ds, text_col, id_col, threshold, shingle_k, verify,
+        n_buckets, auto_broadcast_max,
+    )
+
+
+def _verify_candidates(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int,
+    verify: str,
+    n_buckets: int,
+    auto_broadcast_max: int,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard verification of candidate (doc_a, doc_b)
+    pairs against the texts in ``ds`` — the bucket / broadcast / auto
+    machinery documented on :func:`minhash_dedup_pairs`, shared with
+    :func:`incremental_minhash` (where ``ds`` is the union of the new
+    dump and the old corpus, ids globally unique across dumps)."""
     if verify not in ("auto", "bucket", "broadcast"):
         raise ValueError(
             f"verify must be 'auto', 'bucket' or 'broadcast', got {verify!r}"
         )
-
-    cand = minhash_candidates(ds, text_col, id_col, shingle_k=shingle_k)
 
     if verify == "auto":
         cand = cand.materialize()
@@ -1279,6 +1322,115 @@ def minhash_dedup_pairs(
 
     # cross-bucket duplicate pairs were already dropped driver-side
     return cand.map_batches(verify_b, batch_format="pyarrow")
+
+
+def incremental_minhash(
+    new_ds: ray.data.Dataset,
+    store: ray.data.Dataset,
+    old_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    verify: str = "auto",
+    n_buckets: int = 256,
+    auto_broadcast_max: int = 50_000,
+) -> ray.data.Dataset:
+    """Cross-dump NEAR-dup detection: LSH-probe a new crawl dump
+    against the persisted band-row ``store`` of all previous dumps
+    (:func:`minhash_band_table` output, round-tripped through parquet),
+    then verify every candidate by exact n-gram Jaccard >= threshold.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a from the NEW dump and
+    doc_b from the OLD corpus. Document ids must be globally unique
+    across dumps (the crawl contract — ids are per-dump offsets or
+    content hashes).
+
+    Distributed shape: only the NEW dump is re-shingled/signed (the
+    store already holds the old dump's band rows — the whole point of
+    persisting it); probe is one coarse band-hash-bucket cogroup
+    (new-side x store-side merge per fine (band, band_hash) group,
+    both sides capped at ``max_bucket`` ids per fine group); verified
+    via the same bucket/broadcast machinery as
+    :func:`minhash_dedup_pairs`, reading texts from new ∪ old. The
+    driver never holds band rows, candidates, or texts (bucket path).
+    """
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((h % 128).astype(np.int64)),
+                "_side": pa.array(np.zeros(len(h), dtype=np.int8)),
+                "band": batch["band"].cast(pa.int32()),
+                "band_hash": batch["band_hash"],
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    def tag_store(batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((h % 128).astype(np.int64)),
+                "_side": pa.array(np.ones(len(h), dtype=np.int8)),
+                "band": batch["band"].cast(pa.int32()),
+                "band_hash": batch["band_hash"],
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    def probe(group):
+        import pandas as pd
+
+        new = group[group["_side"] == 0]
+        old = group[group["_side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if new.empty or old.empty:
+            return empty
+        cols = ["band", "band_hash", "doc_id"]
+        cap = lambda side: (  # noqa: E731 — local, used twice
+            side[cols]
+            .sort_values("doc_id")
+            .groupby(["band", "band_hash"], sort=False)
+            .head(max_bucket)
+        )
+        m = cap(new).merge(
+            cap(old), on=["band", "band_hash"], suffixes=("_n", "_o")
+        )
+        if m.empty:
+            return empty
+        out = m[["doc_id_n", "doc_id_o"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "doc_a": out["doc_id_n"].to_numpy(dtype=np.int64),
+                "doc_b": out["doc_id_o"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    new_bands = minhash_band_table(
+        new_ds, text_col, id_col, n_bands, shingle_k
+    ).map_batches(tag_new, batch_format="pyarrow")
+    store_tagged = store.map_batches(tag_store, batch_format="pyarrow")
+    cand = _dedupe_pairs_bucketed(
+        coalesce_for_exchange(new_bands.union(store_tagged))
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+    )
+    texts = new_ds.select_columns([id_col, text_col]).union(
+        old_ds.select_columns([id_col, text_col])
+    )
+    return _verify_candidates(
+        cand, texts, text_col, id_col, threshold, shingle_k, verify,
+        n_buckets, auto_broadcast_max,
+    )
 
 
 # -------------------------------------------------------------- simhash

@@ -141,6 +141,104 @@ class TestMinhashVerifyPaths:
             minhash_dedup_pairs(_corpus(ray_session), verify="nope")
 
 
+class TestIncrementalMinhash:
+    """Cross-dump near-dup probe against a persisted band-row store."""
+
+    def _old_new(self, ray):
+        old = _corpus(ray)  # ids 0..49 unique + 100..104 near-dups
+        # new dump: near-dup copies of docs 0..2 (one word edited,
+        # J ~ 28/32 = 0.875 on 3-gram shingles of 30 words), one exact
+        # copy of doc 10, and two fresh docs matching nothing
+        base = [" ".join(f"w{i}x{j}" for j in range(30)) for i in range(50)]
+        new_texts, new_ids = [], []
+        for k in range(3):
+            t = base[k].split()
+            t[0] = "edited"
+            new_texts.append(" ".join(t))
+            new_ids.append(1000 + k)
+        new_texts.append(base[10])
+        new_ids.append(1010)
+        new_texts += ["totally different content here", "and again other"]
+        new_ids += [2000, 2001]
+        new = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(new_ids, pa.int64()), "text": new_texts}
+            )
+        ).repartition(3)
+        return old, new
+
+    def test_store_roundtrip_and_exact_jaccard(self, ray_session, tmp_path):
+        from pdf_extractor_ray.functions.dedup import (
+            incremental_minhash,
+            minhash_band_table,
+            ngram_jaccard,
+        )
+
+        old, new = self._old_new(ray_session)
+        store_dir = str(tmp_path / "store")
+        minhash_band_table(old).write_parquet(store_dir)
+        store = ray_session.data.read_parquet(store_dir)
+
+        out = (
+            incremental_minhash(new, store, old, threshold=0.8)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        got = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+        # each edited copy matches its origin AND the origin's planted
+        # old near-dup at id 100+k (first-word vs last-word edit still
+        # shares 26 of 30 shingles -> J = 0.867); exact copy matches 10
+        assert got == {
+            (1000, 0), (1000, 100),
+            (1001, 1), (1001, 101),
+            (1002, 2), (1002, 102),
+            (1010, 10),
+        }
+        # jaccard column is the EXACT value, not an estimate
+        old_df = old.to_pandas().set_index("doc_id")
+        new_df = new.to_pandas().set_index("doc_id")
+        for r in out.itertuples():
+            assert r.jaccard == pytest.approx(
+                ngram_jaccard(
+                    new_df.loc[r.doc_a, "text"], old_df.loc[r.doc_b, "text"]
+                )
+            )
+            assert r.jaccard >= 0.8
+
+    def test_bucket_verify_collects_nothing_on_driver(
+        self, ray_session, monkeypatch, tmp_path
+    ):
+        import ray.data
+
+        from pdf_extractor_ray.functions import dedup as dd
+
+        old, new = self._old_new(ray_session)
+        store_dir = str(tmp_path / "store")
+        dd.minhash_band_table(old).write_parquet(store_dir)
+        store = ray_session.data.read_parquet(store_dir)
+
+        calls = []
+        orig = ray.data.Dataset.to_pandas
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "to_pandas",
+            lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1],
+        )
+        orig_ta = ray.data.Dataset.take_all
+        monkeypatch.setattr(
+            ray.data.Dataset,
+            "take_all",
+            lambda self, *a, **k: (calls.append(1), orig_ta(self, *a, **k))[1],
+        )
+        out = dd.incremental_minhash(
+            new, store, old, threshold=0.8, verify="bucket"
+        )
+        n = out.count()
+        assert calls == [], "bucket verify must not materialize on the driver"
+        assert n == 7
+
+
 class TestIncrementalDedup:
     def test_anti_join_drops_seen_content(self, ray_session):
         from pdf_extractor_ray.functions.dedup import (
