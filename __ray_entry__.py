@@ -2834,24 +2834,60 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_media, batch_format="pyarrow")
 
 
-def _q_media_resize(sf_dir: str):
-    """Resize actor-pool stage (fake decode; real plumbing). Output
-    dims + resized byte length per media row."""
-    from pdf_extractor_ray.functions.multimodal import media_resize
+def _image_ds(sf_dir: str) -> ray.data.Dataset:
+    """Genuine image payloads: deterministic RGB gradient
+    (pixel[y,x,c] = (3x + 7y + 11c + id) % 256) at formula-derived
+    dims (w = 16 + 37*id % 48, h = 16 + 53*id % 48), encoded as REAL
+    P6 PPM (even ids) / 24-bit BMP (odd ids) bytes — both decoders
+    exercised, one SQL-replayable pixel truth."""
+    from pdf_extractor_ray.kernel.imagecodec import (
+        encode_bmp,
+        encode_ppm,
+        gradient_image,
+    )
 
-    out = media_resize(_media_ds(sf_dir), target=256)
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
 
-    def project(batch: pa.Table) -> pa.Table:
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            px = gradient_image(i, 16 + (i * 37) % 48, 16 + (i * 53) % 48)
+            payloads.append(
+                encode_ppm(px) if i % 2 == 0 else encode_bmp(px)
+            )
         return pa.table(
             {
-                "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
-                "n_bytes": pc.cast(pc.binary_length(batch["payload"]), pa.int64()),
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
-    return out.map_batches(project, batch_format="pyarrow")
+    return docs.map_batches(to_images, batch_format="pyarrow")
+
+
+def _q_image_decode(sf_dir: str):
+    """REAL pixel decode of PPM/BMP payloads (pure-Python codecs —
+    public formats, no PIL needed): width/height from the actual
+    binary headers, order-sensitive pixel checksum, integer channel
+    means. The oracle rebuilds every pixel from the gradient formula,
+    never touching the binary — so a green hash proves the decoders
+    parse real bytes correctly."""
+    from pdf_extractor_ray.functions.multimodal import image_decode
+
+    return image_decode(_image_ds(sf_dir))
+
+
+def _q_media_resize(sf_dir: str):
+    """Real decode -> exact integer box-filter resize (aspect
+    preserved by integer arithmetic, target box 8) -> PPM re-encode.
+    Output (media_id, width, height, checksum of resized pixels); the
+    oracle replays the box sums and floor divisions from the gradient
+    formula."""
+    from pdf_extractor_ray.functions.multimodal import media_resize
+
+    out = media_resize(_image_ds(sf_dir), target=8, decoder="real")
+    return out.select_columns(["media_id", "width", "height", "checksum"])
 
 
 def _q_frame_sample(sf_dir: str):
@@ -2998,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+        "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
     }
 
@@ -4954,32 +4991,81 @@ def oracle_sql() -> dict[str, str]:
                          CAST(0 AS BIGINT),   CAST(995 AS BIGINT))
             ) AS t(kind, n_docs, n_elements, n_tables, n_tokens)
         """,
-        # multimodal._fake_dims + MediaResizer integer scaling,
-        # re-expressed: h64 = big-endian first 8 md5 digest bytes =
-        # first 16 hex digits; >>10 == //1024 for non-negative ints.
-        "media_resize": """
-            WITH h AS (
-                SELECT doc_id AS media_id,
-                       ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h64
-                FROM documents
-            ),
-            dims AS (
-                SELECT media_id,
-                       CAST(16 + h64 % 1024 AS BIGINT) AS src_w,
-                       CAST(16 + (h64 // 1024) % 1024 AS BIGINT) AS src_h
-                FROM h
-            ),
-            scaled AS (
-                SELECT media_id,
-                       greatest(1, src_w * 256 // greatest(src_w, src_h)) AS w,
-                       greatest(1, src_h * 256 // greatest(src_w, src_h)) AS h
-                FROM dims
-            )
+        # REAL pixel decode: the payloads are genuine PPM/BMP bytes of
+        # the gradient pixel[y,x,c] = (3x + 7y + 11c + id) % 256 at
+        # formula-derived dims; the oracle rebuilds every pixel from
+        # the FORMULA (never the binary), so a green hash proves the
+        # pure-Python decoders parse real image bytes correctly.
+        "image_decode": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              16 + (doc_id * 37) % 48 AS w,
+                              16 + (doc_id * 53) % 48 AS h
+                       FROM documents),
+            px AS (SELECT m.media_id, m.w, m.h, x.x, y.y, c.c,
+                          (3*x.x + 7*y.y + 11*c.c + m.media_id) % 256 AS v
+                   FROM m
+                   CROSS JOIN (SELECT unnest(range(64)) AS x) x
+                   CROSS JOIN (SELECT unnest(range(64)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(3)) AS c) c
+                   WHERE x.x < m.w AND y.y < m.h)
             SELECT media_id,
-                   CAST(w AS INT) AS width,
-                   CAST(h AS INT) AS height,
-                   CAST(greatest(16, w * h // 8) AS BIGINT) AS n_bytes
-            FROM scaled
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(sum(v * (1 + x + y*w + c*w*h)) AS BIGINT)
+                       AS checksum,
+                   CAST(sum(CASE WHEN c = 0 THEN v END) // (w*h) AS BIGINT)
+                       AS mean_r,
+                   CAST(sum(CASE WHEN c = 1 THEN v END) // (w*h) AS BIGINT)
+                       AS mean_g,
+                   CAST(sum(CASE WHEN c = 2 THEN v END) // (w*h) AS BIGINT)
+                       AS mean_b
+            FROM px GROUP BY media_id, w, h
+        """,
+        # Real decode -> integer box-filter resize to an 8-box (aspect
+        # preserved by integer arithmetic) -> checksum of the RESIZED
+        # pixels. The oracle replays box boundaries (i*sh//th ..),
+        # box sums and floor divisions from the gradient formula.
+        "media_resize": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              16 + (doc_id * 37) % 48 AS w,
+                              16 + (doc_id * 53) % 48 AS h
+                       FROM documents),
+            d AS (SELECT media_id, w AS sw, h AS sh,
+                         greatest(1, (w * 8) // greatest(w, h)) AS tw,
+                         greatest(1, (h * 8) // greatest(w, h)) AS th
+                  FROM m),
+            b AS (SELECT d.media_id, d.sw, d.sh, d.tw, d.th,
+                         i.i AS oy, j.j AS ox, c.c AS c,
+                         (i.i * d.sh) // d.th AS y0,
+                         ((i.i + 1) * d.sh) // d.th AS y1,
+                         (j.j * d.sw) // d.tw AS x0,
+                         ((j.j + 1) * d.sw) // d.tw AS x1
+                  FROM d
+                  CROSS JOIN (SELECT unnest(range(8)) AS i) i
+                  CROSS JOIN (SELECT unnest(range(8)) AS j) j
+                  CROSS JOIN (SELECT unnest(range(3)) AS c) c
+                  WHERE i.i < d.th AND j.j < d.tw),
+            v AS (SELECT b.media_id, b.tw, b.th, b.oy, b.ox, b.c,
+                         CAST(sum((3*x.x + 7*y.y + 11*b.c + b.media_id)
+                                  % 256)
+                              // ((b.y1 - b.y0) * (b.x1 - b.x0))
+                              AS BIGINT) AS val
+                  FROM b
+                  JOIN (SELECT unnest(range(64)) AS x) x
+                       ON x.x >= b.x0 AND x.x < b.x1
+                  JOIN (SELECT unnest(range(64)) AS y) y
+                       ON y.y >= b.y0 AND y.y < b.y1
+                  GROUP BY b.media_id, b.tw, b.th, b.oy, b.ox, b.c,
+                           b.y0, b.y1, b.x0, b.x1),
+            o AS (SELECT media_id, tw, th,
+                         CAST(sum(val * (1 + ox + oy*tw + c*tw*th))
+                              AS BIGINT) AS checksum
+                  FROM v GROUP BY media_id, tw, th)
+            SELECT media_id,
+                   CAST(tw AS BIGINT) AS width,
+                   CAST(th AS BIGINT) AS height,
+                   checksum
+            FROM o
         """,
         # Rows-only (no oracle entry): dedup_simhash / knn_lsh /
         # knn_ivf / embedding_clusters / distinct_users_hll (sketch- or

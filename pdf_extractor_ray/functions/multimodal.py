@@ -1,15 +1,20 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata, processed by actor-pool ``map_batches`` stages. The decode
-libraries (PIL/ffmpeg/librosa) are NOT in this environment, so the
-decode step is stubbed two ways (FIXTURES-mandated pattern):
+metadata, processed by actor-pool ``map_batches`` stages. Three decode
+modes:
 
-  - ``decoder="strict"``  -> NotImplementedError (clearly marked stub)
+  - ``decoder="real"``    -> REAL pixel decoding of PPM (P6) / 24-bit
+    BMP payloads via the pure-Python codecs in
+    ``kernel/imagecodec.py`` — genuine width/height/pixels, integer
+    box-filter resize, SQL-replayable checksums. The in-sandbox real
+    path (no PIL/ffmpeg needed for these public formats).
   - ``decoder="fake"``    -> deterministic fake decode: byte-level
     features (size, crc32, per-chunk hashes, a fake width/height pair
-    derived from the content hash) so the Ray-side plumbing — schema,
-    batch size, actor signature, output layout — is real and tested
+    derived from the content hash) for payloads in formats the
+    sandbox can't decode (JPEG/MP4/...).
+  - ``decoder="strict"``  -> NotImplementedError (clearly marked stub
+    for codec-library formats).
 
 At scale this stage is the canonical heavy actor pool
 (SURVEY.md §2.2 M19 / A4 pattern): model/codec state in ``__init__``,
@@ -22,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -29,9 +35,11 @@ import ray.data
 __all__ = [
     "MediaFeatureExtractor",
     "MediaResizer",
+    "ImagePixelDecoder",
     "FrameSampler",
     "media_features",
     "media_resize",
+    "image_decode",
     "frame_sample",
 ]
 
@@ -124,6 +132,73 @@ def media_features(
     )
 
 
+PIXEL_DECODE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("width", pa.int64()),
+        pa.field("height", pa.int64()),
+        pa.field("checksum", pa.int64()),
+        pa.field("mean_r", pa.int64()),
+        pa.field("mean_g", pa.int64()),
+        pa.field("mean_b", pa.int64()),
+    ]
+)
+
+
+class ImagePixelDecoder:
+    """Actor-pool stage: REAL pixel decode of PPM/BMP payloads.
+
+    Codec dispatch tables build once per actor (``__init__``); each
+    ``__call__`` decodes one small Arrow batch of binary rows into
+    integer pixel statistics — width/height from the actual header,
+    an order-sensitive pixel checksum, and floor-mean per channel.
+    Every output is integer arithmetic over real decoded bytes, so a
+    SQL oracle replays it exactly on synthetic gradient images."""
+
+    def __init__(self):
+        from pdf_extractor_ray.kernel.imagecodec import (
+            decode_image,
+            pixel_checksum,
+        )
+
+        self._decode = decode_image
+        self._checksum = pixel_checksum
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            px = self._decode(payload or b"")
+            h, w, _ = px.shape
+            sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            n = h * w
+            rows.append(
+                {
+                    "media_id": mid,
+                    "width": w,
+                    "height": h,
+                    "checksum": self._checksum(px),
+                    "mean_r": int(sums[0] // n),
+                    "mean_g": int(sums[1] // n),
+                    "mean_b": int(sums[2] // n),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PIXEL_DECODE_SCHEMA)
+
+
+def image_decode(
+    ds: ray.data.Dataset, batch_size: int = 16, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """Real PPM/BMP pixel-decode actor pool over (media_id, payload)."""
+    return ds.map_batches(
+        ImagePixelDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 RESIZE_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -134,29 +209,78 @@ RESIZE_SCHEMA = pa.schema(
 )
 
 
+RESIZE_REAL_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("width", pa.int64()),
+        pa.field("height", pa.int64()),
+        pa.field("checksum", pa.int64()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+
 class MediaResizer:
-    """Actor-pool resize stage (decode -> scale -> re-encode shape).
+    """Actor-pool resize stage (decode -> scale -> re-encode).
+
+    ``decoder="real"``: decode actual PPM/BMP pixels, resize with the
+    exact integer box filter (aspect preserved via integer arithmetic:
+    ``w = max(1, src_w * target // max(src_w, src_h))``), re-encode as
+    PPM, and emit the order-sensitive pixel checksum — every value
+    SQL-replayable on synthetic gradients.
 
     Fake path: output dims are the requested target box preserving the
     fake source aspect ratio, and the "re-encoded" payload is a
     deterministic digest-chain of the input bytes sized proportionally
     to the output area — so downstream size-based logic (chunking,
-    batch sizing, skew bucketing) sees realistic byte volumes without a
-    codec. Real build: PIL/libvips in ``__init__``, actual resample in
-    ``__call__``.
+    batch sizing, skew bucketing) sees realistic byte volumes for
+    formats the sandbox can't decode. ``strict`` raises (codec stub).
     """
 
     def __init__(self, target: int = 256, decoder: str = "fake"):
-        if decoder not in ("fake", "strict"):
+        if decoder not in ("fake", "strict", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.target = target
         self.decoder = decoder
+        if decoder == "real":
+            from pdf_extractor_ray.kernel.imagecodec import (
+                box_resize,
+                decode_image,
+                encode_ppm,
+                pixel_checksum,
+            )
+
+            self._decode = decode_image
+            self._resize = box_resize
+            self._encode = encode_ppm
+            self._checksum = pixel_checksum
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "strict":
             raise NotImplementedError(
                 "image resizing requires PIL/libvips; use decoder='fake'"
             )
+        if self.decoder == "real":
+            rows = []
+            for mid, payload in zip(
+                batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                px = self._decode(payload or b"")
+                sh, sw, _ = px.shape
+                maxd = max(sw, sh)
+                w = max(1, sw * self.target // maxd)
+                h = max(1, sh * self.target // maxd)
+                out = self._resize(px, w, h)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "checksum": self._checksum(out),
+                        "payload": self._encode(out),
+                    }
+                )
+            return pa.Table.from_pylist(rows, schema=RESIZE_REAL_SCHEMA)
         rows = []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
@@ -233,11 +357,12 @@ class FrameSampler:
         return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
 
 
-def media_resize(ds, target: int = 256, batch_size: int = 16, concurrency=(1, 4)):
+def media_resize(ds, target: int = 256, batch_size: int = 16,
+                 concurrency=(1, 4), decoder: str = "fake"):
     """Resize actor pool over (media_id, payload) rows."""
     return ds.map_batches(
         MediaResizer,
-        fn_constructor_kwargs={"target": target},
+        fn_constructor_kwargs={"target": target, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
