@@ -2890,6 +2890,55 @@ def _q_media_resize(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "checksum"])
 
 
+def _audio_ds(sf_dir: str) -> ray.data.Dataset:
+    """Genuine audio payloads: deterministic int16 waveform
+    (s[i] = ((13i + 17*id) % 65536) - 32768, mono) of formula-derived
+    length (n = 1000 + 31*id % 1000) encoded as REAL RIFF/WAVE 16-bit
+    PCM bytes at 8 kHz — the decoder reads actual chunk headers, the
+    oracle rebuilds every sample from the formula."""
+    from pdf_extractor_ray.kernel.audiocodec import encode_wav, synth_wave
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = [
+            encode_wav(synth_wave(i, 1000 + (i * 31) % 1000), 8000)
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_audio, batch_format="pyarrow")
+
+
+def _q_audio_features(sf_dir: str):
+    """REAL PCM decode of WAV payloads (pure-Python RIFF chunk walker —
+    public format, no librosa/ffmpeg needed): sample rate and count
+    from the actual chunks, integer duration/peak/energy/
+    zero-crossings/checksum. The oracle rebuilds every sample from the
+    waveform formula, never touching the binary."""
+    from pdf_extractor_ray.functions.multimodal import audio_features
+
+    return audio_features(_audio_ds(sf_dir))
+
+
+def _q_audio_resample(sf_dir: str):
+    """Real WAV decode -> exact integer 1-D box-filter resample
+    8 kHz -> 2 kHz -> WAV re-encode. Output (media_id, out_rate, n_out,
+    checksum of resampled samples); the oracle replays box boundaries
+    and FLOOR divisions (negative box sums floor toward -inf, spelled
+    out explicitly since DuckDB ``//`` truncates)."""
+    from pdf_extractor_ray.functions.multimodal import audio_resample
+
+    out = audio_resample(_audio_ds(sf_dir), target_rate=2000)
+    return out.select_columns(["media_id", "out_rate", "n_out", "checksum"])
+
+
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling explode (one media row -> sampled frames),
     rolled up to frames per media row. Per-batch partial counts are
@@ -3035,6 +3084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "image_decode": _q_image_decode,
+        "audio_features": _q_audio_features,
+        "audio_resample": _q_audio_resample,
         "frame_sample": _q_frame_sample,
     }
 
@@ -5020,6 +5071,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 2 THEN v END) // (w*h) AS BIGINT)
                        AS mean_b
             FROM px GROUP BY media_id, w, h
+        """,
+        # REAL PCM decode: payloads are genuine RIFF/WAVE 16-bit PCM of
+        # the waveform s[i] = ((13i + 17*id) % 65536) - 32768 (mono,
+        # 8 kHz, n = 1000 + 31*id % 1000); the oracle rebuilds every
+        # sample from the FORMULA — a green hash proves the chunk
+        # walker parses real WAV bytes correctly. Zero crossings =
+        # channel-0 sign-bit transitions via a lag window.
+        "audio_features": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              1000 + (doc_id * 31) % 1000 AS n
+                       FROM documents),
+            s AS (SELECT m.media_id, m.n, i.i,
+                         ((13*i.i + 17*m.media_id) % 65536) - 32768 AS v
+                  FROM m
+                  CROSS JOIN (SELECT unnest(range(2000)) AS i) i
+                  WHERE i.i < m.n),
+            s2 AS (SELECT media_id, n, i, v,
+                          lag(v) OVER (PARTITION BY media_id ORDER BY i)
+                              AS pv
+                   FROM s)
+            SELECT media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+                   CAST(max(abs(v)) AS BIGINT) AS peak,
+                   CAST(sum(v * v) AS BIGINT) AS energy,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) <> (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings,
+                   CAST(sum(v * (1 + i)) AS BIGINT) AS checksum
+            FROM s2 GROUP BY media_id, n
+        """,
+        # Real WAV decode -> integer 1-D box resample 8 kHz -> 2 kHz
+        # (m = n * 2000 // 8000) -> checksum of the RESAMPLED samples.
+        # Box sums can be negative and the kernel FLOORS; DuckDB //
+        # truncates toward zero, so floor division is spelled out.
+        "audio_resample": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              1000 + (doc_id * 31) % 1000 AS n
+                       FROM documents),
+            d AS (SELECT media_id, n,
+                         greatest(1, (n * 2000) // 8000) AS m
+                  FROM m),
+            b AS (SELECT d.media_id, d.n, d.m, j.j,
+                         (j.j * d.n) // d.m AS lo,
+                         ((j.j + 1) * d.n) // d.m AS hi
+                  FROM d
+                  CROSS JOIN (SELECT unnest(range(500)) AS j) j
+                  WHERE j.j < d.m),
+            v AS (SELECT b.media_id, b.m, b.j,
+                         sum(((13*i.i + 17*b.media_id) % 65536) - 32768)
+                             AS s,
+                         b.hi - b.lo AS l
+                  FROM b
+                  JOIN (SELECT unnest(range(2000)) AS i) i
+                       ON i.i >= b.lo AND i.i < b.hi
+                  GROUP BY b.media_id, b.m, b.j, b.hi, b.lo),
+            o AS (SELECT media_id, m, j,
+                         CASE WHEN s >= 0 THEN s // l
+                              ELSE -((-s + l - 1) // l) END AS val
+                  FROM v)
+            SELECT media_id,
+                   CAST(2000 AS BIGINT) AS out_rate,
+                   CAST(m AS BIGINT) AS n_out,
+                   CAST(sum(val * (1 + j)) AS BIGINT) AS checksum
+            FROM o GROUP BY media_id, m
         """,
         # Real decode -> integer box-filter resize to an 8-box (aspect
         # preserved by integer arithmetic) -> checksum of the RESIZED
