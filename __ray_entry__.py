@@ -2939,6 +2939,63 @@ def _q_audio_resample(sf_dir: str):
     return out.select_columns(["media_id", "out_rate", "n_out", "checksum"])
 
 
+def _video_ds(sf_dir: str) -> ray.data.Dataset:
+    """Genuine video payloads: deterministic gradient frames
+    (pixel[f][y,x,c] = (3x + 7y + 11c + 19f + id) % 256) at
+    formula-derived dims (w = 8 + 5*id % 9, h = 8 + 3*id % 9,
+    n_frames = 2 + id % 7) in a REAL YUV4MPEG2 C444 container — the
+    sampler parses actual FRAME markers and planes."""
+    from pdf_extractor_ray.kernel.videocodec import encode_y4m
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_videos(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w, h, nf = 8 + (i * 5) % 9, 8 + (i * 3) % 9, 2 + i % 7
+            x = np.arange(w, dtype=np.int64)[None, None, :, None]
+            y = np.arange(h, dtype=np.int64)[None, :, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, None, :]
+            f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+            frames = ((3 * x + 7 * y + 11 * c + 19 * f + i) % 256).astype(
+                np.uint8
+            )
+            payloads.append(encode_y4m(frames))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_videos, batch_format="pyarrow")
+
+
+def _q_video_frames(sf_dir: str):
+    """REAL frame sampling from Y4M containers (pure-Python parser —
+    public format, no ffmpeg needed): every 2nd frame decoded from
+    actual container bytes, order-sensitive pixel checksum per frame.
+    The oracle rebuilds every sampled frame's pixels from the gradient
+    formula, never touching the binary."""
+    from pdf_extractor_ray.functions.multimodal import frame_sample
+
+    frames = frame_sample(_video_ds(sf_dir), every_n=2, decoder="real")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": pc.cast(batch["frame_idx"], pa.int64()),
+                "frame_crc": batch["frame_crc"],
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling explode (one media row -> sampled frames),
     rolled up to frames per media row. Per-batch partial counts are
@@ -3086,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": _q_image_decode,
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,
+        "video_frames": _q_video_frames,
         "frame_sample": _q_frame_sample,
     }
 
@@ -5071,6 +5129,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 2 THEN v END) // (w*h) AS BIGINT)
                        AS mean_b
             FROM px GROUP BY media_id, w, h
+        """,
+        # REAL Y4M frame sampling: payloads are genuine YUV4MPEG2 C444
+        # containers of gradient frames pixel[f][y,x,c] =
+        # (3x + 7y + 11c + 19f + id) % 256 (w = 8 + 5*id % 9,
+        # h = 8 + 3*id % 9, nf = 2 + id % 7); every 2nd frame is
+        # sampled. The oracle rebuilds each sampled frame's pixels from
+        # the FORMULA — a green hash proves the container parser reads
+        # real FRAME markers and planes.
+        "video_frames": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              8 + (doc_id * 5) % 9 AS w,
+                              8 + (doc_id * 3) % 9 AS h,
+                              2 + doc_id % 7 AS nf
+                       FROM documents),
+            fr AS (SELECT m.media_id, m.w, m.h, f.f
+                   FROM m
+                   CROSS JOIN (SELECT unnest(range(8)) AS f) f
+                   WHERE f.f < m.nf AND f.f % 2 = 0),
+            px AS (SELECT fr.media_id, fr.w, fr.h, fr.f, x.x, y.y, c.c,
+                          (3*x.x + 7*y.y + 11*c.c + 19*fr.f
+                           + fr.media_id) % 256 AS v
+                   FROM fr
+                   CROSS JOIN (SELECT unnest(range(16)) AS x) x
+                   CROSS JOIN (SELECT unnest(range(16)) AS y) y
+                   CROSS JOIN (SELECT unnest(range(3)) AS c) c
+                   WHERE x.x < fr.w AND y.y < fr.h)
+            SELECT media_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(sum(v * (1 + x + y*w + c*w*h)) AS BIGINT)
+                       AS frame_crc
+            FROM px GROUP BY media_id, f, w, h
         """,
         # REAL PCM decode: payloads are genuine RIFF/WAVE 16-bit PCM of
         # the waveform s[i] = ((13i + 17*id) % 65536) - 32768 (mono,

@@ -324,25 +324,53 @@ class FrameSampler:
     """Actor-pool frame-sampling stage for video-like payloads.
 
     The in-batch explode (one media row -> every_n sampled frames)
-    never leaves the task — the flat_map shape for media. Fake path:
-    the payload is treated as a container of fixed-size virtual frames;
-    each sampled frame contributes its byte-range crc. Real build:
-    ffmpeg/pyav keyframe extraction in ``__call__``.
+    never leaves the task — the flat_map shape for media.
+
+    ``decoder="real"``: REAL frame decode of YUV4MPEG2 (C444) payloads
+    via ``kernel/videocodec.py`` — every every_n-th frame is parsed
+    from actual container bytes and contributes the order-sensitive
+    integer pixel checksum (SQL-replayable on synthetic gradients).
+    Fake path: the payload is treated as a container of fixed-size
+    virtual frames; each sampled frame contributes its byte-range crc
+    (for compressed formats the sandbox can't decode). ``strict``
+    raises (codec stub).
     """
 
     def __init__(self, every_n: int = 5, frame_bytes: int = 4096,
                  decoder: str = "fake"):
-        if decoder not in ("fake", "strict"):
+        if decoder not in ("fake", "strict", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.every_n = every_n
         self.frame_bytes = frame_bytes
         self.decoder = decoder
+        if decoder == "real":
+            from pdf_extractor_ray.kernel.imagecodec import pixel_checksum
+            from pdf_extractor_ray.kernel.videocodec import frame_iter_y4m
+
+            self._frames = frame_iter_y4m
+            self._checksum = pixel_checksum
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "strict":
             raise NotImplementedError(
                 "frame extraction requires ffmpeg/pyav; use decoder='fake'"
             )
+        if self.decoder == "real":
+            rows = []
+            for mid, payload in zip(
+                batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                for idx, frame in self._frames(payload or b""):
+                    if idx % self.every_n:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "frame_crc": self._checksum(frame),
+                        }
+                    )
+            return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
         rows = []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
@@ -373,11 +401,12 @@ def media_resize(ds, target: int = 256, batch_size: int = 16,
     )
 
 
-def frame_sample(ds, every_n: int = 5, batch_size: int = 8, concurrency=(1, 4)):
+def frame_sample(ds, every_n: int = 5, batch_size: int = 8, concurrency=(1, 4),
+                 decoder: str = "fake"):
     """Frame-sampling actor pool over (media_id, payload) rows."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"every_n": every_n},
+        fn_constructor_kwargs={"every_n": every_n, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
