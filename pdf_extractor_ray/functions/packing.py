@@ -121,7 +121,7 @@ def token_stream_chunks(
         before = np.cumsum(toks) - toks + off[int(g["_bucket"].iloc[0])]
         chunk_out: list[int] = []
         poff_out: list[int] = []
-        ids_out: list[list] = []
+        ids_out: list[np.ndarray] = []
         for doc_ids, b, n in zip(g[ids_col], before, toks):
             if n == 0:
                 continue
@@ -133,7 +133,7 @@ def token_stream_chunks(
                 take = min(n - p, (c + 1) * chunk_len - gpos)
                 chunk_out.append(c)
                 poff_out.append(gpos - c * chunk_len)
-                ids_out.append(arr[p : p + take].tolist())
+                ids_out.append(arr[p : p + take])
                 p += take
         cb = np.asarray(chunk_out, dtype=np.int64) % chunk_buckets
         return pa.table(
@@ -148,7 +148,7 @@ def token_stream_chunks(
     def assemble(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["chunk_id", "poff"])
         cids: list[int] = []
-        ids_out: list[list] = []
+        ids_out: list[np.ndarray] = []
         ntok: list[int] = []
         npc: list[int] = []
         for cid, sub in g.groupby("chunk_id", sort=True):
@@ -156,7 +156,7 @@ def token_stream_chunks(
                 [np.asarray(p, dtype=np.int32) for p in sub["piece"]]
             )
             cids.append(int(cid))
-            ids_out.append(merged.tolist())
+            ids_out.append(merged)
             ntok.append(len(merged))
             npc.append(len(sub))
         return pa.table(

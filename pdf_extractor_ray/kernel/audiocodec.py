@@ -113,16 +113,20 @@ def box_resample(samples: np.ndarray, m: int) -> np.ndarray:
 
 def sample_checksum(samples: np.ndarray) -> int:
     """Order- and channel-sensitive integer checksum:
-    ``sum s[i, c] * (1 + i + c*n)`` — exactly replayable in SQL."""
+    ``sum s[i, c] * (1 + i + c*n)`` — exactly replayable in SQL.
+    Separable decomposition (``S + dot(i, sum_i) + n*dot(c, sum_c)``)
+    instead of materializing an (n, ch) weight array."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    w = (
-        1
-        + np.arange(n, dtype=np.int64)[:, None]
-        + np.arange(ch, dtype=np.int64)[None, :] * n
+    s = samples.astype(np.int64, copy=False)
+    sum_i = s.sum(axis=1, dtype=np.int64)
+    sum_c = s.sum(axis=0, dtype=np.int64)
+    return (
+        int(sum_c.sum())
+        + int(np.arange(n, dtype=np.int64) @ sum_i)
+        + n * int(np.arange(ch, dtype=np.int64) @ sum_c)
     )
-    return int((samples.astype(np.int64) * w).sum())
 
 
 def synth_wave(media_id: int, n: int, ch: int = 1) -> np.ndarray:
