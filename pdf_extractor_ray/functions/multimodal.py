@@ -47,6 +47,16 @@ __all__ = [
     "frame_sample",
 ]
 
+def _check_on_error(on_error: str) -> None:
+    """Poison-payload contract for the REAL decode stages: at corpus
+    scale a corrupt payload must not kill a 100-TB job. ``"raise"``
+    (default, the oracle-checked queries) propagates the codec's
+    ValueError; ``"skip"`` drops the undecodable row — dropped ids are
+    recoverable by an anti-join of output vs input."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     """Deterministic fake (width, height) for a media payload.
 
@@ -159,12 +169,14 @@ class ImagePixelDecoder:
     Every output is integer arithmetic over real decoded bytes, so a
     SQL oracle replays it exactly on synthetic gradient images."""
 
-    def __init__(self):
+    def __init__(self, on_error: str = "raise"):
         from pdf_extractor_ray.kernel.imagecodec import (
             decode_image,
             pixel_checksum,
         )
 
+        _check_on_error(on_error)
+        self.on_error = on_error
         self._decode = decode_image
         self._checksum = pixel_checksum
 
@@ -173,7 +185,12 @@ class ImagePixelDecoder:
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            px = self._decode(payload or b"")
+            try:
+                px = self._decode(payload or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
             h, w, _ = px.shape
             sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             n = h * w
@@ -192,11 +209,15 @@ class ImagePixelDecoder:
 
 
 def image_decode(
-    ds: ray.data.Dataset, batch_size: int = 16, concurrency=(1, 4)
+    ds: ray.data.Dataset,
+    batch_size: int = 16,
+    concurrency=(1, 4),
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Real PPM/BMP pixel-decode actor pool over (media_id, payload)."""
     return ds.map_batches(
         ImagePixelDecoder,
+        fn_constructor_kwargs={"on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -241,11 +262,14 @@ class MediaResizer:
     formats the sandbox can't decode. ``strict`` raises (codec stub).
     """
 
-    def __init__(self, target: int = 256, decoder: str = "fake"):
+    def __init__(self, target: int = 256, decoder: str = "fake",
+                 on_error: str = "raise"):
         if decoder not in ("fake", "strict", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        _check_on_error(on_error)
         self.target = target
         self.decoder = decoder
+        self.on_error = on_error
         if decoder == "real":
             from pdf_extractor_ray.kernel.imagecodec import (
                 box_resize,
@@ -269,7 +293,12 @@ class MediaResizer:
             for mid, payload in zip(
                 batch["media_id"].to_pylist(), batch["payload"].to_pylist()
             ):
-                px = self._decode(payload or b"")
+                try:
+                    px = self._decode(payload or b"")
+                except ValueError:
+                    if self.on_error == "skip":
+                        continue
+                    raise
                 sh, sw, _ = px.shape
                 maxd = max(sw, sh)
                 w = max(1, sw * self.target // maxd)
@@ -337,12 +366,14 @@ class FrameSampler:
     """
 
     def __init__(self, every_n: int = 5, frame_bytes: int = 4096,
-                 decoder: str = "fake"):
+                 decoder: str = "fake", on_error: str = "raise"):
         if decoder not in ("fake", "strict", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        _check_on_error(on_error)
         self.every_n = every_n
         self.frame_bytes = frame_bytes
         self.decoder = decoder
+        self.on_error = on_error
         if decoder == "real":
             from pdf_extractor_ray.kernel.imagecodec import pixel_checksum
             from pdf_extractor_ray.kernel.videocodec import frame_iter_y4m
@@ -360,16 +391,25 @@ class FrameSampler:
             for mid, payload in zip(
                 batch["media_id"].to_pylist(), batch["payload"].to_pylist()
             ):
-                for idx, frame in self._frames(payload or b""):
-                    if idx % self.every_n:
+                # a mid-container truncation invalidates the whole
+                # clip: buffer its rows, commit only on clean EOF
+                clip_rows = []
+                try:
+                    for idx, frame in self._frames(payload or b""):
+                        if idx % self.every_n:
+                            continue
+                        clip_rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "frame_crc": self._checksum(frame),
+                            }
+                        )
+                except ValueError:
+                    if self.on_error == "skip":
                         continue
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": idx,
-                            "frame_crc": self._checksum(frame),
-                        }
-                    )
+                    raise
+                rows.extend(clip_rows)
             return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
         rows = []
         for mid, payload in zip(
@@ -390,11 +430,13 @@ class FrameSampler:
 
 
 def media_resize(ds, target: int = 256, batch_size: int = 16,
-                 concurrency=(1, 4), decoder: str = "fake"):
+                 concurrency=(1, 4), decoder: str = "fake",
+                 on_error: str = "raise"):
     """Resize actor pool over (media_id, payload) rows."""
     return ds.map_batches(
         MediaResizer,
-        fn_constructor_kwargs={"target": target, "decoder": decoder},
+        fn_constructor_kwargs={"target": target, "decoder": decoder,
+                               "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -402,11 +444,12 @@ def media_resize(ds, target: int = 256, batch_size: int = 16,
 
 
 def frame_sample(ds, every_n: int = 5, batch_size: int = 8, concurrency=(1, 4),
-                 decoder: str = "fake"):
+                 decoder: str = "fake", on_error: str = "raise"):
     """Frame-sampling actor pool over (media_id, payload) rows."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"every_n": every_n, "decoder": decoder},
+        fn_constructor_kwargs={"every_n": every_n, "decoder": decoder,
+                               "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -439,12 +482,14 @@ class AudioFeatureExtractor:
     voiced/unvoiced heuristic), and the order-sensitive checksum — so
     a SQL oracle replays the stage exactly on synthetic waveforms."""
 
-    def __init__(self):
+    def __init__(self, on_error: str = "raise"):
         from pdf_extractor_ray.kernel.audiocodec import (
             decode_wav,
             sample_checksum,
         )
 
+        _check_on_error(on_error)
+        self.on_error = on_error
         self._decode = decode_wav
         self._checksum = sample_checksum
 
@@ -453,7 +498,12 @@ class AudioFeatureExtractor:
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            s, rate = self._decode(payload or b"")
+            try:
+                s, rate = self._decode(payload or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
             n = s.shape[0]
             s64 = s.astype(np.int64)
             nonneg = s[:, 0] >= 0
@@ -475,11 +525,13 @@ class AudioFeatureExtractor:
 
 
 def audio_features(
-    ds: ray.data.Dataset, batch_size: int = 16, concurrency=(1, 4)
+    ds: ray.data.Dataset, batch_size: int = 16, concurrency=(1, 4),
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Real WAV PCM-decode actor pool over (media_id, payload)."""
     return ds.map_batches(
         AudioFeatureExtractor,
+        fn_constructor_kwargs={"on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -503,7 +555,7 @@ class AudioResampler:
     min 1) -> re-encode WAV. The audio twin of the real
     ``MediaResizer`` path; every output value SQL-replayable."""
 
-    def __init__(self, target_rate: int = 8000):
+    def __init__(self, target_rate: int = 8000, on_error: str = "raise"):
         from pdf_extractor_ray.kernel.audiocodec import (
             box_resample,
             decode_wav,
@@ -511,6 +563,8 @@ class AudioResampler:
             sample_checksum,
         )
 
+        _check_on_error(on_error)
+        self.on_error = on_error
         self.target_rate = target_rate
         self._decode = decode_wav
         self._encode = encode_wav
@@ -522,7 +576,12 @@ class AudioResampler:
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            s, rate = self._decode(payload or b"")
+            try:
+                s, rate = self._decode(payload or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
             m = max(1, s.shape[0] * self.target_rate // rate)
             out = self._resample(s, m)
             rows.append(
@@ -542,11 +601,13 @@ def audio_resample(
     target_rate: int = 8000,
     batch_size: int = 16,
     concurrency=(1, 4),
+    on_error: str = "raise",
 ) -> ray.data.Dataset:
     """Resample actor pool over (media_id, payload) WAV rows."""
     return ds.map_batches(
         AudioResampler,
-        fn_constructor_kwargs={"target_rate": target_rate},
+        fn_constructor_kwargs={"target_rate": target_rate,
+                               "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -116,3 +116,47 @@ def test_frame_sampler_real_samples_every_n():
     assert [r["frame_idx"] for r in out] == [0, 3, 6]
     for r in out:
         assert r["frame_crc"] == pixel_checksum(frames[r["frame_idx"]])
+
+
+def _poison_batch(payloads):
+    return pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def test_on_error_skip_drops_only_poison_rows():
+    import pytest
+
+    px = gradient_image(1, 6, 6)
+    s = synth_wave(1, 64)
+    f = np.arange(2, dtype=np.int64)[:, None, None, None]
+    frames = ((gradient_image(2, 4, 4)[None].astype(np.int64) + f) % 256).astype(np.uint8)
+
+    cases = [
+        (ImagePixelDecoder, {}, [encode_ppm(px), b"\x89PNG poison", encode_bmp(px)]),
+        (MediaResizer, {"target": 4, "decoder": "real"},
+         [encode_ppm(px), b"", encode_bmp(px)]),
+        (AudioFeatureExtractor, {}, [encode_wav(s, 8000), b"ID3 poison", encode_wav(s, 8000)]),
+        (AudioResampler, {"target_rate": 2000},
+         [encode_wav(s, 8000), b"RIFFxxxx", encode_wav(s, 8000)]),
+        (FrameSampler, {"every_n": 1, "decoder": "real"},
+         [encode_y4m(frames), encode_y4m(frames)[:-3], encode_y4m(frames)]),
+    ]
+    for cls, kwargs, payloads in cases:
+        batch = _poison_batch(payloads)
+        # default: the poison row raises
+        with pytest.raises(ValueError):
+            cls(**kwargs)(batch)
+        # skip: only rows 0 and 2 survive
+        out = cls(**kwargs, on_error="skip")(batch)
+        assert sorted(set(out["media_id"].to_pylist())) == [0, 2], cls.__name__
+
+
+def test_on_error_rejects_unknown_mode():
+    import pytest
+
+    with pytest.raises(ValueError):
+        ImagePixelDecoder(on_error="ignore")
