@@ -249,6 +249,90 @@ def _linked_pages(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
+def _meta_pages(sf_dir: str) -> ray.data.Dataset:
+    """Documents wrapped in HTML whose <head> carries deterministic
+    metadata: title with whitespace noise (every 5th doc) that the
+    parser must collapse, canonical link absent on every 3rd doc with
+    attribute order flipped on odd docs, robots meta absent on every
+    11th / noindex on every 7th, single-quoted description on even
+    docs only, og:title with content-before-property order — plus a
+    COMMENT title decoy and a SCRIPT title decoy on every page that a
+    correct parser must not see. Both sides derive the same fields."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            title = (
+                f"Doc  {d} \t title" if d % 5 == 0 else f"Doc {d} title"
+            )
+            canonical = (
+                (
+                    f'<link href="https://canon.example.org/{d // 2}" rel=canonical>'
+                    if d % 2
+                    else f'<link rel="canonical" href="https://canon.example.org/{d // 2}">'
+                )
+                if d % 3 != 0
+                else ""
+            )
+            robots = (
+                ""
+                if d % 11 == 0
+                else (
+                    '<meta name=ROBOTS content="noindex,follow">'
+                    if d % 7 == 0
+                    else '<meta name="robots" content="index,follow">'
+                )
+            )
+            desc = (
+                f"<meta name='description' content='desc {d * 13 % 997}'>"
+                if d % 2 == 0
+                else ""
+            )
+            urls.append(f"https://docs.example.org/{d:08d}")
+            htmls.append(
+                (
+                    "<html><head>"
+                    "<!-- <title>comment decoy</title> -->"
+                    f"<title>{title}</title>"
+                    f'<meta content="OG {d}" property="og:title">'
+                    f"{canonical}{robots}{desc}"
+                    "<script>var t='<title>script decoy</title>';</script>"
+                    f"</head><body><h1>Doc {d}</h1></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_head_meta(sf_dir: str):
+    """Head-metadata harvesting (title/canonical/robots/description/
+    og:title + the noindex curation flag) with the same tokenizer as
+    the link harvester. The oracle rebuilds every field from the
+    deterministic wrapper rule; NULLs are projected to '' so the
+    driver compare is NaN-free."""
+    from pdf_extractor_ray.functions.webgraph import page_head_meta
+
+    out = page_head_meta(_meta_pages(sf_dir))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name]
+            cols[name] = (
+                pc.fill_null(col, "") if pa.types.is_string(col.type) else col
+            )
+        return pa.table(cols)
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 def _q_link_graph(sf_dir: str):
     """Distributed HTML link harvesting: the kernel tokenizer walks
     each page (script bodies skipped — the planted decoy anchor must
@@ -3129,6 +3213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "bpe_piece_hist": _q_bpe_piece_hist,
         "bpe_train": _q_bpe_train,
+        "head_meta": _q_head_meta,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
@@ -4699,6 +4784,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(tid AS VARCHAR), ','
                        ORDER BY pos)) AS ids_md5
             FROM c GROUP BY chunk_id
+        """,
+        # head-metadata harvesting: the oracle rebuilds every field
+        # from the deterministic _meta_pages wrapper rule (comment and
+        # script title decoys, attribute-order flips and quote variety
+        # are parser-side hazards the rule never mentions — a green
+        # hash proves the tokenizer handled them).
+        "head_meta": """
+            SELECT 'https://docs.example.org/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   'Doc ' || doc_id || ' title' AS title,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'https://canon.example.org/'
+                             || CAST(doc_id // 2 AS VARCHAR)
+                        ELSE '' END AS canonical,
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        WHEN doc_id % 7 = 0 THEN 'noindex,follow'
+                        ELSE 'index,follow' END AS robots,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'desc ' || CAST(doc_id * 13 % 997 AS VARCHAR)
+                        ELSE '' END AS description,
+                   'OG ' || doc_id AS og_title,
+                   CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS noindex
+            FROM documents
         """,
         "link_graph": """
             WITH l AS (

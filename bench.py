@@ -140,6 +140,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "anchor_stats",
             "token_chunks",
             "dsir_select",
+            "hybrid_rrf",
+            "incremental_minhash",
+            "image_decode",
+            "audio_features",
+            "video_frames",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

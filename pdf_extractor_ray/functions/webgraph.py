@@ -26,7 +26,7 @@ from pdf_extractor_ray.functions.common import (
 )
 from pdf_extractor_ray.kernel.html_to_md import extract_anchors
 
-__all__ = ["extract_links", "anchor_stats"]
+__all__ = ["extract_links", "anchor_stats", "page_head_meta"]
 
 
 def extract_links(
@@ -124,3 +124,57 @@ def anchor_stats(
         links.map_batches(partial, batch_format="pyarrow")
     )
     return partials.groupby("bucket").map_groups(total, batch_format="pandas")
+
+
+def page_head_meta(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """One row per page: head metadata for crawl curation — title,
+    canonical URL, robots directive (plus the derived ``noindex``
+    flag the curation filter keys on), description, og:title. Pure
+    streaming map_batches over :func:`extract_head_meta` (same
+    tokenizer as the link harvester: script/comment decoys are
+    invisible, attribute order and quote style don't matter)."""
+    from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+    def metas(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "url": [], "title": [], "canonical": [], "robots": [],
+            "description": [], "og_title": [], "noindex": [],
+        }
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            m = extract_head_meta(s)
+            cols["url"].append(u)
+            cols["title"].append(m["title"])
+            cols["canonical"].append(m["canonical"])
+            cols["robots"].append(m["robots"])
+            cols["description"].append(m["description"])
+            cols["og_title"].append(m["og_title"])
+            robots = (m["robots"] or "").lower()
+            cols["noindex"].append(
+                1 if "noindex" in robots.replace(" ", "").split(",") else 0
+            )
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "title": pa.array(cols["title"], pa.string()),
+                "canonical": pa.array(cols["canonical"], pa.string()),
+                "robots": pa.array(cols["robots"], pa.string()),
+                "description": pa.array(cols["description"], pa.string()),
+                "og_title": pa.array(cols["og_title"], pa.string()),
+                "noindex": pa.array(cols["noindex"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(metas, batch_format="pyarrow")

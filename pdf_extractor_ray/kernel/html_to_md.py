@@ -38,7 +38,12 @@ from __future__ import annotations
 import re
 from html import unescape
 
-__all__ = ["html_to_markdown", "strip_html_tags", "extract_anchors"]
+__all__ = [
+    "html_to_markdown",
+    "strip_html_tags",
+    "extract_anchors",
+    "extract_head_meta",
+]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
 # Closing-tag finders for raw-text skipping. Positions MUST be computed
@@ -409,4 +414,68 @@ def extract_anchors(html: str) -> list[tuple[str, str]]:
                 out.append((href, text))
             href = None
             parts = []
+    return out
+
+
+def extract_head_meta(html: str) -> dict:
+    """Head metadata for crawl curation: first ``<title>`` text, the
+    canonical URL (``<link rel=canonical href=...>``), and the
+    ``robots`` / ``description`` / ``og:title`` meta values —
+    first-occurrence-wins for each field, matching browser behavior.
+
+    Same tokenizer and raw-text skipping as :func:`html_to_markdown`:
+    a decoy ``<title>`` inside a ``<script>`` body or an HTML comment
+    is invisible; attribute order, quote style (single/double/bare)
+    and tag case don't matter (``_parse_attrs``); entities are left
+    as-is (the tokenizer contract throughout this module). Missing
+    fields come back as ``None``.
+    """
+    out = {
+        "title": None,
+        "canonical": None,
+        "robots": None,
+        "description": None,
+        "og_title": None,
+    }
+    pos = 0
+    title_parts: list[str] | None = None
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
+        if m.start() > pos and title_parts is not None:
+            title_parts.append(html[pos : m.start()])
+        close_name, open_name, open_attrs = m.group(2), m.group(3), m.group(4)
+        pos = m.end()
+        if open_name:
+            tag = open_name.lower()
+            if tag in _RAW_TEXT:
+                mc = _RAW_CLOSE_RE[tag].search(html, pos)
+                pos = mc.end() if mc else n
+            elif tag == "title" and out["title"] is None:
+                title_parts = []
+            elif tag == "meta":
+                attrs = _parse_attrs(open_attrs or "")
+                key = (attrs.get("name") or attrs.get("property") or "").lower()
+                content = attrs.get("content")
+                if content is None:
+                    continue
+                if key == "robots" and out["robots"] is None:
+                    out["robots"] = content
+                elif key == "description" and out["description"] is None:
+                    out["description"] = content
+                elif key == "og:title" and out["og_title"] is None:
+                    out["og_title"] = content
+            elif tag == "link":
+                attrs = _parse_attrs(open_attrs or "")
+                rel = (attrs.get("rel") or "").lower()
+                if rel == "canonical" and out["canonical"] is None:
+                    out["canonical"] = attrs.get("href")
+        elif close_name and close_name.lower() == "title":
+            if title_parts is not None:
+                out["title"] = _collapse(
+                    _ANY_WS_RE.sub(" ", "".join(title_parts))
+                ).strip()
+                title_parts = None
     return out

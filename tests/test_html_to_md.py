@@ -112,3 +112,56 @@ class TestHtmlLaneEndToEnd:
         assert "This should be removed" not in out["extracted_text"]
         # list items folded into text per the markdown gap rule
         assert "List item 1" in out["extracted_text"]
+
+
+class TestExtractHeadMeta:
+    def test_full_head_with_decoys(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+        h = (
+            "<html><head>"
+            "<!-- <title>comment decoy</title> -->"
+            "<TITLE> Hello   <b>world</b> </TITLE>"
+            "<meta content='og first' property='og:title'>"
+            '<link href=https://c.example/1 rel="canonical">'
+            '<meta name=ROBOTS content="noindex,follow">'
+            "<script>document.title='<title>script decoy</title>'</script>"
+            "<title>second ignored</title>"
+            "<meta name='description' content='a desc'>"
+            "</head><body></body></html>"
+        )
+        m = extract_head_meta(h)
+        assert m == {
+            "title": "Hello world",
+            "canonical": "https://c.example/1",
+            "robots": "noindex,follow",
+            "description": "a desc",
+            "og_title": "og first",
+        }
+
+    def test_missing_fields_are_none(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+        m = extract_head_meta("<html><body><p>no head</p></body></html>")
+        assert all(v is None for v in m.values())
+
+    def test_first_occurrence_wins_and_meta_without_content_skipped(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+        h = (
+            "<meta name=robots>"  # no content -> skipped, not ""
+            "<meta name=robots content=index>"
+            "<meta name=robots content=noindex>"
+            "<link rel=stylesheet href=/x.css>"
+            "<link rel=canonical href=/a>"
+            "<link rel=canonical href=/b>"
+        )
+        m = extract_head_meta(h)
+        assert m["robots"] == "index"
+        assert m["canonical"] == "/a"
+
+    def test_unclosed_title_does_not_bleed(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+        m = extract_head_meta("<title>never closed <p>rest of page")
+        assert m["title"] is None
