@@ -1589,6 +1589,69 @@ def _q_range_band_partitioned(sf_dir: str):
     )
 
 
+def _q_robots_gate(sf_dir: str):
+    """RFC 9309 robots.txt crawl gate: URL d maps to host
+    h{(d // 6) % 20}.example.org (decoupled from the path kind so every
+    path shape hits both host classes) with one of six deterministic
+    path shapes (d % 6); EVEN hosts serve a graftbot group exercising wildcard,
+    end-anchor and longest-match-with-Allow-tiebreak rules plus a
+    deny-all * group (group selection must pick graftbot); ODD hosts
+    serve only the deny-all * group. The oracle rebuilds the expected
+    decision from the rule — the parser/matcher sees only real
+    robots.txt text."""
+    from pdf_extractor_ray.functions.webclean import robots_gate
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            host = f"h{(d // 6) % 20}.example.org"
+            k = d % 6
+            path = (
+                f"/public/{d}",
+                f"/private/{d}",
+                "/private/ok",
+                f"/tmp/{d}.html",
+                f"/a/{d}/end",
+                f"/cgi-bin/q?x={d}",
+            )[k]
+            urls.append(f"https://{host}{path}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    urls = docs.map_batches(to_urls, batch_format="pyarrow")
+
+    graftbot_txt = (
+        "# synthetic robots\n"
+        "User-agent: graftbot\n"
+        "Disallow: /private/*\n"
+        "Allow: /private/ok$\n"
+        "Disallow: /tmp/*.html$\n"
+        "Disallow: /a/*/end\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    star_txt = "User-agent: *\nDisallow: /\n"
+    robots = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(
+                    [f"h{i}.example.org" for i in range(20)], pa.string()
+                ),
+                "robots_txt": pa.array(
+                    [
+                        graftbot_txt if i % 2 == 0 else star_txt
+                        for i in range(20)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    return robots_gate(urls, robots, agent="graftbot")
+
+
 def _q_crawl_curate(sf_dir: str):
     """End-to-end crawl curation chain, every stage a prior
     oracle-green operator: WARC shards -> streaming record parse ->
@@ -3155,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_stats": _q_script_stats,
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
+        "robots_gate": _q_robots_gate,
         "crawl_curate": _q_crawl_curate,
         "range_band": _q_range_band,
         "range_band_partitioned": _q_range_band_partitioned,
@@ -4784,6 +4848,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(tid AS VARCHAR), ','
                        ORDER BY pos)) AS ids_md5
             FROM c GROUP BY chunk_id
+        """,
+        # robots gate: the oracle rebuilds the expected allow/deny
+        # decision from the synthetic rule (host parity selects the
+        # agent group; path kind selects which wildcard/anchor/
+        # longest-match rule fires) — only the Ray side ever parses
+        # robots.txt text.
+        "robots_gate": """
+            SELECT 'https://h' || ((doc_id // 6) % 20) || '.example.org'
+                   || CASE doc_id % 6
+                        WHEN 0 THEN '/public/' || doc_id
+                        WHEN 1 THEN '/private/' || doc_id
+                        WHEN 2 THEN '/private/ok'
+                        WHEN 3 THEN '/tmp/' || doc_id || '.html'
+                        WHEN 4 THEN '/a/' || doc_id || '/end'
+                        ELSE '/cgi-bin/q?x=' || doc_id END AS url,
+                   'h' || ((doc_id // 6) % 20) || '.example.org' AS host,
+                   CAST(CASE WHEN (doc_id // 6) % 2 = 1 THEN 0
+                             WHEN doc_id % 6 IN (1, 3, 4) THEN 0
+                             ELSE 1 END AS BIGINT) AS allowed
+            FROM documents
         """,
         # head-metadata harvesting: the oracle rebuilds every field
         # from the deterministic _meta_pages wrapper rule (comment and

@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -31,6 +33,7 @@ __all__ = [
     "canonical_url_dedup",
     "c4_stats_batch",
     "c4_stats",
+    "robots_gate",
 ]
 
 # scheme://host[:port]/path[?query][#fragment] — host may be empty,
@@ -172,3 +175,100 @@ def c4_stats_batch(
 
 def c4_stats(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(c4_stats_batch, batch_format="pyarrow", fn_kwargs=kw)
+
+
+def robots_gate(
+    urls: ray.data.Dataset,
+    robots: ray.data.Dataset,
+    agent: str = "graftbot",
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """RFC 9309 crawl gate: decide allowed/denied for every URL against
+    its host's robots.txt (``robots`` = one (host, robots_txt) row per
+    host, e.g. from the fetch layer). Output: (url, host, allowed).
+
+    Distributed shape: the standard two-sided coarse host-bucket
+    cogroup — both sides exchange once on a hash bucket of the host
+    (at 100 TB the robots side is host-cardinality-sized and must
+    shuffle, not broadcast); inside each bucket the host's rule group
+    is parsed + compiled ONCE and applied to all of that host's URLs.
+    URLs whose host has no robots row are allowed (the RFC's
+    unreachable-robots default for 4xx)."""
+    from urllib.parse import urlsplit
+
+    from pdf_extractor_ray.kernel.robots import (
+        compile_rules,
+        is_allowed,
+        parse_robots,
+        select_group,
+    )
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+
+    def tag_urls(batch: pa.Table) -> pa.Table:
+        us = batch[url_col].to_pylist()
+        hosts = [(urlsplit(u).hostname or "").lower() for u in us]
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket_ids(hosts, n_buckets), pa.int64()),
+                "_side": pa.array(np.zeros(len(us), dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "u": pa.array(us, pa.string()),
+            }
+        )
+
+    def tag_robots(batch: pa.Table) -> pa.Table:
+        hosts = [(h or "").lower() for h in batch[host_col].to_pylist()]
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket_ids(hosts, n_buckets), pa.int64()),
+                "_side": pa.array(np.ones(len(hosts), dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "u": batch[txt_col],
+            }
+        )
+
+    def gate(group: pd.DataFrame) -> pa.Table:
+        rules_by_host = {
+            h: compile_rules(select_group(parse_robots(t or ""), agent))
+            for h, t in zip(
+                group[group["_side"] == 1]["host"],
+                group[group["_side"] == 1]["u"],
+            )
+        }
+        side_u = group[group["_side"] == 0]
+        urls_out, hosts_out, allowed = [], [], []
+        for h, u in zip(side_u["host"], side_u["u"]):
+            compiled = rules_by_host.get(h)
+            if compiled is None:
+                ok = True
+            else:
+                parts = urlsplit(u)
+                path = parts.path or "/"
+                if parts.query:
+                    path += "?" + parts.query
+                ok = is_allowed(compiled, path)
+            urls_out.append(u)
+            hosts_out.append(h)
+            allowed.append(1 if ok else 0)
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "host": pa.array(hosts_out, pa.string()),
+                "allowed": pa.array(allowed, pa.int64()),
+            }
+        )
+
+    tagged = urls.map_batches(tag_urls, batch_format="pyarrow").union(
+        robots.map_batches(tag_robots, batch_format="pyarrow")
+    )
+    return (
+        coalesce_for_exchange(tagged)
+        .groupby("_bucket")
+        .map_groups(gate, batch_format="pandas")
+    )

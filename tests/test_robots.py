@@ -1,0 +1,93 @@
+"""RFC 9309 robots.txt parsing and longest-match URL gating."""
+
+from pdf_extractor_ray.kernel.robots import (
+    compile_rules,
+    is_allowed,
+    parse_robots,
+    rule_regex,
+    select_group,
+)
+
+ROBOTS = """\
+# comment line
+User-agent: graftbot
+Disallow: /private/*
+Allow: /private/ok$
+Disallow: /tmp/*.html$
+Disallow: /a/*/end
+Crawl-delay: 10
+
+User-agent: alpha
+User-agent: beta
+Disallow: /shared
+
+User-agent: *
+Disallow: /
+"""
+
+
+def _rules(agent):
+    return compile_rules(select_group(parse_robots(ROBOTS), agent))
+
+
+def test_longest_match_allow_overrides_disallow():
+    r = _rules("graftbot")
+    assert not is_allowed(r, "/private/x")
+    assert is_allowed(r, "/private/ok")  # longer Allow wins
+    assert not is_allowed(r, "/private/okay")  # $ anchor: not a prefix win
+
+
+def test_wildcard_and_end_anchor():
+    r = _rules("graftbot")
+    assert not is_allowed(r, "/tmp/3.html")
+    assert is_allowed(r, "/tmp/3.htmlx")  # $ anchored -> no match
+    assert not is_allowed(r, "/a/deep/path/end")
+    # mid-pattern * has no end anchor: the rule matches as a prefix,
+    # so any extension of a matching path is still disallowed
+    assert not is_allowed(r, "/a/x/endmore")
+    assert is_allowed(r, "/a/x/nope")
+
+
+def test_no_matching_rule_is_allowed():
+    r = _rules("graftbot")
+    assert is_allowed(r, "/public/1")
+    assert is_allowed(r, "/cgi-bin/q?x=1")
+
+
+def test_multi_agent_group_and_star_fallback():
+    assert not is_allowed(_rules("alpha"), "/shared/x")
+    assert not is_allowed(_rules("beta"), "/shared/x")
+    assert is_allowed(_rules("beta"), "/other")
+    # unknown agent falls to the * group: deny-all
+    assert not is_allowed(_rules("zetabot"), "/anything")
+
+
+def test_exact_match_beats_prefix_and_star():
+    txt = (
+        "User-agent: graft\nDisallow: /p\n\n"
+        "User-agent: graftbot\nAllow: /p\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    g = parse_robots(txt)
+    assert is_allowed(compile_rules(select_group(g, "graftbot")), "/p/x")
+    # 'graftbotx' has no exact group; longest prefix 'graftbot' wins
+    assert is_allowed(compile_rules(select_group(g, "graftbotx")), "/p/x")
+    # 'gra' matches neither -> star
+    assert not is_allowed(compile_rules(select_group(g, "gra")), "/p/x")
+
+
+def test_empty_disallow_is_noop_and_no_groups_allows():
+    g = parse_robots("User-agent: *\nDisallow:\n")
+    assert is_allowed(compile_rules(select_group(g, "any")), "/x")
+    assert is_allowed(compile_rules(select_group([], "any")), "/x")
+
+
+def test_rule_regex_escapes_literals():
+    assert rule_regex("/a.b").match("/a.b")
+    assert not rule_regex("/a.b").match("/aXb")
+    assert rule_regex("/q?x=*").match("/q?x=3")
+
+
+def test_tie_allow_wins():
+    g = parse_robots("User-agent: *\nDisallow: /dir\nAllow: /dir\n")
+    assert is_allowed(compile_rules(select_group(g, "any")), "/dir/x")
