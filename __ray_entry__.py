@@ -1652,6 +1652,125 @@ def _q_robots_gate(sf_dir: str):
     return robots_gate(urls, robots, agent="graftbot")
 
 
+def _q_crawl_admission(sf_dir: str):
+    """End-to-end crawl ADMISSION chain in one streaming execution,
+    every stage a prior oracle-green operator: deterministic pages
+    (host h{(d//6)%20}, path kind d%4, head carrying a noindex meta on
+    every 7th doc and canonical https://canon.example.org/{d%250}) ->
+    page_head_meta (real HTML parse) -> robots_gate_broadcast (real
+    robots.txt parse, broadcast rules) -> keep noindex==0 AND
+    allowed==1 -> coarse canonical-bucket rollup to
+    (canonical, n_admitted, min_doc). The oracle replays the whole
+    admission rule in closed form."""
+    from pdf_extractor_ray.functions.webclean import robots_gate_broadcast
+    from pdf_extractor_ray.functions.webgraph import page_head_meta
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            host = f"h{(d // 6) % 20}.example.org"
+            k = d % 4
+            path = (
+                f"/public/{d}",
+                f"/private/{d}",
+                f"/tmp/{d}.html",
+                f"/a/{d}/end",
+            )[k]
+            robots_meta = (
+                '<meta name="robots" content="noindex">'
+                if d % 7 == 0
+                else '<meta name="robots" content="index,follow">'
+            )
+            urls.append(f"https://{host}{path}")
+            htmls.append(
+                (
+                    "<html><head>"
+                    f"<title>Doc {d}</title>{robots_meta}"
+                    f'<link rel="canonical" '
+                    f'href="https://canon.example.org/{d % 250}">'
+                    f"</head><body><p>doc {d}</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    meta = page_head_meta(pages)
+
+    graftbot_txt = (
+        "User-agent: graftbot\n"
+        "Disallow: /private/*\n"
+        "Disallow: /tmp/*.html$\n"
+        "Disallow: /a/*/end\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    star_txt = "User-agent: *\nDisallow: /\n"
+    robots_table = pa.table(
+        {
+            "host": pa.array(
+                [f"h{i}.example.org" for i in range(20)], pa.string()
+            ),
+            "robots_txt": pa.array(
+                [graftbot_txt if i % 2 == 0 else star_txt for i in range(20)],
+                pa.string(),
+            ),
+        }
+    )
+    gated = robots_gate_broadcast(meta, robots_table, agent="graftbot")
+
+    def admit(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["noindex"], 0), pc.equal(batch["allowed"], 1)
+        )
+        t = batch.filter(keep)
+        docs_ = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["url"], r"/public/(?P<d>\d+)$"), "d"
+            ),
+            pa.int64(),
+        )
+        schema = pa.schema(
+            [
+                pa.field("canonical", pa.string()),
+                pa.field("n_admitted", pa.int64()),
+                pa.field("min_doc", pa.int64()),
+                pa.field("_bucket", pa.int64()),
+            ]
+        )
+        df = pd.DataFrame(
+            {"canonical": t["canonical"].to_pylist(), "doc": docs_.to_pylist()}
+        )
+        if df.empty:
+            return schema.empty_table()
+        g = df.groupby("canonical", as_index=False).agg(
+            n_admitted=("doc", "size"), min_doc=("doc", "min")
+        )
+        g["_bucket"] = pd.util.hash_array(
+            g["canonical"].to_numpy(dtype=object)
+        ).astype("int64") % 64
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("canonical", as_index=False).agg(
+            n_admitted=("n_admitted", "sum"), min_doc=("min_doc", "min")
+        )
+        return out
+
+    return (
+        gated.map_batches(admit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _q_crawl_curate(sf_dir: str):
     """End-to-end crawl curation chain, every stage a prior
     oracle-green operator: WARC shards -> streaming record parse ->
@@ -3219,6 +3338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": _q_shuffle_export,
         "partitioned_sink": _q_partitioned_sink,
         "robots_gate": _q_robots_gate,
+        "crawl_admission": _q_crawl_admission,
         "crawl_curate": _q_crawl_curate,
         "range_band": _q_range_band,
         "range_band_partitioned": _q_range_band_partitioned,
@@ -4868,6 +4988,24 @@ def oracle_sql() -> dict[str, str]:
                              WHEN doc_id % 6 IN (1, 3, 4) THEN 0
                              ELSE 1 END AS BIGINT) AS allowed
             FROM documents
+        """,
+        # crawl admission composite: real HTML head parse + real
+        # robots.txt gate + canonical rollup, replayed in closed form
+        # (admitted iff even host AND /public path AND no noindex).
+        "crawl_admission": """
+            WITH adm AS (
+                SELECT doc_id AS d,
+                       'https://canon.example.org/' || (doc_id % 250)
+                           AS canonical
+                FROM documents
+                WHERE (doc_id // 6) % 2 = 0
+                  AND doc_id % 4 = 0
+                  AND doc_id % 7 <> 0
+            )
+            SELECT canonical,
+                   CAST(count(*) AS BIGINT) AS n_admitted,
+                   CAST(min(d) AS BIGINT) AS min_doc
+            FROM adm GROUP BY canonical
         """,
         # head-metadata harvesting: the oracle rebuilds every field
         # from the deterministic _meta_pages wrapper rule (comment and

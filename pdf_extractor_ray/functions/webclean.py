@@ -34,6 +34,7 @@ __all__ = [
     "c4_stats_batch",
     "c4_stats",
     "robots_gate",
+    "robots_gate_broadcast",
 ]
 
 # scheme://host[:port]/path[?query][#fragment] — host may be empty,
@@ -272,3 +273,67 @@ def robots_gate(
         .groupby("_bucket")
         .map_groups(gate, batch_format="pandas")
     )
+
+
+# Per-worker cache of broadcast compiled-rules tables (keyed by object
+# ref): parse+compile once per process, not once per batch.
+_ROBOTS_CACHE: dict = {}
+
+
+def robots_gate_broadcast(
+    ds: ray.data.Dataset,
+    robots_table: "pa.Table",
+    agent: str = "graftbot",
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> ray.data.Dataset:
+    """Small-side variant of :func:`robots_gate`: the (host,
+    robots_txt) table is ``ray.put`` once and every task reads it
+    zero-copy from plasma, parsing + compiling each host's rules once
+    per worker process — no exchange at all. Use when the robots store
+    fits comfortably in memory (its size bounds driver/worker state);
+    :func:`robots_gate` is the shuffle path for host-cardinality-sized
+    stores. Appends an ``allowed`` int64 column to ``ds``."""
+    from urllib.parse import urlsplit
+
+    import ray as _ray
+
+    from pdf_extractor_ray.kernel.robots import (
+        compile_rules,
+        is_allowed,
+        parse_robots,
+        select_group,
+    )
+
+    table_ref = _ray.put(robots_table)
+
+    def check(batch: pa.Table) -> pa.Table:
+        key = (table_ref.hex(), agent)
+        rules = _ROBOTS_CACHE.get(key)
+        if rules is None:
+            t = _ray.get(table_ref)
+            rules = {
+                (h or "").lower(): compile_rules(
+                    select_group(parse_robots(txt or ""), agent)
+                )
+                for h, txt in zip(
+                    t[host_col].to_pylist(), t[txt_col].to_pylist()
+                )
+            }
+            _ROBOTS_CACHE.clear()  # one robots store at a time per worker
+            _ROBOTS_CACHE[key] = rules
+        allowed = []
+        for u in batch[url_col].to_pylist():
+            parts = urlsplit(u)
+            compiled = rules.get((parts.hostname or "").lower())
+            if compiled is None:
+                allowed.append(1)
+                continue
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+            allowed.append(1 if is_allowed(compiled, path) else 0)
+        return batch.append_column("allowed", pa.array(allowed, pa.int64()))
+
+    return ds.map_batches(check, batch_format="pyarrow")
