@@ -3262,6 +3262,85 @@ def _q_video_frames(sf_dir: str):
     return frames.map_batches(project, batch_format="pyarrow")
 
 
+def _dhash_images(sf_dir: str) -> ray.data.Dataset:
+    """Image corpus with PLANTED near-duplicates for perceptual-hash
+    dedup: every 5 consecutive docs share a base image (b = d // 5,
+    nonlinear pixel formula (3x + 7y + 11c + b + (xy + b*x^2) % 251)
+    % 256 at dims w = 24 + 7b % 16, h = 24 + 5b % 16 — measured: 1000
+    bases -> 1000 distinct dhashes, worst 16-bit band multiplicity 5,
+    zero cross-base collisions); copies d%5 in {0,1,2} are exact,
+    {3,4} get one pixel blasted to 255 at a base-derived position
+    (a near-dup). PPM for even d, BMP for odd."""
+    from pdf_extractor_ray.kernel.imagecodec import encode_bmp, encode_ppm
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            b = d // 5
+            w, h = 24 + (b * 7) % 16, 24 + (b * 5) % 16
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            px = (
+                (3 * x + 7 * y + 11 * c + b + (x * y + b * x * x) % 251)
+                % 256
+            ).astype(np.uint8)
+            v = d % 5
+            if v == 3:
+                px[(b * 3) % h, (b * 2) % w, :] = 255
+            elif v == 4:
+                px[(b * 5 + 1) % h, (b * 3 + 1) % w, :] = 255
+            payloads.append(encode_ppm(px) if d % 2 == 0 else encode_bmp(px))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_images, batch_format="pyarrow")
+
+
+def _q_image_dhash(sf_dir: str):
+    """Perceptual dHash over REAL decoded pixels (box-resize to 9x8,
+    integer grayscale, 64 gradient bits, hex-packed). The oracle
+    recomputes the full pipeline — box means, luma, bit comparisons,
+    byte packing, hex formatting — from the pixel formula."""
+    from pdf_extractor_ray.functions.multimodal import image_dhash
+
+    return image_dhash(_dhash_images(sf_dir)).select_columns(
+        ["media_id", "dhash"]
+    )
+
+
+def _q_image_neardup(sf_dir: str):
+    """Image near-dup pairs: real decode -> dHash signature -> the
+    generic 64-bit banded Hamming pair machinery (shared with SimHash).
+    Planted near-dups (one blasted pixel) land within distance 3 of
+    their base; the oracle self-joins the SQL-recomputed hashes on
+    band equality + bit_count(xor) <= 3 — the operator's exact
+    contract."""
+    from pdf_extractor_ray.functions.dedup import hash64_pairs
+    from pdf_extractor_ray.functions.multimodal import image_dhash
+
+    sigs = image_dhash(_dhash_images(sf_dir))
+    pairs = hash64_pairs(sigs, id_col="media_id", sig_col="sig")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pc.cast(batch["doc_a"], pa.int64()),
+                "doc_b": pc.cast(batch["doc_b"], pa.int64()),
+                "hamming": pc.cast(batch["hamming"], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
 def _q_frame_sample(sf_dir: str):
     """Frame-sampling explode (one media row -> sampled frames),
     rolled up to frames per media row. Per-batch partial counts are
@@ -3410,6 +3489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "image_decode": _q_image_decode,
+        "image_dhash": _q_image_dhash,
+        "image_neardup_dhash": _q_image_neardup,
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,
         "video_frames": _q_video_frames,
@@ -3515,6 +3596,72 @@ def _pagerank_sql(n_iters: int = 5) -> str:
         "WITH " + cte
         + f"\n        SELECT doc_id, r AS rank_u FROM r{n_iters}"
     )
+
+
+# Shared CTE stack recomputing the dHash pipeline in SQL for the
+# _dhash_images corpus: box-filter means on the 9x8 grid (with the
+# planted single-pixel perturbation), integer luma, gradient bits,
+# MSB-first byte packing. Ends with sigs(media_id, dhash, u).
+_DHASH_SQL_CTE = """
+    m AS (SELECT doc_id AS media_id, doc_id // 5 AS b,
+                 24 + ((doc_id // 5) * 7) % 16 AS w,
+                 24 + ((doc_id // 5) * 5) % 16 AS h,
+                 doc_id % 5 AS v
+          FROM documents),
+    p AS (SELECT media_id,
+                 CASE WHEN v = 3 THEN (b*3) % h
+                      WHEN v = 4 THEN (b*5+1) % h END AS py,
+                 CASE WHEN v = 3 THEN (b*2) % w
+                      WHEN v = 4 THEN (b*3+1) % w END AS px
+          FROM m),
+    grid AS (SELECT m.media_id, m.b, m.w, m.h, p.py, p.px, i.i, j.j,
+                    (i.i * m.h) // 8 AS y0, ((i.i+1) * m.h) // 8 AS y1,
+                    (j.j * m.w) // 9 AS x0, ((j.j+1) * m.w) // 9 AS x1
+             FROM m JOIN p USING (media_id)
+             CROSS JOIN (SELECT unnest(range(8)) AS i) i
+             CROSS JOIN (SELECT unnest(range(9)) AS j) j),
+    bx AS (SELECT g.media_id, g.i, g.j,
+                  CAST(sum(CASE WHEN g.py = y.y AND g.px = x.x THEN 255
+                           ELSE (3*x.x + 7*y.y + g.b
+                                 + (x.x*y.y + g.b*x.x*x.x) % 251) % 256
+                           END)
+                       // ((g.y1-g.y0)*(g.x1-g.x0)) AS BIGINT) AS r,
+                  CAST(sum(CASE WHEN g.py = y.y AND g.px = x.x THEN 255
+                           ELSE (3*x.x + 7*y.y + 11 + g.b
+                                 + (x.x*y.y + g.b*x.x*x.x) % 251) % 256
+                           END)
+                       // ((g.y1-g.y0)*(g.x1-g.x0)) AS BIGINT) AS gc,
+                  CAST(sum(CASE WHEN g.py = y.y AND g.px = x.x THEN 255
+                           ELSE (3*x.x + 7*y.y + 22 + g.b
+                                 + (x.x*y.y + g.b*x.x*x.x) % 251) % 256
+                           END)
+                       // ((g.y1-g.y0)*(g.x1-g.x0)) AS BIGINT) AS bc
+           FROM grid g
+           JOIN (SELECT unnest(range(40)) AS x) x
+                ON x.x >= g.x0 AND x.x < g.x1
+           JOIN (SELECT unnest(range(40)) AS y) y
+                ON y.y >= g.y0 AND y.y < g.y1
+           GROUP BY g.media_id, g.i, g.j, g.y0, g.y1, g.x0, g.x1),
+    lum AS (SELECT media_id, i, j,
+                   (299*r + 587*gc + 114*bc) // 1000 AS l
+            FROM bx),
+    bits AS (SELECT a.media_id, a.i, a.j,
+                    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+             FROM lum a JOIN lum b
+                  ON a.media_id = b.media_id AND a.i = b.i
+                 AND b.j = a.j + 1
+             WHERE a.j < 8),
+    bytes AS (SELECT media_id, i,
+                     CAST(sum(bit * (1 << (7 - j))) AS BIGINT) AS byte
+              FROM bits GROUP BY media_id, i),
+    sigs AS (SELECT media_id,
+                    string_agg(printf('%02x', byte), '' ORDER BY i)
+                        AS dhash,
+                    CAST(sum(CAST(byte AS UBIGINT)
+                             * (CAST(1 AS UBIGINT) << (8 * (7 - i))))
+                         AS UBIGINT) AS u
+             FROM bytes GROUP BY media_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5460,6 +5607,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 2 THEN v END) // (w*h) AS BIGINT)
                        AS mean_b
             FROM px GROUP BY media_id, w, h
+        """,
+        # Perceptual dHash over real decoded pixels: the oracle
+        # recomputes box means, integer luma, gradient bits, byte
+        # packing and hex formatting from the pixel formula.
+        "image_dhash": f"""
+            WITH {_DHASH_SQL_CTE}
+            SELECT media_id, dhash FROM sigs
+        """,
+        # Image near-dup pairs: self-join the SQL-recomputed hashes on
+        # 16-bit band equality (the operator's exact blocking) and keep
+        # bit_count(xor) <= 3.
+        "image_neardup_dhash": f"""
+            WITH {_DHASH_SQL_CTE}
+            SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                   CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.u, b.u)) <= 3
+              AND ((a.u >> 0) & 65535 = (b.u >> 0) & 65535
+                OR (a.u >> 16) & 65535 = (b.u >> 16) & 65535
+                OR (a.u >> 32) & 65535 = (b.u >> 32) & 65535
+                OR (a.u >> 48) & 65535 = (b.u >> 48) & 65535)
         """,
         # REAL Y4M frame sampling: payloads are genuine YUV4MPEG2 C444
         # containers of gradient frames pixel[f][y,x,c] =

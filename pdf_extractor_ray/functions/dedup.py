@@ -68,6 +68,7 @@ __all__ = [
     "incremental_minhash",
     "simhash64",
     "simhash_dedup_pairs",
+    "hash64_pairs",
     "ngram_jaccard",
     "dup_ngram_span_stats",
 ]
@@ -1466,25 +1467,35 @@ def simhash64(text: str) -> int:
     )
 
 
-def simhash_dedup_pairs(
+def hash64_pairs(
     ds: ray.data.Dataset,
-    text_col: str = "text",
     id_col: str = "doc_id",
+    sig_col: str = "sig",
     max_hamming: int = 3,
 ) -> ray.data.Dataset:
-    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+    """Near-dup pairs by Hamming distance over ANY 64-bit signature
+    column (SimHash over text, dHash over image pixels, ...) —
+    (doc_a, doc_b, hamming) with hamming <= max_hamming.
 
     Blocking: 4 x 16-bit bands — any pair within Hamming distance 3
     shares at least one exact band (pigeonhole), so candidate recall is
-    exact. The shuffle carries (band, band16, doc_id, simhash) only.
+    exact for max_hamming <= 3. The shuffle carries
+    (band, band16, doc_id, sig) only.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees exact recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        # simhash64 is per-document (string-shaped input); the 4-band
-        # expansion is a vectorized repeat/shift over the sketch array.
-        sh = np.array(
-            [simhash64(t or "") for t in batch[text_col].to_pylist()],
-            dtype=np.uint64,
+        # the 4-band expansion is a vectorized repeat/shift over the
+        # signature array (int64 column viewed as uint64 bit pattern)
+        sh = (
+            batch[sig_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
         )
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         n = len(ids)
@@ -1545,6 +1556,36 @@ def simhash_dedup_pairs(
     # buckets, hamming equal) dedupe in a coarse pair-bucket groupby —
     # no single-partition funnel.
     return _dedupe_pairs_bucketed(cand, n_buckets=128)
+
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming:
+    per-document simhash64 signatures feeding the generic
+    :func:`hash64_pairs` band machinery."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        sh = np.array(
+            [simhash64(t or "") for t in batch[text_col].to_pylist()],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.array(sh.view(np.int64)),
+            }
+        )
+
+    return hash64_pairs(
+        ds.map_batches(sigs, batch_format="pyarrow"),
+        id_col=id_col,
+        sig_col="sig",
+        max_hamming=max_hamming,
+    )
 
 
 def latest_version(

@@ -612,3 +612,68 @@ def audio_resample(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+DHASH_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("dhash", pa.string()),
+        pa.field("sig", pa.int64()),
+    ]
+)
+
+
+class ImageDHasher:
+    """Actor-pool stage: perceptual difference hash (dHash) over REAL
+    decoded pixels — box-resize to 9x8, integer grayscale, 64
+    horizontal-gradient bits. Emits both the 16-hex string (the
+    human/SQL-friendly form) and the signature as an int64 bit pattern
+    ready for :func:`pdf_extractor_ray.functions.dedup.hash64_pairs`
+    banded near-dup pairing."""
+
+    def __init__(self, on_error: str = "raise"):
+        from pdf_extractor_ray.kernel.imagecodec import (
+            decode_image,
+            dhash_hex,
+        )
+
+        _check_on_error(on_error)
+        self.on_error = on_error
+        self._decode = decode_image
+        self._dhash = dhash_hex
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                px = self._decode(payload or b"")
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
+            hx = self._dhash(px)
+            # int64 bit pattern of the uint64 hash (hashes >= 2^63
+            # must wrap, not overflow)
+            sig = int(
+                np.array([int(hx, 16)], dtype=np.uint64).view(np.int64)[0]
+            )
+            rows.append({"media_id": mid, "dhash": hx, "sig": sig})
+        return pa.Table.from_pylist(rows, schema=DHASH_SCHEMA)
+
+
+def image_dhash(
+    ds: ray.data.Dataset,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+    on_error: str = "raise",
+) -> ray.data.Dataset:
+    """dHash actor pool over (media_id, payload) image rows."""
+    return ds.map_batches(
+        ImageDHasher,
+        fn_constructor_kwargs={"on_error": on_error},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -32,6 +32,10 @@ __all__ = [
     "box_resize",
     "pixel_checksum",
     "gradient_image",
+    "grayscale",
+    "dhash_bits",
+    "dhash_hex",
+    "hamming64",
 ]
 
 
@@ -188,3 +192,36 @@ def gradient_image(media_id: int, w: int, h: int) -> np.ndarray:
     y = np.arange(h, dtype=np.int64)[:, None, None]
     c = np.arange(3, dtype=np.int64)[None, None, :]
     return ((3 * x + 7 * y + 11 * c + int(media_id)) % 256).astype(np.uint8)
+
+
+def grayscale(pixels: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: ``(299*R + 587*G + 114*B) // 1000`` —
+    the classic coefficients kept in exact integer permille form so a
+    SQL oracle replays every value. -> ``(h, w) int64``."""
+    px = pixels.astype(np.int64, copy=False)
+    return (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) // 1000
+
+
+def dhash_bits(pixels: np.ndarray) -> np.ndarray:
+    """Difference hash (dHash, public algorithm): box-resize to 9x8,
+    integer grayscale, bit (i, j) = 1 iff g[i, j+1] > g[i, j] — 64
+    horizontal-gradient bits robust to re-encoding and scaling.
+    -> ``(64,) uint8`` of 0/1, row-major."""
+    g = grayscale(box_resize(pixels, 9, 8))
+    return (g[:, 1:] > g[:, :-1]).astype(np.uint8).reshape(64)
+
+
+def dhash_hex(pixels: np.ndarray) -> str:
+    """:func:`dhash_bits` packed MSB-first into 8 bytes, as a 16-char
+    lowercase hex string (string form avoids int64 sign traps in both
+    Arrow columns and SQL oracles)."""
+    return np.packbits(dhash_bits(pixels)).tobytes().hex()
+
+
+def hamming64(a: str, b: str) -> int:
+    """Hamming distance between two :func:`dhash_hex` strings."""
+    return int(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+    )

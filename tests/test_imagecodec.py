@@ -111,3 +111,50 @@ def test_resize_then_checksum_sql_replayable():
             for c in range(3):
                 total += int(out[i, j, c]) * (1 + j + i * tw + c * tw * th)
     assert pixel_checksum(out) == total
+
+
+def test_grayscale_integer_luma():
+    from pdf_extractor_ray.kernel.imagecodec import grayscale
+
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]]],
+                  dtype=np.uint8)
+    g = grayscale(px)
+    assert g.tolist() == [[76, 149, 29, (299 * 10 + 587 * 20 + 114 * 30) // 1000]]
+
+
+def test_dhash_matches_naive():
+    from pdf_extractor_ray.kernel.imagecodec import (
+        box_resize,
+        dhash_bits,
+        dhash_hex,
+        grayscale,
+    )
+
+    px = gradient_image(9, 33, 27)
+    g = grayscale(box_resize(px, 9, 8))
+    want = [(1 if g[i, j + 1] > g[i, j] else 0) for i in range(8) for j in range(8)]
+    assert dhash_bits(px).tolist() == want
+    hx = dhash_hex(px)
+    assert len(hx) == 16
+    assert int(hx, 16) == int("".join(map(str, want)), 2)
+
+
+def test_dhash_near_dup_small_distance_exact_dup_zero():
+    from pdf_extractor_ray.kernel.imagecodec import dhash_hex, hamming64
+
+    def img(b, w, h):
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        return (
+            (3 * x + 7 * y + 11 * c + b + (x * y + b * x * x) % 251) % 256
+        ).astype(np.uint8)
+
+    a = img(7, 31, 29)
+    assert hamming64(dhash_hex(a), dhash_hex(a.copy())) == 0
+    p = a.copy()
+    p[4, 6, :] = 255
+    d = hamming64(dhash_hex(a), dhash_hex(p))
+    assert 0 <= d <= 3  # a blasted pixel moves at most a few bits
+    # a different base is far away
+    assert hamming64(dhash_hex(a), dhash_hex(img(8, 31, 29))) > 3
