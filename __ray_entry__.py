@@ -333,6 +333,91 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _content_pages(sf_dir: str) -> ray.data.Dataset:
+    """Documents rendered as full pages with deterministic boilerplate
+    for the main-content extractor: a nav block of 3+d%4 pure-link
+    words, an ``<h1>Doc d</h1>``, the doc text split into paragraphs
+    of 11+d%7 words (the first word of every (d+i)%5==0 paragraph
+    wrapped in an inline anchor), and a footer of 2+d%3 pure-link
+    words — plus a script-body paragraph decoy and a comment decoy
+    that a correct tokenizer never sees. Every block's word count and
+    link-word count (hence the whole WSDM-2010 decision tree) is a
+    pure function of (doc_id, text) the oracle replays."""
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = text.split(" ")
+            csz = 11 + d % 7
+            nav = " ".join(
+                f'<a href="/n{k}">nav{d}w{k}</a>' for k in range(3 + d % 4)
+            )
+            paras = []
+            for i in range(0, len(ws), csz):
+                chunk = ws[i : i + csz]
+                pi = i // csz
+                if (d + pi) % 5 == 0:
+                    chunk = [f'<a href="/x{d}">{chunk[0]}</a>'] + chunk[1:]
+                paras.append(f"<p>{' '.join(chunk)}</p>")
+            foot = " ".join(
+                f'<a href="/f{k}">foot{d}w{k}</a>' for k in range(2 + d % 3)
+            )
+            urls.append(f"https://docs.example.org/{d:08d}")
+            htmls.append(
+                (
+                    f'<html><body><div class="nav">{nav}</div>'
+                    f"<h1>Doc {d}</h1>"
+                    "<script>var x='<p>decoy decoy decoy</p>';</script>"
+                    "<!-- <p>comment decoy</p> -->"
+                    f"{''.join(paras)}"
+                    f"<div>{foot}</div></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_content_blocks(sf_dir: str):
+    """Text-density block segmentation + NumWordsRules labels over
+    real HTML: one row per block with its features and classification.
+    The oracle rebuilds every block's (words, link-words) from the
+    wrapper rule and replays the exact-integer decision tree with
+    LAG/LEAD; is_content is cast to int64 for a NaN-free compare."""
+    from pdf_extractor_ray.functions.content import content_blocks
+
+    out = content_blocks(_content_pages(sf_dir))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("is_content"),
+            "is_content",
+            pc.cast(batch["is_content"], pa.int64()),
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _q_main_content(sf_dir: str):
+    """Per-page main-content rollup: boilerplate stripped, content
+    blocks joined; main_md5 commits to the exact extracted bytes so a
+    green hash proves byte-identical extraction vs the oracle's
+    reconstruction."""
+    from pdf_extractor_ray.functions.content import main_content
+
+    return main_content(_content_pages(sf_dir))
+
+
 def _q_link_graph(sf_dir: str):
     """Distributed HTML link harvesting: the kernel tokenizer walks
     each page (script bodies skipped — the planted decoy anchor must
@@ -3477,6 +3562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_piece_hist": _q_bpe_piece_hist,
         "bpe_train": _q_bpe_train,
         "head_meta": _q_head_meta,
+        "content_blocks": _q_content_blocks,
+        "main_content": _q_main_content,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
@@ -5177,6 +5264,170 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
+        """,
+        # main-content extraction: the oracle rebuilds each page's
+        # block sequence (nav / h1 / paragraphs / footer with the
+        # wrapper's word and link-word counts) and replays the
+        # WSDM-2010 NumWordsRules tree in exact-integer CASE form
+        # (density thresholds 1/3 and 5/9 as cross-multiplications,
+        # matching kernel/content_extract.py). The script/comment
+        # paragraph decoys are absent from the rule — a green hash
+        # proves the tokenizer never surfaced them.
+        "content_blocks": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n,
+                       11 + doc_id % 7 AS csz
+                FROM documents),
+            nav AS (
+                SELECT doc_id, 0 AS block_idx,
+                       3 + doc_id % 4 AS n_words,
+                       3 + doc_id % 4 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(3 + doc_id % 4),
+                               k -> 'nav' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            h1 AS (
+                SELECT doc_id, 1 AS block_idx, 2 AS n_words,
+                       0 AS n_link_words, 'Doc ' || doc_id AS text
+                FROM d),
+            paras AS (
+                SELECT doc_id, 2 + i AS block_idx,
+                       least(csz, n - i * csz) AS n_words,
+                       CASE WHEN (doc_id + i) % 5 = 0 THEN 1 ELSE 0 END
+                           AS n_link_words,
+                       array_to_string(
+                           ws[i * csz + 1 : least(n, (i + 1) * csz)],
+                           ' ') AS text
+                FROM d CROSS JOIN (SELECT unnest(range(10)) AS i) g
+                WHERE i * csz < n),
+            foot AS (
+                SELECT doc_id,
+                       2 + (n + csz - 1) // csz AS block_idx,
+                       2 + doc_id % 3 AS n_words,
+                       2 + doc_id % 3 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(2 + doc_id % 3),
+                               k -> 'foot' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            blocks AS (
+                SELECT * FROM nav UNION ALL SELECT * FROM h1
+                UNION ALL SELECT * FROM paras UNION ALL SELECT * FROM foot),
+            feat AS (
+                SELECT doc_id, block_idx, n_words, n_link_words, text,
+                       COALESCE(LAG(n_words) OVER w, 0) AS prev_w,
+                       COALESCE(LAG(n_link_words) OVER w, 0) AS prev_l,
+                       COALESCE(LEAD(n_words) OVER w, 0) AS next_w
+                FROM blocks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx))
+            SELECT 'https://docs.example.org/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CAST(block_idx AS BIGINT) AS block_idx,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_link_words AS BIGINT) AS n_link_words,
+                   CAST(CASE WHEN 3 * n_link_words <= n_words THEN
+                       CASE WHEN 9 * prev_l <= 5 * prev_w THEN
+                           CASE WHEN n_words <= 16 THEN
+                               CASE WHEN next_w <= 15
+                                    THEN CASE WHEN prev_w > 4
+                                              THEN 1 ELSE 0 END
+                                    ELSE 1 END
+                           ELSE 1 END
+                       ELSE CASE WHEN n_words <= 40
+                                 THEN CASE WHEN next_w > 17
+                                           THEN 1 ELSE 0 END
+                                 ELSE 1 END
+                       END
+                   ELSE 0 END AS BIGINT) AS is_content,
+                   text
+            FROM feat
+        """,
+        "main_content": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n,
+                       11 + doc_id % 7 AS csz
+                FROM documents),
+            nav AS (
+                SELECT doc_id, 0 AS block_idx,
+                       3 + doc_id % 4 AS n_words,
+                       3 + doc_id % 4 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(3 + doc_id % 4),
+                               k -> 'nav' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            h1 AS (
+                SELECT doc_id, 1 AS block_idx, 2 AS n_words,
+                       0 AS n_link_words, 'Doc ' || doc_id AS text
+                FROM d),
+            paras AS (
+                SELECT doc_id, 2 + i AS block_idx,
+                       least(csz, n - i * csz) AS n_words,
+                       CASE WHEN (doc_id + i) % 5 = 0 THEN 1 ELSE 0 END
+                           AS n_link_words,
+                       array_to_string(
+                           ws[i * csz + 1 : least(n, (i + 1) * csz)],
+                           ' ') AS text
+                FROM d CROSS JOIN (SELECT unnest(range(10)) AS i) g
+                WHERE i * csz < n),
+            foot AS (
+                SELECT doc_id,
+                       2 + (n + csz - 1) // csz AS block_idx,
+                       2 + doc_id % 3 AS n_words,
+                       2 + doc_id % 3 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(2 + doc_id % 3),
+                               k -> 'foot' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            blocks AS (
+                SELECT * FROM nav UNION ALL SELECT * FROM h1
+                UNION ALL SELECT * FROM paras UNION ALL SELECT * FROM foot),
+            feat AS (
+                SELECT doc_id, block_idx, n_words, n_link_words, text,
+                       COALESCE(LAG(n_words) OVER w, 0) AS prev_w,
+                       COALESCE(LAG(n_link_words) OVER w, 0) AS prev_l,
+                       COALESCE(LEAD(n_words) OVER w, 0) AS next_w
+                FROM blocks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
+            lab AS (
+                SELECT doc_id, block_idx, n_words, text,
+                       CASE WHEN 3 * n_link_words <= n_words THEN
+                           CASE WHEN 9 * prev_l <= 5 * prev_w THEN
+                               CASE WHEN n_words <= 16 THEN
+                                   CASE WHEN next_w <= 15
+                                        THEN CASE WHEN prev_w > 4
+                                                  THEN 1 ELSE 0 END
+                                        ELSE 1 END
+                               ELSE 1 END
+                           ELSE CASE WHEN n_words <= 40
+                                     THEN CASE WHEN next_w > 17
+                                               THEN 1 ELSE 0 END
+                                     ELSE 1 END
+                           END
+                       ELSE 0 END AS is_content
+                FROM feat)
+            SELECT 'https://docs.example.org/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(is_content) AS BIGINT) AS n_content_blocks,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   CAST(sum(CASE WHEN is_content = 1 THEN n_words
+                                 ELSE 0 END) AS BIGINT) AS content_words,
+                   COALESCE(string_agg(
+                       CASE WHEN is_content = 1 THEN text END,
+                       chr(10) || chr(10) ORDER BY block_idx), '')
+                       AS main_text,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN is_content = 1 THEN text END,
+                       chr(10) || chr(10) ORDER BY block_idx), ''))
+                       AS main_md5
+            FROM lab GROUP BY doc_id
         """,
         "link_graph": """
             WITH l AS (
