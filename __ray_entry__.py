@@ -418,6 +418,37 @@ def _q_main_content(sf_dir: str):
     return main_content(_content_pages(sf_dir))
 
 
+def _q_frontier_schedule(sf_dir: str):
+    """Politeness-aware crawl-frontier scheduling: per-host fetch
+    slots (priority DESC, url ASC) with a 3 s politeness delay and a
+    7-fetch per-host budget, over a deterministic 23-host frontier.
+    The oracle replays the rank with ROW_NUMBER() and the timestamps
+    with integer arithmetic."""
+    from pdf_extractor_ray.functions.weburl import frontier_schedule
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_frontier(batch: pa.Table) -> pa.Table:
+        urls, prios = [], []
+        for d in batch["doc_id"].to_pylist():
+            urls.append(f"https://h{d % 23}.example.org/p/{d:06d}")
+            prios.append(d * 37 % 1000)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "priority": pa.array(prios, pa.int64()),
+            }
+        )
+
+    frontier = docs.map_batches(to_frontier, batch_format="pyarrow")
+    return frontier_schedule(
+        frontier,
+        delay_s=3,
+        max_per_host=7,
+        crawl_start=1_700_000_000,
+    )
+
+
 def _q_link_graph(sf_dir: str):
     """Distributed HTML link harvesting: the kernel tokenizer walks
     each page (script bodies skipped — the planted decoy anchor must
@@ -3564,6 +3595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_meta": _q_head_meta,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
+        "frontier_schedule": _q_frontier_schedule,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
@@ -5428,6 +5460,24 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) || chr(10) ORDER BY block_idx), ''))
                        AS main_md5
             FROM lab GROUP BY doc_id
+        """,
+        "frontier_schedule": """
+            WITH f AS (
+                SELECT 'https://h' || (doc_id % 23) || '.example.org/p/'
+                           || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+                       'h' || (doc_id % 23) || '.example.org' AS host,
+                       CAST(doc_id * 37 % 1000 AS BIGINT) AS priority
+                FROM documents),
+            r AS (
+                SELECT url, host, priority,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, url ASC) - 1
+                           AS BIGINT) AS slot
+                FROM f)
+            SELECT url, host, priority, slot,
+                   CAST(1700000000 + slot * 3 AS BIGINT) AS fetch_ts
+            FROM r WHERE slot < 7
         """,
         "link_graph": """
             WITH l AS (

@@ -28,6 +28,7 @@ seedless uniform order that DuckDB reproduces exactly
 from __future__ import annotations
 
 import hashlib
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -44,6 +45,7 @@ __all__ = [
     "domain_counts",
     "cap_per_domain",
     "filter_blocked_domains",
+    "frontier_schedule",
 ]
 
 # pc.extract_regex requires NAMED groups (unnamed groups raise)
@@ -189,3 +191,76 @@ def _blocked_value_set(ref) -> pa.Array:
         _BLOCK_CACHE.clear()  # one live blocklist per worker is enough
         _BLOCK_CACHE[key] = pa.array(ray.get(ref), pa.string())
     return _BLOCK_CACHE[key]
+
+
+def frontier_schedule(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_s: int = 2,
+    max_per_host: Optional[int] = None,
+    crawl_start: int = 0,
+) -> ray.data.Dataset:
+    """Politeness-aware crawl-frontier scheduling: per-host fetch
+    slots with one request every ``delay_s`` seconds.
+
+    Every crawler serializes requests per host (Heritrix/Nutch-style
+    politeness queues); distributed, that is a per-host ranking:
+
+        slot     = 0-based rank of the url within its host by
+                   (priority DESC, url ASC)  [deterministic]
+        fetch_ts = crawl_start + slot * delay_s   [epoch seconds]
+
+    Rows ranked at or beyond ``max_per_host`` are dropped (per-host
+    crawl budget). Output: ``(url, host, priority, slot, fetch_ts)``;
+    rows without a parseable host are dropped.
+
+    Scale shape: the rank is inherently per-host global, so the rows
+    take ONE coarse host-hash-bucket exchange (the repo's standard
+    currency — hosts co-bucket, buckets are map_groups tasks). When
+    ``max_per_host`` is set, each batch first prunes to its local
+    per-host top-k — a row below k inside its own batch cannot make
+    the global top-k — so hot hosts (the skew case: a million-URL
+    domain) ship at most k rows per input batch instead of all of
+    them; without a cap the full frontier legitimately moves once.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "url": batch[url_col].to_pandas(),
+                "priority": batch[priority_col].to_numpy(
+                    zero_copy_only=False
+                ),
+                "host": _host_array(batch[url_col]).to_pandas(),
+            }
+        )
+        df = df[df["host"].notna()]
+        df = df.sort_values(
+            ["host", "priority", "url"], ascending=[True, False, True]
+        )
+        if max_per_host is not None:
+            df = df.groupby("host", sort=False).head(max_per_host)
+        df["_bucket"] = _host_bucket(df["host"].to_numpy())
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def schedule(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["host", "priority", "url"], ascending=[True, False, True]
+        )
+        slot = g.groupby("host", sort=False).cumcount().to_numpy(np.int64)
+        g = g.assign(
+            slot=slot,
+            fetch_ts=np.int64(crawl_start) + slot * np.int64(delay_s),
+        )
+        if max_per_host is not None:
+            g = g[g["slot"] < max_per_host]
+        return g[["url", "host", "priority", "slot", "fetch_ts"]]
+
+    return (
+        coalesce_for_exchange(ds.map_batches(local, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(schedule, batch_format="pandas")
+    )

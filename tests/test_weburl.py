@@ -219,3 +219,91 @@ class TestNormalize:
         got = _canon(E._q_normalize_text(SF).to_pandas())
         want = _canon(_duck().execute(E.oracle_sql()["normalize_text"]).df())
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestFrontierSchedule:
+    def _frontier(self):
+        import ray
+
+        rows = []
+        # host a: 5 urls priorities 10,20,20,5,1; host b: 2 urls;
+        # one unparseable url dropped
+        for i, (u, p) in enumerate(
+            [
+                ("https://a.example/p1", 10),
+                ("https://a.example/p2", 20),
+                ("https://a.example/p0", 20),
+                ("https://a.example/p3", 5),
+                ("https://a.example/p4", 1),
+                ("https://b.example/x", 7),
+                ("https://b.example/y", 9),
+                ("not a url", 99),
+            ]
+        ):
+            rows.append({"url": u, "priority": p})
+        return ray.data.from_items(rows)
+
+    def _collect(self, ds):
+        import pyarrow as pa
+
+        return (
+            pa.concat_tables(
+                list(ds.iter_batches(batch_format="pyarrow"))
+            )
+            .sort_by([("host", "ascending"), ("slot", "ascending")])
+            .to_pylist()
+        )
+
+    def test_slots_and_timestamps(self):
+        from pdf_extractor_ray.functions.weburl import frontier_schedule
+
+        out = self._collect(
+            frontier_schedule(
+                self._frontier(), delay_s=3, crawl_start=1000
+            )
+        )
+        a = [r for r in out if r["host"] == "a.example"]
+        # priority DESC, url ASC: p0(20), p2(20), p1(10), p3(5), p4(1)
+        assert [r["url"].rsplit("/", 1)[1] for r in a] == [
+            "p0", "p2", "p1", "p3", "p4",
+        ]
+        assert [r["slot"] for r in a] == [0, 1, 2, 3, 4]
+        assert [r["fetch_ts"] for r in a] == [1000, 1003, 1006, 1009, 1012]
+        b = [r for r in out if r["host"] == "b.example"]
+        assert [r["url"].rsplit("/", 1)[1] for r in b] == ["y", "x"]
+        assert len(out) == 7  # junk url dropped
+
+    def test_max_per_host_cap(self):
+        from pdf_extractor_ray.functions.weburl import frontier_schedule
+
+        out = self._collect(
+            frontier_schedule(
+                self._frontier(), delay_s=1, max_per_host=2
+            )
+        )
+        a = [r for r in out if r["host"] == "a.example"]
+        assert [r["url"].rsplit("/", 1)[1] for r in a] == ["p0", "p2"]
+        assert len(out) == 4
+
+    def test_cap_matches_uncapped_prefix_across_batches(self):
+        # local pruning must not change the global result: run the
+        # same frontier in many tiny blocks and compare to the
+        # uncapped schedule's top-k per host
+        import ray
+
+        from pdf_extractor_ray.functions.weburl import frontier_schedule
+
+        rows = [
+            {
+                "url": f"https://h{i % 3}.ex/p/{i:04d}",
+                "priority": (i * 7) % 11,
+            }
+            for i in range(60)
+        ]
+        ds = ray.data.from_items(rows).repartition(12)
+        capped = self._collect(
+            frontier_schedule(ds, delay_s=2, max_per_host=4)
+        )
+        full = self._collect(frontier_schedule(ds, delay_s=2))
+        expect = [r for r in full if r["slot"] < 4]
+        assert capped == expect
