@@ -449,6 +449,26 @@ def _q_frontier_schedule(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup over embeddings + planted exact copies: k-means
+    bucket (data-point centroids = the 16 lowest vec_ids — SQL-
+    replayable training state), then per-cluster predecessor-
+    dominates pruning at eps=0.99 in keep order (centroid-cos ASC,
+    id ASC). The oracle replays assignment with a row_number over
+    the centroid cross join and the prune with one EXISTS; planted
+    copies sit at cosine 1.0 so the threshold decision is float-
+    robust on both sides."""
+    from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_with_dups(sf_dir),
+        eps=0.99,
+        n_clusters=16,
+        iters=0,
+        init="first",
+    )
+
+
 def _q_link_graph(sf_dir: str):
     """Distributed HTML link harvesting: the kernel tokenizer walks
     each page (script bodies skipped — the planted decoy anchor must
@@ -3596,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
+        "semantic_dedup": _q_semantic_dedup,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
@@ -5460,6 +5481,43 @@ def oracle_sql() -> dict[str, str]:
                        chr(10) || chr(10) ORDER BY block_idx), ''))
                        AS main_md5
             FROM lab GROUP BY doc_id
+        """,
+        # SemDeDup: centroids are the 16 lowest vec_ids (data-point
+        # training state); cluster = centroid rank by assignment
+        # argmax (cos DESC, centroid id ASC); an item is dropped when
+        # ANY earlier item in keep order (centroid-cos ASC, id ASC)
+        # within its cluster is >= 0.99 similar.
+        "semantic_dedup": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (
+                SELECT vec_id AS cid, embedding AS ce,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS crank
+                FROM embeddings ORDER BY vec_id LIMIT 16),
+            ac AS (
+                SELECT e.vec_id, e.embedding, c.crank,
+                       list_cosine_similarity(e.embedding, c.ce) AS ccos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, c.ce) DESC, c.cid ASC) AS rn
+                FROM e CROSS JOIN c),
+            asn AS (
+                SELECT vec_id, embedding, crank AS cluster, ccos
+                FROM ac WHERE rn = 1)
+            SELECT j.vec_id, j.cluster
+            FROM asn j
+            WHERE NOT EXISTS (
+                SELECT 1 FROM asn i
+                WHERE i.cluster = j.cluster
+                  AND (i.ccos < j.ccos
+                       OR (i.ccos = j.ccos AND i.vec_id < j.vec_id))
+                  AND list_cosine_similarity(
+                          i.embedding, j.embedding) >= 0.99)
         """,
         "frontier_schedule": """
             WITH f AS (

@@ -40,6 +40,7 @@ __all__ = [
     "knn_ivf",
     "cluster_assign",
     "embedding_neardup_bucketed",
+    "semantic_dedup",
     "cosine_topk_local",
 ]
 
@@ -529,6 +530,96 @@ def embedding_neardup_bucketed(
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")
         .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    eps: float = 0.99,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_rows: int = 2048,
+    max_cell: int = 4096,
+    iters: int = 0,
+    init: str = "first",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then inside
+    each cluster drop items that are >= ``eps`` cosine-similar to an
+    item kept before them.
+
+    Keep order within a cluster is (centroid-cosine ASC, id ASC) —
+    the paper keeps the example LEAST similar to the centroid from
+    each duplicate group. This implementation uses the deterministic
+    predecessor-dominates variant: item j is dropped when ANY earlier
+    item i in the keep order has cos(i, j) >= eps (no recursive
+    kept-set dependency, so a SQL oracle replays it with one EXISTS).
+    On chains a~b~c with cos(a,c) < eps it drops both b and c where
+    the paper's per-group rule would keep c — at the paper's eps
+    range (>= 0.95) both are published-accuracy-equivalent
+    approximations of "one survivor per duplicate group".
+
+    Scale shape: centroids train on a bounded driver-side sample and
+    broadcast once (``ray.put``); assignment is one matmul per batch;
+    the only exchange is the per-cluster groupby. Cells above
+    ``max_cell`` rows are truncated deterministically (keep-order
+    head) before the O(n_cell^2) similarity — the standard hot-bucket
+    guard. Output: surviving ``(id, cluster)`` rows, where
+    ``cluster`` is the 0-based centroid rank.
+    """
+    sample = _train_sample(ds, vec_col, id_col, train_rows)
+    cent = _kmeans_centroids(
+        sample, n_clusters, iters=iters, seed=seed, init=init
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_b = ray.get(cent_ref)  # zero-copy plasma read
+        mat = _normalize(_arrow_matrix(batch[vec_col]))
+        cells = (mat @ cent_b.T).argmax(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cluster": pa.array(cells.astype("int64")),
+            }
+        )
+
+    def prune(group) -> "pd.DataFrame":
+        import pandas as pd
+
+        # centroid-cos must be bitwise-identical for identical vectors
+        # or the (cent_cos, id) tie order between an exact copy and its
+        # original flips. BLAS matvec kernels interleave several rows
+        # per SIMD pass, so the SAME row content at different row
+        # indices can round differently by an ulp (observed on this
+        # corpus). Elementwise-multiply + numpy pairwise row sum
+        # depends only on the row's content — positionally exact.
+        cent_b = ray.get(cent_ref)
+        mat_all = _normalize(_to_matrix(group[vec_col].tolist()))
+        cluster_id = int(group["cluster"].iloc[0])
+        group = group.assign(
+            cent_cos=(mat_all * cent_b[cluster_id]).sum(axis=1)
+        )
+        g = group.sort_values(["cent_cos", id_col]).head(max_cell)
+        mat = _normalize(_to_matrix(g[vec_col].tolist()))
+        sims = mat @ mat.T
+        # drop j when any earlier i (keep order) has cos >= eps
+        dropped = np.triu(sims >= eps, k=1).any(axis=0)
+        kept = g[~dropped]
+        return pd.DataFrame(
+            {
+                id_col: kept[id_col].to_numpy(),
+                "cluster": kept["cluster"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
     )
 
 

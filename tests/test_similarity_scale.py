@@ -316,3 +316,77 @@ class TestEmbeddingGram:
         assert (out["i"].to_numpy() == iu).all()
         assert (out["j"].to_numpy() == ju).all()
         assert (out["gram_cc"].to_numpy() == gram[iu, ju]).all()
+
+
+class TestSemanticDedup:
+    def _collect(self, ds):
+        import pyarrow as pa
+
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        return sorted(
+            zip(t["vec_id"].to_pylist(), t["cluster"].to_pylist())
+        )
+
+    def test_exact_copies_pruned_per_cluster(self):
+        import ray
+
+        from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+        rows = [
+            {"vec_id": 0, "embedding": [1.0, 0.0]},
+            {"vec_id": 1, "embedding": [0.0, 1.0]},
+            {"vec_id": 2, "embedding": [1.0, 0.0]},   # copy of 0
+            {"vec_id": 3, "embedding": [0.8, 0.6]},
+            {"vec_id": 4, "embedding": [0.6, 0.8]},
+            {"vec_id": 5, "embedding": [0.0, 1.0]},   # copy of 1
+        ]
+        out = self._collect(
+            semantic_dedup(
+                ray.data.from_items(rows), eps=0.99, n_clusters=2
+            )
+        )
+        # centroids = rows 0,1 -> cluster 0 = {0,2,3}, cluster 1 = {1,4,5};
+        # keep order (centroid-cos ASC, id ASC) drops each copy
+        assert out == [(0, 0), (1, 1), (3, 0), (4, 1)]
+
+    def test_chain_predecessor_dominates(self):
+        import math
+
+        import ray
+
+        from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+        def unit(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r)]
+
+        # a(0deg) ~ b(14deg) ~ c(28deg), cos(a,c) < 0.95: the
+        # predecessor-dominates variant keeps only c (least
+        # centroid-similar); b and a are each >= eps to an earlier item
+        rows = [
+            {"vec_id": 0, "embedding": unit(0)},
+            {"vec_id": 1, "embedding": unit(14)},
+            {"vec_id": 2, "embedding": unit(28)},
+        ]
+        out = self._collect(
+            semantic_dedup(
+                ray.data.from_items(rows), eps=0.95, n_clusters=1
+            )
+        )
+        assert out == [(2, 0)]
+
+    def test_no_dups_all_survive(self):
+        import ray
+
+        from pdf_extractor_ray.functions.similarity import semantic_dedup
+
+        rows = [
+            {"vec_id": i, "embedding": [float(i + 1), float(i * i)]}
+            for i in range(8)
+        ]
+        out = self._collect(
+            semantic_dedup(
+                ray.data.from_items(rows), eps=0.9999, n_clusters=2
+            )
+        )
+        assert [v for v, _ in out] == list(range(8))
