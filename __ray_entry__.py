@@ -2102,6 +2102,45 @@ def _q_quality_topk(sf_dir: str):
     return select_top_k_global(scored, k=n // 5)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language head/middle/tail split (Wenzek et al.
+    2020 §4.3) via the distributed exact per-group quantile operator
+    (functions/selection.py::group_quantile_split): an integer
+    pseudo-perplexity (1e6 // (word_count + 1) — monotone-decreasing in
+    length, ascending = better, like LM perplexity) is terciled WITHIN
+    each language by exact rank arithmetic, never a global sort. The
+    oracle replays the identical rank with a partitioned row_number."""
+    from pdf_extractor_ray.functions.selection import group_quantile_split
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        wc = pc.cast(
+            pc.count_substring_regex(batch["text"], r"[^ \t\n\r\f\v]+"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "score": pc.divide(
+                    pa.scalar(1000000, pa.int64()),
+                    pc.add(wc, pa.scalar(1, pa.int64())),
+                ),
+            }
+        )
+
+    # two-pass consumer (histogram + assign): persist the scored rows
+    # so the text scan runs once, not per pass
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    return group_quantile_split(
+        scored, n_buckets=3, score_col="score",
+        id_col="doc_id", group_col="lang",
+    )
+
+
 def _q_token_budget(sf_dir: str):
     """Training-corpus selection under a TOKEN budget (the real
     currency): greedy prefix in rank order (word-count score DESC,
@@ -3546,6 +3585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "jsonl_extract": _q_jsonl_extract,
         "quality_topk": _q_quality_topk,
+        "ccnet_buckets": _q_ccnet_buckets,
         "token_budget": _q_token_budget,
         "bm25": _q_bm25,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -5693,6 +5733,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score FROM r
             WHERE rn <= (SELECT CAST(count(*) // 5 AS BIGINT)
                          FROM documents)
+        """,
+        # CCNet terciles: bucket = (3 * (rank-1)) // n_lang with rank =
+        # row_number within the language ordered by (pseudo-ppl ASC,
+        # md5(id) ASC, id ASC) — the exact integer arithmetic the
+        # distributed histogram operator computes.
+        "ccnet_buckets": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       1000000 // (CAST(len(regexp_extract_all(text,
+                            '[^ \\t\\n\\r\\f\\x0b]+')) AS BIGINT) + 1)
+                           AS score
+                FROM documents),
+            r AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY score ASC,
+                                    md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM s)
+            SELECT doc_id, lang, score,
+                   CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
+            FROM r
         """,
         "jsonl_extract": """
             SELECT doc_id,

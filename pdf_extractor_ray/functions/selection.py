@@ -39,7 +39,11 @@ import ray.data
 
 from pdf_extractor_ray.functions.common import coalesce_for_exchange
 
-__all__ = ["select_top_k_global", "select_token_budget"]
+__all__ = [
+    "select_top_k_global",
+    "select_token_budget",
+    "group_quantile_split",
+]
 
 
 def _salt_hex(ids) -> list[str]:
@@ -286,3 +290,187 @@ def select_token_budget(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_quantile_split(
+    ds: ray.data.Dataset,
+    n_buckets: int = 3,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> ray.data.Dataset:
+    """Exact per-group quantile bucketing without a global sort —
+    CCNet's per-language head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3: sort each language by LM perplexity and cut
+    into equal thirds).
+
+    Each row gets ``bucket = (n_buckets * (rank - 1)) // n_group``
+    where ``rank`` is its 1-based position within its group under
+    (score ASC, md5(str(id)) ASC, id ASC) — pure integer arithmetic, so
+    a SQL oracle replays it verbatim with ``row_number() OVER
+    (PARTITION BY group ORDER BY score, md5(...), id)``. Scores are
+    integers (quantize upstream), ascending = CCNet's "lower perplexity
+    is better"; bucket 0 is the head.
+
+    Scale shape (the ``select_top_k_global`` histogram pattern, per
+    group): pass 1 builds a (group, score, salt_byte) cell histogram —
+    the only exchange, pre-aggregated per batch; the driver orders each
+    group's cells and fixes each cell's bucket by rank arithmetic. Only
+    cells STRADDLING a bucket boundary (at most ``n_buckets - 1`` per
+    group) are refined by collecting their members (expected ties/256
+    rows each) and ranking exactly. Pass 2 assigns buckets from the
+    broadcast cell map. Driver state: the cell table + boundary-cell
+    members — never the dataset; a whole language NEVER ships through
+    one task the way ``groupby(lang).map_groups(sort)`` would.
+
+    Input is consumed twice (histogram + assign): pass a persisted or
+    cheap-to-recompute dataset. Output: (id, group, score, bucket).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pylist(),
+                "score": batch[score_col].to_numpy(zero_copy_only=False),
+                "salt_byte": [
+                    int(h[:2], 16)
+                    for h in _salt_hex(batch[id_col].to_pylist())
+                ],
+            }
+        )
+        out = (
+            g.groupby(["g", "score", "salt_byte"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.table(
+            {
+                "g": pa.array(out["g"].astype(str)),
+                "score": pa.array(out["score"].to_numpy(np.int64)),
+                "salt_byte": pa.array(out["salt_byte"].to_numpy(np.int64)),
+                "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    def merge_cells(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(
+            ["g", "score", "salt_byte"], as_index=False
+        )["cnt"].sum()
+
+    cells = (
+        coalesce_for_exchange(ds.map_batches(hist, batch_format="pyarrow"))
+        .groupby("g")
+        .map_groups(merge_cells, batch_format="pandas")
+        .to_pandas()  # bounded: groups x distinct_scores x 256 rows
+    )
+    if not len(cells):
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b[id_col],
+                    group_col: b[group_col],
+                    score_col: b[score_col],
+                    "bucket": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # driver: per group, rank-range per cell -> bucket or "boundary"
+    uniform: dict[tuple, int] = {}  # (g, score, salt) -> bucket
+    boundary: dict[tuple, int] = {}  # (g, score, salt) -> start rank lo
+    group_n: dict[str, int] = {}
+    for gname, gc in cells.groupby("g", sort=False):
+        gc = gc.sort_values(["score", "salt_byte"]).reset_index(drop=True)
+        n_g = int(gc["cnt"].sum())
+        group_n[str(gname)] = n_g
+        hi = gc["cnt"].cumsum().to_numpy()  # rank of cell's last row
+        lo = hi - gc["cnt"].to_numpy() + 1  # rank of cell's first row
+        b_lo = (n_buckets * (lo - 1)) // n_g
+        b_hi = (n_buckets * (hi - 1)) // n_g
+        for i in range(len(gc)):
+            key = (
+                str(gname),
+                int(gc.loc[i, "score"]),
+                int(gc.loc[i, "salt_byte"]),
+            )
+            if b_lo[i] == b_hi[i]:
+                uniform[key] = int(b_lo[i])
+            else:
+                boundary[key] = int(lo[i])
+
+    row_bucket: dict[tuple, int] = {}  # (g, id) -> bucket, boundary rows
+    if boundary:
+        bkeys = set(boundary)
+
+        def in_boundary(batch: pa.Table) -> pa.Table:
+            gs = batch[group_col].to_pylist()
+            scores = batch[score_col].to_numpy(zero_copy_only=False)
+            ids = batch[id_col].to_pylist()
+            hexes = _salt_hex(ids)
+            sel = [
+                j
+                for j in range(len(ids))
+                if (str(gs[j]), int(scores[j]), int(hexes[j][:2], 16))
+                in bkeys
+            ]
+            return pa.table(
+                {
+                    "g": pa.array([str(gs[j]) for j in sel]),
+                    "score": pa.array(
+                        np.asarray(
+                            [scores[j] for j in sel], dtype=np.int64
+                        )
+                    ),
+                    "salt_hex": pa.array([hexes[j] for j in sel]),
+                    id_col: pa.array([ids[j] for j in sel]),
+                }
+            )
+
+        members = (
+            ds.map_batches(in_boundary, batch_format="pyarrow").to_pandas()
+        )  # bounded: <= (n_buckets-1) cells/group x expected ties/256
+        members["salt_byte"] = [
+            int(h[:2], 16) for h in members["salt_hex"]
+        ]
+        for (gname, sc, sb), cell in members.groupby(
+            ["g", "score", "salt_byte"], sort=False
+        ):
+            lo_rank = boundary[(str(gname), int(sc), int(sb))]
+            n_g = group_n[str(gname)]
+            cell = cell.sort_values(["salt_hex", id_col])
+            for off, i in enumerate(cell[id_col]):
+                rank = lo_rank + off
+                row_bucket[(str(gname), i)] = int(
+                    (n_buckets * (rank - 1)) // n_g
+                )
+
+    uniform_ref = ray.put(uniform)
+    rows_ref = ray.put(row_bucket)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        uni = ray.get(uniform_ref)
+        rows = ray.get(rows_ref)
+        gs = batch[group_col].to_pylist()
+        scores = batch[score_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_pylist()
+        hexes = _salt_hex(ids)
+        out = np.empty(len(ids), dtype=np.int64)
+        for j in range(len(ids)):
+            key = (str(gs[j]), int(scores[j]), int(hexes[j][:2], 16))
+            b = uni.get(key)
+            out[j] = b if b is not None else rows[(str(gs[j]), ids[j])]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                score_col: batch[score_col],
+                "bucket": pa.array(out),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -160,3 +160,109 @@ class TestSelectTokenBudget:
         want = _budget_keep(df, 5025)
         assert set(got.doc_id) == want
         assert len(got) == 100  # 100 * 50 = 5000 <= 5025 < 5050
+
+
+def _bucket_replay(df: pd.DataFrame, n_buckets: int) -> dict:
+    """Serial replay of the per-group quantile rank arithmetic:
+    rank within group under (score ASC, md5(str(id)) ASC, id ASC),
+    bucket = (n_buckets * (rank - 1)) // n_group."""
+    out = {}
+    for g, gdf in df.groupby("lang"):
+        r = gdf.copy()
+        r["salt"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in r.doc_id
+        ]
+        r = r.sort_values(["score", "salt", "doc_id"]).reset_index(drop=True)
+        n_g = len(r)
+        for rank0, i in enumerate(r.doc_id):
+            out[(g, int(i))] = (n_buckets * rank0) // n_g
+    return out
+
+
+def _group_ds(ray, langs, scores):
+    ids = list(range(len(scores)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+    ).repartition(5)
+
+
+class TestGroupQuantileSplit:
+    def test_matches_rank_replay(self, ray_session):
+        from pdf_extractor_ray.functions.selection import group_quantile_split
+
+        rng = np.random.RandomState(3)
+        n = 600
+        langs = [["en", "fr", "de", "zz"][i % 4] for i in range(n)]
+        scores = rng.randint(0, 25, size=n).tolist()
+        ds = _group_ds(ray_session, langs, scores)
+        df = pd.DataFrame(
+            {"doc_id": range(n), "lang": langs, "score": scores}
+        )
+        for n_buckets in (1, 3, 10):
+            got = group_quantile_split(
+                ds, n_buckets=n_buckets, group_col="lang"
+            ).to_pandas()
+            want = _bucket_replay(df, n_buckets)
+            assert len(got) == n
+            for _, row in got.iterrows():
+                assert (
+                    int(row.bucket) == want[(row.lang, int(row.doc_id))]
+                ), (row.lang, row.doc_id)
+
+    def test_all_ties_exercise_boundary_refinement(self, ray_session):
+        # every row in one group shares one score: every tercile
+        # boundary falls inside a salt cell, forcing the exact member
+        # ranking path
+        from pdf_extractor_ray.functions.selection import group_quantile_split
+
+        n = 300
+        langs = ["en"] * n
+        ds = _group_ds(ray_session, langs, [5] * n)
+        df = pd.DataFrame(
+            {"doc_id": range(n), "lang": langs, "score": [5] * n}
+        )
+        got = group_quantile_split(ds, n_buckets=3).to_pandas()
+        want = _bucket_replay(df, 3)
+        counts = got.bucket.value_counts().to_dict()
+        assert counts == {0: 100, 1: 100, 2: 100}
+        for _, row in got.iterrows():
+            assert int(row.bucket) == want[("en", int(row.doc_id))]
+
+    def test_uneven_group_sizes(self, ray_session):
+        from pdf_extractor_ray.functions.selection import group_quantile_split
+
+        # group sizes not divisible by n_buckets: 7 and 5 rows into 3
+        langs = ["a"] * 7 + ["b"] * 5
+        scores = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        ds = _group_ds(ray_session, langs, scores)
+        df = pd.DataFrame(
+            {"doc_id": range(12), "lang": langs, "score": scores}
+        )
+        got = group_quantile_split(ds, n_buckets=3).to_pandas()
+        want = _bucket_replay(df, 3)
+        for _, row in got.iterrows():
+            assert int(row.bucket) == want[(row.lang, int(row.doc_id))]
+        # a: 7 rows -> 3/2/2; b: 5 rows -> 2/2/1
+        a = got[got.lang == "a"].bucket.value_counts().to_dict()
+        b = got[got.lang == "b"].bucket.value_counts().to_dict()
+        assert a == {0: 3, 1: 2, 2: 2}
+        assert b == {0: 2, 1: 2, 2: 1}
+
+    def test_empty_input(self, ray_session):
+        from pdf_extractor_ray.functions.selection import group_quantile_split
+
+        ds = _group_ds(ray_session, [], [])
+        assert group_quantile_split(ds, n_buckets=3).count() == 0
+
+    def test_n_buckets_validation(self, ray_session):
+        from pdf_extractor_ray.functions.selection import group_quantile_split
+
+        ds = _group_ds(ray_session, ["en"], [1])
+        with pytest.raises(ValueError):
+            group_quantile_split(ds, n_buckets=0)
