@@ -449,6 +449,40 @@ def _q_frontier_schedule(sf_dir: str):
     )
 
 
+def _q_url_templates(sf_dir: str):
+    """Structural URL-template mining over a deterministic 5-pattern
+    x 7-host crawl frontier (product pages, dated blog posts, user
+    profiles, a static page, flat item files): every digit run in the
+    path collapses to '{n}', urls are counted per template, exact
+    global top-25 by (n DESC, template ASC). The oracle rebuilds the
+    urls from the same rule and replays the templating with
+    regexp_replace."""
+    from pdf_extractor_ray.functions.weburl import url_templates
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            p = d % 5
+            if p == 0:
+                path = f"/product/{d}/view"
+            elif p == 1:
+                path = f"/blog/2024/{d % 12 + 1:02d}/post-{d}"
+            elif p == 2:
+                path = f"/user/{d}/profile"
+            elif p == 3:
+                path = "/static/about"
+            else:
+                path = f"/item{d}.html"
+            urls.append(f"https://h{d % 7}.example.org{path}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return url_templates(
+        docs.map_batches(to_urls, batch_format="pyarrow"), k=25
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup over embeddings + planted exact copies: k-means
     bucket (data-point centroids = the 16 lowest vec_ids — SQL-
@@ -3656,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
+        "url_templates": _q_url_templates,
         "semantic_dedup": _q_semantic_dedup,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
@@ -5576,6 +5611,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host, priority, slot,
                    CAST(1700000000 + slot * 3 AS BIGINT) AS fetch_ts
             FROM r WHERE slot < 7
+        """,
+        # template = host || path-with-digit-runs-collapsed; exact
+        # top-25 by (n DESC, template ASC) — boundary ties are broken
+        # by the template string in both engines.
+        "url_templates": """
+            WITH u AS (
+                SELECT 'https://h' || (doc_id % 7) || '.example.org' ||
+                    CASE doc_id % 5
+                        WHEN 0 THEN '/product/' || doc_id || '/view'
+                        WHEN 1 THEN '/blog/2024/' ||
+                            lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                            || '/post-' || doc_id
+                        WHEN 2 THEN '/user/' || doc_id || '/profile'
+                        WHEN 3 THEN '/static/about'
+                        ELSE '/item' || doc_id || '.html'
+                    END AS url
+                FROM documents),
+            t AS (
+                SELECT regexp_extract(url,
+                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)([^?#]*)', 1)
+                    || regexp_replace(
+                        regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://([^/:?#]+)([^?#]*)', 2),
+                        '[0-9]+', '{n}', 'g') AS template
+                FROM u)
+            SELECT template, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY template
+            ORDER BY n DESC, template ASC
+            LIMIT 25
         """,
         "link_graph": """
             WITH l AS (

@@ -46,6 +46,7 @@ __all__ = [
     "cap_per_domain",
     "filter_blocked_domains",
     "frontier_schedule",
+    "url_templates",
 ]
 
 # pc.extract_regex requires NAMED groups (unnamed groups raise)
@@ -191,6 +192,73 @@ def _blocked_value_set(ref) -> pa.Array:
         _BLOCK_CACHE.clear()  # one live blocklist per worker is enough
         _BLOCK_CACHE[key] = pa.array(ray.get(ref), pa.string())
     return _BLOCK_CACHE[key]
+
+
+# pc.extract_regex requires named groups; path stops at query/fragment
+_HOST_PATH_RE = (
+    r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)(?P<path>[^?#]*)"
+)
+
+
+def url_templates(
+    ds: ray.data.Dataset, url_col: str = "url", k: int = 25
+) -> ray.data.Dataset:
+    """Structural URL-template mining: collapse every digit run in the
+    PATH to ``{n}`` (host kept verbatim), count urls per resulting
+    template, return the exact global top-``k`` by (n DESC, template
+    ASC).
+
+    Crawl curation uses this to find the site sections that dominate a
+    crawl (``/product/{n}/view`` vs ``/blog/{n}/{n}/post-{n}``) so
+    quotas/blocklists can act on page *templates* instead of raw urls
+    — raw-url frequency is useless when every product page has a
+    unique id. The reference has no corpus-level URL surface; this is
+    a corpus-scale extension operator (SURVEY.md §8.4).
+
+    Scale shape mirrors ``word_topk``/``domain_counts``: the template
+    extraction is zero-copy Arrow regex per batch, each batch
+    collapses to one row per distinct template (a bounded set — that
+    is the point of templating) before ONE coarse template-bucket
+    exchange; each bucket merges and prunes to its own top-k (the
+    global top-k is a subset of the union of bucket top-ks), so the
+    final sort sees at most 512*k rows. Urls without a parseable host
+    are dropped.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            batch[url_col].combine_chunks()
+            if isinstance(batch[url_col], pa.ChunkedArray)
+            else batch[url_col],
+            _HOST_PATH_RE,
+        )
+        host = pc.struct_field(ex, ["host"])
+        path = pc.replace_substring_regex(
+            pc.struct_field(ex, ["path"]), r"[0-9]+", "{n}"
+        )
+        tpl = pc.binary_join_element_wise(host, path, "")
+        vc = tpl.drop_null().to_pandas().value_counts()
+        tpls = vc.index.to_numpy()
+        return pa.table(
+            {
+                "template": pa.array(tpls.astype(str)),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+                "_bucket": pa.array(_host_bucket(tpls)),
+            }
+        )
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("template", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(
+            ["n", "template"], ascending=[False, True]
+        ).head(k)
+
+    agg = (
+        coalesce_for_exchange(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+    return agg.sort(["n", "template"], descending=[True, False]).limit(k)
 
 
 def frontier_schedule(

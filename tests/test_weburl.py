@@ -307,3 +307,63 @@ class TestFrontierSchedule:
         full = self._collect(frontier_schedule(ds, delay_s=2))
         expect = [r for r in full if r["slot"] < 4]
         assert capped == expect
+
+
+class TestUrlTemplates:
+    def _collect(self, ds) -> list[dict]:
+        return ds.to_pandas().to_dict("records")
+
+    def test_digit_collapse_and_topk(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.weburl import url_templates
+
+        rows = (
+            [{"url": f"https://a.ex/product/{i}/view"} for i in range(5)]
+            + [{"url": f"https://a.ex/user/{i}/profile"} for i in range(3)]
+            + [{"url": "https://a.ex/static/about"}] * 2
+            + [{"url": f"https://b.ex/item{i}.html"} for i in range(3)]
+        )
+        ds = ray.data.from_items(rows).repartition(4)
+        got = self._collect(url_templates(ds, k=10))
+        assert got == [
+            {"template": "a.ex/product/{n}/view", "n": 5},
+            {"template": "a.ex/user/{n}/profile", "n": 3},
+            {"template": "b.ex/item{n}.html", "n": 3},
+            {"template": "a.ex/static/about", "n": 2},
+        ]
+
+    def test_k_boundary_tie_broken_by_template(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.weburl import url_templates
+
+        rows = [
+            {"url": f"https://h{h}.ex/p/{i}"}
+            for h in range(6)
+            for i in range(4)
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        got = self._collect(url_templates(ds, k=3))
+        # all six templates tie at n=4; template ASC picks h0,h1,h2
+        assert [r["template"] for r in got] == [
+            "h0.ex/p/{n}",
+            "h1.ex/p/{n}",
+            "h2.ex/p/{n}",
+        ]
+
+    def test_junk_urls_dropped(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.weburl import url_templates
+
+        rows = [
+            {"url": "not a url"},
+            {"url": ""},
+            {"url": "https://ok.ex/a/1"},
+            {"url": "https://ok.ex/a/2?q=3#frag"},
+        ]
+        ds = ray.data.from_items(rows)
+        got = self._collect(url_templates(ds, k=5))
+        # query/fragment excluded from the path before templating
+        assert got == [{"template": "ok.ex/a/{n}", "n": 2}]
