@@ -333,7 +333,9 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
-def _content_pages(sf_dir: str) -> ray.data.Dataset:
+def _content_pages(
+    sf_dir: str, curation_head: bool = False
+) -> ray.data.Dataset:
     """Documents rendered as full pages with deterministic boilerplate
     for the main-content extractor: a nav block of 3+d%4 pure-link
     words, an ``<h1>Doc d</h1>``, the doc text split into paragraphs
@@ -342,7 +344,14 @@ def _content_pages(sf_dir: str) -> ray.data.Dataset:
     words — plus a script-body paragraph decoy and a comment decoy
     that a correct tokenizer never sees. Every block's word count and
     link-word count (hence the whole WSDM-2010 decision tree) is a
-    pure function of (doc_id, text) the oracle replays."""
+    pure function of (doc_id, text) the oracle replays.
+
+    With ``curation_head=True`` (the web_curation composite), urls
+    spread over 11 hosts and each page gains a ``<head>`` with a
+    title plus — for every 13th doc — a robots-noindex meta. The
+    ``<head>`` subtree is invisible to the block classifier
+    (kernel/content_extract.py ``_SKIP_CONTENT``), so the block
+    oracle stack is IDENTICAL for both page shapes."""
     docs = ray.data.read_parquet(
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
@@ -367,10 +376,23 @@ def _content_pages(sf_dir: str) -> ray.data.Dataset:
             foot = " ".join(
                 f'<a href="/f{k}">foot{d}w{k}</a>' for k in range(2 + d % 3)
             )
-            urls.append(f"https://docs.example.org/{d:08d}")
+            if curation_head:
+                urls.append(f"https://h{d % 11}.example.org/d/{d:08d}")
+                head = (
+                    f"<head><title>Doc {d}</title>"
+                    + (
+                        '<meta name="robots" content="noindex">'
+                        if d % 13 == 0
+                        else ""
+                    )
+                    + "</head>"
+                )
+            else:
+                urls.append(f"https://docs.example.org/{d:08d}")
+                head = ""
             htmls.append(
                 (
-                    f'<html><body><div class="nav">{nav}</div>'
+                    f'<html>{head}<body><div class="nav">{nav}</div>'
                     f"<h1>Doc {d}</h1>"
                     "<script>var x='<p>decoy decoy decoy</p>';</script>"
                     "<!-- <p>comment decoy</p> -->"
@@ -446,6 +468,67 @@ def _q_frontier_schedule(sf_dir: str):
         delay_s=3,
         max_per_host=7,
         crawl_start=1_700_000_000,
+    )
+
+
+def _q_web_curation(sf_dir: str):
+    """The flagship web-curation composite, one streaming execution,
+    every stage a prior oracle-green operator: pages (11 hosts, head
+    metadata) -> robots-noindex gate (head-meta kernel; drops every
+    13th doc) -> WSDM-2010 main-content extraction -> quality gate
+    (content_words >= 40) -> per-host cap (20 docs/host by the
+    deterministic md5 rank, stat columns riding the exchange). The
+    oracle replays the whole chain: the content_blocks CTE stack ->
+    per-doc rollup -> the two gates -> a partitioned row_number cap.
+    main_md5 commits to the exact extracted bytes end-to-end."""
+    from pdf_extractor_ray.functions.content import main_content
+    from pdf_extractor_ray.functions.weburl import cap_per_domain
+    from pdf_extractor_ray.kernel.html_to_md import extract_head_meta
+
+    pages = _content_pages(sf_dir, curation_head=True)
+
+    def noindex_gate(batch: pa.Table) -> pa.Table:
+        keep = []
+        for h in batch["html"].to_pylist():
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else (h or "")
+            )
+            robots = (extract_head_meta(s)["robots"] or "").lower()
+            keep.append(
+                "noindex" not in robots.replace(" ", "").split(",")
+            )
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    mc = main_content(
+        pages.map_batches(noindex_gate, batch_format="pyarrow")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater_equal(
+                batch["content_words"], pa.scalar(40, pa.int64())
+            )
+        )
+        tail = pc.extract_regex(t["url"], r"/d/(?P<id>[0-9]+)$")
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.struct_field(tail, ["id"]), pa.int64()
+                ),
+                "url": t["url"],
+                "content_words": t["content_words"],
+                "main_md5": t["main_md5"],
+            }
+        )
+
+    return cap_per_domain(
+        mc.map_batches(finalize, batch_format="pyarrow"),
+        url_col="url",
+        id_col="doc_id",
+        k=20,
+        keep_cols=["content_words", "main_md5"],
     )
 
 
@@ -3691,6 +3774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
         "url_templates": _q_url_templates,
+        "web_curation": _q_web_curation,
         "semantic_dedup": _q_semantic_dedup,
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
@@ -5640,6 +5724,103 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY template
             ORDER BY n DESC, template ASC
             LIMIT 25
+        """,
+        # the flagship curation chain: the content_blocks stack (the
+        # <head> subtree is invisible to the classifier so the stack
+        # is unchanged), rolled up per doc, noindex gate (doc_id %
+        # 13), quality gate (content_words >= 40), then the per-host
+        # md5-rank cap as a partitioned row_number.
+        "web_curation": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n,
+                       11 + doc_id % 7 AS csz
+                FROM documents),
+            nav AS (
+                SELECT doc_id, 0 AS block_idx,
+                       3 + doc_id % 4 AS n_words,
+                       3 + doc_id % 4 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(3 + doc_id % 4),
+                               k -> 'nav' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            h1 AS (
+                SELECT doc_id, 1 AS block_idx, 2 AS n_words,
+                       0 AS n_link_words, 'Doc ' || doc_id AS text
+                FROM d),
+            paras AS (
+                SELECT doc_id, 2 + i AS block_idx,
+                       least(csz, n - i * csz) AS n_words,
+                       CASE WHEN (doc_id + i) % 5 = 0 THEN 1 ELSE 0 END
+                           AS n_link_words,
+                       array_to_string(
+                           ws[i * csz + 1 : least(n, (i + 1) * csz)],
+                           ' ') AS text
+                FROM d CROSS JOIN (SELECT unnest(range(10)) AS i) g
+                WHERE i * csz < n),
+            foot AS (
+                SELECT doc_id,
+                       2 + (n + csz - 1) // csz AS block_idx,
+                       2 + doc_id % 3 AS n_words,
+                       2 + doc_id % 3 AS n_link_words,
+                       list_aggregate(
+                           list_transform(range(2 + doc_id % 3),
+                               k -> 'foot' || doc_id || 'w' || k),
+                           'string_agg', ' ') AS text
+                FROM d),
+            blocks AS (
+                SELECT * FROM nav UNION ALL SELECT * FROM h1
+                UNION ALL SELECT * FROM paras UNION ALL SELECT * FROM foot),
+            feat AS (
+                SELECT doc_id, block_idx, n_words, n_link_words, text,
+                       COALESCE(LAG(n_words) OVER w, 0) AS prev_w,
+                       COALESCE(LAG(n_link_words) OVER w, 0) AS prev_l,
+                       COALESCE(LEAD(n_words) OVER w, 0) AS next_w
+                FROM blocks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
+            lab AS (
+                SELECT doc_id, block_idx, n_words, text,
+                       CASE WHEN 3 * n_link_words <= n_words THEN
+                           CASE WHEN 9 * prev_l <= 5 * prev_w THEN
+                               CASE WHEN n_words <= 16 THEN
+                                   CASE WHEN next_w <= 15
+                                        THEN CASE WHEN prev_w > 4
+                                                  THEN 1 ELSE 0 END
+                                        ELSE 1 END
+                               ELSE 1 END
+                           ELSE CASE WHEN n_words <= 40
+                                     THEN CASE WHEN next_w > 17
+                                               THEN 1 ELSE 0 END
+                                     ELSE 1 END
+                           END
+                       ELSE 0 END AS is_content
+                FROM feat),
+            mc AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN is_content = 1 THEN n_words
+                                     ELSE 0 END) AS BIGINT)
+                           AS content_words,
+                       md5(COALESCE(string_agg(
+                           CASE WHEN is_content = 1 THEN text END,
+                           chr(10) || chr(10) ORDER BY block_idx), ''))
+                           AS main_md5
+                FROM lab GROUP BY doc_id),
+            gated AS (
+                SELECT * FROM mc
+                WHERE doc_id % 13 <> 0 AND content_words >= 40),
+            ranked AS (
+                SELECT doc_id,
+                       'h' || (doc_id % 11) || '.example.org' AS host,
+                       content_words, main_md5,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 11
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn
+                FROM gated)
+            SELECT doc_id, host, content_words, main_md5
+            FROM ranked WHERE rn <= 20
         """,
         "link_graph": """
             WITH l AS (

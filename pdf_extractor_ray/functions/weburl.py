@@ -114,15 +114,23 @@ def cap_per_domain(
     url_col: str = "url",
     id_col: str = "doc_id",
     k: int = 5,
+    keep_cols: Optional[list[str]] = None,
 ) -> ray.data.Dataset:
     """Keep at most ``k`` docs per host, chosen by the deterministic
-    md5 rank order. Output: Dataset[doc_id, host]."""
+    md5 rank order. Output: Dataset[doc_id, host, *keep_cols] —
+    ``keep_cols`` rides through both exchanges unchanged so a
+    composite chain can cap without a join back to its stats."""
+    keep_cols = list(keep_cols or [])
 
     def local_prune(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "doc_id": batch[id_col].to_numpy(zero_copy_only=False),
                 "host": _host_array(batch[url_col]).to_pandas(),
+                **{
+                    c: batch[c].to_numpy(zero_copy_only=False)
+                    for c in keep_cols
+                },
             }
         )
         df["_rk"] = _rank_keys(df["doc_id"])
@@ -145,7 +153,7 @@ def cap_per_domain(
             .groupby("host", sort=False)
             .head(k)
         )
-        return kept[["doc_id", "host"]]
+        return kept[["doc_id", "host"] + keep_cols]
 
     return (
         coalesce_for_exchange(

@@ -367,3 +367,40 @@ class TestUrlTemplates:
         got = self._collect(url_templates(ds, k=5))
         # query/fragment excluded from the path before templating
         assert got == [{"template": "ok.ex/a/{n}", "n": 2}]
+
+
+def test_cap_per_domain_keep_cols(ray_session):
+    import hashlib
+
+    import ray
+
+    from pdf_extractor_ray.functions.weburl import cap_per_domain
+
+    rows = [
+        {
+            "doc_id": i,
+            "url": f"https://h{i % 3}.ex/p/{i}",
+            "score": i * 10,
+            "tag": f"t{i}",
+        }
+        for i in range(30)
+    ]
+    ds = ray.data.from_items(rows).repartition(6)
+    got = (
+        cap_per_domain(ds, k=4, keep_cols=["score", "tag"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["doc_id", "host", "score", "tag"]
+    # survivors = per-host top-4 by md5(str(doc_id)); stat columns intact
+    by_host: dict = {}
+    for i in range(30):
+        by_host.setdefault(f"h{i % 3}.ex", []).append(i)
+    want = set()
+    for h, ids in by_host.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update(ids[:4])
+    assert set(got.doc_id) == want
+    for _, r in got.iterrows():
+        assert r.score == r.doc_id * 10 and r.tag == f"t{r.doc_id}"
