@@ -333,6 +333,86 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _dated_pages(sf_dir: str) -> ray.data.Dataset:
+    """Documents wrapped in pages whose publication date is recoverable
+    through exactly one stage of the htmldate cascade, by doc_id%4:
+    0 -> a machine-readable meta (full ISO timestamp; a conflicting
+    <time> with the NEXT day rides along — on every 8th doc BEFORE the
+    meta — so a green hash proves class priority, not document order);
+    1 -> only a <time datetime> (plus a meta decoy dated 2050 that the
+    plausibility gate must reject to fall through); 2 -> no markup
+    date, but a /YYYY/M/D/ path in the url (unpadded, testing the
+    %d parse); 3 -> nothing. Every page carries a script-body meta and
+    a comment meta decoy dated 1999 that the tokenizer must not see.
+    The true date is a pure function of doc_id: year 2001+d%24,
+    month 1+(7d)%12, day 1+(11d)%28."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            y, mo, da = 2001 + d % 24, 1 + (7 * d) % 12, 1 + (11 * d) % 28
+            iso = f"{y:04d}-{mo:02d}-{da:02d}"
+            branch = d % 4
+            if branch == 2:
+                url = (
+                    f"https://h{d % 11}.example.org/{y}/{mo}/{da}/"
+                    f"post-{d}.html"
+                )
+            else:
+                url = f"https://h{d % 11}.example.org/posts/{d}.html"
+            body = ""
+            if branch == 0:
+                meta = (
+                    f'<meta property="article:published_time" '
+                    f'content="{iso}T08:30:00+00:00">'
+                    if d % 8
+                    else f'<meta content="{iso}T08:30:00+00:00" '
+                    f'property="ARTICLE:PUBLISHED_TIME">'
+                )
+                conflict = (
+                    f'<time datetime="{y:04d}-{mo:02d}-{da + 1:02d}">'
+                    "updated</time>"
+                )
+                body = conflict + meta if d % 8 == 0 else meta + conflict
+            elif branch == 1:
+                body = (
+                    '<meta name="date" content="2050-01-01">'
+                    f'<time datetime="{iso}">published</time>'
+                )
+            urls.append(url)
+            htmls.append(
+                (
+                    "<html><head>"
+                    "<!-- <meta name=date content=1999-01-01> -->"
+                    f"<title>Doc {d}</title></head><body>{body}"
+                    "<script>var m='<meta name=\"date\" "
+                    "content=\"1999-12-31\">';</script>"
+                    f"<p>Doc {d} body</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_date_extract(sf_dir: str):
+    """Publication-date extraction (htmldate-style cascade: meta >
+    <time> > URL path, per-source plausibility gate). The oracle
+    recomputes date and source from the wrapper's doc_id arithmetic;
+    a green hash proves the parser read the right source on every
+    branch, rejected the 2050 decoy, never saw the script/comment
+    metas, and zero-padded the URL-path date."""
+    from pdf_extractor_ray.functions.webgraph import page_pub_dates
+
+    return page_pub_dates(_dated_pages(sf_dir))
+
+
 def _content_pages(
     sf_dir: str, curation_head: bool = False
 ) -> ray.data.Dataset:
@@ -3770,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_piece_hist": _q_bpe_piece_hist,
         "bpe_train": _q_bpe_train,
         "head_meta": _q_head_meta,
+        "date_extract": _q_date_extract,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5476,6 +5557,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
+        """,
+        "date_extract": """
+            WITH d AS (
+                SELECT doc_id,
+                       2001 + doc_id % 24 AS y,
+                       1 + (7 * doc_id) % 12 AS mo,
+                       1 + (11 * doc_id) % 28 AS da
+                FROM documents)
+            SELECT CASE WHEN doc_id % 4 = 2
+                        THEN 'https://h' || (doc_id % 11)
+                             || '.example.org/' || y || '/' || mo || '/'
+                             || da || '/post-' || doc_id || '.html'
+                        ELSE 'https://h' || (doc_id % 11)
+                             || '.example.org/posts/' || doc_id || '.html'
+                   END AS url,
+                   CASE WHEN doc_id % 4 = 3 THEN ''
+                        ELSE y || '-' || lpad(CAST(mo AS VARCHAR), 2, '0')
+                               || '-' || lpad(CAST(da AS VARCHAR), 2, '0')
+                   END AS pub_date,
+                   CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+                        WHEN 2 THEN 'url' ELSE '' END AS date_source
+            FROM d
         """,
         # main-content extraction: the oracle rebuilds each page's
         # block sequence (nav / h1 / paragraphs / footer with the

@@ -26,7 +26,9 @@ from pdf_extractor_ray.functions.common import (
 )
 from pdf_extractor_ray.kernel.html_to_md import extract_anchors
 
-__all__ = ["extract_links", "anchor_stats", "page_head_meta"]
+__all__ = [
+    "extract_links", "anchor_stats", "page_head_meta", "page_pub_dates",
+]
 
 
 def extract_links(
@@ -178,3 +180,42 @@ def page_head_meta(
         )
 
     return ds.map_batches(metas, batch_format="pyarrow")
+
+
+def page_pub_dates(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """One row per page: ``(url, pub_date, date_source)`` from the
+    htmldate-style cascade (:func:`extract_pub_date` — meta > <time>
+    > URL-path, implausible dates rejected per source). Pure streaming
+    map_batches; pages with no recoverable date emit empty strings so
+    downstream freshness joins stay NULL-free."""
+    from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+    def dates(batch: pa.Table) -> pa.Table:
+        urls, dts, srcs = [], [], []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            d, src = extract_pub_date(s, u or "")
+            urls.append(u)
+            dts.append(d)
+            srcs.append(src)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pub_date": pa.array(dts, pa.string()),
+                "date_source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(dates, batch_format="pyarrow")

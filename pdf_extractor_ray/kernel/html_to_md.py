@@ -43,6 +43,7 @@ __all__ = [
     "strip_html_tags",
     "extract_anchors",
     "extract_head_meta",
+    "extract_pub_date",
 ]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
@@ -479,3 +480,101 @@ def extract_head_meta(html: str) -> dict:
                 ).strip()
                 title_parts = None
     return out
+
+
+# -- publication-date extraction (htmldate-style cascade) -------------
+#
+# Behavioral spec: trafilatura/htmldate recover a publication date from
+# web pages by a fixed-priority cascade — machine-readable metadata
+# first (article:published_time / name=date / dcterms.date /
+# itemprop=datePublished), then a visible <time datetime=...> element,
+# then a /YYYY/MM/DD/ segment in the URL path. The reference repo's
+# metadata extractor keeps a per-document `date` field with no
+# populated source (SURVEY §2.2 M9); this kernel supplies the web-side
+# population rule. Priority is by SOURCE CLASS (meta > time > url),
+# first occurrence within a class, regardless of document order — a
+# <time> tag appearing before the meta cannot shadow it.
+
+_DATE_META_KEYS = frozenset(
+    ("article:published_time", "date", "dcterms.date", "datepublished")
+)
+_ISO_PREFIX_RE = re.compile(r"^\s*(\d{4})-(\d{2})-(\d{2})")
+_URL_DATE_RE = re.compile(r"/((?:19|20)\d{2})/(\d{1,2})/(\d{1,2})(?=/|$)")
+_DAYS_IN_MONTH = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid_ymd(y: int, mo: int, da: int) -> bool:
+    """Sanity window for web publication dates. February accepts 29
+    unconditionally (leap arithmetic buys nothing for a plausibility
+    gate; a false Feb-29 is as plausible as the page claims)."""
+    return (
+        1990 <= y <= 2035
+        and 1 <= mo <= 12
+        and 1 <= da <= _DAYS_IN_MONTH[mo - 1]
+    )
+
+
+def _iso_or_none(value: str | None) -> str | None:
+    if not value:
+        return None
+    m = _ISO_PREFIX_RE.match(value)
+    if m is None:
+        return None
+    y, mo, da = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not _valid_ymd(y, mo, da):
+        return None
+    return f"{y:04d}-{mo:02d}-{da:02d}"
+
+
+def extract_pub_date(html: str, url: str = "") -> tuple[str, str]:
+    """``(iso_date, source)`` for a page, ``("", "")`` when nothing
+    matches. ``source`` is one of ``meta`` / ``time`` / ``url``.
+
+    Same tokenizer and raw-text skipping as :func:`extract_head_meta`:
+    a date-bearing meta tag inside a ``<script>`` body or an HTML
+    comment is invisible; attribute order, quote style and tag case
+    don't matter. Meta values and ``datetime`` attributes may carry a
+    full ISO timestamp — only the leading ``YYYY-MM-DD`` is taken, and
+    implausible dates (outside 1990..2035 or a nonexistent day) are
+    rejected so the cascade can fall through to the next source.
+    """
+    meta_date: str | None = None
+    time_date: str | None = None
+    pos = 0
+    n = len(html)
+    while pos < n and meta_date is None:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
+        open_name, open_attrs = m.group(3), m.group(4)
+        pos = m.end()
+        if not open_name:
+            continue
+        tag = open_name.lower()
+        if tag in _RAW_TEXT:
+            mc = _RAW_CLOSE_RE[tag].search(html, pos)
+            pos = mc.end() if mc else n
+        elif tag == "meta":
+            attrs = _parse_attrs(open_attrs or "")
+            key = (
+                attrs.get("property")
+                or attrs.get("name")
+                or attrs.get("itemprop")
+                or ""
+            ).lower()
+            if key in _DATE_META_KEYS:
+                meta_date = _iso_or_none(attrs.get("content"))
+        elif tag == "time" and time_date is None:
+            time_date = _iso_or_none(
+                _parse_attrs(open_attrs or "").get("datetime")
+            )
+    if meta_date:
+        return meta_date, "meta"
+    if time_date:
+        return time_date, "time"
+    mu = _URL_DATE_RE.search(url)
+    if mu:
+        y, mo, da = int(mu.group(1)), int(mu.group(2)), int(mu.group(3))
+        if _valid_ymd(y, mo, da):
+            return f"{y:04d}-{mo:02d}-{da:02d}", "url"
+    return "", ""

@@ -165,3 +165,82 @@ class TestExtractHeadMeta:
 
         m = extract_head_meta("<title>never closed <p>rest of page")
         assert m["title"] is None
+
+
+class TestExtractPubDate:
+    """htmldate-style cascade: meta > <time> > URL path, per-source
+    plausibility gate, decoy invisibility."""
+
+    def test_meta_beats_time_regardless_of_order(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        html = (
+            '<time datetime="2021-03-06">u</time>'
+            '<meta property="article:published_time" '
+            'content="2021-03-05T08:30:00+00:00">'
+        )
+        assert extract_pub_date(html) == ("2021-03-05", "meta")
+
+    def test_meta_key_variants_and_case(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        for attr in (
+            'property="ARTICLE:PUBLISHED_TIME"',
+            'name="date"',
+            'name="dcterms.date"',
+            'itemprop="datePublished"',
+        ):
+            html = f'<META {attr} content="2010-01-02">'
+            assert extract_pub_date(html) == ("2010-01-02", "meta"), attr
+
+    def test_implausible_meta_falls_through_to_time(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        html = (
+            '<meta name="date" content="2050-01-01">'
+            '<time datetime="2019-12-31">x</time>'
+        )
+        assert extract_pub_date(html) == ("2019-12-31", "time")
+
+    def test_url_path_fallback_unpadded_and_bounds(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        assert extract_pub_date(
+            "<html></html>", "https://h.example/2020/7/4/post.html"
+        ) == ("2020-07-04", "url")
+        # day 32 / month 13 / pre-1990 rejected
+        for u in (
+            "https://h/2020/1/32/x",
+            "https://h/2020/13/1/x",
+            "https://h/1989/1/1/x",
+        ):
+            assert extract_pub_date("<html></html>", u) == ("", "")
+
+    def test_script_and_comment_decoys_invisible(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        html = (
+            "<!-- <meta name=date content=1999-01-01> -->"
+            "<script>var m='<meta name=\"date\" "
+            "content=\"1999-12-31\">';</script>"
+        )
+        assert extract_pub_date(html) == ("", "")
+
+    def test_first_valid_meta_wins(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        html = (
+            '<meta name="date" content="2011-05-06">'
+            '<meta name="date" content="2012-07-08">'
+        )
+        assert extract_pub_date(html) == ("2011-05-06", "meta")
+
+    def test_nonexistent_day_rejected(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        assert extract_pub_date(
+            '<meta name="date" content="2021-04-31">'
+        ) == ("", "")
+        assert extract_pub_date(
+            '<meta name="date" content="2021-02-29">'
+        ) == ("2021-02-29", "meta")
