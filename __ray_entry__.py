@@ -401,6 +401,70 @@ def _dated_pages(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
+def _sniff_pages(sf_dir: str) -> ray.data.Dataset:
+    """Fetch bodies exercising every lane of the charset/content-type
+    sniff cascade, by doc_id%6: 0 -> UTF-8 BOM html carrying a LYING
+    ``<meta charset=iso-8859-1>`` the BOM must override; 1 -> UTF-16LE
+    BOM html with a non-ASCII word; 2 -> windows-1252 html whose meta
+    declaration is the ONLY correct decode (bytes 0x93/0x94 are smart
+    quotes in cp1252 but control chars under the latin-1 fallback — a
+    matching hash proves detection, not luck); 3 -> bare utf-8 plain
+    text; 4 -> a %PDF- binary; 5 -> a PNG binary. Binary junk bytes
+    never surface in the output columns."""
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_bodies(batch: pa.Table) -> pa.Table:
+        urls, bodies = [], []
+        for d, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            branch = d % 6
+            if branch == 0:
+                s = (
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    f"<body><p>{t}</p></body></html>"
+                )
+                body = b"\xef\xbb\xbf" + s.encode("utf-8")
+            elif branch == 1:
+                s = f"<html><body><p>{t} café</p></body></html>"
+                body = b"\xff\xfe" + s.encode("utf-16-le")
+            elif branch == 2:
+                s = (
+                    '<html><head><meta charset="windows-1252"></head>'
+                    f"<body><p>{t} “quoted”</p></body></html>"
+                )
+                body = s.encode("windows-1252")
+            elif branch == 3:
+                body = t.encode("utf-8")
+            elif branch == 4:
+                body = b"%PDF-1.7\n" + bytes([d % 256, 0, 255, 7])
+            else:
+                body = b"\x89PNG\r\n\x1a\n" + bytes([d % 256, 254])
+            urls.append(f"https://fetch.example.org/{d:08d}")
+            bodies.append(body)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(bodies, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_bodies, batch_format="pyarrow")
+
+
+def _q_charset_sniff(sf_dir: str):
+    """Content-type + charset sniffing over raw fetch bodies (magic >
+    BOM > meta declaration > utf-8/latin-1 fallback). The oracle
+    rebuilds each branch's logical decoded string in SQL and compares
+    md5 + codepoint length — the cp1252 branch only matches if the
+    meta-declared codec actually drove the decode."""
+    from pdf_extractor_ray.functions.webclean import sniff_bodies
+
+    return sniff_bodies(_sniff_pages(sf_dir))
+
+
 def _q_date_extract(sf_dir: str):
     """Publication-date extraction (htmldate-style cascade: meta >
     <time> > URL path, per-source plausibility gate). The oracle
@@ -3851,6 +3915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "head_meta": _q_head_meta,
         "date_extract": _q_date_extract,
+        "charset_sniff": _q_charset_sniff,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5557,6 +5622,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
+        """,
+        "charset_sniff": """
+            WITH s AS (
+                SELECT doc_id,
+                       'https://fetch.example.org/'
+                           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                       CASE doc_id % 6
+                           WHEN 0 THEN '<html><head>'
+                               || '<meta charset="iso-8859-1"></head>'
+                               || '<body><p>' || text || '</p></body></html>'
+                           WHEN 1 THEN '<html><body><p>' || text
+                               || ' café</p></body></html>'
+                           WHEN 2 THEN '<html><head>'
+                               || '<meta charset="windows-1252"></head>'
+                               || '<body><p>' || text
+                               || ' “quoted”</p></body></html>'
+                           WHEN 3 THEN text
+                           ELSE '' END AS logical_text
+                FROM documents)
+            SELECT url,
+                   CASE doc_id % 6
+                       WHEN 3 THEN 'text/plain'
+                       WHEN 4 THEN 'application/pdf'
+                       WHEN 5 THEN 'image/png'
+                       ELSE 'text/html' END AS content_type,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-16-le'
+                       WHEN 2 THEN 'windows-1252'
+                       WHEN 3 THEN 'utf-8'
+                       ELSE '' END AS charset,
+                   CAST(length(logical_text) AS BIGINT) AS n_chars,
+                   CASE WHEN logical_text = '' THEN ''
+                        ELSE md5(logical_text) END AS text_md5
+            FROM s
         """,
         "date_extract": """
             WITH d AS (

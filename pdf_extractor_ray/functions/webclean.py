@@ -35,6 +35,7 @@ __all__ = [
     "c4_stats",
     "robots_gate",
     "robots_gate_broadcast",
+    "sniff_bodies",
 ]
 
 # scheme://host[:port]/path[?query][#fragment] — host may be empty,
@@ -337,3 +338,48 @@ def robots_gate_broadcast(
         return batch.append_column("allowed", pa.array(allowed, pa.int64()))
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def sniff_bodies(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    body_col: str = "html",
+) -> ray.data.Dataset:
+    """Classify and decode raw fetch bodies: one row per input with
+    ``(url, content_type, charset, n_chars, text_md5)`` from the
+    WHATWG-style sniff cascade (:mod:`kernel.sniff` — magic numbers >
+    BOM > in-document ``<meta charset>`` > utf-8/latin-1 fallback).
+
+    The decoded text itself is NOT emitted — at 100 TB this operator
+    is the router in front of the extraction lanes, and the lanes
+    re-decode from the (still zero-copy) binary column; emitting both
+    would double the exchange volume. ``text_md5`` pins the decode
+    result for the correctness gate; binary payloads emit ''/0."""
+    from pdf_extractor_ray.kernel.sniff import sniff_payload
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        urls, ctypes, charsets, n_chars, md5s = [], [], [], [], []
+        for u, b in zip(
+            batch[url_col].to_pylist(), batch[body_col].to_pylist()
+        ):
+            r = sniff_payload(b)
+            urls.append(u)
+            ctypes.append(r.content_type)
+            charsets.append(r.charset)
+            n_chars.append(len(r.text))
+            md5s.append(
+                hashlib.md5(r.text.encode("utf-8")).hexdigest()
+                if r.text
+                else ""
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "content_type": pa.array(ctypes, pa.string()),
+                "charset": pa.array(charsets, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(sniff, batch_format="pyarrow")
