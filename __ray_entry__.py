@@ -454,6 +454,95 @@ def _sniff_pages(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_bodies, batch_format="pyarrow")
 
 
+def _sitemap_docs(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(sitemaps, crawled) pair for frontier discovery. Every doc with
+    d%5!=0 publishes a <urlset> sitemap listing the page URLs of docs
+    {d, (d+1)%N, (d+7)%N} — whitespace-padded locs on odd d, a
+    CDATA-wrapped loc on d%3==0, sm:-namespace-prefixed tags on
+    d%7==0, and a comment-decoy loc on every sitemap. Docs with
+    d%5==0 publish a <sitemapindex> instead (child-sitemap refs only:
+    zero page discoveries — the classifier must not count them).
+    The crawled set is the pages of docs with d%3==0."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n_docs = docs.max("doc_id") + 1  # scalar driver state: one int
+
+    def page(e: int) -> str:
+        return f"https://site.example.org/page/{e}"
+
+    def to_sitemaps(batch: pa.Table) -> pa.Table:
+        urls, xmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            urls.append(f"https://h{d % 11}.example.org/sitemap-{d}.xml")
+            if d % 5 == 0:
+                xmls.append(
+                    "<?xml version='1.0'?><sitemapindex>"
+                    "<!-- <loc>https://decoy.example/idx</loc> -->"
+                    f"<sitemap><loc>https://h{d % 11}.example.org/"
+                    f"sitemap-{d}-child.xml</loc>"
+                    "<lastmod>2020-01-01</lastmod></sitemap>"
+                    "</sitemapindex>"
+                )
+                continue
+            p = "sm:" if d % 7 == 0 else ""
+            ns = (
+                ' xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                if p
+                else ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+            )
+            entries = []
+            for e in (d, (d + 1) % n_docs, (d + 7) % n_docs):
+                loc = page(e)
+                if d % 3 == 0:
+                    inner = f"<![CDATA[{loc}]]>"
+                elif d % 2 == 1:
+                    inner = f"\n  {loc} \n"
+                else:
+                    inner = loc
+                entries.append(
+                    f"<{p}url><{p}loc>{inner}</{p}loc>"
+                    f"<{p}priority>0.5</{p}priority></{p}url>"
+                )
+            xmls.append(
+                f"<?xml version='1.0'?><{p}urlset{ns}>"
+                "<!-- <loc>https://decoy.example/page</loc> -->"
+                + "".join(entries)
+                + f"</{p}urlset>"
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "xml": pa.array(
+                    [x.encode("utf-8") for x in xmls], pa.binary()
+                ),
+            }
+        )
+
+    def to_crawled(batch: pa.Table) -> pa.Table:
+        urls = [
+            page(d)
+            for d in batch["doc_id"].to_pylist()
+            if d % 3 == 0
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return (
+        docs.map_batches(to_sitemaps, batch_format="pyarrow"),
+        docs.map_batches(to_crawled, batch_format="pyarrow"),
+    )
+
+
+def _q_sitemap_discover(sf_dir: str):
+    """Sitemap-based frontier discovery: parse urlset/sitemapindex XML
+    (comments, CDATA, namespace prefixes), count listings per page
+    URL, anti-join the crawled set in one hash-bucket exchange. The
+    oracle regenerates the three-loc listing rule per publishing doc
+    and the d%3==0 crawled set in pure arithmetic."""
+    from pdf_extractor_ray.functions.weburl import sitemap_discover
+
+    sitemaps, crawled = _sitemap_docs(sf_dir)
+    return sitemap_discover(sitemaps, crawled)
+
+
 def _q_charset_sniff(sf_dir: str):
     """Content-type + charset sniffing over raw fetch bodies (magic >
     BOM > meta declaration > utf-8/latin-1 fallback). The oracle
@@ -3916,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_meta": _q_head_meta,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
+        "sitemap_discover": _q_sitemap_discover,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5622,6 +5712,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
+        """,
+        "sitemap_discover": """
+            WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+            pub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 0),
+            gen AS (
+                SELECT d, d AS e FROM pub
+                UNION ALL SELECT d, (d + 1) % nn FROM pub, n
+                UNION ALL SELECT d, (d + 7) % nn FROM pub, n)
+            SELECT 'https://site.example.org/page/' || e AS url,
+                   count(*) AS n_listings
+            FROM gen WHERE e % 3 <> 0
+            GROUP BY e
         """,
         "charset_sniff": """
             WITH s AS (

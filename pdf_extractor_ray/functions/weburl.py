@@ -47,6 +47,7 @@ __all__ = [
     "filter_blocked_domains",
     "frontier_schedule",
     "url_templates",
+    "sitemap_discover",
 ]
 
 # pc.extract_regex requires NAMED groups (unnamed groups raise)
@@ -340,3 +341,82 @@ def frontier_schedule(
         .groupby("_bucket")
         .map_groups(schedule, batch_format="pandas")
     )
+
+
+def sitemap_discover(
+    sitemaps: ray.data.Dataset,
+    crawled: ray.data.Dataset,
+    xml_col: str = "xml",
+    crawled_url_col: str = "url",
+) -> ray.data.Dataset:
+    """Crawl-frontier discovery from sitemap documents: parse every
+    sitemap (:func:`kernel.sitemap.parse_sitemap` — comments/CDATA/
+    namespace-prefix aware), keep the page-URL entries, and anti-join
+    against the already-crawled URL set. One row per UNcrawled URL:
+    ``(url, n_listings)`` — how many sitemaps list it (a freshness /
+    priority signal for the frontier scheduler).
+
+    Scale shape: both sides map to narrow ``(url, src)`` partial rows
+    (sitemap locs pre-counted per batch, so the exchange carries one
+    row per distinct loc per batch, not per listing), then ONE
+    hash-bucket groupby does count + anti-join together. The crawled
+    side ships url-only rows — never page bodies — and nothing lands
+    on the driver. At 100 TB the crawled set is far too big to
+    broadcast; this is the hash-partitioned variant by construction.
+    """
+    from pdf_extractor_ray.kernel.sitemap import parse_sitemap
+
+    def locs(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for x in batch[xml_col].to_pylist():
+            if not x:
+                continue
+            s = (
+                x.decode("utf-8", errors="replace")
+                if isinstance(x, (bytes, bytearray))
+                else x
+            )
+            for kind, loc in parse_sitemap(s):
+                if kind == "url":
+                    counts[loc] = counts.get(loc, 0) + 1
+        return pa.table(
+            {
+                "url": pa.array(list(counts), pa.string()),
+                "n_listings": pa.array(list(counts.values()), pa.int64()),
+                "crawled": pa.array([0] * len(counts), pa.int64()),
+            }
+        )
+
+    def crawled_rows(batch: pa.Table) -> pa.Table:
+        urls = pc.drop_null(batch[crawled_url_col])
+        n = len(urls)
+        return pa.table(
+            {
+                "url": urls,
+                "n_listings": pa.array([0] * n, pa.int64()),
+                "crawled": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    listed = sitemaps.map_batches(locs, batch_format="pyarrow")
+    seen = crawled.map_batches(crawled_rows, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from .common import bucket_ids
+
+        return batch.append_column(
+            "bucket", pa.array(bucket_ids(batch["url"], 512), pa.int64())
+        )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby("url", as_index=False)
+            .agg(n_listings=("n_listings", "sum"), crawled=("crawled", "max"))
+        )
+        out = out[(out["crawled"] == 0) & (out["n_listings"] > 0)]
+        return out[["url", "n_listings"]]
+
+    both = coalesce_for_exchange(
+        listed.union(seen).map_batches(tag, batch_format="pyarrow")
+    )
+    return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
