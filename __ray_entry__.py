@@ -454,6 +454,108 @@ def _sniff_pages(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_bodies, batch_format="pyarrow")
 
 
+# Publicly documented test PANs (Visa / Mastercard / Amex) — Luhn-valid
+# by construction; the "broken" variant bumps the check digit by one,
+# which always fails Luhn (the check digit is unique given the rest).
+_CARD_BASES = (
+    "4532015112830366",
+    "5425233430109903",
+    "374245455400126",
+)
+
+
+def _fmt_card(digits: str, fmt: int) -> str:
+    if fmt % 2 == 0:
+        return digits
+    groups = (
+        [digits[0:4], digits[4:10], digits[10:]]
+        if len(digits) == 15
+        else [digits[i : i + 4] for i in range(0, len(digits), 4)]
+    )
+    return (" " if fmt == 1 else "-").join(groups)
+
+
+def _card_texts(sf_dir: str) -> ray.data.Dataset:
+    """Documents with one planted payment-card mention each: doc_id%3
+    picks the brand (16/16/15 digits), doc_id%4 the grouping (plain /
+    space / hyphen / plain), and doc_id%2 whether the number is the
+    genuine test PAN (even: must be redacted) or its check-digit-broken
+    variant (odd: must survive untouched)."""
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            base = _CARD_BASES[d % 3]
+            if d % 2:
+                base = base[:-1] + str((int(base[-1]) + 1) % 10)
+            ids.append(d)
+            texts.append(f"{t} pay {_fmt_card(base, d % 4)} ok")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(plant, batch_format="pyarrow")
+
+
+def _q_pii_cards(sf_dir: str):
+    """Luhn-gated payment-card redaction. The oracle replays the
+    plant rule: even docs end '<CARD> ok' with n_cards=1, odd docs
+    keep their broken number verbatim with n_cards=0 — so a green
+    hash proves the regex found every grouping AND the Luhn gate
+    separated valid from check-digit-broken numbers."""
+    from pdf_extractor_ray.functions.scrub import redact_cards
+
+    out = redact_cards(_card_texts(sf_dir))
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_cards": batch["n_cards"],
+                "redacted_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return out.map_batches(fp, batch_format="pyarrow")
+
+
+# Oracle for pii_cards: odd docs keep their broken number verbatim;
+# the 6 odd (brand, grouping) combos are spelled out as literals.
+_PII_CARDS_SQL = (
+    "SELECT doc_id, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)"
+    " AS n_cards, "
+    "md5(text || ' pay ' || "
+    "CASE WHEN doc_id % 2 = 0 THEN '<CARD>' ELSE CASE doc_id % 12 "
+    + " ".join(
+        "WHEN {r} THEN '{lit}'".format(
+            r=r,
+            lit=_fmt_card(
+                _CARD_BASES[r % 3][:-1]
+                + str((int(_CARD_BASES[r % 3][-1]) + 1) % 10),
+                r % 4,
+            ),
+        )
+        for r in (1, 3, 5, 7, 9, 11)
+    )
+    + " END END || ' ok') AS redacted_md5 FROM documents"
+)
+
+
 def _sitemap_docs(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(sitemaps, crawled) pair for frontier discovery. Every doc with
     d%5!=0 publishes a <urlset> sitemap listing the page URLs of docs
@@ -4006,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
+        "pii_cards": _q_pii_cards,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5713,6 +5816,7 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
         """,
+        "pii_cards": _PII_CARDS_SQL,
         "sitemap_discover": """
             WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
             pub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 0),

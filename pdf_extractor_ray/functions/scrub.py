@@ -27,6 +27,9 @@ from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 __all__ = [
     "redact_pii_batch",
     "redact_pii",
+    "redact_cards_batch",
+    "redact_cards",
+    "luhn_valid",
     "paragraph_hash_counts",
     "strip_boilerplate",
 ]
@@ -217,3 +220,67 @@ def strip_boilerplate(
         return pa.table(cols)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# -- payment-card redaction (Luhn-gated) ------------------------------
+#
+# Digit-run patterns alone over-redact (order numbers, timestamps,
+# ISBNs all look like cards); production PII scrubbers gate the
+# pattern on the ISO/IEC 7812 Luhn check digit, which real card
+# numbers carry by construction. The candidate pattern is RE2-free of
+# lookarounds; the Luhn gate is what the SQL oracle CANNOT replay
+# symbolically, so the gate query plants known-valid and check-digit-
+# broken numbers and asserts only the valid ones were redacted.
+
+CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+_CARD = re.compile(CARD_RE)
+_CARD_SEP = re.compile(r"[ -]")
+
+
+def luhn_valid(digits: str) -> bool:
+    """ISO/IEC 7812 check: doubled-every-second-from-the-right digit
+    sum divisible by 10. ``digits`` must be numerals only."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i & 1:
+            d += d
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def redact_cards_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace Luhn-valid 13-19-digit runs (optionally space/hyphen
+    grouped) with ``<CARD>``; leave check-digit-broken runs alone.
+    Emits the redacted text plus ``n_cards`` per row."""
+    texts, n_cards = [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        count = 0
+
+        def gate(m: re.Match) -> str:
+            nonlocal count
+            digits = _CARD_SEP.sub("", m.group())
+            if 13 <= len(digits) <= 19 and luhn_valid(digits):
+                count += 1
+                return "<CARD>"
+            return m.group()
+
+        texts.append(_CARD.sub(gate, t))
+        n_cards.append(count)
+    cols = {
+        name: batch[name] for name in batch.column_names if name != text_col
+    }
+    cols[text_col] = pa.array(texts, pa.string())
+    cols["n_cards"] = pa.array(n_cards, pa.int64())
+    return pa.table(cols)
+
+
+def redact_cards(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: redact_cards_batch(b, text_col), batch_format="pyarrow"
+    )

@@ -183,3 +183,44 @@ class TestBoundedInventory:
         b = paragraph_hash_counts(ds, min_count=2, max_inventory=100).to_pandas()
         pd_sort = lambda d: d.sort_values("para_hash").reset_index(drop=True)
         assert pd_sort(a).equals(pd_sort(b))
+
+
+class TestLuhnCards:
+    def test_luhn_known_vectors(self):
+        from pdf_extractor_ray.functions.scrub import luhn_valid
+
+        for good in ("4532015112830366", "5425233430109903",
+                     "374245455400126", "79927398713"):
+            assert luhn_valid(good), good
+        for bad in ("4532015112830367", "5425233430109904",
+                    "374245455400127", "79927398710"):
+            assert not luhn_valid(bad), bad
+
+    def test_redact_only_valid_and_groupings(self):
+        import pyarrow as pa
+        from pdf_extractor_ray.functions.scrub import redact_cards_batch
+
+        texts = [
+            "pay 4532015112830366 now",            # valid plain
+            "pay 4532 0151 1283 0366 now",          # valid spaced
+            "pay 4532-0151-1283-0366 now",          # valid hyphen
+            "pay 3742 454554 00126 now",            # valid amex 4-6-5
+            "pay 4532015112830367 now",             # broken check digit
+            "order 123456789012 id",                # 12 digits: too short
+            "no digits at all",
+        ]
+        out = redact_cards_batch(pa.table({"text": texts}))
+        got = out["text"].to_pylist()
+        n = out["n_cards"].to_pylist()
+        assert got[:4] == ["pay <CARD> now"] * 4 and n[:4] == [1] * 4
+        assert got[4:] == texts[4:] and n[4:] == [0, 0, 0]
+
+    def test_multiple_cards_one_row(self):
+        import pyarrow as pa
+        from pdf_extractor_ray.functions.scrub import redact_cards_batch
+
+        out = redact_cards_batch(
+            pa.table({"text": ["a 4532015112830366 b 374245455400126 c"]})
+        )
+        assert out["text"].to_pylist() == ["a <CARD> b <CARD> c"]
+        assert out["n_cards"].to_pylist() == [2]
