@@ -533,6 +533,53 @@ def _q_pii_cards(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow")
 
 
+def _redirect_edges(sf_dir: str) -> ray.data.Dataset:
+    """Redirect table over the doc-id URL space: docs with d%8 in
+    {1,2,3} redirect one step down (chains 3->2->1->0, lengths 1-3
+    ending at the d%8==0 terminal); docs with d%8==5 redirect to d+1
+    and d%8==6 back to d-1 (a planted 2-cycle pair), the d%8==5 edge
+    dropped at the table's upper boundary. d%8 in {0,4,7} emit no
+    edge."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n_docs = docs.max("doc_id") + 1  # scalar driver state: one int
+
+    def u(e: int) -> str:
+        return f"https://r.example.org/{e}"
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for d in batch["doc_id"].to_pylist():
+            r = d % 8
+            if r in (1, 2, 3):
+                srcs.append(u(d))
+                dsts.append(u(d - 1))
+            elif r == 5 and d + 1 < n_docs:
+                srcs.append(u(d))
+                dsts.append(u(d + 1))
+            elif r == 6:
+                srcs.append(u(d))
+                dsts.append(u(d - 1))
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_edges, batch_format="pyarrow")
+
+
+def _q_redirects(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling (log-round
+    self-cogroup). The oracle recomputes final target and hop count
+    arithmetically per chain rule and flags the planted 2-cycles; a
+    green hash proves chains resolved transitively (not one hop) and
+    loops were detected, not spun on."""
+    from pdf_extractor_ray.functions.webgraph import resolve_redirects
+
+    return resolve_redirects(_redirect_edges(sf_dir), max_rounds=4)
+
+
 # Oracle for pii_cards: odd docs keep their broken number verbatim;
 # the 6 odd (brand, grouping) combos are spelled out as literals.
 _PII_CARDS_SQL = (
@@ -4109,6 +4156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
         "pii_cards": _q_pii_cards,
+        "redirect_resolve": _q_redirects,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5817,6 +5865,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "redirect_resolve": """
+            WITH n AS (SELECT max(doc_id) AS mx FROM documents),
+            s AS (SELECT doc_id AS d, doc_id % 8 AS r FROM documents, n
+                  WHERE doc_id % 8 IN (1, 2, 3, 6)
+                     OR (doc_id % 8 = 5 AND doc_id + 1 <= mx))
+            SELECT 'https://r.example.org/' || d AS src_url,
+                   CASE WHEN r IN (1, 2, 3)
+                        THEN 'https://r.example.org/' || (d - r)
+                        ELSE '' END AS final_url,
+                   CAST(CASE WHEN r IN (1, 2, 3) THEN r ELSE 0 END
+                        AS BIGINT) AS n_hops,
+                   CAST(CASE WHEN r IN (5, 6) THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_cycle
+            FROM s
+        """,
         "sitemap_discover": """
             WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
             pub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 0),

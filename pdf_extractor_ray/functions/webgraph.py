@@ -28,6 +28,7 @@ from pdf_extractor_ray.kernel.html_to_md import extract_anchors
 
 __all__ = [
     "extract_links", "anchor_stats", "page_head_meta", "page_pub_dates",
+    "resolve_redirects",
 ]
 
 
@@ -219,3 +220,147 @@ def page_pub_dates(
         )
 
     return ds.map_batches(dates, batch_format="pyarrow")
+
+
+def resolve_redirects(
+    edges: ray.data.Dataset,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_rounds: int = 6,
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """Resolve HTTP redirect chains to their final targets by pointer
+    doubling: ``(src_url, final_url, n_hops, is_cycle)`` per redirect
+    source. Input is the crawl's redirect table — one row per 3xx
+    response, a URL appears as source at most once (HTTP semantics).
+
+    Scale shape: each round is ONE hash-bucket cogroup of the state
+    with itself (probe keyed on the current endpoint, map keyed on the
+    source), after which every known path DOUBLES in length — chains
+    up to 2^max_rounds resolve in max_rounds exchanges, not one per
+    hop. Rows finalize when their endpoint has no outgoing edge (a
+    terminal URL) or lands on an already-final row; rows still pending
+    after the cap are redirect LOOPS (or chains longer than
+    2^max_rounds, indistinguishable without more rounds) and come
+    back flagged ``is_cycle=1`` with an empty final. The state is materialized once
+    per round (object store, never the driver); the driver sees one
+    pending-count scalar per round for early exit.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.common import bucket_ids
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src": batch[src_col],
+                "cur": batch[dst_col],
+                "hops": pa.array([1] * n, pa.int64()),
+                "done": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def to_probe(batch: pa.Table) -> pa.Table:
+        pend = batch.filter(pc.equal(batch["done"], 0))
+        return pa.table(
+            {
+                "key": pend["cur"],
+                "src": pend["src"],
+                "cur": pend["cur"],
+                "hops": pend["hops"],
+                "done": pend["done"],
+                "side": pa.array([0] * len(pend), pa.int64()),
+            }
+        )
+
+    def to_map(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["src"],
+                "src": batch["src"],
+                "cur": batch["cur"],
+                "hops": batch["hops"],
+                "done": batch["done"],
+                "side": pa.array([1] * len(batch), pa.int64()),
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(bucket_ids(batch["key"], n_buckets), pa.int64()),
+        )
+
+    def step(group: pd.DataFrame) -> pd.DataFrame:
+        maps = group[group["side"] == 1]
+        lut = {
+            k: (c, h, d)
+            for k, c, h, d in zip(
+                maps["key"], maps["cur"], maps["hops"], maps["done"]
+            )
+        }
+        probes = group[group["side"] == 0]
+        src, cur, hops, done = [], [], [], []
+        for k, s, c, h in zip(
+            probes["key"], probes["src"], probes["cur"], probes["hops"]
+        ):
+            hit = lut.get(k)
+            src.append(s)
+            if hit is None:  # endpoint is terminal: finalize here
+                cur.append(c)
+                hops.append(h)
+                done.append(1)
+            else:
+                cur.append(hit[0])
+                hops.append(h + hit[1])
+                done.append(int(hit[2]))
+        # explicit dtypes: an empty group must not degrade the block
+        # schema to float64 (keeps the union schema stable)
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=object),
+                "cur": pd.Series(cur, dtype=object),
+                "hops": pd.Series(hops, dtype="int64"),
+                "done": pd.Series(done, dtype="int64"),
+            }
+        )
+
+    state = edges.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        pending = state.map_batches(to_probe, batch_format="pyarrow")
+        if pending.count() == 0:
+            break
+        finished = state.map_batches(
+            lambda b: b.filter(pc.equal(b["done"], 1)),
+            batch_format="pyarrow",
+        )
+        mapside = state.map_batches(to_map, batch_format="pyarrow")
+        both = coalesce_for_exchange(
+            pending.union(mapside).map_batches(tag, batch_format="pyarrow")
+        )
+        advanced = both.groupby("bucket").map_groups(
+            step, batch_format="pandas"
+        )
+        state = advanced.union(finished).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        done = batch["done"].to_pylist()
+        curs = batch["cur"].to_pylist()
+        hops = batch["hops"].to_pylist()
+        return pa.table(
+            {
+                "src_url": batch["src"],
+                "final_url": pa.array(
+                    [c if d else "" for c, d in zip(curs, done)],
+                    pa.string(),
+                ),
+                "n_hops": pa.array(
+                    [h if d else 0 for h, d in zip(hops, done)], pa.int64()
+                ),
+                "is_cycle": pa.array([1 - d for d in done], pa.int64()),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -84,3 +84,46 @@ class TestLinkOperators:
         assert stats.loc["t/1", "n_src"] == 2
         assert stats.loc["t/3", "n_inlinks"] == 2
         assert stats.loc["t/3", "n_src"] == 1
+
+
+class TestResolveRedirects:
+    """Pointer-doubling redirect resolution (webgraph.resolve_redirects)."""
+
+    def _run(self, pairs, max_rounds=6):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.webgraph import resolve_redirects
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_url": [p[0] for p in pairs],
+                    "dst_url": [p[1] for p in pairs],
+                }
+            )
+        )
+        df = resolve_redirects(edges, max_rounds=max_rounds).to_pandas()
+        return {
+            r.src_url: (r.final_url, r.n_hops, r.is_cycle)
+            for r in df.itertuples()
+        }
+
+    def test_chain_of_six_resolves_in_three_rounds(self, ray_session):
+        pairs = [(f"u{i}", f"u{i-1}") for i in range(6, 0, -1)]
+        got = self._run(pairs, max_rounds=3)  # 2^3 = 8 >= 6
+        assert got["u6"] == ("u0", 6, 0)
+        assert got["u1"] == ("u0", 1, 0)
+
+    def test_cycle_and_self_loop_flagged(self, ray_session):
+        got = self._run([("a", "b"), ("b", "a"), ("s", "s"), ("c", "t")])
+        assert got["a"] == ("", 0, 1)
+        assert got["b"] == ("", 0, 1)
+        assert got["s"] == ("", 0, 1)
+        assert got["c"] == ("t", 1, 0)
+
+    def test_round_cap_flags_overlong_chain(self, ray_session):
+        pairs = [(f"u{i}", f"u{i-1}") for i in range(5, 0, -1)]
+        got = self._run(pairs, max_rounds=2)  # 2^2 = 4 < 5
+        assert got["u5"] == ("", 0, 1)  # beyond the cap: unresolved
+        assert got["u1"] == ("u0", 1, 0)  # short chains still resolve
