@@ -294,44 +294,43 @@ def resolve_redirects(
         )
 
     def step(group: pd.DataFrame) -> pd.DataFrame:
-        maps = group[group["side"] == 1]
-        lut = {
-            k: (c, h, d)
-            for k, c, h, d in zip(
-                maps["key"], maps["cur"], maps["hops"], maps["done"]
-            )
-        }
-        probes = group[group["side"] == 0]
-        src, cur, hops, done = [], [], [], []
-        for k, s, c, h in zip(
-            probes["key"], probes["src"], probes["cur"], probes["hops"]
-        ):
-            hit = lut.get(k)
-            src.append(s)
-            if hit is None:  # endpoint is terminal: finalize here
-                cur.append(c)
-                hops.append(h)
-                done.append(1)
-            else:
-                cur.append(hit[0])
-                hops.append(h + hit[1])
-                done.append(int(hit[2]))
-        # explicit dtypes: an empty group must not degrade the block
-        # schema to float64 (keeps the union schema stable)
-        return pd.DataFrame(
+        # vectorized probe->map join (a URL is a map key at most once,
+        # so the left merge is 1:at-most-1 and never fans out)
+        maps = group.loc[group["side"] == 1, ["key", "cur", "hops", "done"]]
+        probes = group.loc[
+            group["side"] == 0, ["key", "src", "cur", "hops"]
+        ]
+        j = probes.merge(
+            maps, on="key", how="left", suffixes=("", "_m"), copy=False
+        )
+        hit = j["cur_m"].notna()
+        out = pd.DataFrame(
             {
-                "src": pd.Series(src, dtype=object),
-                "cur": pd.Series(cur, dtype=object),
-                "hops": pd.Series(hops, dtype="int64"),
-                "done": pd.Series(done, dtype="int64"),
+                "src": j["src"].astype(object),
+                "cur": j["cur"].where(~hit, j["cur_m"]).astype(object),
+                "hops": (
+                    j["hops"]
+                    + j["hops_m"].fillna(0).astype("int64")
+                ).astype("int64"),
+                # no map entry -> terminal (done); else inherit the
+                # map row's done flag (landing on a final row ends it)
+                "done": j["done"].fillna(1).astype("int64"),
             }
         )
+        return out
 
     state = edges.map_batches(init, batch_format="pyarrow").materialize()
+    prev_pending = None
     for _ in range(max_rounds):
         pending = state.map_batches(to_probe, batch_format="pyarrow")
-        if pending.count() == 0:
+        n_pending = pending.count()
+        # Convergence: while any pending non-loop row exists, the one
+        # with the smallest remaining distance finalizes every round,
+        # so an UNCHANGED pending count means only loops remain — stop
+        # early instead of letting their hop counters double to the cap.
+        if n_pending == 0 or n_pending == prev_pending:
             break
+        prev_pending = n_pending
         finished = state.map_batches(
             lambda b: b.filter(pc.equal(b["done"], 1)),
             batch_format="pyarrow",
