@@ -533,6 +533,37 @@ def _q_pii_cards(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow")
 
 
+def _q_url_features(sf_dir: str):
+    """Lexical URL quality features over a synthesized URL mix (bare /
+    subdomain / double-subdomain / IP-literal hosts x shallow-to-deep
+    digit-heavy paths x 0-3 query params). The oracle recomputes every
+    feature with DuckDB string kernels — digit density in integer
+    per-mille so the compare is float-free."""
+    from pdf_extractor_ray.functions.weburl import url_features
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            host = (
+                "example.com",
+                "blog.example.com",
+                f"a{d % 7}.b.example.net",
+                f"192.168.{d % 256}.{d % 200}",
+            )[d % 4]
+            path = ("/", f"/post/{d}", f"/a/{d % 10}/b-{d}/c{d * 3 % 1000}/")[
+                d % 3
+            ]
+            query = ("", f"?id={d}", f"?id={d}&ref=rss&s={d % 7}", "", "")[
+                d % 5
+            ]
+            urls.append(f"https://{host}{path}{query}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return url_features(docs.map_batches(to_urls, batch_format="pyarrow"))
+
+
 def _redirect_edges(sf_dir: str) -> ray.data.Dataset:
     """Redirect table over the doc-id URL space: docs with d%8 in
     {1,2,3} redirect one step down (chains 3->2->1->0, lengths 1-3
@@ -4157,6 +4188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_discover": _q_sitemap_discover,
         "pii_cards": _q_pii_cards,
         "redirect_resolve": _q_redirects,
+        "url_features": _q_url_features,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5865,6 +5897,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "url_features": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://'
+                     || CASE doc_id % 4
+                          WHEN 0 THEN 'example.com'
+                          WHEN 1 THEN 'blog.example.com'
+                          WHEN 2 THEN 'a' || (doc_id % 7) || '.b.example.net'
+                          ELSE '192.168.' || (doc_id % 256) || '.'
+                               || (doc_id % 200) END
+                     || CASE doc_id % 3
+                          WHEN 0 THEN '/'
+                          WHEN 1 THEN '/post/' || doc_id
+                          ELSE '/a/' || (doc_id % 10) || '/b-' || doc_id
+                               || '/c' || (doc_id * 3 % 1000) || '/' END
+                     || CASE doc_id % 5
+                          WHEN 1 THEN '?id=' || doc_id
+                          WHEN 2 THEN '?id=' || doc_id || '&ref=rss&s='
+                                      || (doc_id % 7)
+                          ELSE '' END AS url
+              FROM documents),
+            p AS (
+              SELECT url,
+                     regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                     regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query
+              FROM u),
+            f AS (
+              SELECT url, host,
+                     regexp_matches(host,
+                         '^\\d+\\.\\d+\\.\\d+\\.\\d+$') AS is_ip,
+                     length(host) - length(replace(host, '.', '')) AS dots,
+                     len(regexp_extract_all(path, '/[^/]+')) AS path_depth,
+                     length(url) AS url_len,
+                     length(regexp_replace(url, '[^0-9]', '', 'g'))
+                         AS n_digits,
+                     CASE WHEN query = '' THEN 0
+                          ELSE len(string_split(query, '&')) END AS n_params,
+                     regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS last_lbl
+              FROM p)
+            SELECT url, host,
+                   CAST(CASE WHEN is_ip THEN 0
+                             ELSE greatest(dots - 1, 0) END AS BIGINT)
+                       AS subdomain_depth,
+                   CAST(CASE WHEN is_ip THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_ip_host,
+                   CASE WHEN is_ip THEN '' ELSE last_lbl END AS tld,
+                   CAST(path_depth AS BIGINT) AS path_depth,
+                   CAST(url_len AS BIGINT) AS url_len,
+                   CAST(n_digits * 1000 // url_len AS BIGINT)
+                       AS digit_permille,
+                   CAST(n_params AS BIGINT) AS n_params
+            FROM f
+        """,
         "redirect_resolve": """
             WITH n AS (SELECT max(doc_id) AS mx FROM documents),
             s AS (SELECT doc_id AS d, doc_id % 8 AS r FROM documents, n

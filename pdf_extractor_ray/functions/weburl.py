@@ -48,6 +48,7 @@ __all__ = [
     "frontier_schedule",
     "url_templates",
     "sitemap_discover",
+    "url_features",
 ]
 
 # pc.extract_regex requires NAMED groups (unnamed groups raise)
@@ -420,3 +421,86 @@ def sitemap_discover(
         listed.union(seen).map_batches(tag, batch_format="pyarrow")
     )
     return both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def url_features(
+    ds: ray.data.Dataset, url_col: str = "url"
+) -> ray.data.Dataset:
+    """Lexical URL spam/quality features (the RefinedWeb/FineWeb-style
+    URL-filtering signals): host, subdomain depth, IP-literal flag,
+    TLD, path depth, URL length, digit density (per-mille), query
+    parameter count. Entirely ``pyarrow.compute`` kernels — zero
+    Python per-row work, shuffle-free, the cheapest possible gate to
+    run before fetching or extracting anything."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        host = pc.struct_field(
+            pc.extract_regex(urls, r"^[a-z][a-z0-9+.-]*://(?P<h>[^/:?#]+)"),
+            ["h"],
+        )
+        host = pc.fill_null(host, "")
+        path = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(
+                    urls, r"^[a-z][a-z0-9+.-]*://[^/?#]*(?P<p>[^?#]*)"
+                ),
+                ["p"],
+            ),
+            "",
+        )
+        query = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(urls, r"^[^?#]*\?(?P<q>[^#]*)"), ["q"]
+            ),
+            "",
+        )
+        url_len = pc.utf8_length(urls)
+        n_digits = pc.count_substring_regex(urls, r"[0-9]")
+        digit_permille = pc.divide(
+            pc.multiply(pc.cast(n_digits, pa.int64()), 1000),
+            pc.cast(url_len, pa.int64()),
+        )
+        path_depth = pc.count_substring_regex(path, r"/[^/]+")
+        n_params = pc.if_else(
+            pc.equal(query, ""),
+            pa.scalar(0, pa.int64()),
+            pc.add(
+                pc.cast(pc.count_substring(query, "&"), pa.int64()), 1
+            ),
+        )
+        dots = pc.count_substring(host, ".")
+        subdomain_depth = pc.max_element_wise(
+            pc.subtract(pc.cast(dots, pa.int64()), 1),
+            pa.scalar(0, pa.int64()),
+        )
+        is_ip = pc.match_substring_regex(
+            host, r"^\d+\.\d+\.\d+\.\d+$"
+        )
+        tld = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(host, r"\.(?P<t>[a-z0-9-]+)$"), ["t"]
+            ),
+            "",
+        )
+        tld = pc.if_else(is_ip, pa.scalar("", pa.string()), tld)
+        subdomain_depth = pc.if_else(
+            is_ip, pa.scalar(0, pa.int64()), subdomain_depth
+        )
+        return pa.table(
+            {
+                "url": urls,
+                "host": host,
+                "subdomain_depth": subdomain_depth,
+                "is_ip_host": pc.cast(is_ip, pa.int64()),
+                "tld": tld,
+                "path_depth": pc.cast(path_depth, pa.int64()),
+                "url_len": pc.cast(url_len, pa.int64()),
+                "digit_permille": digit_permille,
+                "n_params": n_params,
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")

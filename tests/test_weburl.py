@@ -404,3 +404,32 @@ def test_cap_per_domain_keep_cols(ray_session):
     assert set(got.doc_id) == want
     for _, r in got.iterrows():
         assert r.score == r.doc_id * 10 and r.tag == f"t{r.doc_id}"
+
+
+class TestUrlFeatures:
+    def test_feature_vectors(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.weburl import url_features
+
+        batch = pa.table({"url": [
+            "https://example.com/",
+            "https://blog.example.com/post/77?id=5",
+            "https://a3.b.example.net/a/7/b-12/c369/?id=9&ref=rss&s=2",
+            "https://192.168.4.200/x/1",
+        ]})
+        df = url_features(ray.data.from_arrow(batch)).to_pandas()
+        rows = {r.url: r for r in df.itertuples()}
+        r = rows["https://example.com/"]
+        assert (r.host, r.subdomain_depth, r.is_ip_host, r.tld) == (
+            "example.com", 0, 0, "com")
+        assert (r.path_depth, r.n_params, r.digit_permille) == (0, 0, 0)
+        r = rows["https://blog.example.com/post/77?id=5"]
+        assert (r.subdomain_depth, r.path_depth, r.n_params) == (1, 2, 1)
+        r = rows["https://a3.b.example.net/a/7/b-12/c369/?id=9&ref=rss&s=2"]
+        assert (r.subdomain_depth, r.tld, r.path_depth, r.n_params) == (
+            2, "net", 4, 3)
+        r = rows["https://192.168.4.200/x/1"]
+        assert (r.is_ip_host, r.tld, r.subdomain_depth) == (1, "", 0)
+        assert r.digit_permille == 1000 * 10 // len("https://192.168.4.200/x/1")
