@@ -432,4 +432,5 @@ class TestUrlFeatures:
             2, "net", 4, 3)
         r = rows["https://192.168.4.200/x/1"]
         assert (r.is_ip_host, r.tld, r.subdomain_depth) == (1, "", 0)
-        assert r.digit_permille == 1000 * 10 // len("https://192.168.4.200/x/1")
+        # 11 digits over the 25-char url
+        assert r.digit_permille == 1000 * 11 // 25
