@@ -611,6 +611,99 @@ def _q_redirects(sf_dir: str):
     return resolve_redirects(_redirect_edges(sf_dir), max_rounds=4)
 
 
+def _refresh_pages(sf_dir: str) -> ray.data.Dataset:
+    """The redirect-edge rule of :func:`_redirect_edges` expressed as
+    real pages: redirecting docs carry a ``<meta http-equiv=refresh>``
+    naming the target (delay d%30, quote/case/attribute-order varied),
+    non-redirecting docs carry either no refresh or a URL-LESS
+    delay-only refresh (every 16th doc — reload, not redirect, must
+    not become an edge). Every page carries a script-body refresh
+    decoy pointing at a trap URL."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n_docs = docs.max("doc_id") + 1
+
+    def u(e: int) -> str:
+        return f"https://r.example.org/{e}"
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            r = d % 8
+            target = None
+            if r in (1, 2, 3):
+                target = u(d - 1)
+            elif r == 5 and d + 1 < n_docs:
+                target = u(d + 1)
+            elif r == 6:
+                target = u(d - 1)
+            if target is not None:
+                meta = (
+                    f'<meta http-equiv="refresh" '
+                    f'content="{d % 30}; url={target}">'
+                    if d % 2
+                    else f"<META CONTENT='{d % 30};URL={target}' "
+                    "HTTP-EQUIV=Refresh>"
+                )
+            elif d % 16 == 0:
+                meta = f'<meta http-equiv="refresh" content="{d % 30}">'
+            else:
+                meta = ""
+            urls.append(u(d))
+            htmls.append(
+                (
+                    f"<html><head>{meta}<title>Doc {d}</title></head>"
+                    "<body><script>var m='<meta http-equiv=refresh "
+                    "content=\"0;url=https://trap.example/x\">';</script>"
+                    f"<p>Doc {d}</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_refresh_redirects(sf_dir: str):
+    """Crawl-lifecycle composite: harvest meta-refresh redirect edges
+    from real page HTML, then resolve chains/cycles by pointer
+    doubling — one streaming execution, same oracle arithmetic as
+    ``redirect_resolve``. A green hash proves the harvester read only
+    genuine url-bearing refresh metas (no script decoys, no delay-only
+    reloads) AND the resolver composed them transitively."""
+    from pdf_extractor_ray.functions.webgraph import (
+        page_refresh_edges,
+        resolve_redirects,
+    )
+
+    edges = page_refresh_edges(_refresh_pages(sf_dir)).drop_columns(
+        ["delay_s"]
+    )
+    return resolve_redirects(edges, max_rounds=4)
+
+
+# Shared oracle for the HTTP-3xx and meta-refresh redirect queries:
+# both plant the same chain/cycle rule over the doc-id URL space.
+_REDIRECT_RESOLVE_SQL = """
+    WITH n AS (SELECT max(doc_id) AS mx FROM documents),
+    s AS (SELECT doc_id AS d, doc_id % 8 AS r FROM documents, n
+          WHERE doc_id % 8 IN (1, 2, 3, 6)
+             OR (doc_id % 8 = 5 AND doc_id + 1 <= mx))
+    SELECT 'https://r.example.org/' || d AS src_url,
+           CASE WHEN r IN (1, 2, 3)
+                THEN 'https://r.example.org/' || (d - r)
+                ELSE '' END AS final_url,
+           CAST(CASE WHEN r IN (1, 2, 3) THEN r ELSE 0 END
+                AS BIGINT) AS n_hops,
+           CAST(CASE WHEN r IN (5, 6) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_cycle
+    FROM s
+"""
+
+
 # Oracle for pii_cards: odd docs keep their broken number verbatim;
 # the 6 odd (brand, grouping) combos are spelled out as literals.
 _PII_CARDS_SQL = (
@@ -4188,6 +4281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_discover": _q_sitemap_discover,
         "pii_cards": _q_pii_cards,
         "redirect_resolve": _q_redirects,
+        "refresh_redirects": _q_refresh_redirects,
         "url_features": _q_url_features,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
@@ -5953,21 +6047,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_params AS BIGINT) AS n_params
             FROM f
         """,
-        "redirect_resolve": """
-            WITH n AS (SELECT max(doc_id) AS mx FROM documents),
-            s AS (SELECT doc_id AS d, doc_id % 8 AS r FROM documents, n
-                  WHERE doc_id % 8 IN (1, 2, 3, 6)
-                     OR (doc_id % 8 = 5 AND doc_id + 1 <= mx))
-            SELECT 'https://r.example.org/' || d AS src_url,
-                   CASE WHEN r IN (1, 2, 3)
-                        THEN 'https://r.example.org/' || (d - r)
-                        ELSE '' END AS final_url,
-                   CAST(CASE WHEN r IN (1, 2, 3) THEN r ELSE 0 END
-                        AS BIGINT) AS n_hops,
-                   CAST(CASE WHEN r IN (5, 6) THEN 1 ELSE 0 END
-                        AS BIGINT) AS is_cycle
-            FROM s
-        """,
+        "redirect_resolve": _REDIRECT_RESOLVE_SQL,
+        # the meta-refresh composite plants the SAME chain/cycle rule
+        # as real page HTML, so its oracle is identical arithmetic
+        "refresh_redirects": _REDIRECT_RESOLVE_SQL,
         "sitemap_discover": """
             WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
             pub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 0),

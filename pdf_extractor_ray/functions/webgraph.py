@@ -29,6 +29,7 @@ from pdf_extractor_ray.kernel.html_to_md import extract_anchors
 __all__ = [
     "extract_links", "anchor_stats", "page_head_meta", "page_pub_dates",
     "resolve_redirects",
+    "page_refresh_edges",
 ]
 
 
@@ -363,3 +364,44 @@ def resolve_redirects(
         )
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def page_refresh_edges(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Harvest the in-document redirect table: one row per page whose
+    first ``<meta http-equiv=refresh>`` names a target URL —
+    ``(src_url, dst_url, delay_s)``. Pure streaming map_batches over
+    :func:`kernel.html_to_md.extract_meta_refresh`; rows compose
+    directly with :func:`resolve_redirects` (meta-refresh is the
+    crawl's second redirect mechanism next to HTTP 3xx)."""
+    from pdf_extractor_ray.kernel.html_to_md import extract_meta_refresh
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts, delays = [], [], []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            delay, target = extract_meta_refresh(s)
+            if target:
+                srcs.append(u)
+                dsts.append(target)
+                delays.append(delay)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+                "delay_s": pa.array(delays, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(edges, batch_format="pyarrow")

@@ -44,6 +44,7 @@ __all__ = [
     "extract_anchors",
     "extract_head_meta",
     "extract_pub_date",
+    "extract_meta_refresh",
 ]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
@@ -578,3 +579,46 @@ def extract_pub_date(html: str, url: str = "") -> tuple[str, str]:
         if _valid_ymd(y, mo, da):
             return f"{y:04d}-{mo:02d}-{da:02d}", "url"
     return "", ""
+
+
+# -- meta-refresh redirect extraction ---------------------------------
+
+_REFRESH_CONTENT_RE = re.compile(
+    r"^\s*(\d{1,9})\s*(?:;\s*url\s*=\s*['\"]?([^'\"\s]+)['\"]?\s*)?$",
+    re.I,
+)
+
+
+def extract_meta_refresh(html: str) -> tuple[int, str]:
+    """First ``<meta http-equiv=refresh>`` directive as ``(delay_s,
+    target_url)``; ``(-1, "")`` when absent. A delay-only refresh
+    (no ``url=``) reloads the same page and comes back as
+    ``(delay, "")``. Same tokenizer and raw-text skipping as
+    :func:`extract_head_meta` — script/comment decoys invisible,
+    attribute order / quote style / case immaterial. Meta-refresh is
+    the in-document leg of the crawl redirect table: rows it emits
+    feed :func:`functions.webgraph.resolve_redirects` exactly like
+    HTTP 3xx rows."""
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
+        open_name, open_attrs = m.group(3), m.group(4)
+        pos = m.end()
+        if not open_name:
+            continue
+        tag = open_name.lower()
+        if tag in _RAW_TEXT:
+            mc = _RAW_CLOSE_RE[tag].search(html, pos)
+            pos = mc.end() if mc else n
+        elif tag == "meta":
+            attrs = _parse_attrs(open_attrs or "")
+            if (attrs.get("http-equiv") or "").lower() != "refresh":
+                continue
+            cm = _REFRESH_CONTENT_RE.match(attrs.get("content") or "")
+            if cm is None:
+                continue
+            return int(cm.group(1)), cm.group(2) or ""
+    return -1, ""

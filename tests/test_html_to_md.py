@@ -244,3 +244,42 @@ class TestExtractPubDate:
         assert extract_pub_date(
             '<meta name="date" content="2021-02-29">'
         ) == ("2021-02-29", "meta")
+
+
+class TestExtractMetaRefresh:
+    def test_url_and_delay_variants(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_meta_refresh
+
+        assert extract_meta_refresh(
+            '<meta http-equiv="refresh" content="5; url=https://a.ex/x">'
+        ) == (5, "https://a.ex/x")
+        assert extract_meta_refresh(
+            "<META CONTENT='0;URL=/next' HTTP-EQUIV=Refresh>"
+        ) == (0, "/next")
+        assert extract_meta_refresh(
+            "<meta http-equiv=refresh content=30>"
+        ) == (30, "")
+
+    def test_absent_malformed_and_decoys(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_meta_refresh
+
+        assert extract_meta_refresh("<html><body>x</body></html>") == (-1, "")
+        assert extract_meta_refresh(
+            '<meta http-equiv=refresh content="abc">'
+        ) == (-1, "")
+        assert extract_meta_refresh(
+            "<script>var m='<meta http-equiv=refresh "
+            'content="0;url=https://trap/x">\';</script>'
+        ) == (-1, "")
+        assert extract_meta_refresh(
+            '<!-- <meta http-equiv=refresh content="0;url=https://t/x"> -->'
+        ) == (-1, "")
+
+    def test_first_refresh_wins(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_meta_refresh
+
+        html = (
+            '<meta http-equiv=refresh content="1;url=https://one/">'
+            '<meta http-equiv=refresh content="2;url=https://two/">'
+        )
+        assert extract_meta_refresh(html) == (1, "https://one/")
