@@ -685,6 +685,63 @@ def _q_refresh_redirects(sf_dir: str):
     return resolve_redirects(edges, max_rounds=4)
 
 
+def _hreflang_pages(sf_dir: str) -> ray.data.Dataset:
+    """Docs grouped 4-to-a-cluster (c = d//4): each page declares the
+    full 4-language alternate set (de/en/fr/x-default) of its cluster,
+    with attribute order flipped on odd docs, a rel token-list form
+    (``alternate stylesheet``) on every 5th, a lang-less alternate and
+    a script-body decoy on every page. The table tail's last cluster
+    has fewer than 4 member pages but still declares all 4 URLs."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        langs = ("de", "en", "fr", "x-default")
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            c, v = d // 4, d % 4
+            links = []
+            for lg in langs:
+                href = f"https://l.example.org/{c}/{lg}"
+                links.append(
+                    f'<link rel="alternate" hreflang="{lg}" href="{href}">'
+                    if d % 2 == 0
+                    else f"<link href='{href}' hreflang={lg} rel=alternate>"
+                )
+            if d % 5 == 0:
+                links[0] = links[0].replace(
+                    'rel="alternate"', 'rel="alternate stylesheet"'
+                ).replace("rel=alternate", 'rel="alternate stylesheet"')
+            urls.append(f"https://l.example.org/{c}/{langs[v]}")
+            htmls.append(
+                (
+                    "<html><head>"
+                    + "".join(links)
+                    + '<link rel="alternate" href="/no-lang">'
+                    "<script>var x='<link rel=alternate hreflang=zz "
+                    "href=https://trap.example/x>';</script>"
+                    f"</head><body><p>Doc {d}</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_hreflang(sf_dir: str):
+    """hreflang language-variant clustering: parse alternate sets from
+    real head HTML, key each page by the lexicographic-min declared
+    URL, roll up per cluster in one coarse-bucket exchange. The oracle
+    regenerates cluster membership from d//4 (tail cluster smaller)."""
+    from pdf_extractor_ray.functions.webgraph import hreflang_clusters
+
+    return hreflang_clusters(_hreflang_pages(sf_dir))
+
+
 # Shared oracle for the HTTP-3xx and meta-refresh redirect queries:
 # both plant the same chain/cycle rule over the doc-id URL space.
 _REDIRECT_RESOLVE_SQL = """
@@ -4283,6 +4340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": _q_redirects,
         "refresh_redirects": _q_refresh_redirects,
         "url_features": _q_url_features,
+        "hreflang_clusters": _q_hreflang,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "frontier_schedule": _q_frontier_schedule,
@@ -5991,6 +6049,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "hreflang_clusters": """
+            SELECT 'https://l.example.org/' || (doc_id // 4) || '/de'
+                       AS cluster_key,
+                   count(*) AS n_pages,
+                   CAST(4 AS BIGINT) AS n_langs,
+                   'de,en,fr,x-default' AS langs
+            FROM documents
+            GROUP BY doc_id // 4
+        """,
         "url_features": """
             WITH u AS (
               SELECT doc_id,

@@ -30,6 +30,7 @@ __all__ = [
     "extract_links", "anchor_stats", "page_head_meta", "page_pub_dates",
     "resolve_redirects",
     "page_refresh_edges",
+    "hreflang_clusters",
 ]
 
 
@@ -405,3 +406,63 @@ def page_refresh_edges(
         )
 
     return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def hreflang_clusters(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """Language-variant clusters from hreflang declarations: pages
+    listing the same ``<link rel=alternate hreflang>`` set are one
+    multilingual document (the international-SEO analogue of a
+    canonical cluster — variants must NOT near-dedup each other away).
+    Cluster key = lexicographic min of the declared alternate URLs, a
+    pure function of the page so no join is needed to assign it. One
+    narrow row per page ships into ONE coarse-bucket exchange:
+    ``(cluster_key, n_pages, n_langs, langs)`` per cluster."""
+    import pandas as pd
+
+    from pdf_extractor_ray.functions.common import bucket_ids
+    from pdf_extractor_ray.kernel.html_to_md import extract_hreflang
+
+    def page_rows(batch: pa.Table) -> pa.Table:
+        keys, langs_joined = [], []
+        for h in batch[html_col].to_pylist():
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            alts = extract_hreflang(s)
+            if not alts:
+                continue
+            keys.append(min(href for _, href in alts))
+            langs_joined.append(",".join(sorted({l for l, _ in alts})))
+        out = pa.table(
+            {
+                "cluster_key": pa.array(keys, pa.string()),
+                "langs": pa.array(langs_joined, pa.string()),
+            }
+        )
+        return out.append_column(
+            "bucket",
+            pa.array(bucket_ids(out["cluster_key"], n_buckets), pa.int64()),
+        )
+
+    def rollup(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("cluster_key", as_index=False).agg(
+            n_pages=("langs", "size"), langs=("langs", "min")
+        )
+        agg["n_langs"] = (
+            agg["langs"].str.count(",").astype("int64") + 1
+        )
+        return agg[["cluster_key", "n_pages", "n_langs", "langs"]]
+
+    rows = coalesce_for_exchange(
+        ds.map_batches(page_rows, batch_format="pyarrow")
+    )
+    return rows.groupby("bucket").map_groups(rollup, batch_format="pandas")

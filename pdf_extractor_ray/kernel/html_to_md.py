@@ -45,6 +45,7 @@ __all__ = [
     "extract_head_meta",
     "extract_pub_date",
     "extract_meta_refresh",
+    "extract_hreflang",
 ]
 
 _RAW_TEXT = ("script", "style", "template", "noscript")
@@ -622,3 +623,36 @@ def extract_meta_refresh(html: str) -> tuple[int, str]:
                 continue
             return int(cm.group(1)), cm.group(2) or ""
     return -1, ""
+
+
+def extract_hreflang(html: str) -> list[tuple[str, str]]:
+    """``(lang, href)`` per ``<link rel=alternate hreflang=...>`` in
+    document order — the page's declared language-variant set (the
+    signal international-SEO dedup clusters on). ``rel`` is matched as
+    a whitespace-separated token list per the HTML spec, lang tags are
+    lowercased; same tokenizer contract as the other head harvesters
+    (script/comment decoys invisible, attribute order/quoting/case
+    immaterial)."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
+        open_name, open_attrs = m.group(3), m.group(4)
+        pos = m.end()
+        if not open_name:
+            continue
+        tag = open_name.lower()
+        if tag in _RAW_TEXT:
+            mc = _RAW_CLOSE_RE[tag].search(html, pos)
+            pos = mc.end() if mc else n
+        elif tag == "link":
+            attrs = _parse_attrs(open_attrs or "")
+            rel = (attrs.get("rel") or "").lower().split()
+            lang = attrs.get("hreflang")
+            href = attrs.get("href")
+            if "alternate" in rel and lang and href:
+                out.append((lang.lower(), href))
+    return out

@@ -283,3 +283,32 @@ class TestExtractMetaRefresh:
             '<meta http-equiv=refresh content="2;url=https://two/">'
         )
         assert extract_meta_refresh(html) == (1, "https://one/")
+
+
+class TestExtractHreflang:
+    def test_variants_and_token_list_rel(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_hreflang
+
+        html = (
+            '<link rel="alternate" hreflang="EN" href="https://a/en">'
+            "<link href='https://a/de' hreflang=de rel=alternate>"
+            '<link rel="alternate stylesheet" hreflang=fr href=/fr>'
+        )
+        assert extract_hreflang(html) == [
+            ("en", "https://a/en"),
+            ("de", "https://a/de"),
+            ("fr", "/fr"),
+        ]
+
+    def test_langless_relless_and_decoys_ignored(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_hreflang
+
+        html = (
+            '<link rel="alternate" href="/no-lang">'
+            '<link hreflang="en" href="/no-rel">'
+            '<link rel="stylesheet" hreflang="en" href="/wrong-rel">'
+            "<script>var x='<link rel=alternate hreflang=zz "
+            "href=https://trap/x>';</script>"
+            '<!-- <link rel=alternate hreflang=aa href=/c> -->'
+        )
+        assert extract_hreflang(html) == []
