@@ -873,6 +873,56 @@ def _q_sitemap_discover(sf_dir: str):
     return sitemap_discover(sitemaps, crawled)
 
 
+def _q_discovery_chain(sf_dir: str):
+    """The crawl's FULL discovery chain in one streaming execution:
+    robots.txt fetch -> ``Sitemap:`` declarations (RFC 9309 global
+    lines; commented decoys stripped; declarations of nonexistent
+    files dropped by the join) -> hash-partitioned semi-join keeps
+    only declared sitemap documents (official = d%3==0 publishers) ->
+    urlset parse -> count + anti-join vs the crawled set. The oracle
+    restricts the generation rule to declared publishers."""
+    from pdf_extractor_ray.functions.weburl import (
+        filter_declared_sitemaps,
+        robots_sitemap_urls,
+        sitemap_discover,
+    )
+
+    sitemaps, crawled = _sitemap_docs(sf_dir)
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n_docs = docs.max("doc_id") + 1
+
+    def to_robots(batch: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for h in batch["id"].to_pylist():
+            lines = [
+                "User-agent: *",
+                "Disallow: /private",
+                f"# Sitemap: https://h{h}.example.org/sitemap-decoy.xml",
+                f"SITEMAP: https://h{h}.example.org/"
+                f"sitemap-{n_docs + h}.xml",  # declared but nonexistent
+            ]
+            for d in range(h, n_docs, 11):
+                if d % 5 != 0 and d % 3 == 0:
+                    lines.append(
+                        f"Sitemap: https://h{h}.example.org/sitemap-{d}.xml"
+                    )
+            hosts.append(f"h{h}.example.org")
+            texts.append("\n".join(lines))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(texts, pa.string()),
+            }
+        )
+
+    robots = ray.data.range(11).map_batches(
+        to_robots, batch_format="pyarrow"
+    )
+    declared = robots_sitemap_urls(robots)
+    kept = filter_declared_sitemaps(sitemaps, declared)
+    return sitemap_discover(kept, crawled)
+
+
 def _q_charset_sniff(sf_dir: str):
     """Content-type + charset sniffing over raw fetch bodies (magic >
     BOM > meta declaration > utf-8/latin-1 fallback). The oracle
@@ -4336,6 +4386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
+        "discovery_chain": _q_discovery_chain,
         "pii_cards": _q_pii_cards,
         "redirect_resolve": _q_redirects,
         "refresh_redirects": _q_refresh_redirects,
@@ -6118,6 +6169,19 @@ def oracle_sql() -> dict[str, str]:
         # the meta-refresh composite plants the SAME chain/cycle rule
         # as real page HTML, so its oracle is identical arithmetic
         "refresh_redirects": _REDIRECT_RESOLVE_SQL,
+        "discovery_chain": """
+            WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+            pub AS (SELECT doc_id AS d FROM documents
+                    WHERE doc_id % 5 <> 0 AND doc_id % 3 = 0),
+            gen AS (
+                SELECT d, d AS e FROM pub
+                UNION ALL SELECT d, (d + 1) % nn FROM pub, n
+                UNION ALL SELECT d, (d + 7) % nn FROM pub, n)
+            SELECT 'https://site.example.org/page/' || e AS url,
+                   count(*) AS n_listings
+            FROM gen WHERE e % 3 <> 0
+            GROUP BY e
+        """,
         "sitemap_discover": """
             WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
             pub AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 0),

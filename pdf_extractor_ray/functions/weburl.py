@@ -49,6 +49,8 @@ __all__ = [
     "url_templates",
     "sitemap_discover",
     "url_features",
+    "robots_sitemap_urls",
+    "filter_declared_sitemaps",
 ]
 
 # pc.extract_regex requires NAMED groups (unnamed groups raise)
@@ -504,3 +506,96 @@ def url_features(
         )
 
     return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def robots_sitemap_urls(
+    robots: ray.data.Dataset,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> ray.data.Dataset:
+    """``(host, sitemap_url)`` per ``Sitemap:`` declaration across the
+    robots corpus (global lines per RFC 9309 §2.2.4 — group placement
+    and field case immaterial, comments stripped). Pure streaming
+    flat-map; the discovery chain feeds these into
+    :func:`filter_declared_sitemaps`."""
+    from pdf_extractor_ray.kernel.robots import extract_sitemaps
+
+    def rows(batch: pa.Table) -> pa.Table:
+        hosts, urls = [], []
+        for h, t in zip(
+            batch[host_col].to_pylist(), batch[robots_col].to_pylist()
+        ):
+            if not t:
+                continue
+            s = (
+                t.decode("utf-8", errors="replace")
+                if isinstance(t, (bytes, bytearray))
+                else t
+            )
+            for sm in extract_sitemaps(s):
+                hosts.append(h)
+                urls.append(sm)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "sitemap_url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return robots.map_batches(rows, batch_format="pyarrow")
+
+
+def filter_declared_sitemaps(
+    sitemaps: ray.data.Dataset,
+    declared: ray.data.Dataset,
+    url_col: str = "url",
+    declared_col: str = "sitemap_url",
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """Keep only sitemap documents whose URL is declared in some
+    robots.txt — the trust gate of the discovery chain (undeclared
+    sitemap files are spam-injection vectors). Hash-partitioned
+    semi-join: BOTH sides bucket on the sitemap URL and meet in one
+    cogroup — the declared side is host-cardinality-proportional and
+    the sitemap side carries bodies, so neither is broadcastable at
+    100 TB; bodies cross exactly one exchange."""
+    import pandas as pd
+
+    from .common import bucket_ids
+
+    def tag_sitemaps(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "url": batch[url_col],
+                "xml": batch["xml"],
+                "declared": pa.array([0] * len(batch), pa.int64()),
+            }
+        )
+        return out.append_column(
+            "bucket", pa.array(bucket_ids(out["url"], n_buckets), pa.int64())
+        )
+
+    def tag_declared(batch: pa.Table) -> pa.Table:
+        urls = pc.drop_null(batch[declared_col])
+        out = pa.table(
+            {
+                "url": urls,
+                "xml": pa.array([None] * len(urls), pa.binary()),
+                "declared": pa.array([1] * len(urls), pa.int64()),
+            }
+        )
+        return out.append_column(
+            "bucket", pa.array(bucket_ids(out["url"], n_buckets), pa.int64())
+        )
+
+    def keep(group: pd.DataFrame) -> pd.DataFrame:
+        ok = set(group.loc[group["declared"] == 1, "url"])
+        body = group[(group["declared"] == 0) & group["url"].isin(ok)]
+        return body[["url", "xml"]]
+
+    both = coalesce_for_exchange(
+        sitemaps.map_batches(tag_sitemaps, batch_format="pyarrow").union(
+            declared.map_batches(tag_declared, batch_format="pyarrow")
+        )
+    )
+    return both.groupby("bucket").map_groups(keep, batch_format="pandas")

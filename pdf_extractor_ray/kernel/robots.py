@@ -27,6 +27,7 @@ __all__ = [
     "compile_rules",
     "is_allowed",
     "rule_regex",
+    "extract_sitemaps",
 ]
 
 
@@ -120,3 +121,24 @@ def is_allowed(
                 best_len = plen
                 best_allow = allow
     return best_allow if best_len >= 0 else True
+
+
+def extract_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` declarations in file order. Per sitemaps.org and
+    RFC 9309 §2.2.4 these are GLOBAL — not scoped to any user-agent
+    group — so they are collected wherever they appear; field name is
+    case-insensitive, ``#`` comments are stripped, empty values are
+    skipped. Feeds :func:`functions.weburl.sitemap_discover`: robots
+    fetch -> sitemap URLs -> urlset parse -> frontier anti-join is the
+    crawl's full discovery chain."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out

@@ -91,3 +91,39 @@ def test_rule_regex_escapes_literals():
 def test_tie_allow_wins():
     g = parse_robots("User-agent: *\nDisallow: /dir\nAllow: /dir\n")
     assert is_allowed(compile_rules(select_group(g, "any")), "/dir/x")
+
+
+class TestExtractSitemaps:
+    def test_global_lines_case_and_comments(self):
+        from pdf_extractor_ray.kernel.robots import extract_sitemaps
+
+        t = (
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "SITEMAP: https://a.example/sitemap.xml\n"
+            "# Sitemap: https://decoy.example/s.xml\n"
+            "sitemap:   https://a.example/sitemap-news.xml\n"
+            "Sitemap:\n"
+        )
+        assert extract_sitemaps(t) == [
+            "https://a.example/sitemap.xml",
+            "https://a.example/sitemap-news.xml",
+        ]
+
+    def test_inside_group_still_global(self):
+        from pdf_extractor_ray.kernel.robots import extract_sitemaps
+
+        t = (
+            "User-agent: botA\n"
+            "Disallow: /a\n"
+            "Sitemap: https://x.example/s.xml\n"
+            "User-agent: botB\n"
+            "Allow: /\n"
+        )
+        assert extract_sitemaps(t) == ["https://x.example/s.xml"]
+
+    def test_empty_and_no_sitemaps(self):
+        from pdf_extractor_ray.kernel.robots import extract_sitemaps
+
+        assert extract_sitemaps("") == []
+        assert extract_sitemaps("User-agent: *\nAllow: /\n") == []
