@@ -283,3 +283,77 @@ class TestExtractAnchorsProperties:
         got = extract_anchors(html)
         assert [h for h, _ in got] == hrefs
         assert [a for _, a in got] == [f"t{i}" for i in range(len(hrefs))]
+
+
+class TestWebKernelsNeverRaise:
+    """Round-4 web kernels: total functions over arbitrary input."""
+
+    @SETTINGS
+    @given(xml=st.text(max_size=2048))
+    def test_parse_sitemap_total_and_deterministic(self, xml):
+        from pdf_extractor_ray.kernel.sitemap import parse_sitemap
+
+        out = parse_sitemap(xml)
+        assert out == parse_sitemap(xml)
+        for kind, loc in out:
+            assert kind in ("url", "sitemap")
+            assert loc == loc.strip() and loc != ""
+
+    @SETTINGS
+    @given(data=st.one_of(st.none(), st.binary(max_size=2048)))
+    def test_sniff_payload_total(self, data):
+        from pdf_extractor_ray.kernel.sniff import sniff_payload
+
+        r = sniff_payload(data)
+        assert r.content_type.count("/") == 1
+        if r.charset == "":
+            assert r.text == ""
+        # decoding is total: text is a str, re-decodable round trip
+        assert isinstance(r.text, str)
+
+    @SETTINGS
+    @given(html=st.text(max_size=2048), url=st.text(max_size=256))
+    def test_pub_date_total_and_shaped(self, html, url):
+        from pdf_extractor_ray.kernel.html_to_md import extract_pub_date
+
+        d, src = extract_pub_date(html, url)
+        assert src in ("", "meta", "time", "url")
+        assert (d == "") == (src == "")
+        if d:
+            y, mo, da = int(d[0:4]), int(d[5:7]), int(d[8:10])
+            assert 1990 <= y <= 2035 and 1 <= mo <= 12 and 1 <= da <= 31
+
+    @SETTINGS
+    @given(html=st.text(max_size=2048))
+    def test_meta_refresh_total(self, html):
+        from pdf_extractor_ray.kernel.html_to_md import extract_meta_refresh
+
+        delay, target = extract_meta_refresh(html)
+        assert (delay == -1) == (delay < 0)
+        if delay == -1:
+            assert target == ""
+
+    @SETTINGS
+    @given(html=st.text(max_size=2048))
+    def test_hreflang_total(self, html):
+        from pdf_extractor_ray.kernel.html_to_md import extract_hreflang
+
+        for lang, href in extract_hreflang(html):
+            assert lang == lang.lower() and lang and href
+
+    @SETTINGS
+    @given(text=st.text(max_size=2048))
+    def test_extract_sitemaps_total(self, text):
+        from pdf_extractor_ray.kernel.robots import extract_sitemaps
+
+        for u in extract_sitemaps(text):
+            assert u == u.strip() and u
+
+    @SETTINGS
+    @given(digits=st.text(alphabet="0123456789", min_size=1, max_size=40))
+    def test_luhn_total_and_checkdigit_unique(self, digits):
+        from pdf_extractor_ray.functions.scrub import luhn_valid
+
+        # exactly one check digit completes any prefix
+        valid = [c for c in "0123456789" if luhn_valid(digits + c)]
+        assert len(valid) == 1
