@@ -533,6 +533,55 @@ def _q_pii_cards(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow")
 
 
+def _q_outlinks(sf_dir: str):
+    """Outbound-link spam features over synthesized pages: d%6 links
+    per page, every (d+j)%3==0-th external to one of 5 spam hosts,
+    internal links alternating relative/absolute-same-host (both must
+    count as internal), plus script/comment anchor decoys. The oracle
+    replays the j-loop with a range unnest; zero-link pages emit
+    zeroed rows through the left join."""
+    from pdf_extractor_ray.functions.webgraph import outlink_features
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            own = f"h{d % 11}.example.org"
+            links = []
+            for j in range(d % 6):
+                if (d + j) % 3 == 0:
+                    links.append(
+                        f'<a href="https://ext{(d + j) % 5}.example.net'
+                        f'/x{j}">spam {j}</a>'
+                    )
+                elif j % 2:
+                    links.append(f'<a href="/a{j}">rel {j}</a>')
+                else:
+                    links.append(
+                        f'<a href="https://{own}/abs{j}">abs {j}</a>'
+                    )
+            urls.append(f"https://{own}/p{d}")
+            htmls.append(
+                (
+                    "<html><body>"
+                    "<!-- <a href='https://decoy.example/c'>c</a> -->"
+                    + "".join(links)
+                    + "<script>var a='<a href=\"https://decoy.example/s\">"
+                    "s</a>';</script>"
+                    f"<p>Doc {d}</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return outlink_features(docs.map_batches(to_pages, batch_format="pyarrow"))
+
+
 def _q_url_features(sf_dir: str):
     """Lexical URL quality features over a synthesized URL mix (bare /
     subdomain / double-subdomain / IP-literal hosts x shallow-to-deep
@@ -4391,6 +4440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": _q_redirects,
         "refresh_redirects": _q_refresh_redirects,
         "url_features": _q_url_features,
+        "outlink_features": _q_outlinks,
         "hreflang_clusters": _q_hreflang,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
@@ -6100,6 +6150,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "outlink_features": """
+            WITH l AS (
+                SELECT doc_id, unnest(range(doc_id % 6)) AS j
+                FROM documents),
+            e AS (
+                SELECT doc_id, j,
+                       (doc_id + j) % 3 = 0 AS ext,
+                       (doc_id + j) % 5 AS eh
+                FROM l),
+            agg AS (
+                SELECT doc_id,
+                       count(*) AS n_links,
+                       sum(CASE WHEN ext THEN 1 ELSE 0 END) AS n_external,
+                       count(DISTINCT CASE WHEN ext THEN eh END)
+                           AS n_ext_hosts
+                FROM e GROUP BY doc_id)
+            SELECT 'https://h' || (d.doc_id % 11) || '.example.org/p'
+                       || d.doc_id AS url,
+                   CAST(coalesce(a.n_links, 0) AS BIGINT) AS n_links,
+                   CAST(coalesce(a.n_external, 0) AS BIGINT) AS n_external,
+                   CAST(coalesce(a.n_ext_hosts, 0) AS BIGINT)
+                       AS n_ext_hosts,
+                   CAST(CASE WHEN coalesce(a.n_links, 0) > 0
+                             THEN 1000 * a.n_external // a.n_links
+                             ELSE 0 END AS BIGINT) AS external_permille
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
         "hreflang_clusters": """
             SELECT 'https://l.example.org/' || (doc_id // 4) || '/de'
                        AS cluster_key,

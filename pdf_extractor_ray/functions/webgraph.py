@@ -31,6 +31,7 @@ __all__ = [
     "resolve_redirects",
     "page_refresh_edges",
     "hreflang_clusters",
+    "outlink_features",
 ]
 
 
@@ -466,3 +467,61 @@ def hreflang_clusters(
         ds.map_batches(page_rows, batch_format="pyarrow")
     )
     return rows.groupby("bucket").map_groups(rollup, batch_format="pandas")
+
+
+def outlink_features(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Per-page outbound-link spam signals: total links, external
+    links (absolute href whose host differs from the page's own;
+    relative hrefs are internal by construction), distinct external
+    hosts, and external share in integer per-mille. Link-farm pages
+    light up on external_permille + n_ext_hosts; pure streaming
+    map_batches over the kernel anchor harvester (script/comment
+    decoys invisible)."""
+    import re as _re
+
+    from pdf_extractor_ray.kernel.html_to_md import extract_anchors
+
+    host_re = _re.compile(r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", _re.I)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        urls, n_links, n_ext, n_hosts, permille = [], [], [], [], []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            mu = host_re.match(u or "")
+            own = mu.group(1).lower() if mu else ""
+            anchors = extract_anchors(s)
+            ext_hosts = []
+            for href, _ in anchors:
+                m = host_re.match(href)
+                if m and m.group(1).lower() != own:
+                    ext_hosts.append(m.group(1).lower())
+            urls.append(u)
+            n_links.append(len(anchors))
+            n_ext.append(len(ext_hosts))
+            n_hosts.append(len(set(ext_hosts)))
+            permille.append(
+                1000 * len(ext_hosts) // len(anchors) if anchors else 0
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "n_external": pa.array(n_ext, pa.int64()),
+                "n_ext_hosts": pa.array(n_hosts, pa.int64()),
+                "external_permille": pa.array(permille, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")

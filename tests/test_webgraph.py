@@ -127,3 +127,48 @@ class TestResolveRedirects:
         got = self._run(pairs, max_rounds=2)  # 2^2 = 4 < 5
         assert got["u5"] == ("", 0, 1)  # beyond the cap: unresolved
         assert got["u1"] == ("u0", 1, 0)  # short chains still resolve
+
+
+class TestOutlinkFeatures:
+    def test_internal_external_split(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.webgraph import outlink_features
+
+        html = (
+            '<a href="/rel">r</a>'
+            '<a href="https://own.example.org/abs">a</a>'
+            '<a href="https://ext1.example.net/x">e1</a>'
+            '<a href="https://ext1.example.net/y">e1b</a>'
+            '<a href="https://ext2.example.net/z">e2</a>'
+            "<script>var a='<a href=\"https://decoy/d\">d</a>';</script>"
+        ).encode()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": ["https://own.example.org/p"],
+                    "html": pa.array([html], pa.binary()),
+                }
+            )
+        )
+        r = outlink_features(ds).to_pandas().iloc[0]
+        assert (r.n_links, r.n_external, r.n_ext_hosts) == (5, 3, 2)
+        assert r.external_permille == 1000 * 3 // 5
+
+    def test_no_links_page(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.webgraph import outlink_features
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": ["https://o.example/p"],
+                    "html": pa.array([b"<html><p>x</p></html>"], pa.binary()),
+                }
+            )
+        )
+        r = outlink_features(ds).to_pandas().iloc[0]
+        assert (r.n_links, r.n_external, r.external_permille) == (0, 0, 0)
