@@ -533,6 +533,46 @@ def _q_pii_cards(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow")
 
 
+_LEXICON = ("zorblex", "quimvat", "drulpan", "xefgorb", "minthrax",
+            "velqoru")
+
+
+def _q_lexicon_filter(sf_dir: str):
+    """Blocklist-lexicon gate: d%4 planted terms per doc (rotating
+    through a 6-term synthetic lexicon, title-cased on odd docs to
+    prove case-insensitivity), plus a substring decoy ``zorblexify``
+    on every doc that word-boundary matching must not count. The
+    oracle replays the plant arithmetic (n_hits = n_terms = d%4) — a
+    green hash proves the compiled alternation matched every planted
+    case variant and nothing else."""
+    from pdf_extractor_ray.functions.quality import lexicon_hits
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            words = [_LEXICON[(d + i) % 6] for i in range(d % 4)]
+            if d % 2:
+                words = [w.title() for w in words]
+            ids.append(d)
+            texts.append(f"{t} {' '.join(words)} zorblexify".rstrip())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return lexicon_hits(
+        docs.map_batches(plant, batch_format="pyarrow"), list(_LEXICON)
+    )
+
+
 def _q_outlinks(sf_dir: str):
     """Outbound-link spam features over synthesized pages: d%6 links
     per page, every (d+j)%3==0-th external to one of 5 spam hosts,
@@ -4441,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refresh_redirects": _q_refresh_redirects,
         "url_features": _q_url_features,
         "outlink_features": _q_outlinks,
+        "lexicon_filter": _q_lexicon_filter,
         "hreflang_clusters": _q_hreflang,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
@@ -6150,6 +6191,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "lexicon_filter": """
+            SELECT doc_id,
+                   CAST(doc_id % 4 AS BIGINT) AS n_hits,
+                   CAST(doc_id % 4 AS BIGINT) AS n_terms,
+                   CAST(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS flagged
+            FROM documents
+        """,
         "outlink_features": """
             WITH l AS (
                 SELECT doc_id, unnest(range(doc_id % 6)) AS j

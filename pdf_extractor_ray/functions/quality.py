@@ -27,6 +27,8 @@ __all__ = [
     "gopher_quality",
     "repetition_stats_batch",
     "repetition_stats",
+    "LexiconCounter",
+    "lexicon_hits",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -205,4 +207,67 @@ def repetition_stats(
     return ds.map_batches(
         lambda b: repetition_stats_batch(b, text_col, **thresholds),
         batch_format="pyarrow",
+    )
+
+
+class LexiconCounter:
+    """Actor-pool lexicon-match stage (the UT1/LDNOOBW-style blocklist
+    gate): the term list is fetched from the object store and compiled
+    into ONE word-boundary alternation ONCE per worker in
+    ``__init__``; ``__call__`` counts per document. Matching is
+    case-insensitive on whole words only — a term embedded in a longer
+    word does not count. Emits ``n_hits`` (total matches),
+    ``n_terms`` (distinct terms hit) and ``flagged``
+    (n_hits >= threshold)."""
+
+    def __init__(self, lexicon_ref, text_col: str = "text",
+                 flag_threshold: int = 2):
+        import ray as _ray
+
+        terms = _ray.get(lexicon_ref)
+        self._re = re.compile(
+            r"\b(?:" + "|".join(re.escape(t) for t in sorted(terms))
+            + r")\b",
+            re.IGNORECASE,
+        )
+        self._text_col = text_col
+        self._threshold = flag_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_hits, n_terms, flagged = [], [], []
+        for t in batch[self._text_col].to_pylist():
+            hits = self._re.findall(t or "")
+            n_hits.append(len(hits))
+            n_terms.append(len({h.lower() for h in hits}))
+            flagged.append(1 if len(hits) >= self._threshold else 0)
+        cols = {name: batch[name] for name in batch.column_names
+                if name != self._text_col}
+        cols["n_hits"] = pa.array(n_hits, pa.int64())
+        cols["n_terms"] = pa.array(n_terms, pa.int64())
+        cols["flagged"] = pa.array(flagged, pa.int64())
+        return pa.table(cols)
+
+
+def lexicon_hits(
+    ds: ray.data.Dataset,
+    lexicon: list[str],
+    text_col: str = "text",
+    flag_threshold: int = 2,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Blocklist-lexicon matching over the corpus: the term list ships
+    to the object store ONCE (``ray.put``) and each worker compiles it
+    once — never per batch. Shuffle-free."""
+    import ray as _ray
+
+    lexicon_ref = _ray.put(list(lexicon))
+    return ds.map_batches(
+        LexiconCounter,
+        fn_constructor_kwargs={
+            "lexicon_ref": lexicon_ref,
+            "text_col": text_col,
+            "flag_threshold": flag_threshold,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )

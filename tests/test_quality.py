@@ -175,3 +175,28 @@ class TestScriptStats:
             "FROM c ORDER BY doc_id"
         ).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestLexiconHits:
+    def test_boundary_case_and_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.quality import lexicon_hits
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "clean text nothing here",
+                "one Zorblex mention",                      # case-insensitive
+                "zorblex then quimvat twice zorblex",       # 3 hits, 2 terms
+                "zorblexify embedded does not count",       # boundary
+            ],
+        }))
+        df = (
+            lexicon_hits(ds, ["zorblex", "quimvat"], flag_threshold=2)
+            .to_pandas().sort_values("doc_id")
+        )
+        assert df["n_hits"].tolist() == [0, 1, 3, 0]
+        assert df["n_terms"].tolist() == [0, 1, 2, 0]
+        assert df["flagged"].tolist() == [0, 0, 1, 0]
