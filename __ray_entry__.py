@@ -533,6 +533,79 @@ def _q_pii_cards(sf_dir: str):
     return out.map_batches(fp, batch_format="pyarrow")
 
 
+def _q_clean_export(sf_dir: str):
+    """The dump-processing tail as ONE streaming chain: raw bytes ->
+    charset sniff + decode (three encodings of the SAME logical text
+    per 3-doc dup group: plain utf-8 / BOM utf-8 / BOM utf-16-le) ->
+    Luhn card redaction -> email/phone/IP redaction -> exact dedup
+    (min doc_id survives) -> per-survivor word count + fingerprint.
+    The oracle rebuilds each group's redacted text (broken cards
+    survive verbatim via the shared literal CASE) and replays the
+    dedup rule — a green hash proves all three decode lanes converged
+    byte-identically BEFORE hashing, both redactors fired exactly
+    once, and the survivor rule picked the group leader."""
+    from pdf_extractor_ray.functions.dedup import exact_dedup
+    from pdf_extractor_ray.functions.scrub import redact_cards, redact_pii
+    from pdf_extractor_ray.functions.webclean import sniff_bodies
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_bodies(batch: pa.Table) -> pa.Table:
+        ids, bodies = [], []
+        for d in batch["doc_id"].to_pylist():
+            g = d - d % 3
+            base = _CARD_BASES[g % 3]
+            if g % 2:
+                base = base[:-1] + str((int(base[-1]) + 1) % 10)
+            t = (
+                f"corpus body {g % 211} café contact "
+                f"u{g}@mail.example.org pay {_fmt_card(base, g % 4)} end"
+            )
+            branch = d % 3
+            if branch == 0:
+                body = t.encode("utf-8")
+            elif branch == 1:
+                body = b"\xef\xbb\xbf" + t.encode("utf-8")
+            else:
+                body = b"\xff\xfe" + t.encode("utf-16-le")
+            ids.append(d)
+            bodies.append(body)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "html": pa.array(bodies, pa.binary()),
+            }
+        )
+
+    bodies = docs.map_batches(to_bodies, batch_format="pyarrow")
+    decoded = sniff_bodies(bodies, emit_text=True)
+    redacted = redact_pii(redact_cards(decoded))
+    survivors = exact_dedup(redacted, text_col="text", id_col="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "charset": batch["charset"],
+                "n_words": pa.array(
+                    [len(t.split(" ")) for t in texts], pa.int64()
+                ),
+                "red_md5": pa.array(
+                    [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in texts
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return survivors.map_batches(project, batch_format="pyarrow")
+
+
 _LEXICON = ("zorblex", "quimvat", "drulpan", "xefgorb", "minthrax",
             "velqoru")
 
@@ -850,6 +923,28 @@ _REDIRECT_RESOLVE_SQL = """
 """
 
 
+def _broken_card_case(expr: str) -> str:
+    """SQL CASE over ``expr % 12`` yielding the check-digit-broken PAN
+    literal for each odd (brand, grouping) combo — shared by every
+    oracle that plants cards via the (id%3 brand, id%4 format, odd =
+    broken) rule."""
+    return (
+        f"CASE {expr} % 12 "
+        + " ".join(
+            "WHEN {r} THEN '{lit}'".format(
+                r=r,
+                lit=_fmt_card(
+                    _CARD_BASES[r % 3][:-1]
+                    + str((int(_CARD_BASES[r % 3][-1]) + 1) % 10),
+                    r % 4,
+                ),
+            )
+            for r in (1, 3, 5, 7, 9, 11)
+        )
+        + " END"
+    )
+
+
 # Oracle for pii_cards: odd docs keep their broken number verbatim;
 # the 6 odd (brand, grouping) combos are spelled out as literals.
 _PII_CARDS_SQL = (
@@ -857,19 +952,9 @@ _PII_CARDS_SQL = (
     "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)"
     " AS n_cards, "
     "md5(text || ' pay ' || "
-    "CASE WHEN doc_id % 2 = 0 THEN '<CARD>' ELSE CASE doc_id % 12 "
-    + " ".join(
-        "WHEN {r} THEN '{lit}'".format(
-            r=r,
-            lit=_fmt_card(
-                _CARD_BASES[r % 3][:-1]
-                + str((int(_CARD_BASES[r % 3][-1]) + 1) % 10),
-                r % 4,
-            ),
-        )
-        for r in (1, 3, 5, 7, 9, 11)
-    )
-    + " END END || ' ok') AS redacted_md5 FROM documents"
+    "CASE WHEN doc_id % 2 = 0 THEN '<CARD>' ELSE "
+    + _broken_card_case("doc_id")
+    + " END || ' ok') AS redacted_md5 FROM documents"
 )
 
 
@@ -4482,6 +4567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": _q_url_features,
         "outlink_features": _q_outlinks,
         "lexicon_filter": _q_lexicon_filter,
+        "clean_export_chain": _q_clean_export,
         "hreflang_clusters": _q_hreflang,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
@@ -6191,6 +6277,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        "clean_export_chain": (
+            "WITH lead AS (SELECT DISTINCT doc_id - doc_id % 3 AS g"
+            " FROM documents), "
+            "t AS (SELECT g, 'corpus body ' || (g % 211)"
+            " || ' café contact <EMAIL> pay ' || "
+            "CASE WHEN g % 2 = 0 THEN '<CARD>' ELSE "
+            + _broken_card_case("g")
+            + " END || ' end' AS red FROM lead) "
+            "SELECT g AS doc_id, 'utf-8' AS charset, "
+            "CAST(len(string_split(red, ' ')) AS BIGINT) AS n_words, "
+            "md5(red) AS red_md5 FROM t"
+        ),
         "lexicon_filter": """
             SELECT doc_id,
                    CAST(doc_id % 4 AS BIGINT) AS n_hits,

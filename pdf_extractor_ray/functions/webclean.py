@@ -344,6 +344,7 @@ def sniff_bodies(
     ds: ray.data.Dataset,
     url_col: str = "url",
     body_col: str = "html",
+    emit_text: bool = False,
 ) -> ray.data.Dataset:
     """Classify and decode raw fetch bodies: one row per input with
     ``(url, content_type, charset, n_chars, text_md5)`` from the
@@ -354,16 +355,17 @@ def sniff_bodies(
     is the router in front of the extraction lanes, and the lanes
     re-decode from the (still zero-copy) binary column; emitting both
     would double the exchange volume. ``text_md5`` pins the decode
-    result for the correctness gate; binary payloads emit ''/0."""
+    result for the correctness gate; binary payloads emit ''/0.
+    With ``emit_text=True`` the decoded text rides along as a ``text``
+    column (for chains that consume the decode directly instead of
+    re-decoding in their own lane); every non-body input column passes
+    through either way."""
     from pdf_extractor_ray.kernel.sniff import sniff_payload
 
     def sniff(batch: pa.Table) -> pa.Table:
-        urls, ctypes, charsets, n_chars, md5s = [], [], [], [], []
-        for u, b in zip(
-            batch[url_col].to_pylist(), batch[body_col].to_pylist()
-        ):
+        ctypes, charsets, n_chars, md5s, texts = [], [], [], [], []
+        for b in batch[body_col].to_pylist():
             r = sniff_payload(b)
-            urls.append(u)
             ctypes.append(r.content_type)
             charsets.append(r.charset)
             n_chars.append(len(r.text))
@@ -372,14 +374,18 @@ def sniff_bodies(
                 if r.text
                 else ""
             )
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "content_type": pa.array(ctypes, pa.string()),
-                "charset": pa.array(charsets, pa.string()),
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "text_md5": pa.array(md5s, pa.string()),
-            }
-        )
+            texts.append(r.text)
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name != body_col
+        }
+        cols["content_type"] = pa.array(ctypes, pa.string())
+        cols["charset"] = pa.array(charsets, pa.string())
+        cols["n_chars"] = pa.array(n_chars, pa.int64())
+        cols["text_md5"] = pa.array(md5s, pa.string())
+        if emit_text:
+            cols["text"] = pa.array(texts, pa.string())
+        return pa.table(cols)
 
     return ds.map_batches(sniff, batch_format="pyarrow")
