@@ -543,7 +543,10 @@ def _q_clean_export(sf_dir: str):
     survive verbatim via the shared literal CASE) and replays the
     dedup rule — a green hash proves all three decode lanes converged
     byte-identically BEFORE hashing, both redactors fired exactly
-    once, and the survivor rule picked the group leader."""
+    once, and the survivor rule picked the minimum doc over each
+    distinct REDACTED text (groups differing only in their redacted
+    email/card merge — the privacy-preserving dedup semantics; at
+    sf0.1 that is 633 survivors, not 1667 groups)."""
     from pdf_extractor_ray.functions.dedup import exact_dedup
     from pdf_extractor_ray.functions.scrub import redact_cards, redact_pii
     from pdf_extractor_ray.functions.webclean import sniff_bodies
@@ -6277,6 +6280,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_cards": _PII_CARDS_SQL,
+        # Dedup runs on REDACTED text, so groups whose only difference
+        # was the (redacted) email/card legitimately merge — the
+        # oracle's GROUP BY red replays exactly that (found at the
+        # sf0.1 gate: 633 survivors = 211 even residue classes + 422
+        # odd (g%211, g%12) CRT pairs, not 1667 leaders).
         "clean_export_chain": (
             "WITH lead AS (SELECT DISTINCT doc_id - doc_id % 3 AS g"
             " FROM documents), "
@@ -6284,10 +6292,11 @@ def oracle_sql() -> dict[str, str]:
             " || ' café contact <EMAIL> pay ' || "
             "CASE WHEN g % 2 = 0 THEN '<CARD>' ELSE "
             + _broken_card_case("g")
-            + " END || ' end' AS red FROM lead) "
-            "SELECT g AS doc_id, 'utf-8' AS charset, "
+            + " END || ' end' AS red FROM lead), "
+            "dd AS (SELECT red, min(g) AS doc_id FROM t GROUP BY red) "
+            "SELECT doc_id, 'utf-8' AS charset, "
             "CAST(len(string_split(red, ' ')) AS BIGINT) AS n_words, "
-            "md5(red) AS red_md5 FROM t"
+            "md5(red) AS red_md5 FROM dd"
         ),
         "lexicon_filter": """
             SELECT doc_id,
