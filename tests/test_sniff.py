@@ -83,3 +83,24 @@ class TestFallback:
     def test_html_tag_without_doctype_is_html(self):
         r = sniff_payload(b"some <p>tagged</p> body")
         assert r.content_type == "text/html"
+
+
+class TestSniffBodiesPassthrough:
+    def test_emit_text_and_extra_columns(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_extractor_ray.functions.webclean import sniff_bodies
+
+        s = "plain café text"
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [7],
+            "url": ["https://x.example/a"],
+            "html": pa.array([b"\xef\xbb\xbf" + s.encode("utf-8")],
+                             pa.binary()),
+        }))
+        df = sniff_bodies(ds, emit_text=True).to_pandas()
+        r = df.iloc[0]
+        assert r.doc_id == 7 and r.url == "https://x.example/a"
+        assert (r.charset, r.text) == ("utf-8", s)
+        assert "html" not in df.columns
