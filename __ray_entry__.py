@@ -4926,12 +4926,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "strip_boilerplate": """
-            -- the injected footer is exactly what the strip removes,
-            -- so the cleaned text equals the original document text
+            -- boilerplate = the injected footer PLUS any document body
+            -- that repeats verbatim across docs (the sf0.1 table has 8
+            -- such dup groups; their single-paragraph bodies hit
+            -- min_count=2 and are legitimately stripped to '')
+            WITH dup AS (
+                SELECT text FROM documents
+                GROUP BY text HAVING count(*) >= 2)
             SELECT doc_id,
-                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
-                       AS n_removed,
-                   md5(text) AS cleaned_fp
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN text IN (SELECT text FROM dup)
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
+                   md5(CASE WHEN text IN (SELECT text FROM dup)
+                            THEN '' ELSE text END) AS cleaned_fp
             FROM documents
         """,
         "paragraph_dedup": """
