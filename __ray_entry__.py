@@ -333,6 +333,114 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _ldjson_pages(sf_dir: str) -> ray.data.Dataset:
+    """Documents wrapped in pages carrying deterministic JSON-LD, by
+    doc_id ``d``:  every page has an Article block (headline with a
+    JSON-escaped quote and an em-dash, datePublished 2024-(d%12+1)-
+    (d%28+1), author "Author {d%97}" — shaped as a list of Person
+    objects when d%10==0, a bare string when d%5==0, else a Person
+    object; the type attribute is written ``Application/LD+JSON``
+    single-quoted on odd d and gains ``; charset=utf-8`` when d%4==0);
+    every 3rd page adds an ``@graph`` block (Organization "Org {d%11}"
+    + WebSite "Site {d%13}"); every 9th a top-level-array block
+    (BreadcrumbList "Crumbs {d%5}"); every 7th a syntactically-invalid
+    block (trailing comma) that must be counted, not parsed.  Decoys a
+    correct parser must not see: a commented-out ld+json script and a
+    text/javascript script with an entity-shaped body.  The JSON
+    payloads are built with ``json.dumps`` so escaping is honest."""
+    import json as _json
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            author_name = f"Author {d % 97}"
+            if d % 10 == 0:
+                author = [
+                    {"@type": "Person", "name": author_name},
+                    {"@type": "Person", "name": f"Second {d}"},
+                ]
+            elif d % 5 == 0:
+                author = author_name
+            else:
+                author = {"@type": "Person", "name": author_name}
+            art = _json.dumps(
+                {
+                    "@context": "https://schema.org",
+                    "@type": "Article",
+                    "headline": f'Headline "q{d % 10}" — {d}',
+                    "datePublished": f"2024-{d % 12 + 1:02d}-{d % 28 + 1:02d}",
+                    "author": author,
+                },
+                ensure_ascii=False,
+            )
+            if d % 4 == 0:
+                ta = '"application/ld+json; charset=utf-8"'
+            elif d % 2 == 1:
+                ta = "'Application/LD+JSON'"
+            else:
+                ta = '"application/ld+json"'
+            blocks = [f"<script type={ta}>{art}</script>"]
+            if d % 3 == 0:
+                graph = _json.dumps(
+                    {
+                        "@context": "https://schema.org",
+                        "@graph": [
+                            {"@type": "Organization", "name": f"Org {d % 11}"},
+                            {"@type": "WebSite", "name": f"Site {d % 13}"},
+                        ],
+                    }
+                )
+                blocks.append(
+                    f'<script type="application/ld+json">{graph}</script>'
+                )
+            if d % 9 == 0:
+                arr = _json.dumps(
+                    [{"@type": ["BreadcrumbList", "Thing"],
+                      "name": f"Crumbs {d % 5}"}]
+                )
+                blocks.append(
+                    f'<script type="application/ld+json">{arr}</script>'
+                )
+            if d % 7 == 0:
+                blocks.append(
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","headline":"bad",}</script>'
+                )
+            urls.append(f"https://docs.example.org/{d:08d}")
+            htmls.append(
+                (
+                    "<html><head>"
+                    '<!-- <script type="application/ld+json">'
+                    '{"@type":"CommentDecoy"}</script> -->'
+                    '<script type="text/javascript">'
+                    'var x={"@type":"Decoy","name":"nope"};</script>'
+                    + "".join(blocks)
+                    + f"</head><body><h1>Doc {d}</h1></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _q_json_ld(sf_dir: str):
+    """Schema.org entity harvesting from JSON-LD script blocks —
+    media-type parameter/case tolerance, @graph and top-level-array
+    flattening, author-shape normalization, invalid-block counting,
+    comment/wrong-type decoy invisibility. The oracle rebuilds every
+    entity row from the deterministic wrapper rule."""
+    from pdf_extractor_ray.functions.webgraph import page_json_ld
+
+    return page_json_ld(_ldjson_pages(sf_dir))
+
+
 def _dated_pages(sf_dir: str) -> ray.data.Dataset:
     """Documents wrapped in pages whose publication date is recoverable
     through exactly one stage of the htmldate cascade, by doc_id%4:
@@ -4560,6 +4668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_piece_hist": _q_bpe_piece_hist,
         "bpe_train": _q_bpe_train,
         "head_meta": _q_head_meta,
+        "json_ld": _q_json_ld,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
@@ -6285,6 +6394,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0
                              THEN 1 ELSE 0 END AS BIGINT) AS noindex
             FROM documents
+        """,
+        # One row per JSON-LD entity, replayed from the deterministic
+        # wrapper rule (_ldjson_pages): Article always at ent_idx 0;
+        # @graph pair at 1/2 when d%3=0; breadcrumb (d%9=0 implies
+        # d%3=0) therefore always at idx 3; the d%7=0 invalid block
+        # parses to nothing but bumps n_bad on every row of its page.
+        "json_ld": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://docs.example.org/'
+                           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_bad
+                FROM documents)
+            SELECT url, CAST(0 AS BIGINT) AS ent_idx,
+                   'Article' AS ent_type,
+                   'Headline "q' || (doc_id % 10) || '" — '
+                       || doc_id AS name,
+                   '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS date_published,
+                   'Author ' || (doc_id % 97) AS author, n_bad
+            FROM u
+            UNION ALL
+            SELECT url, 1, 'Organization', 'Org ' || (doc_id % 11),
+                   '', '', n_bad
+            FROM u WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT url, 2, 'WebSite', 'Site ' || (doc_id % 13),
+                   '', '', n_bad
+            FROM u WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT url, 3, 'BreadcrumbList', 'Crumbs ' || (doc_id % 5),
+                   '', '', n_bad
+            FROM u WHERE doc_id % 9 = 0
         """,
         "pii_cards": _PII_CARDS_SQL,
         # Dedup runs on REDACTED text, so groups whose only difference

@@ -525,3 +525,62 @@ def outlink_features(
         )
 
     return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def page_json_ld(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """One row per schema.org entity found in a page's
+    ``application/ld+json`` blocks: ``(url, ent_idx, ent_type, name,
+    date_published, author, n_bad)`` — ``ent_idx`` is the entity's
+    document-order position, ``n_bad`` the page's count of
+    syntactically-invalid JSON-LD blocks (repeated on each of the
+    page's rows).  Missing fields come back as ``''`` so the schema
+    stays all-string.  Pages with zero parseable entities emit no
+    rows.  Pure streaming map_batches over
+    :func:`~pdf_extractor_ray.kernel.html_to_md.extract_json_ld` —
+    no shuffle, scales linearly with page count."""
+    from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+    def ents(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        idxs: list[int] = []
+        types: list[str] = []
+        names: list[str] = []
+        dates: list[str] = []
+        authors: list[str] = []
+        bads: list[int] = []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            entities, n_bad = extract_json_ld(s)
+            for i, e in enumerate(entities):
+                urls.append(u)
+                idxs.append(i)
+                types.append(e["type"] or "")
+                names.append(e["name"] or "")
+                dates.append(e["date_published"] or "")
+                authors.append(e["author"] or "")
+                bads.append(n_bad)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ent_idx": pa.array(idxs, pa.int64()),
+                "ent_type": pa.array(types, pa.string()),
+                "name": pa.array(names, pa.string()),
+                "date_published": pa.array(dates, pa.string()),
+                "author": pa.array(authors, pa.string()),
+                "n_bad": pa.array(bads, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ents, batch_format="pyarrow")

@@ -656,3 +656,109 @@ def extract_hreflang(html: str) -> list[tuple[str, str]]:
             if "alternate" in rel and lang and href:
                 out.append((lang.lower(), href))
     return out
+
+
+# -- JSON-LD structured-data extraction -------------------------------
+#
+# Behavioral spec: search engines and curation pipelines read
+# schema.org entities from ``<script type="application/ld+json">``
+# blocks (Google structured-data guidelines; trafilatura's
+# extract_metadata JSON-LD branch).  The reference repo's metadata
+# extractor (SURVEY §2.2 M9) keeps per-document title/date/author
+# fields with no web-side population rule; this kernel supplies it.
+
+_LD_JSON_TYPE = "application/ld+json"
+
+
+def _ld_first_name(v) -> str | None:
+    """``author``/``name`` normalization: an object ``{"name": ...}``,
+    a bare string, or a list of either — first name wins (Google's
+    multiple-author rule)."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, dict):
+        n = v.get("name")
+        return n if isinstance(n, str) else None
+    if isinstance(v, list):
+        for item in v:
+            n = _ld_first_name(item)
+            if n is not None:
+                return n
+    return None
+
+
+def extract_json_ld(html: str) -> tuple[list[dict], int]:
+    """Schema.org entities from ``application/ld+json`` script blocks,
+    in document order, plus the count of syntactically-invalid blocks.
+
+    Media-type match is case-insensitive and ignores RFC 2045
+    parameters (``Application/LD+JSON; charset=utf-8`` matches).
+    Script bodies are raw text — a decoy block inside an HTML comment
+    or a ``text/javascript`` script is invisible, and entity values
+    are JSON-unescaped but never HTML-decoded (script CDATA contract,
+    same tokenizer as :func:`html_to_markdown`).  A top-level array
+    and the ``@graph`` envelope both flatten to their member entities;
+    non-dict members are skipped.  Per entity: ``type`` (``@type``,
+    first of a list), ``name`` (``headline`` wins over ``name`` —
+    Article convention), ``date_published``, ``author`` (object /
+    string / list-of-either, first name — :func:`_ld_first_name`).
+    """
+    import json
+
+    entities: list[dict] = []
+    n_bad = 0
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            break
+        open_name, open_attrs = m.group(3), m.group(4)
+        pos = m.end()
+        if not open_name:
+            continue
+        tag = open_name.lower()
+        if tag not in _RAW_TEXT:
+            continue
+        mc = _RAW_CLOSE_RE[tag].search(html, pos)
+        body_end = mc.start() if mc else n
+        body = html[pos:body_end]
+        pos = mc.end() if mc else n
+        if tag != "script":
+            continue
+        attrs = _parse_attrs(open_attrs or "")
+        mtype = (attrs.get("type") or "").split(";", 1)[0].strip().lower()
+        if mtype != _LD_JSON_TYPE:
+            continue
+        try:
+            doc = json.loads(body)
+        except ValueError:
+            n_bad += 1
+            continue
+        if isinstance(doc, list):
+            members = doc
+        elif isinstance(doc, dict) and isinstance(doc.get("@graph"), list):
+            members = doc["@graph"]
+        else:
+            members = [doc]
+        for ent in members:
+            if not isinstance(ent, dict):
+                continue
+            etype = ent.get("@type")
+            if isinstance(etype, list):
+                etype = etype[0] if etype else None
+            name = ent.get("headline")
+            if not isinstance(name, str):
+                name = ent.get("name")
+                if not isinstance(name, str):
+                    name = None
+            date = ent.get("datePublished")
+            entities.append(
+                {
+                    "type": etype if isinstance(etype, str) else None,
+                    "name": name,
+                    "date_published": date if isinstance(date, str) else None,
+                    "author": _ld_first_name(ent.get("author")),
+                }
+            )
+    return entities, n_bad

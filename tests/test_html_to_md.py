@@ -312,3 +312,73 @@ class TestExtractHreflang:
             '<!-- <link rel=alternate hreflang=aa href=/c> -->'
         )
         assert extract_hreflang(html) == []
+
+
+class TestExtractJsonLd:
+    def test_entities_graph_array_and_bad_count(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        html = (
+            "<html><head>"
+            '<!-- <script type="application/ld+json">'
+            '{"@type":"CommentDecoy"}</script> -->'
+            '<script type="text/javascript">'
+            'var x={"@type":"Decoy"};</script>'
+            "<script type='Application/LD+JSON; charset=utf-8'>"
+            '{"@context":"https://schema.org","@type":"Article",'
+            '"headline":"Headline \\"q3\\" 13",'
+            '"datePublished":"2024-02-14",'
+            '"author":{"@type":"Person","name":"Author 13"}}</script>'
+            '<script type="application/ld+json">'
+            '{"@graph":[{"@type":"Organization","name":"Org 2"},'
+            '{"@type":"WebSite","name":"Site 0"}]}</script>'
+            '<script type="application/ld+json">'
+            '[{"@type":["BreadcrumbList","Thing"],"name":"Crumbs 3"}]'
+            "</script>"
+            '<script type="application/ld+json">'
+            '{"@type":"Article",}</script>'
+            "</head><body></body></html>"
+        )
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad == 1
+        assert [e["type"] for e in ents] == [
+            "Article", "Organization", "WebSite", "BreadcrumbList",
+        ]
+        assert ents[0]["name"] == 'Headline "q3" 13'
+        assert ents[0]["date_published"] == "2024-02-14"
+        assert ents[0]["author"] == "Author 13"
+        assert ents[3]["name"] == "Crumbs 3"
+        assert ents[1]["date_published"] is None
+
+    def test_author_shapes_headline_priority_no_html_decode(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        html = (
+            '<script type="application/ld+json">'
+            '{"@type":"Article","name":"fallback name",'
+            '"headline":"wins &amp; stays encoded",'
+            '"author":["bare string","ignored"]}</script>'
+            '<script type="application/ld+json">'
+            '{"@type":"Article","name":"name used",'
+            '"author":[{"notname":1},{"name":"first real"}]}</script>'
+        )
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad == 0
+        # headline wins over name; script CDATA is never HTML-decoded
+        assert ents[0]["name"] == "wins &amp; stays encoded"
+        assert ents[0]["author"] == "bare string"
+        assert ents[1]["name"] == "name used"
+        assert ents[1]["author"] == "first real"
+
+    def test_typeless_script_and_non_dict_members_skipped(self):
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        html = (
+            '<script>{"@type":"NoTypeAttr"}</script>'
+            '<script type="application/ld+json">'
+            '[1, "str", {"@type":"Thing","name":"kept"}]</script>'
+            '<script type="application/ld+json">"just a string"</script>'
+        )
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad == 0
+        assert [e["name"] for e in ents] == ["kept"]
