@@ -4029,6 +4029,96 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, docs, n_iters=5, damping_pct=85)
 
 
+def _q_hits(sf_dir: str):
+    """Kleinberg HITS hubs & authorities over a deterministic
+    synthetic web graph. The pagerank query's 3-affine-map graph is
+    perfectly 3-regular (the maps are bijections mod N), which makes
+    HITS constant — so here out-degree varies: doc d emits the first
+    1 + d%3 of the affine links, giving genuinely skewed in/out
+    degrees and dispersed scores. Three max-normalized iterations in
+    exact integer units — edge sums are int64, the node-sized
+    normalize multiply is Python-int exact, and the SQL oracle replays
+    every half-step through HUGEINT floor division. Four coarse-bucket
+    cogroup exchanges per iteration; the driver holds two ints."""
+    from pdf_extractor_ray.functions.graph import hits
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        keep = np.repeat(ids % 3, 3) >= np.tile(
+            np.arange(3, dtype=np.int64), len(ids)
+        )
+        df = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return hits(edges, docs, n_iters=3)
+
+
+def _hits_sql(n_iters: int = 3) -> str:
+    """Chained-CTE replay of integer max-normalized HITS: same edge
+    derivation as _pagerank_sql; each half-step sums the opposite
+    endpoint's value then rescales by the global max via HUGEINT
+    floor division (DuckDB // == Python // for non-negatives)."""
+    cte = """
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+                FROM documents WHERE doc_id % 3 >= 1
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 31 + 3) % (SELECT count(*) FROM documents)
+                FROM documents WHERE doc_id % 3 >= 2)
+            WHERE src <> dst),
+        h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS v FROM nodes)"""
+    for k in range(1, n_iters + 1):
+        cte += f""",
+        ar{k} AS MATERIALIZED (
+            SELECT nd.doc_id, CAST(COALESCE(s.c, 0) AS BIGINT) AS raw
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS doc_id, sum(p.v) AS c
+                FROM edges e JOIN h{k - 1} p ON p.doc_id = e.src
+                GROUP BY e.dst) s ON s.doc_id = nd.doc_id),
+        a{k} AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(COALESCE(CAST(raw AS HUGEINT) * 1000000
+                        // NULLIF((SELECT max(raw) FROM ar{k}), 0), 0)
+                        AS BIGINT) AS v
+            FROM ar{k}),
+        hr{k} AS MATERIALIZED (
+            SELECT nd.doc_id, CAST(COALESCE(s.c, 0) AS BIGINT) AS raw
+            FROM nodes nd LEFT JOIN (
+                SELECT e.src AS doc_id, sum(p.v) AS c
+                FROM edges e JOIN a{k} p ON p.doc_id = e.dst
+                GROUP BY e.src) s ON s.doc_id = nd.doc_id),
+        h{k} AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(COALESCE(CAST(raw AS HUGEINT) * 1000000
+                        // NULLIF((SELECT max(raw) FROM hr{k}), 0), 0)
+                        AS BIGINT) AS v
+            FROM hr{k})"""
+    return (
+        "WITH " + cte
+        + f"""
+        SELECT a.doc_id, a.v AS auth_u, h.v AS hub_u
+        FROM a{n_iters} a JOIN h{n_iters} h ON h.doc_id = a.doc_id"""
+    )
+
+
 def _q_bpe_tokens(sf_dir: str):
     """Per-document BPE token counts as an actor-pool tokenizer stage
     (ranks table + compiled pre-tokenizer load once per actor in
@@ -4694,6 +4784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
         "media_features": _q_media_features,
@@ -5268,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
+        "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,
         "dsir_select": f"""
             WITH s AS ({_DSIR_SCORE_SQL}),

@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -450,3 +450,226 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _label_max(labels: ray.data.Dataset) -> int:
+    """Scalar max over (node, label) rows; the driver sees one int
+    per round (per-block partials — same pattern as _label_sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch["label"].to_numpy(zero_copy_only=False)
+        m = int(vals.max()) if len(vals) else 0
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    parts = labels.map_batches(partial, batch_format="pyarrow").take_all()
+    return max((int(r["m"]) for r in parts), default=0)
+
+
+HITS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("auth_u", pa.int64()),
+        pa.field("hub_u", pa.int64()),
+    ]
+)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_iters: int = 3,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Kleinberg HITS hubs & authorities in exact integer units — the
+    companion signal to :func:`pagerank` (a page can be a poor
+    authority but a good hub, and crawl curation wants both).
+
+    Semantics (max-normalized variant, all-integer so a SQL oracle
+    replays every iteration bit for bit; max-normalization preserves
+    the ranking of any scalar normalization):
+
+        hub_0(v)   = scale
+        araw_k(v)  = sum_{u->v} hub_{k-1}(u)
+        auth_k(v)  = araw_k(v) * scale // max_w araw_k(w)
+        hraw_k(u)  = sum_{u->v} auth_k(v)
+        hub_k(u)   = hraw_k(u) * scale // max_w hraw_k(w)
+
+    Values stay in [0, scale] after each half-step. The in-bucket
+    edge sums are vectorized int64 (safe while max in-degree *
+    scale < 2^63); the node-sized normalize multiply runs in Python
+    ints, so ``raw * scale`` never wraps regardless of graph size.
+    Self-loops / duplicate edges are the caller's contract to remove.
+
+    Distributed shape per iteration: FOUR coarse-bucket cogroup
+    exchanges (value->edge gather + marker-sum, once per half-step)
+    over the module's narrow (key, payload, side, bucket) schema, with
+    the two edge orientations tagged and materialized ONCE at setup.
+    The driver holds two ints per iteration (the maxima). Output:
+    ``(doc_id, auth_u, hub_u)`` for every node after ``n_iters``.
+    """
+    edges_by_src = (
+        coalesce_for_exchange(_tag(edges, src_col, dst_col, 1, n_buckets))
+        .materialize()
+    )
+    edges_by_dst = (
+        coalesce_for_exchange(_tag(edges, dst_col, src_col, 1, n_buckets))
+        .materialize()
+    )
+
+    def init_vals(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": ids, "label": np.full(len(ids), scale, dtype=np.int64)}
+        )
+
+    hub = nodes.map_batches(init_vals, batch_format="pyarrow").materialize()
+    node_markers = _tag(
+        hub.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "zero": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", "zero", 0, n_buckets,
+    ).materialize()
+
+    def gather(group: pd.DataFrame) -> pd.DataFrame:
+        """Endpoint-bucket cogroup: map each edge's tagged-key value
+        onto the edge, pre-sum per target node in-bucket (one row per
+        (bucket, target) crosses exchange 2, not one per edge)."""
+        vals = group[group["side"] == 0]
+        eg = group[group["side"] == 1]
+        if eg.empty:
+            return pd.DataFrame({"dst": [], "contrib": []}).astype(
+                {"dst": "int64", "contrib": "int64"}
+            )
+        vmap = pd.Series(
+            vals["payload"].to_numpy(), index=vals["key"].to_numpy()
+        )
+        v = vmap.reindex(eg["key"].to_numpy()).fillna(0).to_numpy(
+            dtype=np.int64
+        )
+        out = pd.DataFrame(
+            {"dst": eg["payload"].to_numpy(dtype=np.int64), "contrib": v}
+        )
+        return out.groupby("dst", as_index=False)["contrib"].sum()
+
+    def apply_sum(group: pd.DataFrame) -> pd.DataFrame:
+        """Node-bucket cogroup: summed contributions land on marker
+        rows; nodes with no in-edges (this orientation) get 0."""
+        marks = group[group["side"] == 0]
+        msgs = group[group["side"] == 1]
+        s = (
+            msgs.groupby("key")["payload"].sum()
+            if not msgs.empty
+            else pd.Series(dtype="int64")
+        )
+        nodes_in = marks["key"].drop_duplicates().to_numpy(dtype=np.int64)
+        raw = s.reindex(nodes_in).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": nodes_in, "label": raw})
+
+    def half_step(values: ray.data.Dataset,
+                  tagged_edges: ray.data.Dataset) -> ray.data.Dataset:
+        """values (node,label) -> raw sums over one edge orientation,
+        normalized to [0, scale] by the global max."""
+        msgs = (
+            coalesce_for_exchange(
+                _tag(values, "node", "label", 0, n_buckets).union(
+                    tagged_edges
+                )
+            )
+            .groupby("bucket")
+            .map_groups(gather, batch_format="pandas")
+        )
+        raw = (
+            coalesce_for_exchange(
+                _tag(msgs, "dst", "contrib", 1, n_buckets).union(
+                    node_markers
+                )
+            )
+            .groupby("bucket")
+            .map_groups(apply_sum, batch_format="pandas")
+        ).materialize()
+        mx = _label_max(raw)
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            # Python-int multiply: raw * scale is exact at any size
+            lab = [
+                (int(v) * scale // mx) if mx else 0
+                for v in batch["label"].to_pylist()
+            ]
+            return pa.table(
+                {"node": batch["node"], "label": pa.array(lab, pa.int64())}
+            )
+
+        return raw.map_batches(
+            normalize, batch_format="pyarrow"
+        ).materialize()
+
+    auth = hub  # placeholder for the zero-iteration degenerate call
+    for _ in range(n_iters):
+        auth = half_step(hub, edges_by_src)
+        hub = half_step(auth, edges_by_dst)
+
+    def tag_auth(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["node"],
+                "payload": batch["label"],
+                "side": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), pa.int8()
+                ),
+                "bucket": pa.array(
+                    _bucket(
+                        batch["node"].to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        ),
+                        n_buckets,
+                    )
+                ),
+            },
+            schema=_STEP_SCHEMA,
+        )
+
+    def zip_scores(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[group["side"] == 0]
+        h = group[group["side"] == 1]
+        hmap = pd.Series(h["payload"].to_numpy(), index=h["key"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": a["key"].to_numpy(dtype=np.int64),
+                "auth_u": a["payload"].to_numpy(dtype=np.int64),
+                "hub_u": hmap.reindex(a["key"].to_numpy())
+                .fillna(0)
+                .to_numpy(dtype=np.int64),
+            }
+        )
+
+    joined = (
+        coalesce_for_exchange(
+            auth.map_batches(tag_auth, batch_format="pyarrow").union(
+                _tag(hub, "node", "label", 1, n_buckets)
+            )
+        )
+        .groupby("bucket")
+        .map_groups(zip_scores, batch_format="pandas")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "auth_u": batch["auth_u"],
+                "hub_u": batch["hub_u"],
+            },
+            schema=HITS_SCHEMA,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -205,3 +205,88 @@ class TestPageRank:
         for k in range(3):
             want = 150_000 + (85 * (r0_hist[k] // 1)) // 100
         assert out[1] == want
+
+
+class TestHits:
+    def _serial(self, edges, n, n_iters=3, scale=1_000_000):
+        hub = {v: scale for v in range(n)}
+        auth = dict(hub)
+        for _ in range(n_iters):
+            araw = {v: 0 for v in range(n)}
+            for s, d in edges:
+                araw[d] += hub[s]
+            mx = max(araw.values())
+            auth = {v: (araw[v] * scale // mx if mx else 0) for v in range(n)}
+            hraw = {v: 0 for v in range(n)}
+            for s, d in edges:
+                hraw[s] += auth[d]
+            mx = max(hraw.values())
+            hub = {v: (hraw[v] * scale // mx if mx else 0) for v in range(n)}
+        return auth, hub
+
+    def test_matches_serial_on_random_graph(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.graph import hits
+
+        rng = np.random.default_rng(7)
+        n = 60
+        edges = sorted(
+            {
+                (int(s), int(d))
+                for s, d in rng.integers(0, n, (250, 2))
+                if s != d
+            }
+        )
+        auth, hub = self._serial(edges, n)
+        out = (
+            hits(
+                _ray.data.from_pandas(
+                    pd.DataFrame(edges, columns=["src", "dst"])
+                ),
+                _ray.data.from_pandas(
+                    pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+                ),
+                n_iters=3,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == n
+        for v in range(n):
+            assert int(out.loc[v, "auth_u"]) == auth[v]
+            assert int(out.loc[v, "hub_u"]) == hub[v]
+
+    def test_star_hub_and_authority(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.graph import hits
+
+        # 0 -> 1..4 (0 is the hub), 1..4 -> 5 (5 is the authority)
+        edges = [(0, d) for d in range(1, 5)] + [(s, 5) for s in range(1, 5)]
+        out = (
+            hits(
+                _ray.data.from_pandas(
+                    pd.DataFrame(edges, columns=["src", "dst"])
+                ),
+                _ray.data.from_pandas(
+                    pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64)})
+                ),
+                n_iters=2,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # node 5 is the top authority; node 0 has zero authority (no
+        # in-links); the pure-sink 5 has zero hub score
+        assert out["auth_u"].idxmax() == 5
+        assert int(out.loc[0, "auth_u"]) == 0
+        assert int(out.loc[5, "hub_u"]) == 0
+        ser_auth, ser_hub = self._serial(edges, 6, n_iters=2)
+        for v in range(6):
+            assert int(out.loc[v, "auth_u"]) == ser_auth[v]
+            assert int(out.loc[v, "hub_u"]) == ser_hub[v]
