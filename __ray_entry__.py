@@ -3463,6 +3463,26 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exact weighted sampling without replacement (integer priority
+    sampling): k=100 docs with weight 1 + doc_id%100 — higher weight,
+    smaller md5-derived priority, more likely selected. Bounded driver
+    state (2^16 cell counts + one boundary cell); the oracle computes
+    the identical subset by ordering the same integer priorities."""
+    from pdf_extractor_ray.functions.sampling import weighted_sample
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "weight", pa.array(1 + ids % 100, pa.int64())
+        )
+
+    ds = docs.map_batches(add_weight, batch_format="pyarrow")
+    return weighted_sample(ds, k=100, weight_col="weight", id_col="doc_id")
+
+
 def _q_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase: users completing each
     prefix in strictly increasing ts order (greedy earliest-occurrence
@@ -4714,6 +4734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
+        "weighted_sample": _q_weighted_sample,
         "funnel": _q_funnel,
         "transitions": _q_transitions,
         "retention": _q_retention,
@@ -7383,6 +7404,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev.rev_c) AS BIGINT) AS revenue_c
             FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "weighted_sample": """
+            WITH p AS (
+                SELECT doc_id,
+                       CAST(1 + doc_id % 100 AS BIGINT) AS weight,
+                       CAST(('0x' || substring(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            )::UBIGINT AS BIGINT)
+                           // (1 + doc_id % 100) AS priority,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)
+            SELECT doc_id, weight, priority
+            FROM p
+            ORDER BY priority, h, CAST(doc_id AS VARCHAR)
+            LIMIT 100
         """,
         "hash_sample": """
             SELECT lang, count(*) AS n_docs

@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "shuffle_shards",
+    "weighted_sample",
 ]
 
 
@@ -131,3 +132,146 @@ def shuffle_shards(
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_cell_bits: int = 16,
+) -> ray.data.Dataset:
+    """Exact deterministic weighted sampling without replacement: the
+    ``k`` rows with the smallest integer priority
+
+        priority(id, w) = u // max(w, 1),
+        u = int(md5(salt || id)[:15], 16)          (60 uniform bits)
+
+    — Duffield–Lund–Thorup priority sampling with an integer key, so
+    higher weight -> smaller priority -> more likely selected, and a
+    SQL oracle computes the identical subset. Membership depends only
+    on (salt, id, w): reproducible across runs, partitionings and
+    engines, like every sampler in this module. Ties (60-bit
+    collisions) break by (md5 hex ASC, id ASC).
+
+    Distributed shape — the histogram+boundary pattern of
+    ``select_top_k_global``, adapted to a near-unique score domain:
+    priorities are bucketed by their top ``n_cell_bits`` bits (the
+    driver sees <= 2^n_cell_bits counts, never the priorities), the
+    one boundary cell's members come back for an exact in-cell rank
+    (expected corpus_fraction ~ w_max / 2^n_cell_bits — small-cell
+    skew concentrates HIGH-weight rows, which is exactly the region
+    the top-k lives in), and a final pure filter streams the winners.
+    Input is consumed three times -> materialized once here.
+    Output: the input rows plus an int64 ``priority`` column.
+    """
+    if k <= 0:
+        return ds.filter(lambda row: False)
+    ds = ds.materialize()
+    shift = 60 - n_cell_bits
+
+    def prio(ids, weights):
+        hexes = [
+            hashlib.md5(f"{salt}{i}".encode("utf-8")).hexdigest()
+            for i in ids
+        ]
+        pr = [
+            int(h[:15], 16) // max(int(w), 1)
+            for h, w in zip(hexes, weights)
+        ]
+        return hexes, pr
+
+    def cells(batch: pa.Table) -> pa.Table:
+        _, pr = prio(
+            batch[id_col].to_pylist(), batch[weight_col].to_pylist()
+        )
+        from collections import Counter
+
+        c = Counter(p >> shift for p in pr)
+        return pa.table(
+            {
+                "cell": pa.array(list(c.keys()), pa.int64()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("cnt")
+        .to_pandas()  # bounded: <= 2^n_cell_bits rows
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    cum = hist["sum(cnt)"].cumsum()
+    total = int(cum.iloc[-1]) if len(cum) else 0
+    if k >= total:
+        out = ds
+        boundary = None
+    else:
+        b = int((cum.to_numpy() >= k).argmax())
+        b_cell = int(hist.loc[b, "cell"])
+        need = k - (int(cum.iloc[b - 1]) if b > 0 else 0)
+
+        if need == 0:
+            boundary = (b_cell, None)
+        else:
+            def in_cell(batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_pylist()
+                hexes, pr = prio(ids, batch[weight_col].to_pylist())
+                rows = [
+                    (p, h, i)
+                    for p, h, i in zip(pr, hexes, ids)
+                    if p >> shift == b_cell
+                ]
+                return pa.table(
+                    {
+                        "p": pa.array([r[0] for r in rows], pa.int64()),
+                        "h": pa.array([r[1] for r in rows], pa.string()),
+                        "i": pa.array([str(r[2]) for r in rows]),
+                    }
+                )
+
+            members = (
+                ds.map_batches(in_cell, batch_format="pyarrow")
+                .to_pandas()  # one cell's members
+                .sort_values(["p", "h", "i"])
+                .reset_index(drop=True)
+            )
+            row = members.iloc[need - 1]
+            boundary = (b_cell, (int(row["p"]), str(row["h"]), str(row["i"])))
+        out = None
+
+    if boundary is not None:
+        b_cell, cutoff = boundary
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            hexes, pr = prio(ids, batch[weight_col].to_pylist())
+            sel = []
+            for j, (p, h, i) in enumerate(zip(pr, hexes, ids)):
+                c = p >> shift
+                if c < b_cell or (
+                    c == b_cell
+                    and cutoff is not None
+                    and (p, h, str(i)) <= cutoff
+                ):
+                    sel.append(j)
+            t = batch.take(sel)
+            _, pr_sel = prio(
+                t[id_col].to_pylist(), t[weight_col].to_pylist()
+            )
+            return t.append_column(
+                "priority", pa.array(pr_sel, pa.int64())
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    def tag_all(batch: pa.Table) -> pa.Table:
+        _, pr = prio(
+            batch[id_col].to_pylist(), batch[weight_col].to_pylist()
+        )
+        return batch.append_column("priority", pa.array(pr, pa.int64()))
+
+    return out.map_batches(tag_all, batch_format="pyarrow")

@@ -343,3 +343,67 @@ class TestChunksDriverDiscipline:
         # the only driver to_pandas is the per-bucket totals table
         assert all(s <= 32 for s in sizes), sizes
         assert n > 0
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _serial(ids, weights, k, salt=""):
+        import hashlib
+
+        rows = []
+        for i, w in zip(ids, weights):
+            h = hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+            rows.append((int(h[:15], 16) // max(int(w), 1), h, str(i), i))
+        rows.sort()
+        return sorted(r[3] for r in rows[:k])
+
+    def test_matches_serial_and_is_weight_biased(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.sampling import weighted_sample
+
+        n = 3000
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n), "weight": 1 + np.arange(n) % 50}
+        )
+        out = weighted_sample(
+            _ray.data.from_pandas(df), 150, "weight", "doc_id"
+        ).to_pandas()
+        assert sorted(out.doc_id.tolist()) == self._serial(
+            df.doc_id, df.weight, 150
+        )
+        # higher-weight rows must be overrepresented
+        assert out.weight.mean() > df.weight.mean() * 1.15
+
+    def test_partitioning_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.sampling import weighted_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(800), "weight": 1 + np.arange(800) % 9}
+        )
+        a = weighted_sample(
+            _ray.data.from_pandas(df), 60, "weight", "doc_id"
+        ).to_pandas()
+        b = weighted_sample(
+            _ray.data.from_pandas(df).repartition(13), 60, "weight", "doc_id"
+        ).to_pandas()
+        assert sorted(a.doc_id.tolist()) == sorted(b.doc_id.tolist())
+
+    def test_k_edge_cases(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.sampling import weighted_sample
+
+        df = pd.DataFrame({"doc_id": np.arange(40), "weight": np.ones(40)})
+        assert (
+            weighted_sample(_ray.data.from_pandas(df), 100).count() == 40
+        )
+        assert weighted_sample(_ray.data.from_pandas(df), 0).count() == 0
