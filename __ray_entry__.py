@@ -3463,6 +3463,108 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _clf_docs(sf_dir: str) -> ray.data.Dataset:
+    """Labeled text for the hashed-linear classifier: label = d%2;
+    every doc carries two 'common_*' tokens (shared vocabulary), two
+    class-marker tokens ('spam_*' for label 1, 'ham_*' for label 0),
+    and every 3rd doc one NOISE token from the opposite class — so
+    perfect separation requires actual evidence weighing, not a
+    single-token lookup. Token duplicates within a doc (d%7 ==
+    (d*3)%7 when 7|d) count twice on both sides (bag semantics)."""
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids, texts, labels = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            toks = [f"common_{d % 7}", f"common_{(d * 3) % 7}"]
+            if d % 2 == 1:
+                toks += [f"spam_{d % 13}", f"spam_{(d * 5) % 13}"]
+                if d % 3 == 0:
+                    toks.append(f"ham_{d % 11}")
+            else:
+                toks += [f"ham_{d % 11}", f"ham_{(d * 5) % 11}"]
+                if d % 3 == 0:
+                    toks.append(f"spam_{d % 13}")
+            ids.append(d)
+            texts.append(" ".join(toks))
+            labels.append(d % 2)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "label": pa.array(labels, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(to_rows, batch_format="pyarrow")
+
+
+def _q_clf_train(sf_dir: str):
+    """Hashed-feature classifier training: per-batch (feat, class)
+    combiner partials, one groupby-sum exchange, integer smoothed
+    weights. The oracle recomputes every count and weight through the
+    same md5 feature hash over the regenerated token rows."""
+    from pdf_extractor_ray.functions.classifier import train_hashed_linear
+
+    return train_hashed_linear(
+        _clf_docs(sf_dir), text_col="text", label_col="label",
+        n_features=65_536,
+    )
+
+
+def _q_clf_score(sf_dir: str):
+    """Train-then-score composite: the weight table (bounded:
+    <= n_features rows) collapses to a dense broadcast vector, every
+    doc streams against it — score = sum(w) // n_tokens, predicted =
+    score >= 500000, all integer-exact vs the SQL replay."""
+    from pdf_extractor_ray.functions.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+        weights_to_dense,
+    )
+
+    docs = _clf_docs(sf_dir).materialize()  # consumed by train + score
+    weights = train_hashed_linear(
+        docs, text_col="text", label_col="label", n_features=65_536
+    ).to_pandas()  # model-sized: <= 65536 rows regardless of corpus
+    dense = weights_to_dense(weights, 65_536)
+    return score_hashed_linear(docs, dense, text_col="text")
+
+
+_CLF_CNT_CTE = """
+        toks AS (
+            SELECT doc_id, 'common_' || (doc_id % 7) AS tok FROM documents
+            UNION ALL
+            SELECT doc_id, 'common_' || ((doc_id * 3) % 7) FROM documents
+            UNION ALL
+            SELECT doc_id, CASE WHEN doc_id % 2 = 1
+                                THEN 'spam_' || (doc_id % 13)
+                                ELSE 'ham_' || (doc_id % 11) END
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CASE WHEN doc_id % 2 = 1
+                                THEN 'spam_' || ((doc_id * 5) % 13)
+                                ELSE 'ham_' || ((doc_id * 5) % 11) END
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CASE WHEN doc_id % 2 = 1
+                                THEN 'ham_' || (doc_id % 11)
+                                ELSE 'spam_' || (doc_id % 13) END
+            FROM documents WHERE doc_id % 3 = 0),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+                        % 65536 AS BIGINT) AS feat
+            FROM toks),
+        cnt AS MATERIALIZED (
+            SELECT feat,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c0,
+                   CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1
+            FROM feats GROUP BY feat)"""
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact weighted sampling without replacement (integer priority
     sampling): k=100 docs with weight 1 + doc_id%100 — higher weight,
@@ -4735,6 +4837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "hash_sample": _q_hash_sample,
         "weighted_sample": _q_weighted_sample,
+        "clf_train": _q_clf_train,
+        "clf_score": _q_clf_score,
         "funnel": _q_funnel,
         "transitions": _q_transitions,
         "retention": _q_retention,
@@ -7404,6 +7508,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev.rev_c) AS BIGINT) AS revenue_c
             FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "clf_train": "WITH " + _CLF_CNT_CTE + """
+            SELECT feat, c0, c1,
+                   CAST(1000000 * (c1 + 1) // (c0 + c1 + 2) AS BIGINT) AS w
+            FROM cnt
+        """,
+        "clf_score": "WITH " + _CLF_CNT_CTE + """,
+            w AS (SELECT feat,
+                         CAST(1000000 * (c1 + 1) // (c0 + c1 + 2)
+                              AS BIGINT) AS wv
+                  FROM cnt)
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(w.wv) // count(*) AS BIGINT) AS score,
+                   CAST(CASE WHEN sum(w.wv) // count(*) >= 500000
+                             THEN 1 ELSE 0 END AS BIGINT) AS predicted
+            FROM feats f JOIN w ON w.feat = f.feat
+            GROUP BY f.doc_id
         """,
         "weighted_sample": """
             WITH p AS (
