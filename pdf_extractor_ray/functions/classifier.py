@@ -110,34 +110,48 @@ def train_hashed_linear(
                 if c is None:
                     counts[f] = c = [0, 0]
                 c[col] += 1
-        feats = list(counts.keys())
+        feats = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
         return pa.table(
             {
-                "feat": pa.array(feats, pa.int64()),
-                "c0": pa.array([counts[f][0] for f in feats], pa.int64()),
-                "c1": pa.array([counts[f][1] for f in feats], pa.int64()),
+                "feat": pa.array(feats),
+                "c0": pa.array(
+                    np.array([counts[f][0] for f in feats], dtype=np.int64)
+                ),
+                "c1": pa.array(
+                    np.array([counts[f][1] for f in feats], dtype=np.int64)
+                ),
+                # coarse exchange key: 256 groups, each merged with ONE
+                # vectorized pandas groupby-sum (Ray's row-level
+                # Aggregate reduce is Python-per-row — measured 50x
+                # slower on the same partial stream)
+                "_bucket": pa.array(feats % 256),
             }
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("feat")
-        .sum(["c0", "c1"])
-    )
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
 
-    def weigh(batch: pa.Table) -> pa.Table:
-        c0 = batch["sum(c0)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c1 = batch["sum(c1)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def merge(group: pd.DataFrame) -> pa.Table:
+        g = group.groupby("feat", as_index=False)[["c0", "c1"]].sum()
+        c0 = g["c0"].to_numpy(dtype=np.int64)
+        c1 = g["c1"].to_numpy(dtype=np.int64)
         return pa.table(
             {
-                "feat": batch["feat"],
+                "feat": pa.array(g["feat"].to_numpy(dtype=np.int64)),
                 "c0": pa.array(c0),
                 "c1": pa.array(c1),
                 "w": pa.array(scale * (c1 + 1) // (c0 + c1 + 2)),
             }
         )
 
-    return merged.map_batches(weigh, batch_format="pyarrow")
+    return (
+        coalesce_for_exchange(
+            ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 def weights_to_dense(
@@ -196,4 +210,4 @@ def score_hashed_linear(
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -599,15 +599,30 @@ def hits(
         ).materialize()
         mx = _label_max(raw)
 
+        # raw <= mx globally, so when mx * scale fits in int64 the
+        # whole batch normalizes as one numpy expression; the
+        # Python-int path is the exact fallback for extreme in-degrees
+        vec_safe = mx <= (2**63 - 1) // scale
+
         def normalize(batch: pa.Table) -> pa.Table:
-            # Python-int multiply: raw * scale is exact at any size
-            lab = [
-                (int(v) * scale // mx) if mx else 0
-                for v in batch["label"].to_pylist()
-            ]
-            return pa.table(
-                {"node": batch["node"], "label": pa.array(lab, pa.int64())}
-            )
+            if not mx:
+                lab = pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64), pa.int64()
+                )
+            elif vec_safe:
+                v = batch["label"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                lab = pa.array(v * scale // mx, pa.int64())
+            else:
+                lab = pa.array(
+                    [
+                        int(v) * scale // mx
+                        for v in batch["label"].to_pylist()
+                    ],
+                    pa.int64(),
+                )
+            return pa.table({"node": batch["node"], "label": lab})
 
         return raw.map_batches(
             normalize, batch_format="pyarrow"
