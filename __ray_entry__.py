@@ -3499,6 +3499,34 @@ def _clf_docs(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(to_rows, batch_format="pyarrow")
 
 
+def _q_sorted_export(sf_dir: str):
+    """Range-partition global sort of orders by total-price cents —
+    `ds.sort` without `ds.sort`: one bounded coarse-cell histogram
+    picks deterministic integer boundaries, one exchange on the
+    partition id, in-part sorts; the manifest (part, min/max key,
+    count, md5 of the sorted key string) proves tiling AND order.
+    The oracle derives the identical boundaries from the same
+    cumulative-histogram arithmetic."""
+    from pdf_extractor_ray.functions.ordering import range_sort_manifest
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "key": pa.array(cents)}
+        )
+
+    return range_sort_manifest(
+        orders.map_batches(key, batch_format="pyarrow"),
+        key_col="key", n_parts=8, cell_shift=16,
+    )
+
+
 def _q_clf_train(sf_dir: str):
     """Hashed-feature classifier training: per-batch (feat, class)
     combiner partials, one groupby-sum exchange, integer smoothed
@@ -4838,6 +4866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "weighted_sample": _q_weighted_sample,
         "clf_train": _q_clf_train,
+        "sorted_export": _q_sorted_export,
         "clf_score": _q_clf_score,
         "funnel": _q_funnel,
         "transitions": _q_transitions,
@@ -7508,6 +7537,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev.rev_c) AS BIGINT) AS revenue_c
             FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "sorted_export": """
+            WITH k AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS key
+                FROM orders),
+            cells AS (
+                SELECT key >> 16 AS cell, count(*) AS c
+                FROM k GROUP BY 1),
+            cum AS (
+                SELECT cell,
+                       SUM(c) OVER (ORDER BY cell
+                                    ROWS UNBOUNDED PRECEDING) - c
+                           AS cum_before
+                FROM cells),
+            parts AS (
+                SELECT cell,
+                       LEAST(7, CAST(cum_before * 8
+                                     // (SELECT count(*) FROM k)
+                                     AS BIGINT)) AS part
+                FROM cum),
+            assigned AS (
+                SELECT k.key, p.part
+                FROM k JOIN parts p ON (k.key >> 16) = p.cell)
+            SELECT part,
+                   min(key) AS min_key,
+                   max(key) AS max_key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   md5(string_agg(CAST(key AS VARCHAR), ','
+                                  ORDER BY key)) AS keys_md5
+            FROM assigned GROUP BY part
         """,
         "clf_train": "WITH " + _CLF_CNT_CTE + """
             SELECT feat, c0, c1,
