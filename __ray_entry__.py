@@ -333,6 +333,57 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_canonical_clusters(sf_dir: str):
+    """Real-web canonical clustering composite: head-meta harvest
+    (rel=canonical with attribute-order/quote variance and decoys,
+    from _meta_pages) -> the declared target resolved through a
+    redirect table by pointer doubling -> cluster rollup. Redirect
+    rule over canon ids x: odd x -> x-1, x%4==2 -> x-2, so
+    final(x) = x - x%4 with 0/1/1/2 hops — the oracle replays that
+    arithmetic; pages without a canonical (every 3rd) self-cluster."""
+    from pdf_extractor_ray.functions.webgraph import (
+        canonical_clusters,
+        page_head_meta,
+    )
+
+    pages = page_head_meta(_meta_pages(sf_dir))
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+    max_x = (n - 1) // 2
+
+    def mk_redirects(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs = ids[ids <= max_x]
+        src, dst = [], []
+        for x in xs:
+            if x % 2 == 1:
+                src.append(f"https://canon.example.org/{x}")
+                dst.append(f"https://canon.example.org/{x - 1}")
+            elif x % 4 == 2:
+                src.append(f"https://canon.example.org/{x}")
+                dst.append(f"https://canon.example.org/{x - 2}")
+        return pa.table(
+            {
+                "src_url": pa.array(src, pa.string()),
+                "dst_url": pa.array(dst, pa.string()),
+            }
+        )
+
+    redirects = docs.map_batches(mk_redirects, batch_format="pyarrow")
+    out = canonical_clusters(pages, redirects)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_url": batch["cluster_url"],
+                "n_pages": batch["n_pages"],
+                "n_redirected": batch["n_redirected"],
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 def _ldjson_pages(sf_dir: str) -> ray.data.Dataset:
     """Documents wrapped in pages carrying deterministic JSON-LD, by
     doc_id ``d``:  every page has an Article block (headline with a
@@ -4913,6 +4964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "head_meta": _q_head_meta,
         "json_ld": _q_json_ld,
+        "canonical_clusters": _q_canonical_clusters,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
@@ -6646,6 +6698,29 @@ def oracle_sql() -> dict[str, str]:
         # @graph pair at 1/2 when d%3=0; breadcrumb (d%9=0 implies
         # d%3=0) therefore always at idx 3; the d%7=0 invalid block
         # parses to nothing but bumps n_bad on every row of its page.
+        # Cluster key: declared canonical (d%3<>0 -> canon id d//2)
+        # resolved through the redirect rule final(x) = x - x%4; every
+        # 3rd page self-clusters on its own URL. n_redirected counts
+        # members whose canonical id needed >= 1 hop (x%4 <> 0).
+        "canonical_clusters": """
+            WITH pg AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 'https://canon.example.org/'
+                                 || CAST((doc_id // 2) - (doc_id // 2) % 4
+                                         AS VARCHAR)
+                            ELSE 'https://docs.example.org/'
+                                 || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       END AS cluster_url,
+                       CASE WHEN doc_id % 3 <> 0
+                                 AND (doc_id // 2) % 4 <> 0
+                            THEN 1 ELSE 0 END AS red
+                FROM documents)
+            SELECT cluster_url,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(red) AS BIGINT) AS n_redirected
+            FROM pg GROUP BY cluster_url
+        """,
         "json_ld": """
             WITH u AS (
                 SELECT doc_id,

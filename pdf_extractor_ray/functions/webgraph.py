@@ -584,3 +584,111 @@ def page_json_ld(
         )
 
     return ds.map_batches(ents, batch_format="pyarrow")
+
+
+def canonical_clusters(
+    pages: ray.data.Dataset,
+    redirect_edges: ray.data.Dataset,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+    n_buckets: int = 256,
+    max_rounds: int = 6,
+) -> ray.data.Dataset:
+    """Duplicate-URL clustering by rel=canonical, with the declared
+    canonical target itself resolved through the crawl's redirect
+    table — the real-web composite (sites routinely declare a
+    canonical that 301s to the live URL). One row per cluster:
+    ``(cluster_url, n_pages, n_redirected)`` where ``n_redirected``
+    counts member pages whose canonical needed >= 1 redirect hop.
+    Pages with no declared canonical ('' / null) are self-canonical.
+
+    Scale shape: :func:`resolve_redirects` (pointer doubling) gives
+    the final-target map; pages then cogroup with that map on a
+    string-hash bucket of the declared target (ONE exchange — neither
+    side is broadcastable: the map is redirect-table-sized, pages are
+    the corpus), and the cluster rollup is a second coarse-bucket
+    exchange on the cluster URL. Cycle rows (is_cycle=1) keep the
+    DECLARED target as the cluster key — a looping canonical still
+    groups its declarers together without inventing a final."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+
+    finals = resolve_redirects(
+        redirect_edges, max_rounds=max_rounds
+    )
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["is_cycle"], 0))
+        return pa.table(
+            {
+                "key": ok["src_url"],
+                "val": ok["final_url"],
+                "hops": ok["n_hops"],
+                "side": pa.array(np.zeros(len(ok), dtype=np.int8)),
+                "_bucket": pa.array(bucket_ids(ok["src_url"], n_buckets)),
+            }
+        )
+
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        canon = batch[canonical_col].to_pylist()
+        keys = [c if c else u for u, c in zip(urls, canon)]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "val": pa.array(urls, pa.string()),
+                "hops": pa.array(np.zeros(len(urls), dtype=np.int64)),
+                "side": pa.array(np.ones(len(urls), dtype=np.int8)),
+                "_bucket": pa.array(bucket_ids(keys, n_buckets)),
+            }
+        )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        m = group[group["side"] == 0]
+        pg = group[group["side"] == 1]
+        if pg.empty:
+            return pd.DataFrame(
+                {"cluster_url": [], "red": []}
+            ).astype({"cluster_url": "object", "red": "int64"})
+        fmap = pd.Series(m["val"].to_numpy(), index=m["key"].to_numpy())
+        resolved = fmap.reindex(pg["key"].to_numpy())
+        hit = resolved.notna().to_numpy()
+        cluster = np.where(hit, resolved.to_numpy(), pg["key"].to_numpy())
+        return pd.DataFrame(
+            {"cluster_url": cluster, "red": hit.astype(np.int64)}
+        )
+
+    resolved = (
+        coalesce_for_exchange(
+            finals.map_batches(tag_map, batch_format="pyarrow").union(
+                pages.map_batches(tag_pages, batch_format="pyarrow")
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cbucket",
+            pa.array(bucket_ids(batch["cluster_url"], n_buckets)),
+        )
+
+    def rollup(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("cluster_url", as_index=False).agg(
+            n_pages=("red", "size"), n_redirected=("red", "sum")
+        )
+        return g.astype({"n_pages": "int64", "n_redirected": "int64"})
+
+    return (
+        coalesce_for_exchange(
+            resolved.map_batches(tag_cluster, batch_format="pyarrow")
+        )
+        .groupby("_cbucket")
+        .map_groups(rollup, batch_format="pandas")
+    )

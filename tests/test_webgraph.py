@@ -172,3 +172,55 @@ class TestOutlinkFeatures:
         )
         r = outlink_features(ds).to_pandas().iloc[0]
         assert (r.n_links, r.n_external, r.external_permille) == (0, 0, 0)
+
+
+class TestCanonicalClusters:
+    def test_resolution_selfclusters_and_cycle(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.webgraph import canonical_clusters
+
+        pages = pd.DataFrame(
+            {
+                "url": [f"https://s/p{i}" for i in range(6)],
+                "canonical": [
+                    "https://c/a",   # p0: canonical redirects a->b->final
+                    "https://c/a",   # p1: same cluster as p0
+                    "https://c/final",  # p2: canonical is already final
+                    "",              # p3: no canonical -> self-cluster
+                    "https://c/loop1",  # p4: canonical in a 2-cycle
+                    None,            # p5: null canonical -> self-cluster
+                ],
+            }
+        )
+        redirects = pd.DataFrame(
+            {
+                "src_url": [
+                    "https://c/a", "https://c/b",
+                    "https://c/loop1", "https://c/loop2",
+                ],
+                "dst_url": [
+                    "https://c/b", "https://c/final",
+                    "https://c/loop2", "https://c/loop1",
+                ],
+            }
+        )
+        out = (
+            canonical_clusters(
+                _ray.data.from_pandas(pages),
+                _ray.data.from_pandas(redirects),
+            )
+            .to_pandas()
+            .set_index("cluster_url")
+        )
+        # p0, p1 (via a->b->final, 2 hops) and p2 (declared final,
+        # 0 hops) share one cluster; only p0/p1 count as redirected
+        assert int(out.loc["https://c/final", "n_pages"]) == 3
+        assert int(out.loc["https://c/final", "n_redirected"]) == 2
+        # self-clusters for missing canonicals
+        assert int(out.loc["https://s/p3", "n_pages"]) == 1
+        assert int(out.loc["https://s/p5", "n_pages"]) == 1
+        # cycle: declared target stays the cluster key, not a final
+        assert int(out.loc["https://c/loop1", "n_pages"]) == 1
+        assert int(out.loc["https://c/loop1", "n_redirected"]) == 0
