@@ -333,6 +333,67 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_reciprocal_links(sf_dir: str):
+    """Host-level link reciprocity (link-farm fingerprint): three
+    affine host maps over 23 hosts — map 3 is the modular INVERSE of
+    map 1, so reciprocity is dense (44 of 64 directed edges) and the
+    unordered-pair cogroup is genuinely exercised. Oracle = EXISTS
+    self-join replay over the same derived edge set."""
+    from pdf_extractor_ray.functions.webgraph import reciprocal_link_stats
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in batch["doc_id"].to_pylist():
+            x = d % 23
+            src.append(f"h{x}")
+            dst.append(f"h{(5 * x + 1) % 23}")
+            if d % 2 == 0:
+                src.append(f"h{x}")
+                dst.append(f"h{(7 * x + 3) % 23}")
+            if d % 3 == 0:
+                src.append(f"h{x}")
+                dst.append(f"h{(14 * x + 9) % 23}")
+        return pa.table(
+            {
+                "src_host": pa.array(src, pa.string()),
+                "dst_host": pa.array(dst, pa.string()),
+            }
+        )
+
+    return reciprocal_link_stats(
+        docs.map_batches(mk_edges, batch_format="pyarrow")
+    )
+
+
+def _q_host_mirrors(sf_dir: str):
+    """Mirror detection: host pairs sharing content hashes, with the
+    per-content host cap (>4 hosts = boilerplate noise, dropped) and
+    integer containment per-mille. host = h{d%16}, content =
+    c{d%401} (coprime mods, so sharing crosses hosts); the oracle
+    replays distinct -> cap -> pair -> rollup in plain SQL."""
+    from pdf_extractor_ray.functions.webgraph import host_mirror_pairs
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array([f"h{d % 16}" for d in ids], pa.string()),
+                "content_hash": pa.array(
+                    [f"c{d % 401}" for d in ids], pa.string()
+                ),
+            }
+        )
+
+    return host_mirror_pairs(
+        docs.map_batches(rows, batch_format="pyarrow"),
+        max_hosts_per_content=4, min_shared=1,
+    )
+
+
 def _q_canonical_clusters(sf_dir: str):
     """Real-web canonical clustering composite: head-meta harvest
     (rel=canonical with attribute-order/quote variance and decoys,
@@ -4965,6 +5026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_meta": _q_head_meta,
         "json_ld": _q_json_ld,
         "canonical_clusters": _q_canonical_clusters,
+        "host_mirrors": _q_host_mirrors,
+        "reciprocal_links": _q_reciprocal_links,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
@@ -6698,6 +6761,61 @@ def oracle_sql() -> dict[str, str]:
         # @graph pair at 1/2 when d%3=0; breadcrumb (d%9=0 implies
         # d%3=0) therefore always at idx 3; the d%7=0 invalid block
         # parses to nothing but bumps n_bad on every row of its page.
+        "reciprocal_links": """
+            WITH e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 'h' || (doc_id % 23) AS src,
+                           'h' || ((5 * (doc_id % 23) + 1) % 23) AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT 'h' || (doc_id % 23),
+                           'h' || ((7 * (doc_id % 23) + 3) % 23)
+                    FROM documents WHERE doc_id % 2 = 0
+                    UNION ALL
+                    SELECT 'h' || (doc_id % 23),
+                           'h' || ((14 * (doc_id % 23) + 9) % 23)
+                    FROM documents WHERE doc_id % 3 = 0)
+                WHERE src <> dst)
+            SELECT src AS host,
+                   CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(sum(CASE WHEN EXISTS (
+                            SELECT 1 FROM e r
+                            WHERE r.src = e.dst AND r.dst = e.src)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+                   CAST(1000 * sum(CASE WHEN EXISTS (
+                            SELECT 1 FROM e r
+                            WHERE r.src = e.dst AND r.dst = e.src)
+                        THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+                       AS recip_pm
+            FROM e GROUP BY src
+        """,
+        "host_mirrors": """
+            WITH r AS (
+                SELECT DISTINCT 'h' || (doc_id % 16) AS host,
+                                'c' || (doc_id % 401) AS content
+                FROM documents),
+            eligible AS (
+                SELECT content FROM r GROUP BY content
+                HAVING count(*) BETWEEN 2 AND 4),
+            pairs AS (
+                SELECT a.host AS ha, b.host AS hb
+                FROM r a
+                JOIN r b ON a.content = b.content AND a.host < b.host
+                JOIN eligible e ON e.content = a.content),
+            cnt AS (
+                SELECT ha, hb, count(*) AS n_shared
+                FROM pairs GROUP BY ha, hb),
+            sizes AS (SELECT host, count(*) AS n FROM r GROUP BY host)
+            SELECT ha AS host_a, hb AS host_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(1000 * n_shared // LEAST(sa.n, sb.n) AS BIGINT)
+                       AS containment_pm
+            FROM cnt
+            JOIN sizes sa ON sa.host = cnt.ha
+            JOIN sizes sb ON sb.host = cnt.hb
+        """,
         # Cluster key: declared canonical (d%3<>0 -> canon id d//2)
         # resolved through the redirect rule final(x) = x - x%4; every
         # 3rd page self-clusters on its own URL. n_redirected counts

@@ -41,7 +41,13 @@ def bucket_ids(col, n_buckets: int) -> np.ndarray:
             return np.abs(arr.astype(np.int64, copy=False)) % n_buckets
         if arr.dtype != object:
             arr = arr.astype(object)
-    h = pd.util.hash_array(arr, categorize=True)
+    # categorize=False is NOT an optimization knob here: the
+    # categorize path factorizes with C-string semantics, so strings
+    # containing '\x00' collapse to the first-seen representative —
+    # the SAME key then buckets DIFFERENTLY in different tasks
+    # (order-dependent), silently splitting groups. Direct hashing is
+    # value-exact (and measured no slower on repetitive key arrays).
+    h = pd.util.hash_array(arr, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 

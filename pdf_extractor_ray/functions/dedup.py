@@ -330,7 +330,7 @@ def _batch_ngram_hashes(texts: list, n: int) -> list[np.ndarray]:
     per_doc_words = [_WORD_RE.findall((t or "").lower()) for t in texts]
     flat = [w for ws in per_doc_words for w in ws]
     if flat:
-        wh = pd.util.hash_array(np.array(flat, dtype=object))
+        wh = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)
     else:
         wh = np.empty(0, dtype=np.uint64)
     powers = _NGRAM_P ** np.arange(n, dtype=np.uint64)
@@ -749,7 +749,7 @@ def _batch_shingle_hashes(texts: list, k: int = 3) -> list[np.ndarray]:
     per_doc_words = [_WORD_RE.findall((t or "").lower()) for t in texts]
     flat = [w for ws in per_doc_words for w in ws]
     if flat:
-        wh = pd.util.hash_array(np.array(flat, dtype=object))
+        wh = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)
     else:
         wh = np.empty(0, dtype=np.uint64)
     powers = _NGRAM_P ** np.arange(k, dtype=np.uint64)

@@ -143,7 +143,9 @@ def piece_histogram(
         pieces = list(c.keys())
         import pandas as pd
 
-        hb = pd.util.hash_array(np.array(pieces, dtype=object)).astype(
+        hb = pd.util.hash_array(
+            np.array(pieces, dtype=object), categorize=False
+        ).astype(
             np.int64
         ) & np.int64(0x7FFFFFFFFFFFFFFF)
         return pa.table(

@@ -101,7 +101,7 @@ def anchor_stats(
         )
         g = df.groupby(["href", "src"], as_index=False).size()
         hb = pd.util.hash_array(
-            g["href"].to_numpy(dtype=object)
+            g["href"].to_numpy(dtype=object), categorize=False
         ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
@@ -690,5 +690,237 @@ def canonical_clusters(
             resolved.map_batches(tag_cluster, batch_format="pyarrow")
         )
         .groupby("_cbucket")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def host_mirror_pairs(
+    ds: ray.data.Dataset,
+    host_col: str = "host",
+    content_col: str = "content_hash",
+    max_hosts_per_content: int = 4,
+    min_shared: int = 1,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Mirror/scrape detection: host pairs sharing content hashes —
+    ``(host_a, host_b, n_shared, n_a, n_b, containment_pm)`` with
+    ``host_a < host_b``, ``n_*`` = each host's distinct-content count
+    and ``containment_pm = 1000 * n_shared // min(n_a, n_b)``.
+
+    Pair generation is capped: a content hash on more than
+    ``max_hosts_per_content`` distinct hosts is dropped from pairing
+    (boilerplate/error pages shared by hundreds of hosts are pure
+    noise and quadratic cost — the cooccurrence cap pattern; the SQL
+    oracle replays the cap, so it is part of the contract, not a
+    hidden approximation).
+
+    Scale shape: exchange 1 cogroups (host, content) rows on a
+    content-hash bucket — in-bucket distinct, cap, and pair emission
+    (O(shared-pairs), never all-pairs); exchange 2 rolls pairs up on
+    a pair bucket. Host sizes are a host-bounded rollup broadcast
+    into the pair stream.
+    """
+    import pandas as pd
+
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+
+    ds = ds.materialize()  # consumed twice: pairing + host sizes
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch[host_col],
+                "content": batch[content_col],
+                "_bucket": pa.array(
+                    bucket_ids(batch[content_col], n_buckets)
+                ),
+            }
+        )
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["content", "host"])
+        out_a, out_b = [], []
+        for _, sub in g.groupby("content"):
+            hosts = sorted(sub["host"])
+            if len(hosts) < 2 or len(hosts) > max_hosts_per_content:
+                continue
+            for i in range(len(hosts)):
+                for j in range(i + 1, len(hosts)):
+                    out_a.append(hosts[i])
+                    out_b.append(hosts[j])
+        return pd.DataFrame({"host_a": out_a, "host_b": out_b})
+
+    pairs = (
+        coalesce_for_exchange(ds.map_batches(tag, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+    # host sizes: distinct contents per host — host-bounded, broadcast
+    def size_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "host": batch[host_col].to_pylist(),
+                "content": batch[content_col].to_pylist(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def size_merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["host", "content"])
+        return (
+            g.groupby("host", as_index=False)
+            .agg(n=("content", "size"))
+            .astype({"n": "int64"})
+        )
+
+    sizes = (
+        coalesce_for_exchange(
+            ds.map_batches(size_partial, batch_format="pyarrow")
+            .map_batches(
+                lambda b: b.append_column(
+                    "_hbucket", pa.array(bucket_ids(b["host"], n_buckets))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("_hbucket")
+        .map_groups(size_merge, batch_format="pandas")
+        .to_pandas()  # bounded: one row per host
+    )
+    size_ref = ray.put(
+        pd.Series(sizes["n"].to_numpy(), index=sizes["host"].to_numpy())
+    )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        # \x1f unit separator: can't appear in a hostname, and unlike
+        # \x00 it survives every string-hash path (see bucket_ids)
+        key = [
+            f"{a}\x1f{b}"
+            for a, b in zip(
+                batch["host_a"].to_pylist(), batch["host_b"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "_pbucket", pa.array(bucket_ids(key, n_buckets))
+        )
+
+    def rollup(group: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(size_ref)
+        g = group.groupby(["host_a", "host_b"], as_index=False).agg(
+            n_shared=("host_a", "size")
+        )
+        g = g[g["n_shared"] >= min_shared]
+        na = smap.reindex(g["host_a"].to_numpy()).to_numpy(dtype=np.int64)
+        nb = smap.reindex(g["host_b"].to_numpy()).to_numpy(dtype=np.int64)
+        ns = g["n_shared"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "host_a": g["host_a"].to_numpy(),
+                "host_b": g["host_b"].to_numpy(),
+                "n_shared": ns,
+                "n_a": na,
+                "n_b": nb,
+                "containment_pm": 1000 * ns // np.minimum(na, nb),
+            }
+        )
+
+    return (
+        coalesce_for_exchange(
+            pairs.map_batches(tag_pair, batch_format="pyarrow")
+        )
+        .groupby("_pbucket")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def reciprocal_link_stats(
+    edges: ray.data.Dataset,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Link-nepotism signal: per source host, how much of its distinct
+    out-neighborhood links back — ``(host, n_out, n_recip, recip_pm)``
+    with ``recip_pm = 1000 * n_recip // n_out``. High reciprocity at
+    the host level is the classic link-farm fingerprint (Fetterly et
+    al.; TrustRank-era spam features). Self-loops are ignored.
+
+    Scale shape: each directed edge is tagged with its UNORDERED pair
+    key, so both directions of a pair land in one bucket group (ONE
+    exchange); the group detects reciprocation with a vectorized set
+    probe and emits per-src partials, which roll up per host in a
+    second coarse exchange."""
+    import pandas as pd
+
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_pylist()
+        dst = batch[dst_col].to_pylist()
+        keep = [i for i, (s, d) in enumerate(zip(src, dst)) if s != d]
+        src = [src[i] for i in keep]
+        dst = [dst[i] for i in keep]
+        pair = [
+            f"{s}\x1f{d}" if s < d else f"{d}\x1f{s}"
+            for s, d in zip(src, dst)
+        ]
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+                "_bucket": pa.array(bucket_ids(pair, n_buckets)),
+            }
+        )
+
+    def detect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["src", "dst"])
+        fwd = set(zip(g["src"], g["dst"]))
+        recip = np.array(
+            [(d, s) in fwd for s, d in zip(g["src"], g["dst"])],
+            dtype=np.int64,
+        )
+        out = pd.DataFrame({"host": g["src"].to_numpy(), "r": recip})
+        return out.groupby("host", as_index=False).agg(
+            n_out=("r", "size"), n_recip=("r", "sum")
+        )
+
+    partials = (
+        coalesce_for_exchange(
+            edges.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        )
+        .groupby("_bucket")
+        .map_groups(detect, batch_format="pandas")
+    )
+
+    def tag_host(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hbucket", pa.array(bucket_ids(batch["host"], n_buckets))
+        )
+
+    def rollup(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("host", as_index=False)[["n_out", "n_recip"]].sum()
+        n_out = g["n_out"].to_numpy(dtype=np.int64)
+        n_recip = g["n_recip"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "host": g["host"].to_numpy(),
+                "n_out": n_out,
+                "n_recip": n_recip,
+                "recip_pm": 1000 * n_recip // n_out,
+            }
+        )
+
+    return (
+        coalesce_for_exchange(
+            partials.map_batches(tag_host, batch_format="pyarrow")
+        )
+        .groupby("_hbucket")
         .map_groups(rollup, batch_format="pandas")
     )

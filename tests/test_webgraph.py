@@ -224,3 +224,104 @@ class TestCanonicalClusters:
         # cycle: declared target stays the cluster key, not a final
         assert int(out.loc["https://c/loop1", "n_pages"]) == 1
         assert int(out.loc["https://c/loop1", "n_redirected"]) == 0
+
+
+class TestBucketIdsRegression:
+    def test_nul_strings_hash_by_value_not_prefix(self):
+        """pd.util.hash_array(categorize=True) factorizes with
+        C-string semantics: keys containing '\\x00' collapsed to the
+        first-seen representative, so the SAME key bucketed
+        differently in different tasks (found by the host_mirrors
+        gate: one pair's counts split 1+5 across two rollup groups).
+        bucket_ids must hash by full value."""
+        from pdf_extractor_ray.functions.common import bucket_ids
+
+        a = bucket_ids(["h10\x00h9", "h10\x00h11"], 256)
+        # order flipped: same values must get the same buckets
+        b = bucket_ids(["h10\x00h11", "h10\x00h9"], 256)
+        assert a[0] == b[1] and a[1] == b[0]
+        # and singletons agree with batch positions
+        assert bucket_ids(["h10\x00h9"], 256)[0] == a[0]
+        assert bucket_ids(["h10\x00h11"], 256)[0] == a[1]
+
+
+class TestHostMirrorPairs:
+    def test_planted_mirror_cap_and_containment(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.webgraph import host_mirror_pairs
+
+        rows = []
+        # mirror pair: m1/m2 share c0..c9 (m1 also has 10 unique docs)
+        for i in range(10):
+            rows += [("m1", f"c{i}"), ("m2", f"c{i}"), ("m1", f"u{i}")]
+        # boilerplate page shared by 6 hosts -> capped out (max 4)
+        for h in range(6):
+            rows.append((f"b{h}", "boiler"))
+        # a pair sharing exactly one page
+        rows += [("x1", "shared1"), ("x2", "shared1")]
+        # duplicate input rows must not double-count
+        rows += [("m1", "c0"), ("m2", "c0")]
+        df = pd.DataFrame(rows, columns=["host", "content_hash"])
+        out = (
+            host_mirror_pairs(
+                _ray.data.from_pandas(df),
+                max_hosts_per_content=4, min_shared=1,
+            )
+            .to_pandas()
+            .set_index(["host_a", "host_b"])
+        )
+        m = out.loc[("m1", "m2")]
+        assert int(m.n_shared) == 10
+        assert int(m.n_a) == 20 and int(m.n_b) == 10
+        assert int(m.containment_pm) == 1000  # m2 fully contained
+        assert int(out.loc[("x1", "x2")].n_shared) == 1
+        # the 6-host boilerplate page creates NO pairs
+        assert not any(i[0].startswith("b") for i in out.index)
+
+    def test_min_shared_threshold(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.webgraph import host_mirror_pairs
+
+        rows = [("a", "c1"), ("b", "c1"), ("a", "c2"), ("b", "c2"),
+                ("p", "c3"), ("q", "c3")]
+        df = pd.DataFrame(rows, columns=["host", "content_hash"])
+        out = host_mirror_pairs(
+            _ray.data.from_pandas(df), min_shared=2
+        ).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].host_a == "a" and int(out.iloc[0].n_shared) == 2
+
+
+class TestReciprocalLinkStats:
+    def test_reciprocity_selfloops_and_dups(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.webgraph import (
+            reciprocal_link_stats,
+        )
+
+        edges = pd.DataFrame(
+            {
+                "src_host": ["a", "b", "a", "c", "a", "a", "d"],
+                "dst_host": ["b", "a", "c", "a", "b", "a", "e"],
+                #             recip pair  one-way recip  dup self  one-way
+            }
+        )
+        out = (
+            reciprocal_link_stats(_ray.data.from_pandas(edges))
+            .to_pandas()
+            .set_index("host")
+        )
+        # a: out = {b, c}; b reciprocates, c->a exists so a->c too
+        assert int(out.loc["a", "n_out"]) == 2
+        assert int(out.loc["a", "n_recip"]) == 2
+        assert int(out.loc["a", "recip_pm"]) == 1000
+        # d -> e unreciprocated
+        assert int(out.loc["d", "n_recip"]) == 0
+        # self-loop a->a ignored entirely; e has no out-edges -> no row
+        assert "e" not in out.index
