@@ -1993,6 +1993,28 @@ def _q_knn_lsh(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_ann_recall(sf_dir: str):
+    """ANN quality evaluation: per-query recall of the LSH index
+    against the exact brute-force top-5 — the accept/reject metric
+    for any approximate index before it replaces the exact path at
+    scale. Composes the two existing legs (each independently
+    hash-gated); the merge is Q x k rows, driver-bounded. Oracle =
+    the two leg oracles joined verbatim."""
+    b = _q_knn_brute(sf_dir)
+    lsh = _q_knn_lsh(sf_dir)
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    lsh = lsh.to_pandas() if hasattr(lsh, "to_pandas") else lsh
+    hit = b.merge(
+        lsh[["query_id", "neighbor_id"]].assign(_hit=1),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    g = hit.groupby("query_id", as_index=False)["_hit"].count()
+    g["n_hit"] = g["_hit"].astype("int64")
+    g["recall_pm"] = (1000 * g["n_hit"] // 5).astype("int64")
+    return g[["query_id", "n_hit", "recall_pm"]]
+
+
 def _stats_ds(sf_dir: str) -> ray.data.Dataset:
     from pdf_extractor_ray.functions.textstats import doc_stats_batch
 
@@ -4940,6 +4962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "knn_lsh": _q_knn_lsh,
+        "ann_recall": _q_ann_recall,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
         "url_dedup": _q_url_dedup,
@@ -5237,7 +5260,7 @@ _DHASH_SQL_CTE = """
 def oracle_sql() -> dict[str, str]:
     from pdf_extractor_ray.functions.scrub import EMAIL_RE, IP_RE, PHONE_RE
 
-    return {
+    d = {
         # Repetition filters: n-gram char weight = count * (chars of
         # the joined n-gram minus its n-1 separators); top = heaviest
         # repeated n-gram, dup = all repeated n-grams (overlap-naive).
@@ -8110,3 +8133,16 @@ def oracle_sql() -> dict[str, str]:
         # (determinism, tolerance-vs-exact, full-probe==brute,
         # byte-identity).
     }
+    # composed oracle: ANN recall = LSH top-5 vs brute top-5 overlap,
+    # built from the two leg oracles verbatim so the contract can't
+    # drift from what the legs themselves are gated on
+    d["ann_recall"] = (
+        "SELECT b.query_id, "
+        "CAST(count(l.neighbor_id) AS BIGINT) AS n_hit, "
+        "CAST(1000 * count(l.neighbor_id) // 5 AS BIGINT) AS recall_pm "
+        "FROM (" + d["knn_brute"] + ") b LEFT JOIN ("
+        + d["knn_lsh"] + ") l ON l.query_id = b.query_id "
+        "AND l.neighbor_id = b.neighbor_id GROUP BY b.query_id"
+    )
+    return d
+
