@@ -3727,6 +3727,44 @@ _CLF_CNT_CTE = """
             FROM feats GROUP BY feat)"""
 
 
+def _q_curation_v2(sf_dir: str):
+    """End-to-end curation composite chaining the session's operators
+    in ONE streaming run: hashed-classifier training (combiner + one
+    exchange, model bounded) -> broadcast scoring -> quality gate
+    (predicted class 1) -> score-weighted exact sampling (k=50,
+    weight = score // 10000). Every stage is integer-exact, so the
+    oracle replays the whole chain: counts -> weights -> scores ->
+    gate -> priorities -> selection."""
+    from pdf_extractor_ray.functions.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+        weights_to_dense,
+    )
+    from pdf_extractor_ray.functions.sampling import weighted_sample
+
+    docs = _clf_docs(sf_dir).materialize()  # consumed by train + score
+    weights = train_hashed_linear(
+        docs, text_col="text", label_col="label", n_features=65_536
+    ).to_pandas()  # model-sized: <= 65536 rows
+    dense = weights_to_dense(weights, 65_536)
+    scored = score_hashed_linear(docs, dense, text_col="text")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["predicted"], 1))
+        score = keep["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": keep["doc_id"],
+                "score": keep["score"],
+                "weight": pa.array(score // 10_000),
+            }
+        )
+
+    kept = scored.map_batches(gate, batch_format="pyarrow")
+    out = weighted_sample(kept, k=50, weight_col="weight", id_col="doc_id")
+    return out.select_columns(["doc_id", "score", "weight", "priority"])
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact weighted sampling without replacement (integer priority
     sampling): k=100 docs with weight 1 + doc_id%100 — higher weight,
@@ -5003,6 +5041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clf_train": _q_clf_train,
         "sorted_export": _q_sorted_export,
         "clf_score": _q_clf_score,
+        "curation_v2": _q_curation_v2,
         "funnel": _q_funnel,
         "transitions": _q_transitions,
         "retention": _q_retention,
@@ -7753,6 +7792,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev.rev_c) AS BIGINT) AS revenue_c
             FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "curation_v2": "WITH " + _CLF_CNT_CTE + """,
+            w AS (SELECT feat,
+                         CAST(1000000 * (c1 + 1) // (c0 + c1 + 2)
+                              AS BIGINT) AS wv
+                  FROM cnt),
+            s AS (SELECT f.doc_id,
+                         CAST(sum(w.wv) // count(*) AS BIGINT) AS score
+                  FROM feats f JOIN w ON w.feat = f.feat
+                  GROUP BY f.doc_id),
+            kept AS (SELECT doc_id, score, score // 10000 AS weight
+                     FROM s WHERE score >= 500000),
+            pri AS (SELECT doc_id, score, weight,
+                           CAST(('0x' || substring(
+                                    md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                )::UBIGINT AS BIGINT) // weight
+                               AS priority,
+                           md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM kept)
+            SELECT doc_id, score, CAST(weight AS BIGINT) AS weight,
+                   priority
+            FROM pri
+            ORDER BY priority, h, CAST(doc_id AS VARCHAR)
+            LIMIT 50
         """,
         "sorted_export": """
             WITH k AS (
