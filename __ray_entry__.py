@@ -394,6 +394,70 @@ def _q_host_mirrors(sf_dir: str):
     )
 
 
+def _q_html_tables(sf_dir: str):
+    """HTML <table> -> normalized cell grid through the real chain
+    (tokenizer -> pipe-markdown -> segmentation -> table parser).
+    Deterministic plant: table 0 is (2+d%2) cols x (2+d%3) data rows
+    with cell v{(d+7r+13c)%100}; every 7th doc appends an
+    ARITY-MISMATCHED row the parser must drop (appended last so kept
+    row indices don't shift); every 5th doc a second 1-col table;
+    comment and script table decoys must stay invisible."""
+    from pdf_extractor_ray.functions.content import page_html_tables
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            ncol = 2 + d % 2
+            nrow = 2 + d % 3
+            rows_html = [
+                "<tr>" + "".join(f"<th>H{c}</th>" for c in range(ncol))
+                + "</tr>"
+            ]
+            for r in range(1, nrow + 1):
+                rows_html.append(
+                    "<tr>"
+                    + "".join(
+                        f"<td>v{(d + r * 7 + c * 13) % 100}</td>"
+                        for c in range(ncol)
+                    )
+                    + "</tr>"
+                )
+            if d % 7 == 0:
+                rows_html.append(
+                    "<tr>" + "<td>bad</td>" * (ncol + 1) + "</tr>"
+                )
+            t0 = "<table>" + "".join(rows_html) + "</table>"
+            t1 = (
+                f"<table><tr><th>Z</th></tr><tr><td>q{d % 9}</td></tr>"
+                "</table>"
+                if d % 5 == 0
+                else ""
+            )
+            urls.append(f"https://docs.example.org/{d:08d}")
+            htmls.append(
+                (
+                    "<html><body>"
+                    "<!-- <table><tr><th>DECOY</th></tr></table> -->"
+                    "<script>var t='<table><tr><td>S</td></tr></table>';"
+                    "</script>"
+                    f"<h1>Doc {d}</h1>{t0}<p>between</p>{t1}"
+                    "</body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return page_html_tables(
+        docs.map_batches(to_pages, batch_format="pyarrow")
+    )
+
+
 def _q_canonical_clusters(sf_dir: str):
     """Real-web canonical clustering composite: head-meta harvest
     (rel=canonical with attribute-order/quote variance and decoys,
@@ -5088,6 +5152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_meta": _q_head_meta,
         "json_ld": _q_json_ld,
         "canonical_clusters": _q_canonical_clusters,
+        "html_tables": _q_html_tables,
         "host_mirrors": _q_host_mirrors,
         "reciprocal_links": _q_reciprocal_links,
         "date_extract": _q_date_extract,
@@ -6850,6 +6915,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) // count(*) AS BIGINT)
                        AS recip_pm
             FROM e GROUP BY src
+        """,
+        "html_tables": """
+            WITH d AS (
+                SELECT doc_id,
+                       2 + doc_id % 2 AS ncol,
+                       2 + doc_id % 3 AS nrow,
+                       'https://docs.example.org/'
+                           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+                FROM documents),
+            hdr AS (
+                SELECT url, doc_id, unnest(range(ncol)) AS c FROM d),
+            rc AS (
+                SELECT url, doc_id, ncol,
+                       unnest(range(nrow)) + 1 AS r
+                FROM d),
+            rcc AS (
+                SELECT url, doc_id, r, unnest(range(ncol)) AS c FROM rc)
+            SELECT url, CAST(0 AS BIGINT) AS table_idx,
+                   CAST(0 AS BIGINT) AS row_idx,
+                   CAST(c AS BIGINT) AS col_idx,
+                   'H' || c AS cell
+            FROM hdr
+            UNION ALL
+            SELECT url, 0, r, c,
+                   'v' || ((doc_id + r * 7 + c * 13) % 100)
+            FROM rcc
+            UNION ALL
+            SELECT url, 1, 0, 0, 'Z' FROM d WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT url, 1, 1, 0, 'q' || (doc_id % 9)
+            FROM d WHERE doc_id % 5 = 0
         """,
         "host_mirrors": """
             WITH r AS (

@@ -26,7 +26,7 @@ from pdf_extractor_ray.kernel.content_extract import (
     segment_blocks,
 )
 
-__all__ = ["content_blocks", "main_content"]
+__all__ = ["content_blocks", "main_content", "page_html_tables"]
 
 
 def _decode(h) -> str:
@@ -132,3 +132,64 @@ def main_content(
         )
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def page_html_tables(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """HTML ``<table>`` extraction to a normalized cell grid — the
+    web-side sibling of the PDF cell-grid lane (north rule: "table
+    cell-grid detection"): one row per cell, ``(url, table_idx,
+    row_idx, col_idx, cell)``, with ``row_idx`` 0 = the header row.
+    Runs the real extraction chain — HTML tokenizer -> pipe-markdown
+    (`html_to_markdown`: script/comment decoys invisible, nested
+    markup stripped) -> element segmentation -> markdown table parser
+    (arity-mismatched rows dropped, the parser's documented contract).
+    Single streaming map_batches; only cell rows leave the operator."""
+    from pdf_extractor_ray.kernel.html_to_md import html_to_markdown
+    from pdf_extractor_ray.kernel.markdown_extract import (
+        extract_from_markdown_text,
+        parse_markdown_table,
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        urls, t_idx, r_idx, c_idx, vals = [], [], [], [], []
+        for u, h in zip(
+            batch[url_col].to_pylist(), batch[html_col].to_pylist()
+        ):
+            if h is None:
+                continue
+            s = (
+                h.decode("utf-8", errors="replace")
+                if isinstance(h, (bytes, bytearray))
+                else h
+            )
+            ti = 0
+            for el in extract_from_markdown_text(html_to_markdown(s)):
+                if el.get("type") != "table":
+                    continue
+                parsed = parse_markdown_table(el["content"])
+                if parsed is None:
+                    continue
+                grid = [parsed["headers"]] + parsed["rows"]
+                for r, row in enumerate(grid):
+                    for c, v in enumerate(row):
+                        urls.append(u)
+                        t_idx.append(ti)
+                        r_idx.append(r)
+                        c_idx.append(c)
+                        vals.append(v)
+                ti += 1
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "table_idx": pa.array(t_idx, pa.int64()),
+                "row_idx": pa.array(r_idx, pa.int64()),
+                "col_idx": pa.array(c_idx, pa.int64()),
+                "cell": pa.array(vals, pa.string()),
+            }
+        )
+
+    return ds.map_batches(cells, batch_format="pyarrow")

@@ -202,3 +202,45 @@ class TestOperators:
             == hashlib.md5(words(45, "a").encode()).hexdigest()
         )
         assert t["content_words"].to_pylist() == [45, 17, 0]
+
+
+class TestPageHtmlTables:
+    def test_cells_decoys_and_arity_drop(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.content import page_html_tables
+
+        html = (
+            "<html><body>"
+            "<!-- <table><tr><th>DECOY</th></tr></table> -->"
+            "<script>var t='<table><tr><td>S</td></tr></table>';</script>"
+            "<table>"
+            "<tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr>"
+            "<tr><td>x</td><td>y</td><td>EXTRA</td></tr>"  # arity drop
+            "<tr><td>3</td><td>4</td></tr>"
+            "</table>"
+            "<table><tr><th>Z</th></tr><tr><td>q</td></tr></table>"
+            "</body></html>"
+        ).encode()
+        df = pd.DataFrame({"url": ["u"], "html": [html]})
+        out = page_html_tables(_ray.data.from_pandas(df)).to_pandas()
+        t0 = out[out.table_idx == 0].sort_values(["row_idx", "col_idx"])
+        assert t0.cell.tolist() == ["A", "B", "1", "2", "3", "4"]
+        # the arity-mismatched row is gone and indices don't skip
+        assert sorted(t0.row_idx.unique()) == [0, 1, 2]
+        t1 = out[out.table_idx == 1]
+        assert t1.cell.tolist() == ["Z", "q"]
+        assert "DECOY" not in set(out.cell) and "S" not in set(out.cell)
+
+    def test_no_tables_no_rows(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.content import page_html_tables
+
+        df = pd.DataFrame(
+            {"url": ["u"], "html": [b"<html><body><p>x</p></body></html>"]}
+        )
+        assert page_html_tables(_ray.data.from_pandas(df)).count() == 0
