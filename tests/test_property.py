@@ -357,3 +357,103 @@ class TestWebKernelsNeverRaise:
         # exactly one check digit completes any prefix
         valid = [c for c in "0123456789" if luhn_valid(digits + c)]
         assert len(valid) == 1
+
+
+class TestJsonLdProperties:
+    @SETTINGS
+    @given(html=st.text(max_size=2048))
+    def test_never_raises_on_arbitrary_html(self, html):
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad >= 0
+        for e in ents:
+            assert set(e) == {"type", "name", "date_published", "author"}
+
+    @SETTINGS
+    @given(
+        payload=st.recursive(
+            st.one_of(
+                st.none(), st.booleans(), st.integers(),
+                st.text(max_size=30),
+            ),
+            lambda c: st.one_of(
+                st.lists(c, max_size=4),
+                st.dictionaries(st.text(max_size=8), c, max_size=4),
+            ),
+            max_leaves=20,
+        )
+    )
+    def test_any_valid_json_parses_without_error(self, payload):
+        import json
+
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        html = (
+            '<script type="application/ld+json">'
+            + json.dumps(payload)
+            + "</script>"
+        )
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad == 0  # valid JSON never counts as bad
+        for e in ents:
+            for v in e.values():
+                assert v is None or isinstance(v, str)
+
+    @SETTINGS
+    @given(body=st.text(max_size=200))
+    def test_bad_json_counted_never_raised(self, body):
+        import json
+
+        from pdf_extractor_ray.kernel.html_to_md import extract_json_ld
+
+        try:
+            json.loads(body)
+            valid = True
+        except ValueError:
+            valid = False
+        html = f'<script type="application/ld+json">{body}</script>'
+        if "</script" in body.lower():
+            return  # body terminates the script element early: different block
+        ents, n_bad = extract_json_ld(html)
+        assert n_bad == (0 if valid else 1)
+
+
+class TestRangePartitionProperties:
+    @SETTINGS
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1,
+            max_size=300,
+        ),
+        n_parts=st.integers(min_value=1, max_value=8),
+    )
+    def test_partition_map_is_monotone_total_cover(self, keys, n_parts):
+        # pure-arithmetic replay of range_partition_map's driver step
+        import numpy as np
+
+        cells, counts = np.unique(
+            np.array(keys, dtype=np.int64) >> 16, return_counts=True
+        )
+        total = counts.sum()
+        cum_before = np.concatenate([[0], counts.cumsum()[:-1]])
+        parts = np.minimum(n_parts - 1, cum_before * n_parts // total)
+        # monotone, starts at 0, never exceeds n_parts-1
+        assert parts[0] == 0
+        assert (np.diff(parts) >= 0).all()
+        assert parts[-1] <= n_parts - 1
+
+
+class TestClassifierProperties:
+    @SETTINGS
+    @given(token=st.text(min_size=1, max_size=40))
+    def test_hash_feature_matches_duckdb(self, token):
+        import duckdb
+
+        from pdf_extractor_ray.functions.classifier import hash_feature
+
+        got = duckdb.sql(
+            "SELECT ('0x' || substring(md5(?), 1, 8))::UBIGINT % 4096",
+            params=[token],
+        ).fetchone()[0]
+        assert hash_feature(token, 4096) == int(got)
