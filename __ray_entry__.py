@@ -3829,6 +3829,18 @@ def _q_curation_v2(sf_dir: str):
     return out.select_columns(["doc_id", "score", "weight", "priority"])
 
 
+def _q_readability(sf_dir: str):
+    """Flesch Reading Ease in exact milli-units over the real document
+    bodies — integer floor arithmetic end to end, so the oracle
+    replays words/sentences/syllables/score per document."""
+    from pdf_extractor_ray.functions.quality import readability_scores
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return readability_scores(docs)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact weighted sampling without replacement (integer priority
     sampling): k=100 docs with weight 1 + doc_id%100 — higher weight,
@@ -5139,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
+        "readability": _q_readability,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
@@ -6996,6 +7009,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(sum(red) AS BIGINT) AS n_redirected
             FROM pg GROUP BY cluster_url
+        """,
+        "readability": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents),
+            runs AS (
+                SELECT doc_id,
+                       regexp_replace(lower(word), '[aeiouy]+', 'V', 'g')
+                           AS r
+                FROM w),
+            syl AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(GREATEST(
+                            length(r) - length(replace(r, 'V', '')), 1))
+                            AS BIGINT) AS n_syll
+                FROM runs GROUP BY doc_id),
+            sents AS (
+                SELECT doc_id,
+                       GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                           AS n_sents
+                FROM documents)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN s.n_words IS NULL THEN 0
+                             ELSE t.n_sents END AS BIGINT) AS n_sents,
+                   CAST(coalesce(s.n_syll, 0) AS BIGINT) AS n_syll,
+                   CAST(CASE WHEN s.n_words IS NULL THEN 0
+                        ELSE 206835 - (1015 * s.n_words) // t.n_sents
+                             - (84600 * s.n_syll) // s.n_words
+                        END AS BIGINT) AS fre_m
+            FROM documents d
+            LEFT JOIN syl s ON s.doc_id = d.doc_id
+            JOIN sents t ON t.doc_id = d.doc_id
         """,
         "json_ld": """
             WITH u AS (

@@ -200,3 +200,37 @@ class TestLexiconHits:
         assert df["n_hits"].tolist() == [0, 1, 3, 0]
         assert df["n_terms"].tolist() == [0, 1, 2, 0]
         assert df["flagged"].tolist() == [0, 0, 1, 0]
+
+
+class TestReadabilityScores:
+    def test_known_text_and_edges(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.quality import readability_scores
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "The cat sat. The dog ran!",  # 6 words, 2 sents
+                    "",                            # wordless
+                    "rhythm gym",                  # y-vowels, no [.!?]
+                ],
+            }
+        )
+        out = (
+            readability_scores(_ray.data.from_pandas(df))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        r0 = out.loc[0]
+        assert int(r0.n_words) == 6 and int(r0.n_sents) == 2
+        # syllables: the=1 cat=1 sat=1 the=1 dog=1 ran=1 -> 6
+        assert int(r0.n_syll) == 6
+        want = 206_835 - (1_015 * 6) // 2 - (84_600 * 6) // 6
+        assert int(r0.fre_m) == want
+        assert out.loc[1].tolist() == [0, 0, 0, 0]
+        r2 = out.loc[2]
+        # rhythm: runs 'y' -> 1; gym: 'y' -> 1; sentences floor to 1
+        assert int(r2.n_syll) == 2 and int(r2.n_sents) == 1
