@@ -3829,6 +3829,40 @@ def _q_curation_v2(sf_dir: str):
     return out.select_columns(["doc_id", "score", "weight", "priority"])
 
 
+def _q_fold_dedup(sf_dir: str):
+    """CCNet-style normalized dedup: aggressive fold (NFD accent
+    strip -> lower -> ASCII punctuation drop -> whitespace collapse,
+    every step cross-engine exact — see kernel ccnet_fold) -> md5
+    key -> the standard key-dedup exchange. Catches near-identical
+    bodies that exact_dedup misses (case, accents, punctuation,
+    spacing variants)."""
+    import hashlib as _hl
+
+    from pdf_extractor_ray.functions.dedup import key_dedup_summary
+    from pdf_extractor_ray.kernel.textutils import ccnet_fold
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        keys = [
+            _hl.md5(ccnet_fold(t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fold_md5": pa.array(keys, pa.string()),
+            }
+        )
+
+    return key_dedup_summary(
+        docs.map_batches(fold, batch_format="pyarrow"),
+        key_col="fold_md5", id_col="doc_id",
+    )
+
+
 def _q_readability(sf_dir: str):
     """Flesch Reading Ease in exact milli-units over the real document
     bodies — integer floor arithmetic end to end, so the oracle
@@ -5152,6 +5186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
+        "fold_dedup": _q_fold_dedup,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
@@ -7009,6 +7044,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(sum(red) AS BIGINT) AS n_redirected
             FROM pg GROUP BY cluster_url
+        """,
+        "fold_dedup": """
+            WITH f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                            lower(strip_accents(coalesce(text, ''))),
+                            '[!-/:-@\\[-`{-~]', '', 'g'),
+                            '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' '))
+                           AS fold_md5
+                FROM documents)
+            SELECT fold_md5,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM f GROUP BY fold_md5
         """,
         "readability": """
             WITH w AS (

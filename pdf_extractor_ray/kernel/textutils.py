@@ -132,3 +132,30 @@ def normalize_text(text: str) -> str:
     return "".join(
         c for c in text if c in "\n\t" or unicodedata.category(c)[0] != "C"
     )
+
+
+_ASCII_PUNCT_RE = __import__("re").compile(r"[!-/:-@\[-`{-~]")
+_WS_RUN_RE = __import__("re").compile(r"[ \t\n\r\f\v]+")
+
+
+def ccnet_fold(text: str) -> str:
+    """CCNet-style aggressive normalization for dedup keys: NFD
+    accent-strip -> lowercase -> drop ASCII punctuation -> collapse
+    ASCII whitespace runs -> trim. Every step is chosen for EXACT
+    cross-engine parity with ``lower(strip_accents(x))`` + RE2
+    replaces in DuckDB: accent-strip runs FIRST so the Turkish İ
+    combining-dot case never reaches lower(); the final-sigma map
+    (Python's context-sensitive 'ς') is forced to DuckDB's
+    context-free 'σ'; the punctuation and whitespace classes are
+    explicit ASCII ranges because RE2's ``\\s``/``\\w`` are
+    ASCII-only while Python's are Unicode."""
+    import unicodedata
+
+    stripped = "".join(
+        c
+        for c in unicodedata.normalize("NFD", text)
+        if not unicodedata.combining(c)
+    )
+    low = stripped.lower().replace("ς", "σ")
+    no_punct = _ASCII_PUNCT_RE.sub("", low)
+    return _WS_RUN_RE.sub(" ", no_punct).strip(" ")

@@ -100,3 +100,36 @@ class TestTextSimilarity:
     def test_punctuation_ignored(self):
         assert text_similarity("I/O port!", "io port") == 1.0  # "i/o" -> "io"
         assert text_similarity("port, signal", "signal port") == 1.0
+
+
+class TestCcnetFold:
+    def test_fold_merges_variants(self):
+        from pdf_extractor_ray.kernel.textutils import ccnet_fold
+
+        variants = [
+            "The Quick, Brown Fox!",
+            "the quick brown fox",
+            "THE   QUICK\tBROWN\nFOX...",
+            "Thé Quick Brown Fox",
+        ]
+        folded = {ccnet_fold(v) for v in variants}
+        assert folded == {"the quick brown fox"}
+
+    def test_cross_engine_exactness_vs_duckdb(self):
+        import duckdb
+
+        from pdf_extractor_ray.kernel.textutils import ccnet_fold
+
+        sql = (
+            "SELECT trim(regexp_replace(regexp_replace("
+            "lower(strip_accents(?)), '[!-/:-@\\[-`{-~]', '', 'g'), "
+            "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')"
+        )
+        for t in [
+            "İstanbul ΣΙΣΥΦΟΣ",  # combining-dot and final-sigma traps
+            "Café, Straße!  x ",
+            "a\xa0b",  # NBSP is NOT whitespace in either engine here
+            "ﬁne x² ½",  # compatibility chars pass through untouched
+            "",
+        ]:
+            assert ccnet_fold(t) == duckdb.sql(sql, params=[t]).fetchone()[0]
