@@ -3829,6 +3829,24 @@ def _q_curation_v2(sf_dir: str):
     return out.select_columns(["doc_id", "score", "weight", "priority"])
 
 
+def _q_readability_by_lang(sf_dir: str):
+    """Per-language readability profile: exact distributed p50/p90 of
+    the Flesch milli-score via the histogram-quantile machinery (the
+    exchange carries score cardinality, not row count) — the
+    per-language quality-floor signal a multilingual curation run
+    tunes against. Oracle = readability CTE + quantile_disc."""
+    from pdf_extractor_ray.functions.quality import readability_scores
+    from pdf_extractor_ray.functions.relational import exact_quantiles
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+    scores = readability_scores(docs, keep_cols=("lang",))
+    return exact_quantiles(
+        scores, value_col="fre_m", group_col="lang", qs=(0.5, 0.9)
+    )
+
+
 def _q_fold_dedup(sf_dir: str):
     """CCNet-style normalized dedup: aggressive fold (NFD accent
     strip -> lower -> ASCII punctuation drop -> whitespace collapse,
@@ -5187,6 +5205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
         "fold_dedup": _q_fold_dedup,
+        "readability_by_lang": _q_readability_by_lang,
         "training_mix": _q_training_mix,
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
@@ -7044,6 +7063,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(sum(red) AS BIGINT) AS n_redirected
             FROM pg GROUP BY cluster_url
+        """,
+        "readability_by_lang": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents),
+            runs AS (
+                SELECT doc_id,
+                       regexp_replace(lower(word), '[aeiouy]+', 'V', 'g')
+                           AS r
+                FROM w),
+            syl AS (
+                SELECT doc_id, count(*) AS n_words,
+                       sum(GREATEST(
+                            length(r) - length(replace(r, 'V', '')), 1))
+                           AS n_syll
+                FROM runs GROUP BY doc_id),
+            fre AS (
+                SELECT d.lang,
+                       CASE WHEN s.n_words IS NULL THEN 0
+                            ELSE 206835
+                                 - (1015 * s.n_words)
+                                   // GREATEST(len(regexp_extract_all(
+                                        d.text, '[.!?]')), 1)
+                                 - (84600 * s.n_syll) // s.n_words
+                       END AS fre_m
+                FROM documents d
+                LEFT JOIN syl s ON s.doc_id = d.doc_id)
+            SELECT lang,
+                   CAST(quantile_disc(fre_m, 0.5) * 100 AS BIGINT)
+                       AS p50_c,
+                   CAST(quantile_disc(fre_m, 0.9) * 100 AS BIGINT)
+                       AS p90_c
+            FROM fre GROUP BY lang
         """,
         "fold_dedup": """
             WITH f AS (

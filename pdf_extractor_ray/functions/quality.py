@@ -282,6 +282,7 @@ def readability_scores(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Flesch Reading Ease per document in exact milli-units — the
     classic readability gate (very low or implausibly high scores mark
@@ -320,14 +321,15 @@ def readability_scores(
                 - (1_015 * n_words) // n_sents
                 - (84_600 * n_syll) // n_words
             )
-        return pa.table(
-            {
-                id_col: pa.array(ids),
-                "n_words": pa.array(nw, pa.int64()),
-                "n_sents": pa.array(ns, pa.int64()),
-                "n_syll": pa.array(sy, pa.int64()),
-                "fre_m": pa.array(fre, pa.int64()),
-            }
-        )
+        out = {
+            id_col: pa.array(ids),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_sents": pa.array(ns, pa.int64()),
+            "n_syll": pa.array(sy, pa.int64()),
+            "fre_m": pa.array(fre, pa.int64()),
+        }
+        for c in keep_cols:  # passthrough (e.g. lang for group stats)
+            out[c] = batch[c]
+        return pa.table(out)
 
     return ds.map_batches(stats, batch_format="pyarrow")
