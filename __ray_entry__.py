@@ -3881,6 +3881,19 @@ def _q_fold_dedup(sf_dir: str):
     )
 
 
+def _q_sentences(sf_dir: str):
+    """Sentence-level explode over the real corpus bodies (the unit
+    for sentence dedup and pretraining segmentation). The split rule
+    is RE2-compatible by construction, so the oracle replays it with
+    regexp_extract_all + positional unnest."""
+    from pdf_extractor_ray.functions.chunking import sentence_split
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return sentence_split(docs)
+
+
 def _q_readability(sf_dir: str):
     """Flesch Reading Ease in exact milli-units over the real document
     bodies — integer floor arithmetic end to end, so the oracle
@@ -5204,6 +5217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
+        "sentences": _q_sentences,
         "fold_dedup": _q_fold_dedup,
         "readability_by_lang": _q_readability_by_lang,
         "training_mix": _q_training_mix,
@@ -7111,6 +7125,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM f GROUP BY fold_md5
+        """,
+        "sentences": """
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^.!?]+[.!?]*') AS arr
+                FROM documents WHERE text IS NOT NULL AND text <> ''),
+            e AS (
+                SELECT doc_id, unnest(range(len(arr))) AS i, arr
+                FROM s),
+            t AS (
+                SELECT doc_id, i,
+                       trim(arr[i + 1],
+                            ' ' || chr(9) || chr(10) || chr(13)
+                                || chr(12) || chr(11)) AS sentence
+                FROM e)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                        - 1 AS BIGINT) AS sent_idx,
+                   sentence,
+                   CAST(len(regexp_extract_all(sentence, '\\S+'))
+                        AS BIGINT) AS n_words
+            FROM t WHERE sentence <> ''
         """,
         "readability": """
             WITH w AS (

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["chunk_documents_batch", "chunk_documents"]
+__all__ = ["chunk_documents_batch", "chunk_documents", "sentence_split"]
 
 _WORD_RE = re.compile(r"\S+")
 
@@ -83,5 +83,56 @@ def chunk_documents(
             ]
             t = t.append_column("chunk_fp", pa.array(fps, pa.string()))
         return t
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+_SENT_PIECE_RE = __import__("re").compile(r"[^.!?]+[.!?]*")
+_ASCII_WS = " \t\n\r\f\v"
+
+
+def sentence_split(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Sentence-level explode for pretraining/dedup: one row per
+    sentence, ``(doc_id, sent_idx, sentence, n_words)``.
+
+    Rule (chosen RE2-compatible — no lookbehind, so a SQL oracle
+    replays it verbatim): a sentence is a maximal run of
+    non-terminator characters plus its trailing ``[.!?]+``; each
+    piece is trimmed of ASCII whitespace and empty pieces drop
+    (leading bare terminators therefore never form a sentence —
+    documented contract, not an accident). ``sent_idx`` numbers the
+    SURVIVING sentences. Pure flat-map, no exchange."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import re
+
+        ids, idxs, sents, nw = [], [], [], []
+        for i, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            if not text:
+                continue
+            k = 0
+            for piece in _SENT_PIECE_RE.findall(text):
+                s = piece.strip(_ASCII_WS)
+                if not s:
+                    continue
+                ids.append(i)
+                idxs.append(k)
+                sents.append(s)
+                nw.append(len(re.findall(r"\S+", s)))
+                k += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sent_idx": pa.array(idxs, pa.int64()),
+                "sentence": pa.array(sents, pa.string()),
+                "n_words": pa.array(nw, pa.int64()),
+            }
+        )
 
     return ds.map_batches(explode, batch_format="pyarrow")

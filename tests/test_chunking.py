@@ -66,3 +66,34 @@ class TestChunking:
             assert r["chunk_fp"] == hashlib.md5(
                 r["chunk_text"].encode()
             ).hexdigest()
+
+
+class TestSentenceSplit:
+    def test_rule_edges(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.chunking import sentence_split
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "One. Two!! Three? tail no dot",
+                    "!!!leading bare terminators. ok.",
+                    "",
+                    None,
+                ],
+            }
+        )
+        out = sentence_split(_ray.data.from_pandas(df)).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("sent_idx")
+        assert d0.sentence.tolist() == [
+            "One.", "Two!!", "Three?", "tail no dot",
+        ]
+        assert d0.n_words.tolist() == [1, 1, 1, 3]
+        d1 = out[out.doc_id == 1].sort_values("sent_idx")
+        # leading bare terminators never form a sentence (contract)
+        assert d1.sentence.tolist() == ["leading bare terminators.", "ok."]
+        assert d1.sent_idx.tolist() == [0, 1]
+        assert set(out.doc_id) == {0, 1}  # empty/None emit nothing
