@@ -333,6 +333,57 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_fetch_plan(sf_dir: str):
+    """Politeness-budgeted fetch planning: per-host Crawl-delay
+    (group precedence with an exact-agent group on every 5th host, a
+    first-wins duplicate, comment decoys, and hosts with no robots at
+    all) x frontier pending counts -> planned = min(horizon//delay,
+    pending). One host-bucket cogroup; oracle replays the delay CASE
+    and the budget arithmetic."""
+    from pdf_extractor_ray.functions.weburl import host_fetch_plan
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mk_robots(batch: pa.Table) -> pa.Table:
+        hosts, bodies = [], []
+        seen = set()
+        for d in batch["doc_id"].to_pylist():
+            x = d % 20
+            if x in seen or x % 4 == 0:  # every 4th host: no robots
+                continue
+            seen.add(x)
+            lines = [
+                "# decoy comment Crawl-delay: 99",
+                "User-agent: otherbot",
+                "Crawl-delay: 50",
+                "User-agent: *",
+                "Disallow: /private",
+            ]
+            if x % 3 != 0:
+                lines += [f"Crawl-delay: {x % 7 + 2}", "Crawl-delay: 60"]
+            if x % 5 == 0:
+                lines += ["User-agent: graftbot",
+                          f"Crawl-delay: {x % 4 + 3}"]
+            hosts.append(f"h{x}")
+            bodies.append("\n".join(lines).encode("utf-8"))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(bodies, pa.binary()),
+            }
+        )
+
+    def mk_frontier(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"host": pa.array([f"h{d % 20}" for d in ids], pa.string())}
+        )
+
+    robots = docs.map_batches(mk_robots, batch_format="pyarrow")
+    frontier = docs.map_batches(mk_frontier, batch_format="pyarrow")
+    return host_fetch_plan(robots, frontier, agent="graftbot", horizon_s=60)
+
+
 def _q_reciprocal_links(sf_dir: str):
     """Host-level link reciprocity (link-farm fingerprint): three
     affine host maps over 23 hosts — map 3 is the modular INVERSE of
@@ -5236,6 +5287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": _q_html_tables,
         "host_mirrors": _q_host_mirrors,
         "reciprocal_links": _q_reciprocal_links,
+        "fetch_plan": _q_fetch_plan,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
@@ -6969,6 +7021,25 @@ def oracle_sql() -> dict[str, str]:
         # @graph pair at 1/2 when d%3=0; breadcrumb (d%9=0 implies
         # d%3=0) therefore always at idx 3; the d%7=0 invalid block
         # parses to nothing but bumps n_bad on every row of its page.
+        "fetch_plan": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 20 AS x FROM documents),
+            pend AS (
+                SELECT doc_id % 20 AS x, count(*) AS pending
+                FROM documents GROUP BY 1),
+            d AS (
+                SELECT x,
+                       CASE WHEN x % 4 = 0 THEN 1
+                            WHEN x % 5 = 0 THEN x % 4 + 3
+                            WHEN x % 3 <> 0 THEN x % 7 + 2
+                            ELSE 1 END AS delay_s
+                FROM hosts)
+            SELECT 'h' || x AS host,
+                   CAST(delay_s AS BIGINT) AS delay_s,
+                   CAST(60 // delay_s AS BIGINT) AS budget,
+                   CAST(pending AS BIGINT) AS pending,
+                   CAST(LEAST(60 // delay_s, pending) AS BIGINT) AS planned
+            FROM d JOIN pend USING (x)
+        """,
         "reciprocal_links": """
             WITH e AS (
                 SELECT DISTINCT src, dst FROM (

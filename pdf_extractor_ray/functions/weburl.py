@@ -599,3 +599,97 @@ def filter_declared_sitemaps(
         )
     )
     return both.groupby("bucket").map_groups(keep, batch_format="pandas")
+
+
+def host_fetch_plan(
+    robots: ray.data.Dataset,
+    frontier: ray.data.Dataset,
+    agent: str,
+    horizon_s: int = 3600,
+    default_delay: int = 1,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Politeness-budgeted fetch plan per host for the next scheduling
+    horizon: ``(host, delay_s, budget, pending, planned)`` with
+    ``delay_s`` = the agent's effective Crawl-delay (group precedence,
+    first-wins, floored at 1 — kernel/robots.py:crawl_delay_for),
+    ``budget = horizon_s // delay_s``, ``pending`` = the host's
+    frontier URL count, ``planned = min(budget, pending)``. Hosts with
+    no robots body get the default delay; hosts with no pending URLs
+    plan 0.
+
+    Scale shape: the robots side is host-bounded, the frontier side is
+    corpus-sized but collapses to per-batch (host, count) partials —
+    ONE host-bucket cogroup joins them, vectorized inside the group."""
+    import pandas as pd
+
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+    from pdf_extractor_ray.kernel.robots import crawl_delay_for
+
+    def tag_robots(batch: pa.Table) -> pa.Table:
+        hosts = batch[host_col].to_pylist()
+        delays = []
+        for b in batch[body_col].to_pylist():
+            text = (
+                b.decode("utf-8", errors="replace")
+                if isinstance(b, (bytes, bytearray))
+                else (b or "")
+            )
+            delays.append(crawl_delay_for(text, agent, default_delay))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "val": pa.array(delays, pa.int64()),
+                "side": pa.array(np.zeros(len(hosts), dtype=np.int8)),
+                "_bucket": pa.array(bucket_ids(hosts, n_buckets)),
+            }
+        )
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"host": batch[host_col].to_pylist()})
+        g = df.groupby("host", as_index=False).size()
+        hosts = g["host"].tolist()
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "val": pa.array(g["size"].to_numpy(np.int64)),
+                "side": pa.array(np.ones(len(hosts), dtype=np.int8)),
+                "_bucket": pa.array(bucket_ids(hosts, n_buckets)),
+            }
+        )
+
+    def plan(group: pd.DataFrame) -> pd.DataFrame:
+        rb = group[group["side"] == 0]
+        fr = group[group["side"] == 1]
+        pend = fr.groupby("host")["val"].sum()
+        delays = rb.groupby("host")["val"].first()
+        hosts = sorted(set(pend.index) | set(delays.index))
+        d = delays.reindex(hosts).fillna(
+            max(default_delay, 1)
+        ).to_numpy(dtype=np.int64)
+        p = pend.reindex(hosts).fillna(0).to_numpy(dtype=np.int64)
+        budget = horizon_s // d
+        return pd.DataFrame(
+            {
+                "host": hosts,
+                "delay_s": d,
+                "budget": budget,
+                "pending": p,
+                "planned": np.minimum(budget, p),
+            }
+        )
+
+    return (
+        coalesce_for_exchange(
+            robots.map_batches(tag_robots, batch_format="pyarrow").union(
+                frontier.map_batches(tag_frontier, batch_format="pyarrow")
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(plan, batch_format="pandas")
+    )

@@ -142,3 +142,74 @@ def extract_sitemaps(text: str) -> list[str]:
             if value:
                 out.append(value)
     return out
+
+
+def extract_crawl_delays(text: str) -> list[tuple[list[str], int | None]]:
+    """Group-scoped ``Crawl-delay`` directives (the de-facto extension
+    RFC 9309 leaves undefined but every major crawler honors): one
+    ``([agents...], delay_seconds | None)`` per user-agent group, in
+    file order. Same group-accumulation semantics as
+    :func:`parse_robots`; the FIRST valid non-negative integer delay
+    in a group wins; malformed values are ignored (group keeps None).
+    """
+    groups: list[tuple[list[str], int | None]] = []
+    agents: list[str] = []
+    delay: int | None = None
+    in_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents:
+                if agents:
+                    groups.append((agents, delay))
+                agents, delay = [], None
+                in_agents = True
+            agents.append(value.lower())
+        else:
+            in_agents = False
+            if (
+                field == "crawl-delay"
+                and agents
+                and delay is None
+                and value.isdigit()
+            ):
+                delay = int(value)
+    if agents:
+        groups.append((agents, delay))
+    return groups
+
+
+def crawl_delay_for(text: str, agent: str, default: int = 1) -> int:
+    """Effective crawl delay for ``agent``: same precedence as rule
+    selection (exact agent > longest prefix > ``*``); a selected group
+    without a delay, or no matching group, yields ``default``. The
+    returned value is floored at 1 (a zero delay would make the
+    fetch budget unbounded)."""
+    agent = agent.lower()
+    exact: int | None = None
+    star: int | None = None
+    best_prefix: tuple[int, int | None] | None = None
+    exact_seen = star_seen = False
+    for agents, delay in extract_crawl_delays(text):
+        for a in agents:
+            if a == agent and not exact_seen:
+                exact, exact_seen = delay, True
+            elif a == "*" and not star_seen:
+                star, star_seen = delay, True
+            elif a != "*" and agent.startswith(a):
+                if best_prefix is None or len(a) > best_prefix[0]:
+                    best_prefix = (len(a), delay)
+    if exact_seen:
+        chosen = exact
+    elif best_prefix is not None:
+        chosen = best_prefix[1]
+    elif star_seen:
+        chosen = star
+    else:
+        chosen = None
+    return max(chosen if chosen is not None else default, 1)

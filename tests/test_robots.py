@@ -127,3 +127,33 @@ class TestExtractSitemaps:
 
         assert extract_sitemaps("") == []
         assert extract_sitemaps("User-agent: *\nAllow: /\n") == []
+
+
+class TestCrawlDelay:
+    def test_group_precedence_first_wins_and_decoys(self):
+        from pdf_extractor_ray.kernel.robots import crawl_delay_for
+
+        r = (
+            "# decoy: Crawl-delay: 99\n"
+            "User-agent: otherbot\nCrawl-delay: 50\n"
+            "User-agent: *\nDisallow: /x\n"
+            "Crawl-delay: 7\nCrawl-delay: 9\n"  # first wins
+            "User-agent: graftbot\nCrawl-delay: 3\n"
+        )
+        assert crawl_delay_for(r, "graftbot") == 3  # exact beats *
+        assert crawl_delay_for(r, "anybot") == 7
+        assert crawl_delay_for(r, "otherbot") == 50
+
+    def test_defaults_floors_and_malformed(self):
+        from pdf_extractor_ray.kernel.robots import crawl_delay_for
+
+        assert crawl_delay_for("User-agent: *\nDisallow:", "b") == 1
+        assert crawl_delay_for("", "b", default=5) == 5
+        # malformed value ignored -> default; zero floors to 1
+        assert crawl_delay_for(
+            "User-agent: *\nCrawl-delay: fast\n", "b", default=4
+        ) == 4
+        assert crawl_delay_for("User-agent: *\nCrawl-delay: 0\n", "b") == 1
+        # prefix match beats *
+        r = "User-agent: graft\nCrawl-delay: 8\nUser-agent: *\nCrawl-delay: 2\n"
+        assert crawl_delay_for(r, "graftbot") == 8
