@@ -333,6 +333,35 @@ def _q_head_meta(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_pii_spans(sf_dir: str):
+    """Span-level PII annotation with original-text codepoint offsets
+    (email/phone/IPv4, ownership-resolved overlaps). The plant mixes
+    variable-width ids and a non-ASCII 'café' before the IP so a green
+    hash proves CODEPOINT (not byte) offset arithmetic; the phone
+    regex's trailing-space capture is part of the replayed contract."""
+    from pdf_extractor_ray.functions.scrub import pii_spans
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [
+                        f"id {d} mail user{d}@ex.org tel 555-123-4"
+                        f"{d % 10}00 note café 10.0.{d % 256}.7 end"
+                        for d in ids
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return pii_spans(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 def _q_fetch_plan(sf_dir: str):
     """Politeness-budgeted fetch planning: per-host Crawl-delay
     (group precedence with an exact-agent group on every 5th host, a
@@ -5288,6 +5317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_mirrors": _q_host_mirrors,
         "reciprocal_links": _q_reciprocal_links,
         "fetch_plan": _q_fetch_plan,
+        "pii_spans": _q_pii_spans,
         "date_extract": _q_date_extract,
         "charset_sniff": _q_charset_sniff,
         "sitemap_discover": _q_sitemap_discover,
@@ -7021,6 +7051,24 @@ def oracle_sql() -> dict[str, str]:
         # @graph pair at 1/2 when d%3=0; breadcrumb (d%9=0 implies
         # d%3=0) therefore always at idx 3; the d%7=0 invalid block
         # parses to nothing but bumps n_bad on every row of its page.
+        # L/M = decimal widths of doc_id and doc_id%256; offsets are
+        # CODEPOINTS (the 'café' before the IP shifts bytes, not cps).
+        "pii_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       length(CAST(doc_id AS VARCHAR)) AS l,
+                       length(CAST(doc_id % 256 AS VARCHAR)) AS m
+                FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS span_idx,
+                   'email' AS kind,
+                   CAST(9 + l AS BIGINT) AS start_cp,
+                   CAST(20 + 2 * l AS BIGINT) AS end_cp
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1, 'phone', 25 + 2 * l, 38 + 2 * l FROM d
+            UNION ALL
+            SELECT doc_id, 2, 'ip', 48 + 2 * l, 55 + 2 * l + m FROM d
+        """,
         "fetch_plan": """
             WITH hosts AS (SELECT DISTINCT doc_id % 20 AS x FROM documents),
             pend AS (

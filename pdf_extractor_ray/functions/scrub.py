@@ -284,3 +284,62 @@ def redact_cards(
     return ds.map_batches(
         lambda b: redact_cards_batch(b, text_col), batch_format="pyarrow"
     )
+
+
+def pii_spans(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Span-level PII ANNOTATION (offsets, not redaction): one row per
+    detected span, ``(doc_id, span_idx, kind, start_cp, end_cp)`` in
+    original-text codepoint offsets — the export a PII-classifier
+    training set or an audit overlay needs, where redact_pii's
+    in-place replacement loses positions.
+
+    Same three detectors and the same precedence as
+    :func:`redact_pii_batch` (emails claim first, phones next, IPv4
+    last), but overlaps are resolved by SPAN OWNERSHIP on the original
+    text (a later-kind match overlapping an owned span is dropped)
+    instead of by re-scanning redacted text — positions therefore
+    refer to the input the annotations will be applied to.
+    ``span_idx`` orders spans by (start, kind-priority). Pure map
+    pass, no exchange."""
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ids, idxs, kinds, starts, ends = [], [], [], [], []
+        for i, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            if not text:
+                continue
+            found: list[tuple[int, int, str]] = []
+
+            def claim(rx, kind):
+                for m in rx.finditer(text):
+                    s, e = m.span()
+                    if any(s < oe and os_ < e for os_, oe, _ in found):
+                        continue  # overlaps an owned span
+                    found.append((s, e, kind))
+
+            claim(_EMAIL, "email")
+            claim(_PHONE, "phone")
+            claim(_IP, "ip")
+            found.sort()
+            for k, (s, e, kind) in enumerate(found):
+                ids.append(i)
+                idxs.append(k)
+                kinds.append(kind)
+                starts.append(s)
+                ends.append(e)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "span_idx": pa.array(idxs, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "start_cp": pa.array(starts, pa.int64()),
+                "end_cp": pa.array(ends, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(spans, batch_format="pyarrow")

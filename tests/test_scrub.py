@@ -224,3 +224,40 @@ class TestLuhnCards:
         )
         assert out["text"].to_pylist() == ["a <CARD> b <CARD> c"]
         assert out["n_cards"].to_pylist() == [2]
+
+
+class TestPiiSpans:
+    def test_offsets_overlap_ownership_and_codepoints(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from pdf_extractor_ray.functions.scrub import pii_spans
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    # café before the IP: byte offsets would be +1 off
+                    "x café a@b.co and 10.1.2.3 end",
+                    # phone digits inside an email must NOT double-claim
+                    "mail 555-123-4567@ex.org only",
+                    "",
+                ],
+            }
+        )
+        out = pii_spans(_ray.data.from_pandas(df)).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("span_idx")
+        t0 = df.text[0]
+        for _, r in d0.iterrows():
+            seg = t0[int(r.start_cp):int(r.end_cp)]
+            if r.kind == "email":
+                assert seg == "a@b.co"
+            if r.kind == "ip":
+                assert seg == "10.1.2.3"
+        assert set(d0.kind) == {"email", "ip"}
+        d1 = out[out.doc_id == 1]
+        # the email claims the span; no phone row overlaps it
+        assert d1.kind.tolist() == ["email"]
+        seg = df.text[1][int(d1.start_cp.iloc[0]):int(d1.end_cp.iloc[0])]
+        assert seg == "555-123-4567@ex.org"
+        assert 2 not in set(out.doc_id)
