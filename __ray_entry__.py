@@ -3961,6 +3961,57 @@ def _q_fold_dedup(sf_dir: str):
     )
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Exact integer lexical-diversity indices (token/type counts,
+    Simpson collision numerator, top word count) per document — the
+    MassiveText fraction-of-unique-words repetitiveness signal with
+    both ratio legs exposed as exact integers. Map-only, no shuffle."""
+    from pdf_extractor_ray.functions.textstats import lexical_diversity
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return lexical_diversity(docs)
+
+
+def _q_garbled_score(sf_dir: str):
+    """Garbled-text / encoding-artifact counts (OCR confusions,
+    consonant mash, U+FFFD, mojibake bursts). The corpus bodies are
+    clean ASCII, so artifacts are injected deterministically from
+    doc_id (the url_features golden-in-SQL pattern): the oracle builds
+    the SAME augmented text with string concatenation and replays
+    every count with RE2."""
+    from pdf_extractor_ray.functions.quality import garbled_stats
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if d % 5 == 0:
+                t += " l0rem q3x7"
+            if d % 7 == 0:
+                t += " bcdfghjk"
+            if d % 11 == 0:
+                t += "��"
+            if d % 3 == 0:
+                t += " café résumé"
+            out.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return garbled_stats(docs.map_batches(augment, batch_format="pyarrow"))
+
+
 def _q_sentences(sf_dir: str):
     """Sentence-level explode over the real corpus bodies (the unit
     for sentence dedup and pretraining segmentation). The split rule
@@ -5298,6 +5349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
         "sentences": _q_sentences,
+        "lexical_diversity": _q_lexical_diversity,
+        "garbled_score": _q_garbled_score,
         "fold_dedup": _q_fold_dedup,
         "readability_by_lang": _q_readability_by_lang,
         "training_mix": _q_training_mix,
@@ -7244,6 +7297,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM f GROUP BY fold_md5
+        """,
+        "lexical_diversity": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum(c * (c - 1))::BIGINT AS simpson_num,
+                       max(c)::BIGINT AS top_count
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_types, 0) AS n_types,
+                   coalesce(a.simpson_num, 0) AS simpson_num,
+                   coalesce(a.top_count, 0) AS top_count
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "garbled_score": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0 THEN ' l0rem q3x7' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' bcdfghjk' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN chr(65533) || chr(65533) ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN ' café résumé' ELSE '' END
+                       AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '\\S+'))::BIGINT AS n_words,
+                   len(regexp_extract_all(lower(t),
+                       '[a-z0-9]*([a-z][0-9]|[0-9][a-z])[a-z0-9]*'))::BIGINT AS n_mixed,
+                   len(regexp_extract_all(lower(t),
+                       '[bcdfghjklmnpqrstvwxz]{5,}'))::BIGINT AS n_consrun,
+                   (length(t) - length(replace(t, chr(65533), '')))::BIGINT AS n_repl,
+                   (length(t) - length(regexp_replace(t, '[^\\x00-\\x7f]', '', 'g')))::BIGINT
+                       AS n_nonascii
+            FROM aug
         """,
         "sentences": """
             WITH s AS (

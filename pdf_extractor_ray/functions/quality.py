@@ -30,6 +30,8 @@ __all__ = [
     "LexiconCounter",
     "lexicon_hits",
     "readability_scores",
+    "garbled_stats_batch",
+    "garbled_stats",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -333,3 +335,67 @@ def readability_scores(
         return pa.table(out)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# -- garbled-text / encoding-artifact detection ----------------------
+#
+# OCR noise and mojibake survive every length/stopword gate: the
+# document is long, "wordy", and mostly alphabetic, yet unusable for
+# training. The classic artifact signals, each an exact integer count
+# replayable by DuckDB's RE2 (no lookahead, maximal-munch counts match
+# Python's leftmost-greedy findall on these patterns):
+#
+#   n_words     \S+ runs (denominator for any rate)
+#   n_mixed     maximal [a-z0-9]+ runs of lower(text) containing BOTH a
+#               letter and a digit (OCR confusions like 'l0rem', 'co1d';
+#               inside an alnum run, "contains both" implies an adjacent
+#               letter-digit switch, which the pattern anchors on)
+#   n_consrun   runs of >=5 consonants (keyboard mash / binary-as-text)
+#   n_repl      U+FFFD replacement characters (hard decode failures)
+#   n_nonascii  codepoints > 0x7f (mojibake shows up as bursts of them)
+_GARBLED_MIXED_RE = re.compile(
+    r"[a-z0-9]*(?:[a-z][0-9]|[0-9][a-z])[a-z0-9]*"
+)
+_GARBLED_CONSRUN_RE = re.compile(r"[bcdfghjklmnpqrstvwxz]{5,}")
+
+
+def garbled_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document garbled-text artifact counts (exact integers).
+
+    Stateless per-row map — compiled module-level regexes, C-level
+    scans per row, no shuffle; embarrassingly parallel at 100 TB."""
+    ids = batch[id_col]
+    n_words, n_mixed, n_consrun, n_repl, n_nonascii = [], [], [], [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        lower = t.lower()
+        n_words.append(len(_WORD_RE.findall(t)))
+        n_mixed.append(len(_GARBLED_MIXED_RE.findall(lower)))
+        n_consrun.append(len(_GARBLED_CONSRUN_RE.findall(lower)))
+        n_repl.append(t.count("�"))
+        # codepoints > 0x7f: ascii-encode with errors='ignore' drops
+        # exactly the non-ASCII codepoints (C-speed, no per-char loop)
+        n_nonascii.append(len(t) - len(t.encode("ascii", "ignore")))
+    return pa.table(
+        {
+            id_col: ids,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_mixed": pa.array(n_mixed, pa.int64()),
+            "n_consrun": pa.array(n_consrun, pa.int64()),
+            "n_repl": pa.array(n_repl, pa.int64()),
+            "n_nonascii": pa.array(n_nonascii, pa.int64()),
+        }
+    )
+
+
+def garbled_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document garbled-text artifact counts (see
+    :func:`garbled_stats_batch`)."""
+    return ds.map_batches(
+        lambda b: garbled_stats_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )

@@ -31,6 +31,8 @@ import pyarrow as pa
 from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 
 __all__ = [
+    "lexical_diversity",
+    "lexical_diversity_batch",
     "doc_stats_batch",
     "normalize_text",
     "normalize_batch",
@@ -700,5 +702,78 @@ def bpe_token_stats(
             "table": table, "text_col": text_col, "id_col": id_col,
         },
         concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def lexical_diversity_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Exact integer lexical-diversity indices per document.
+
+    Words are ``[a-z0-9]+`` runs of ``lower(text)`` — the same
+    RE2-compatible tokenization as :func:`word_topk`, so DuckDB
+    replays every value exactly. Emitted per document:
+
+        n_tokens     total word occurrences
+        n_types      distinct words (vocabulary size)
+        simpson_num  sum over types of c*(c-1) — the numerator of the
+                     Simpson repeat/collision index; the classic
+                     repetitiveness signal (MassiveText's
+                     fraction-of-unique-words gate is n_types/n_tokens,
+                     both exposed here as exact integers so callers
+                     form either ratio float-free)
+        top_count    occurrences of the single most frequent word
+
+    Zero-token documents emit (0, 0, 0, 0) so the operator is total.
+    Shape: stateless per-row map — no shuffle, embarrassingly
+    parallel at 100 TB. The explode never leaves the batch: words are
+    factorized and counted with one C-level pandas groupby per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    texts = batch[text_col].to_pylist()
+    per_doc: list[list[str]] = [
+        _INDEX_TOKEN_RE.findall((t or "").lower()) for t in texts
+    ]
+    lens = np.fromiter((len(w) for w in per_doc), dtype=np.int64, count=len(per_doc))
+    doc_ix = np.repeat(np.arange(len(per_doc), dtype=np.int64), lens)
+    flat: list[str] = [w for ws in per_doc for w in ws]
+    n = len(per_doc)
+    n_types = np.zeros(n, dtype=np.int64)
+    simpson = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if flat:
+        codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+        df = pd.DataFrame({"d": doc_ix, "w": codes})
+        cnt = df.groupby(["d", "w"], sort=False).size()
+        g = cnt.groupby(level=0)
+        d_ix = g.size().index.to_numpy()
+        n_types[d_ix] = g.size().to_numpy()
+        c = cnt.to_numpy()
+        simpson[d_ix] = (
+            pd.Series(c * (c - 1), index=cnt.index.get_level_values(0))
+            .groupby(level=0)
+            .sum()
+            .to_numpy()
+        )
+        top[d_ix] = g.max().to_numpy()
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "simpson_num": pa.array(simpson, pa.int64()),
+            "top_count": pa.array(top, pa.int64()),
+        }
+    )
+
+
+def lexical_diversity(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document exact lexical-diversity indices (see
+    :func:`lexical_diversity_batch`)."""
+    return ds.map_batches(
+        lambda b: lexical_diversity_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )

@@ -234,3 +234,100 @@ class TestReadabilityScores:
         r2 = out.loc[2]
         # rhythm: runs 'y' -> 1; gym: 'y' -> 1; sentences floor to 1
         assert int(r2.n_syll) == 2 and int(r2.n_sents) == 1
+
+
+class TestGarbledStats:
+    def _one(self, text):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.quality import garbled_stats_batch
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+        out = garbled_stats_batch(t)
+        return {c: out[c][0].as_py() for c in out.column_names}
+
+    def test_clean_text_is_all_zero(self):
+        s = self._one("the quick brown fox jumps over a lazy dog")
+        assert (s["n_mixed"], s["n_consrun"], s["n_repl"], s["n_nonascii"]) == (
+            0, 0, 0, 0,
+        )
+        assert s["n_words"] == 9
+
+    def test_mixed_alnum_counts_maximal_runs_once(self):
+        # one token with several switches still counts once; pure-digit
+        # and pure-letter tokens never count
+        s = self._one("a1b2c3 hello 12345 l0rem")
+        assert s["n_mixed"] == 2
+
+    def test_consonant_run_maximal_munch(self):
+        # a 10-consonant run is ONE artifact, not six overlapping ones
+        s = self._one("bcdfghjklm ok zzzzz")
+        assert s["n_consrun"] == 2
+
+    def test_replacement_and_nonascii(self):
+        s = self._one("café �� naïve")
+        assert s["n_repl"] == 2
+        assert s["n_nonascii"] == 4  # é, �, �, ï
+
+    def test_empty_and_none_are_total(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.quality import garbled_stats_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["", None], pa.string()),
+            }
+        )
+        out = garbled_stats_batch(t).to_pandas()
+        assert out["n_words"].tolist() == [0, 0]
+        assert out["n_nonascii"].tolist() == [0, 0]
+
+
+class TestLexicalDiversity:
+    def _one(self, text):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.textstats import lexical_diversity_batch
+
+        t = pa.table({"doc_id": pa.array([7], pa.int64()), "text": [text]})
+        out = lexical_diversity_batch(t)
+        return {c: out[c][0].as_py() for c in out.column_names}
+
+    def test_known_counts(self):
+        s = self._one("the cat the cat dog")
+        assert s["n_tokens"] == 5 and s["n_types"] == 3
+        # simpson numerator: the:2 -> 2, cat:2 -> 2, dog:1 -> 0
+        assert s["simpson_num"] == 4 and s["top_count"] == 2
+
+    def test_all_repeats(self):
+        s = self._one("x x x x")
+        assert s["n_types"] == 1 and s["simpson_num"] == 4 * 3
+        assert s["top_count"] == 4
+
+    def test_zero_token_doc_is_total(self):
+        s = self._one("!!! ...")
+        assert (s["n_tokens"], s["n_types"], s["simpson_num"], s["top_count"]) == (
+            0, 0, 0, 0,
+        )
+
+    def test_case_fold_and_digits(self):
+        s = self._one("Ab ab AB 99")
+        assert s["n_types"] == 2 and s["top_count"] == 3
+
+    def test_batch_mix_zero_and_nonzero(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.functions.textstats import lexical_diversity_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a", None, "c"], pa.string()),
+            }
+        )
+        out = lexical_diversity_batch(t).to_pandas()
+        assert out["n_tokens"].tolist() == [3, 0, 1]
+        assert out["n_types"].tolist() == [2, 0, 1]
+        assert out["simpson_num"].tolist() == [2, 0, 0]
