@@ -4012,6 +4012,60 @@ def _q_garbled_score(sf_dir: str):
     return garbled_stats(docs.map_batches(augment, batch_format="pyarrow"))
 
 
+def _q_holdout_split(sf_dir: str):
+    """Leakage-safe train/val/test split keyed on the HOST (all pages
+    of a site land in one split, so near-dups never straddle train and
+    eval). Per-split doc + distinct-host counts; assignment is the
+    md5-permille rule the oracle replays exactly."""
+    import pandas as pd
+
+    from pdf_extractor_ray.functions.common import (
+        bucket_ids,
+        coalesce_for_exchange,
+    )
+    from pdf_extractor_ray.functions.sampling import domain_holdout_split
+    from pdf_extractor_ray.functions.weburl import add_host
+
+    docs = domain_holdout_split(add_host(_docs_with_urls(sf_dir)))
+
+    # per-batch partial counts per host (host determines split), one
+    # coarse host-bucket exchange, in-bucket merge -> one row per host;
+    # the final groupby runs on 3 split rows per bucket
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["host", "split"])
+            .to_pandas()
+            .groupby(["host", "split"], as_index=False)
+            .size()
+        )
+        hosts = df["host"].tolist()
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "split": pa.array(df["split"].tolist(), pa.string()),
+                "n": pa.array(df["size"].to_numpy(), pa.int64()),
+                "_bucket": pa.array(bucket_ids(hosts, 256), pa.int64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["host", "split"], as_index=False).agg(n=("n", "sum"))
+        return g.groupby("split", as_index=False).agg(
+            n_docs=("n", "sum"), n_hosts=("host", "size")
+        )
+
+    per_bucket = (
+        coalesce_for_exchange(docs.map_batches(partial, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    return per_bucket.groupby("split").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("n_hosts", alias_name="n_hosts")
+    )
+
+
 def _q_sentences(sf_dir: str):
     """Sentence-level explode over the real corpus bodies (the unit
     for sentence dedup and pretraining segmentation). The split rule
@@ -5351,6 +5405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentences": _q_sentences,
         "lexical_diversity": _q_lexical_diversity,
         "garbled_score": _q_garbled_score,
+        "holdout_split": _q_holdout_split,
         "fold_dedup": _q_fold_dedup,
         "readability_by_lang": _q_readability_by_lang,
         "training_mix": _q_training_mix,
@@ -7321,6 +7376,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.simpson_num, 0) AS simpson_num,
                    coalesce(a.top_count, 0) AS top_count
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "holdout_split": """
+            WITH p AS (
+                SELECT doc_id,
+                       'site-' || (doc_id % 37) || '.example.com' AS host
+                FROM documents
+            ),
+            s AS (
+                SELECT host,
+                       CASE WHEN (('0x' || substring(md5(host), 1, 8))::UBIGINT
+                                  % 1000) < 900 THEN 'train'
+                            WHEN (('0x' || substring(md5(host), 1, 8))::UBIGINT
+                                  % 1000) < 950 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM p
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT host)::BIGINT AS n_hosts
+            FROM s GROUP BY split
         """,
         "garbled_score": """
             WITH aug AS (

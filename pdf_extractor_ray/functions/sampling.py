@@ -28,6 +28,7 @@ __all__ = [
     "stratified_sample",
     "shuffle_shards",
     "weighted_sample",
+    "domain_holdout_split",
 ]
 
 
@@ -275,3 +276,40 @@ def weighted_sample(
         return batch.append_column("priority", pa.array(pr, pa.int64()))
 
     return out.map_batches(tag_all, batch_format="pyarrow")
+
+
+def domain_holdout_split(
+    ds: ray.data.Dataset,
+    key_col: str = "host",
+    thresholds: tuple[int, int] = (900, 950),
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Leakage-safe train/val/test assignment at the GROUP level.
+
+    Every row sharing ``key_col`` (registrable domain / host / source
+    site) lands in the same split — the property a per-row hash split
+    (:func:`hash_sample`) cannot give: near-duplicate pages from one
+    site must never straddle train and eval, or the eval set leaks.
+    Assignment is the repo's standard engine-replayable hash rule,
+
+        permille(key) = int(md5(salt || key)[:8], 16) % 1000
+        split = train if < thresholds[0] else val if < thresholds[1]
+                else test
+
+    so membership depends only on (salt, key): reproducible across
+    runs, engines, and cluster sizes, and a new crawl dump routes every
+    known domain to its old split automatically. Pure per-row map —
+    no shuffle, no coordination, embarrassingly parallel at 100 TB.
+    """
+    lo, hi = thresholds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for k in batch[key_col].to_pylist():
+            p = int(
+                hashlib.md5(f"{salt}{k}".encode("utf-8")).hexdigest()[:8], 16
+            ) % 1000
+            splits.append("train" if p < lo else "val" if p < hi else "test")
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -407,3 +407,44 @@ class TestWeightedSample:
             weighted_sample(_ray.data.from_pandas(df), 100).count() == 40
         )
         assert weighted_sample(_ray.data.from_pandas(df), 0).count() == 0
+
+
+class TestDomainHoldoutSplit:
+    def test_leakage_invariant_and_determinism(self, ray_session):
+        import pyarrow as pa
+
+        import ray as _ray
+        from pdf_extractor_ray.functions.sampling import domain_holdout_split
+
+        rows = [{"doc_id": i, "host": f"h{i % 23}.example.com"} for i in range(500)]
+        ds = _ray.data.from_items(rows)
+        out = domain_holdout_split(ds, key_col="host").to_pandas()
+        # every host maps to exactly one split (the leakage guarantee)
+        per_host = out.groupby("host")["split"].nunique()
+        assert (per_host == 1).all()
+        # rerun is identical (membership is pure in (salt, key))
+        out2 = domain_holdout_split(ds, key_col="host").to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert (a["split"] == b["split"]).all()
+        assert set(out["split"]) <= {"train", "val", "test"}
+
+    def test_matches_md5_rule_and_thresholds(self, ray_session):
+        import hashlib
+
+        import ray as _ray
+        from pdf_extractor_ray.functions.sampling import domain_holdout_split
+
+        rows = [{"doc_id": i, "host": f"site-{i}.net"} for i in range(200)]
+        out = (
+            domain_holdout_split(
+                _ray.data.from_items(rows), key_col="host",
+                thresholds=(500, 750), salt="s1",
+            )
+            .to_pandas()
+            .set_index("host")["split"]
+        )
+        for h, split in out.items():
+            p = int(hashlib.md5(f"s1{h}".encode()).hexdigest()[:8], 16) % 1000
+            want = "train" if p < 500 else "val" if p < 750 else "test"
+            assert split == want
