@@ -4066,6 +4066,57 @@ def _q_holdout_split(sf_dir: str):
     )
 
 
+def _q_schema_gate(sf_dir: str):
+    """Ingest record-validation gate + dead-letter routing: violations
+    (null url, bad scheme, out-of-window fetch ts, empty/oversize
+    body, unknown lang) are injected deterministically from doc_id;
+    each row gets its FIRST failing rule as a reason and the query
+    returns per-reason counts. The oracle replays the priority chain
+    as a SQL CASE."""
+    from pdf_extractor_ray.functions.validate import (
+        dead_letter_summary,
+        schema_gate,
+    )
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        url, ms, txt, lg = [], [], [], []
+        for i, t, l in zip(ids, texts, langs):
+            url.append(
+                None if i % 13 == 0
+                else f"ftp://site/{i}" if i % 17 == 0
+                else f"https://site-{i % 37}.example.com/page/{i}"
+            )
+            ms.append(
+                915_148_800_000 if i % 29 == 0
+                else 1_704_067_200_000 + (i % 365) * 86_400_000
+            )
+            txt.append(
+                "" if i % 19 == 0 else "x" * 2500 if i % 31 == 0 else t
+            )
+            lg.append("xx" if i % 23 == 0 else l)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(url, pa.string()),
+                "fetch_ms": pa.array(ms, pa.int64()),
+                "text": pa.array(txt, pa.string()),
+                "lang": pa.array(lg, pa.string()),
+            }
+        )
+
+    gated = schema_gate(
+        docs.map_batches(to_pages, batch_format="pyarrow"), max_chars=2000
+    )
+    return dead_letter_summary(gated)
+
+
 def _q_sentences(sf_dir: str):
     """Sentence-level explode over the real corpus bodies (the unit
     for sentence dedup and pretraining segmentation). The split rule
@@ -5406,6 +5457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "garbled_score": _q_garbled_score,
         "holdout_split": _q_holdout_split,
+        "schema_gate": _q_schema_gate,
         "fold_dedup": _q_fold_dedup,
         "readability_by_lang": _q_readability_by_lang,
         "training_mix": _q_training_mix,
@@ -7376,6 +7428,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.simpson_num, 0) AS simpson_num,
                    coalesce(a.top_count, 0) AS top_count
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "schema_gate": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN NULL
+                            WHEN doc_id % 17 = 0 THEN 'ftp://site/' || doc_id
+                            ELSE 'https://site-' || (doc_id % 37)
+                                 || '.example.com/page/' || doc_id END AS url,
+                       CASE WHEN doc_id % 29 = 0 THEN 915148800000
+                            ELSE 1704067200000
+                                 + (doc_id % 365) * 86400000 END AS fetch_ms,
+                       CASE WHEN doc_id % 19 = 0 THEN ''
+                            WHEN doc_id % 31 = 0 THEN repeat('x', 2500)
+                            ELSE text END AS t,
+                       CASE WHEN doc_id % 23 = 0 THEN 'xx'
+                            ELSE lang END AS lg
+                FROM documents
+            ),
+            r AS (
+                SELECT CASE
+                    WHEN url IS NULL OR url = '' THEN 'url_missing'
+                    WHEN NOT (url LIKE 'http://%' OR url LIKE 'https://%')
+                        THEN 'url_scheme'
+                    WHEN fetch_ms < 946684800000
+                         OR fetch_ms >= 2051222400000 THEN 'ts_out_of_range'
+                    WHEN t IS NULL OR t = '' THEN 'text_empty'
+                    WHEN length(t) > 2000 THEN 'text_oversize'
+                    WHEN lg NOT IN ('en', 'fr', 'de', 'es', 'und')
+                        THEN 'lang_unknown'
+                    ELSE 'ok' END AS reason
+                FROM p
+            )
+            SELECT reason, count(*)::BIGINT AS n_rows FROM r GROUP BY reason
         """,
         "holdout_split": """
             WITH p AS (
