@@ -2197,6 +2197,17 @@ def _q_fingerprint(sf_dir: str):
     return _stats_ds(sf_dir).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_winnow(sf_dir: str):
+    """Winnowing (MOSS) fingerprints: per-doc window-min sketch counts,
+    order-exact fingerprint digest, and cross-doc shared-hash counts."""
+    from pdf_extractor_ray.functions.winnow import winnow_fingerprints
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(docs, k=4, w=5)
+
+
 def _q_q1_pricing(sf_dir: str):
     lineitem = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -5429,6 +5440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_hist": _q_quality_hist,
         "fingerprint": _q_fingerprint,
+        "winnow": _q_winnow,
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
         "events_window": _q_events_window,
@@ -6323,6 +6335,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "winnow": """
+            -- Robust winnowing (Schleimer et al. 2003), k=4, w=5.
+            -- Rightmost-tie window min is folded into one sortable key:
+            -- md5hex (32 chars) || zero-padded (999999999 - pos), so a
+            -- plain window min() selects the rightmost minimal gram.
+            WITH w0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS ws
+                FROM documents
+            ),
+            meta AS (
+                SELECT doc_id, ws, greatest(len(ws) - 3, 0) AS ng FROM w0
+            ),
+            g AS (
+                SELECT doc_id, ng, least(5, ng) AS width,
+                       unnest(generate_series(1, ng)) AS j, ws
+                FROM meta WHERE ng > 0
+            ),
+            g3 AS (
+                SELECT doc_id, ng, width, j - 1 AS pos,
+                       md5(array_to_string(ws[j : j + 3], ' ')) AS h
+                FROM g
+            ),
+            keyed AS (
+                SELECT doc_id, ng, width, pos, h,
+                       h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS kk
+                FROM g3
+            ),
+            wmin AS (
+                SELECT doc_id, ng, width, pos,
+                       min(kk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk
+                FROM keyed
+            ),
+            selpos AS (
+                SELECT DISTINCT doc_id,
+                       999999999 - CAST(substr(mk, 33, 9) AS BIGINT) AS pos
+                FROM wmin WHERE pos <= ng - width
+            ),
+            sel AS (
+                SELECT s.doc_id, s.pos, k.h
+                FROM selpos s
+                JOIN keyed k ON k.doc_id = s.doc_id AND k.pos = s.pos
+            ),
+            per_doc AS (
+                SELECT doc_id, count(*) AS n_fp,
+                       md5(string_agg(h, '' ORDER BY pos)) AS fp_digest
+                FROM sel GROUP BY doc_id
+            ),
+            shared_h AS (
+                SELECT h FROM (SELECT DISTINCT doc_id, h FROM sel)
+                GROUP BY h HAVING count(*) >= 2
+            ),
+            nsh AS (
+                SELECT doc_id, count(DISTINCT h) AS n_shared
+                FROM sel WHERE h IN (SELECT h FROM shared_h)
+                GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+                   m.ng AS n_grams,
+                   coalesce(p.n_fp, 0) AS n_fp,
+                   coalesce(n.n_shared, 0) AS n_shared,
+                   coalesce(p.fp_digest, md5('')) AS fp_digest
+            FROM meta m
+            LEFT JOIN per_doc p USING (doc_id)
+            LEFT JOIN nsh n USING (doc_id)
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
