@@ -2674,6 +2674,67 @@ def _q_bloom_filter(sf_dir: str):
     return bloom_membership_report(members, probes, k=5, bits_p=14)
 
 
+def _q_rake_keywords(sf_dir: str):
+    """Corpus-level RAKE keyphrases (Rose et al. 2010): exact integer
+    degree/frequency scores over the aggregated phrase vocabulary;
+    the token stream never crosses the exchange."""
+    from pdf_extractor_ray.functions.keywords import rake_keywords
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return rake_keywords(docs, k=20, min_count=2)
+
+
+def _q_ngram_novelty(sf_dir: str):
+    """Per-document novelty vs all earlier docs (min-doc-id first
+    ownership of distinct 3-grams) — the 'keep first copy' curation
+    signal, one pair-stream exchange with in-bucket reduction."""
+    from pdf_extractor_ray.functions.keywords import ngram_novelty
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return ngram_novelty(docs, n=3)
+
+
+def _q_anti_join(sf_dir: str):
+    """Big-big anti join (TPC-H Q22 core): customers with no URGENT
+    order, per nation — bucket cogroup with per-batch distinct
+    collapse on the order side and in-bucket pre-aggregation. (Every
+    customer in this corpus has SOME order, so the filter keeps the
+    anti-join non-degenerate.)"""
+    from pdf_extractor_ray.functions.relational import customers_without_orders
+
+    customer = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def urgent_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"])
+
+    return customers_without_orders(
+        customer, orders.map_batches(urgent_only, batch_format="pyarrow")
+    )
+
+
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression ratio per document (RefinedWeb-style template
+    detector). Deterministic but not SQL-replayable (no DEFLATE in
+    the oracle engine) -> rows-only gate; values pinned in pytest."""
+    from pdf_extractor_ray.functions.quality import compression_stats
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return compression_stats(docs)
+
+
 def _q_brand_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -5534,6 +5595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters": _q_cms_counters,
         "cms_topk": _q_cms_topk,
         "bloom_filter": _q_bloom_filter,
+        "rake_keywords": _q_rake_keywords,
+        "ngram_novelty": _q_ngram_novelty,
+        "anti_join": _q_anti_join,
+        "compression_ratio": _q_compression_ratio,
         "brand_topk": _q_brand_topk,
         "lm_quality": _q_lm_quality,
         "repetition_stats": _q_repetition_stats,
@@ -6554,6 +6619,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN bit IN (SELECT bit FROM mbits)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hit
             FROM pb GROUP BY doc_id, truth
+        """,
+        "rake_keywords": """
+            -- Corpus-level RAKE: segments split at punctuation, runs
+            -- split at the fixed 30-word stopword alternation (the
+            -- operator's contract — see keywords.RAKE_STOPWORDS);
+            -- word score = (1000*deg)//freq, phrase score = sum of
+            -- member word scores; top-20 by (score DESC, phrase ASC).
+            WITH seg AS (
+                SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                                 '[^a-z0-9\\s]+')) AS seg
+                FROM documents
+            ),
+            ph0 AS (
+                SELECT unnest(string_split(
+                    regexp_replace(seg,
+                        '\\b(the|of|and|to|a|in|that|is|was|for|on|with|as|by|at|it|be|this|are|or|an|from|not|but|have|has|had|they|you|we)\\b',
+                        '|', 'g'), '|')) AS p
+                FROM seg
+            ),
+            ph AS (
+                SELECT array_to_string(regexp_extract_all(p, '[a-z0-9]+'), ' ') AS phrase
+                FROM ph0
+            ),
+            pc AS (SELECT phrase, count(*) AS n FROM ph WHERE phrase <> '' GROUP BY phrase),
+            pw AS (
+                SELECT phrase, n,
+                       len(regexp_extract_all(phrase, '[a-z0-9]+')) AS plen,
+                       unnest(regexp_extract_all(phrase, '[a-z0-9]+')) AS w
+                FROM pc
+            ),
+            ws AS (SELECT w, sum(n) AS freq, sum(n * plen) AS deg FROM pw GROUP BY w),
+            wsc AS (SELECT w, (1000 * deg) // freq AS sc FROM ws),
+            psc AS (
+                SELECT p.phrase, p.n, CAST(sum(wsc.sc) AS BIGINT) AS score_milli
+                FROM pw p JOIN wsc ON wsc.w = p.w GROUP BY p.phrase, p.n
+            )
+            SELECT phrase, CAST(n AS BIGINT) AS n, score_milli
+            FROM psc WHERE n >= 2
+            ORDER BY score_milli DESC, phrase ASC LIMIT 20
+        """,
+        "ngram_novelty": """
+            -- Per-doc novelty: distinct word 3-grams whose corpus-wide
+            -- first owner (min doc_id) is this doc. Docs with < 3
+            -- words emit no row (mirrors the operator).
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS j, ws
+                FROM w WHERE len(ws) >= 3
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[j : j + 2], ' ') AS gram
+                FROM g
+            ),
+            firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM grams g JOIN firsts f USING (gram) GROUP BY g.doc_id
+        """,
+        "anti_join": """
+            -- Customers with no URGENT order, per nation; balance in
+            -- exact cents (floor(x*100 + 0.5), the repo money rule).
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_c
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_nationkey
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -32,6 +32,7 @@ __all__ = [
     "readability_scores",
     "garbled_stats_batch",
     "garbled_stats",
+    "compression_stats",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -399,3 +400,47 @@ def garbled_stats(
         lambda b: garbled_stats_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
+
+
+def compression_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> ray.data.Dataset:
+    """Per-document zlib compression ratio in exact milli-units:
+    (doc_id, raw_len, zlib_len, ratio_milli) with ratio_milli =
+    (1000 * zlib_len) // max(raw_len, 1) over the utf-8 bytes.
+
+    The classic cheap quality signal (used by large public web-corpus
+    pipelines): highly repetitive/templated text compresses far below
+    natural prose (~250-450 milli), while already-compressed garbage
+    or random bytes sit near or above 1000. Deterministic for a fixed
+    zlib build, but NOT SQL-replayable (no DEFLATE in the oracle
+    engine), so the gate checks rows-only and the test suite pins the
+    discrimination property plus distributed == serial equality.
+
+    One vectorizable map_batches pass, no shuffle; zlib is C-speed so
+    the loop body is dominated by compression itself.
+    """
+    import zlib
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        raw_l, zl, ratio = [], [], []
+        for t in batch[text_col].to_pylist():
+            b = (t or "").encode("utf-8")
+            c = len(zlib.compress(b, level))
+            raw_l.append(len(b))
+            zl.append(c)
+            ratio.append((1000 * c) // max(len(b), 1))
+        return pa.table(
+            {
+                id_col: ids,
+                "raw_len": pa.array(raw_l, pa.int64()),
+                "zlib_len": pa.array(zl, pa.int64()),
+                "ratio_milli": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -59,6 +59,7 @@ __all__ = [
     "topk_per_group",
     "order_priority_revenue",
     "exact_quantiles",
+    "customers_without_orders",
 ]
 
 
@@ -1284,4 +1285,89 @@ def funnel_steps(
         .map_groups(bucket_funnel, batch_format="pandas")
         .groupby(["step_idx", "step"])
         .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def customers_without_orders(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Big-big ANTI join: per-nation count and balance of customers
+    that placed no order (TPC-H Q22's anti-join core, without the
+    phone/balance predicates).
+
+    Neither side is assumed broadcastable: order custkeys are
+    pre-collapsed to DISTINCT per batch, both sides are tagged into
+    the same custkey-hash bucket, and each bucket task subtracts the
+    order-key set from its customers and immediately pre-aggregates
+    per nation — so the second exchange carries one row per
+    (bucket, nation), never per customer. Balance is exact cents
+    (floor(x*100 + 0.5), the repo-wide money contract).
+
+    Reference parity: the reference joins/cross-references tables via
+    its DB layer; this is the from-scratch distributed equivalent of
+    its "records in A with no match in B" reporting shape.
+    """
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        # int64 so both union sides share one schema (no per-block
+        # schema flip-flop in the exchange)
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "custkey": pa.array(keys, pa.int64()),
+                "c_nationkey": pa.array(nat, pa.int64()),
+                "bal_c": pa.array(
+                    np.floor(bal * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "custkey": pa.array(keys, pa.int64()),
+                "c_nationkey": pa.array(
+                    np.zeros(len(keys), dtype=np.int64), pa.int64()
+                ),
+                "bal_c": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    left = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(tag_cust, batch_format="pyarrow")
+    right = orders.select_columns(["o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def anti_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        have = set(group.loc[group["_side"] == 1, "custkey"])
+        cust = group[group["_side"] == 0]
+        miss = cust[~cust["custkey"].isin(have)]
+        return miss.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("custkey", "size"), acctbal_c=("bal_c", "sum")
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    per_bucket = (
+        coalesce_for_exchange(left.union(right))
+        .groupby("_bucket")
+        .map_groups(anti_in_bucket, batch_format="pandas")
+    )
+    return per_bucket.groupby("c_nationkey").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("acctbal_c", alias_name="acctbal_c"),
     )
