@@ -2723,6 +2723,45 @@ def _q_anti_join(sf_dir: str):
     )
 
 
+def _q_semi_join(sf_dir: str):
+    """Big-big SEMI join (TPC-H Q4 shape): orders with >=1 returned
+    lineitem, per priority — EXISTS semantics via per-batch distinct
+    collapse, bucket cogroup, in-bucket pre-aggregation."""
+    from pdf_extractor_ray.functions.relational import orders_with_returns
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
+    )
+    return orders_with_returns(orders, lineitem)
+
+
+def _q_custdist(sf_dir: str):
+    """TPC-H Q13: customer count by order count, zero-order customers
+    included — left-outer reduced to a histogram; the second exchange
+    carries per-(bucket, c_count) rows, never per-customer rows."""
+    from pdf_extractor_ray.functions.relational import customer_order_distribution
+
+    customer = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    return customer_order_distribution(customer, orders)
+
+
+def _q_editdist_neardup(sf_dir: str):
+    """Blocked exact-Levenshtein near-dup scan: top-50 most-similar
+    in-block pairs under a total order. Distances are UTF-8-byte
+    Levenshtein (DuckDB semantics), verified exact vs the oracle."""
+    from pdf_extractor_ray.functions.editdist import blocked_edit_distance
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return blocked_edit_distance(docs, len_band=64, top_pairs=50)
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression ratio per document (RefinedWeb-style template
     detector). Deterministic but not SQL-replayable (no DEFLATE in
@@ -5598,6 +5637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": _q_rake_keywords,
         "ngram_novelty": _q_ngram_novelty,
         "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "custdist": _q_custdist,
+        "editdist_neardup": _q_editdist_neardup,
         "compression_ratio": _q_compression_ratio,
         "brand_topk": _q_brand_topk,
         "lm_quality": _q_lm_quality,
@@ -6692,6 +6734,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY c_nationkey
+        """,
+        "semi_join": """
+            -- Orders with at least one returned lineitem (EXISTS, not
+            -- join multiplicity), per priority; price in exact cents.
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS totalprice_c
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "custdist": """
+            -- TPC-H Q13: distribution of customers by order count,
+            -- zero-order customers included (LEFT OUTER).
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_custkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "editdist_neardup": """
+            -- Blocked Levenshtein near-dup: block on (first word,
+            -- codepoint-length // 64) of lower(text); in-block pairs
+            -- (a.id < b.id); top-50 by (dist, doc_a, doc_b) — a total
+            -- order, so the LIMIT boundary is deterministic. DuckDB's
+            -- levenshtein() is UTF-8-byte based; the Ray kernel
+            -- matches that alphabet exactly.
+            WITH d AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+            ),
+            b AS (
+                SELECT doc_id, t,
+                       regexp_extract(t, '[a-z0-9]+') AS w1,
+                       length(t) // 64 AS band
+                FROM d
+                WHERE regexp_extract(t, '[a-z0-9]+') <> ''
+            )
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(length(a.t) AS BIGINT) AS len_a,
+                   CAST(length(c.t) AS BIGINT) AS len_b,
+                   CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+            FROM b a JOIN b c
+              ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
+            ORDER BY dist ASC, doc_a ASC, doc_b ASC
+            LIMIT 50
         """,
         "fingerprint": """
             SELECT doc_id,

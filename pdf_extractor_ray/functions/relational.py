@@ -60,6 +60,8 @@ __all__ = [
     "order_priority_revenue",
     "exact_quantiles",
     "customers_without_orders",
+    "orders_with_returns",
+    "customer_order_distribution",
 ]
 
 
@@ -1370,4 +1372,166 @@ def customers_without_orders(
     return per_bucket.groupby("c_nationkey").aggregate(
         Sum("n_customers", alias_name="n_customers"),
         Sum("acctbal_c", alias_name="acctbal_c"),
+    )
+
+
+def orders_with_returns(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Big-big SEMI join (TPC-H Q4 shape, adapted to this corpus'
+    columns): per-priority count and total price of orders that have
+    AT LEAST ONE returned lineitem (``l_returnflag = 'R'``).
+
+    The lineitem side is filtered and collapsed to DISTINCT orderkeys
+    per batch before the exchange, both sides hash-bucket on orderkey,
+    and the bucket task intersects and pre-aggregates per priority —
+    the second exchange carries one row per (bucket, priority). Price
+    is exact cents (floor(x*100 + 0.5), the repo money contract).
+
+    EXISTS semantics (not join multiplicity): an order with five
+    returned lineitems counts once, which is why the probe side is
+    deduplicated rather than joined.
+    """
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "orderkey": pa.array(keys, pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_c": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flt = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        keys = np.unique(flt["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "orderkey": pa.array(keys, pa.int64()),
+                "o_orderpriority": pa.array([""] * len(keys), pa.string()),
+                "price_c": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    left = orders.select_columns(
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    right = lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
+        tag_lineitem, batch_format="pyarrow"
+    )
+
+    def semi_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        have = set(group.loc[group["_side"] == 1, "orderkey"])
+        ords = group[group["_side"] == 0]
+        hit = ords[ords["orderkey"].isin(have)]
+        return hit.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("orderkey", "size"), totalprice_c=("price_c", "sum")
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    per_bucket = (
+        coalesce_for_exchange(left.union(right))
+        .groupby("_bucket")
+        .map_groups(semi_in_bucket, batch_format="pandas")
+    )
+    return per_bucket.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("totalprice_c", alias_name="totalprice_c"),
+    )
+
+
+def customer_order_distribution(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q13: distribution of customers by how many orders they
+    placed, INCLUDING zero-order customers (the LEFT OUTER part).
+    Output: (c_count, custdist) — "custdist customers placed exactly
+    c_count orders".
+
+    Shape: a big-big left-outer join reduced to counts without ever
+    materializing joined rows. The order side pre-counts per custkey
+    inside each batch (partial combiner), both sides bucket on
+    custkey, each bucket task sums order counts per custkey, left-
+    extends customers with no orders to count 0, and collapses to
+    per-(bucket, c_count) histogram rows — the second exchange is a
+    bounded histogram, never per-customer.
+    """
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "custkey": pa.array(keys, pa.int64()),
+                "n": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch["o_custkey"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "_bucket": pa.array((np.abs(keys) % n_buckets).astype(np.int64)),
+                "_side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "custkey": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    left = customer.select_columns(["c_custkey"]).map_batches(
+        tag_cust, batch_format="pyarrow"
+    )
+    right = orders.select_columns(["o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def hist_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        per_cust = (
+            group.loc[group["_side"] == 1]
+            .groupby("custkey", as_index=True)["n"]
+            .sum()
+        )
+        cust = group.loc[group["_side"] == 0, "custkey"]
+        c_count = per_cust.reindex(cust, fill_value=0).astype(np.int64)
+        hist = c_count.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(dtype=np.int64),
+                "custdist": hist.to_numpy(dtype=np.int64),
+            }
+        )
+
+    from pdf_extractor_ray.functions.common import coalesce_for_exchange
+
+    per_bucket = (
+        coalesce_for_exchange(left.union(right))
+        .groupby("_bucket")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+    )
+    return per_bucket.groupby("c_count").aggregate(
+        Sum("custdist", alias_name="custdist")
     )

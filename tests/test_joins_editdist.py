@@ -1,0 +1,217 @@
+"""Semi join, order-count distribution (Q13), blocked Levenshtein.
+
+Mirrors the driver gate's SQL at sf0.001 and pins what the gate
+cannot see: the Levenshtein kernel against a slow textbook DP and
+against DuckDB's byte-based scalar, EXISTS (not multiplicity)
+semantics for the semi join, zero-order inclusion for custdist, and
+the max_block drop contract.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("documents", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _slow_lev(a: str, b: str) -> int:
+    """Textbook full-matrix DP over UTF-8 bytes."""
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    m, n = len(x), len(y)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        dp[i][0] = i
+    for j in range(n + 1):
+        dp[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = min(
+                dp[i - 1][j] + 1,
+                dp[i][j - 1] + 1,
+                dp[i - 1][j - 1] + (x[i - 1] != y[j - 1]),
+            )
+    return dp[m][n]
+
+
+class TestLevenshteinKernel:
+    def test_vs_textbook_dp(self):
+        from pdf_extractor_ray.functions.editdist import levenshtein
+
+        rng = np.random.default_rng(11)
+        alpha = list("abkx é日")
+        cases = [("", ""), ("a", ""), ("", "xyz"), ("kitten", "sitting"),
+                 ("héllo", "hello"), ("same", "same")]
+        for _ in range(200):
+            a = "".join(rng.choice(alpha) for _ in range(rng.integers(0, 25)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.integers(0, 25)))
+            cases.append((a, b))
+        for a, b in cases:
+            assert levenshtein(a, b) == _slow_lev(a, b), (a, b)
+
+    def test_vs_duckdb_alphabet(self):
+        """The contract is DuckDB's byte alphabet: multibyte chars
+        count per byte, so the oracle replays values verbatim."""
+        from pdf_extractor_ray.functions.editdist import levenshtein
+
+        con = duckdb.connect()
+        for a, b in [("héllo", "hello"), ("日本", "日本語"), ("naïve", "naive"),
+                     ("kitten", "sitting"), ("", "é")]:
+            want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert levenshtein(a, b) == want, (a, b)
+
+    def test_triangle_and_symmetry(self):
+        from pdf_extractor_ray.functions.editdist import levenshtein
+
+        rng = np.random.default_rng(3)
+        for _ in range(50):
+            s = ["".join(rng.choice(list("abc "))
+                         for _ in range(rng.integers(1, 15))) for _ in range(3)]
+            a, b, c = s
+            assert levenshtein(a, b) == levenshtein(b, a)
+            assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+class TestBlockedEditDistance:
+    def test_matches_oracle_sf0001(self, ray_session):
+        from pdf_extractor_ray.functions.editdist import blocked_edit_distance
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        got = blocked_edit_distance(docs, len_band=64, top_pairs=50).to_pandas()
+        want = _duck().execute("""
+            WITH d AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents),
+            b AS (SELECT doc_id, t, regexp_extract(t, '[a-z0-9]+') AS w1,
+                         length(t) // 64 AS band
+                  FROM d WHERE regexp_extract(t, '[a-z0-9]+') <> '')
+            SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   CAST(length(a.t) AS BIGINT) AS len_a,
+                   CAST(length(c.t) AS BIGINT) AS len_b,
+                   CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+            FROM b a JOIN b c
+              ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
+            ORDER BY dist, doc_a, doc_b LIMIT 50
+        """).df()
+        # top-k is a total order: compare IN ORDER, not as a set
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)].reset_index(drop=True).astype("int64"),
+            want[sorted(want.columns)].reset_index(drop=True).astype("int64"),
+        )
+
+    def test_planted_near_pair_wins(self, ray_session):
+        """A planted one-edit pair must rank first (dist 1)."""
+        from pdf_extractor_ray.functions.editdist import blocked_edit_distance
+
+        base = "alpha " + "tok " * 20
+        rows = [
+            {"doc_id": 1, "text": base + "end"},
+            {"doc_id": 2, "text": base + "end!"},  # 1 byte insert
+            {"doc_id": 3, "text": "alpha " + "zzz " * 20 + "end"},
+            {"doc_id": 4, "text": "beta totally different words here"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = blocked_edit_distance(ds, len_band=64, top_pairs=3).to_pandas()
+        assert got.iloc[0][["doc_a", "doc_b", "dist"]].tolist() == [1, 2, 1]
+
+    def test_max_block_drops_whole_block(self, ray_session):
+        """Blocks above the cap emit NO pairs (documented drop)."""
+        from pdf_extractor_ray.functions.editdist import blocked_edit_distance
+
+        rows = [{"doc_id": i, "text": f"hot block text {i}"} for i in range(5)]
+        rows += [{"doc_id": 100, "text": "cold pair a"},
+                 {"doc_id": 101, "text": "cold pair b"}]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = blocked_edit_distance(ds, len_band=64, top_pairs=50,
+                                    max_block=4).to_pandas()
+        assert set(zip(got["doc_a"], got["doc_b"])) == {(100, 101)}
+
+
+class TestSemiJoin:
+    def test_matches_oracle_sf0001(self, ray_session):
+        from pdf_extractor_ray.functions.relational import orders_with_returns
+
+        orders = ray.data.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+        li = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+        got = _canon(orders_with_returns(orders, li).to_pandas())
+        want = _canon(_duck().execute("""
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS totalprice_c
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """).df())
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_exists_not_multiplicity(self, ray_session):
+        """An order with many 'R' lineitems counts exactly once."""
+        from pdf_extractor_ray.functions.relational import orders_with_returns
+
+        orders = ray.data.from_arrow(pa.Table.from_pylist([
+            {"o_orderkey": 1, "o_orderpriority": "1-URGENT", "o_totalprice": 10.0},
+            {"o_orderkey": 2, "o_orderpriority": "1-URGENT", "o_totalprice": 20.0},
+        ]))
+        li = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"l_orderkey": 1, "l_returnflag": "R"}] * 7
+            + [{"l_orderkey": 2, "l_returnflag": "N"}]))
+        got = orders_with_returns(orders, li).to_pandas()
+        assert got["n_orders"].tolist() == [1]
+        assert got["totalprice_c"].tolist() == [1000]
+
+
+class TestCustdist:
+    def test_matches_oracle_sf0001(self, ray_session):
+        from pdf_extractor_ray.functions.relational import (
+            customer_order_distribution,
+        )
+
+        customer = ray.data.read_parquet(f"{SF}/customer.parquet",
+                                         columns=["c_custkey"])
+        orders = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                       columns=["o_custkey"])
+        got = _canon(customer_order_distribution(customer, orders).to_pandas())
+        want = _canon(_duck().execute("""
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+                SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """).df())
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_zero_order_customers_counted(self, ray_session):
+        from pdf_extractor_ray.functions.relational import (
+            customer_order_distribution,
+        )
+
+        customer = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"c_custkey": k} for k in (1, 2, 3)]))
+        orders = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"o_custkey": 1}, {"o_custkey": 1}]))
+        got = customer_order_distribution(customer, orders).to_pandas()
+        got = dict(zip(got["c_count"], got["custdist"]))
+        assert got == {0: 2, 2: 1}
