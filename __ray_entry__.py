@@ -2762,6 +2762,43 @@ def _q_editdist_neardup(sf_dir: str):
     return blocked_edit_distance(docs, len_band=64, top_pairs=50)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count over the deterministic affine link graph
+    (same graph as `pagerank`): degree-oriented wedge-check — the
+    orientation bounds max out-degree at O(sqrt(m)), which is the
+    thing that makes a hub-skewed web graph countable at all."""
+    from pdf_extractor_ray.functions.graph import triangle_count
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return triangle_count(docs.map_batches(mk_edges, batch_format="pyarrow"))
+
+
+def _q_entity_clusters(sf_dir: str):
+    """Record-linkage composite: blocking -> exact Levenshtein match
+    edges (dist <= 10) -> connected-component entity clusters with
+    min-doc-id golden keys. The oracle replays blocking + levenshtein
+    + a recursive-CTE transitive closure."""
+    from pdf_extractor_ray.functions.editdist import edit_distance_clusters
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return edit_distance_clusters(docs, max_dist=10, len_band=64)
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression ratio per document (RefinedWeb-style template
     detector). Deterministic but not SQL-replayable (no DEFLATE in
@@ -5640,6 +5677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "custdist": _q_custdist,
         "editdist_neardup": _q_editdist_neardup,
+        "entity_clusters": _q_entity_clusters,
+        "triangles": _q_triangles,
         "compression_ratio": _q_compression_ratio,
         "brand_topk": _q_brand_topk,
         "lm_quality": _q_lm_quality,
@@ -6786,6 +6825,94 @@ def oracle_sql() -> dict[str, str]:
               ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
             ORDER BY dist ASC, doc_a ASC, doc_b ASC
             LIMIT 50
+        """,
+        "triangles": """
+            -- Degree-oriented wedge-check triangle count over the
+            -- affine 3-out-link graph (same graph as `pagerank`).
+            -- Orientation: lower (deg, id) -> higher; each triangle
+            -- has one apex with two out-edges, and its closing edge
+            -- is oriented between the heads in the same order.
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            raw AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ),
+            o AS (
+                SELECT CASE WHEN du.deg < dv.deg
+                                 OR (du.deg = dv.deg AND e.u < e.v)
+                            THEN e.u ELSE e.v END AS tail,
+                       CASE WHEN du.deg < dv.deg
+                                 OR (du.deg = dv.deg AND e.u < e.v)
+                            THEN e.v ELSE e.u END AS head
+                FROM e
+                JOIN deg du ON du.node = e.u
+                JOIN deg dv ON dv.node = e.v
+            ),
+            od AS (
+                SELECT o.tail, o.head, d.deg AS deg_head
+                FROM o JOIN deg d ON d.node = o.head
+            ),
+            w AS (
+                SELECT a.head AS b, b2.head AS c
+                FROM od a JOIN od b2 ON a.tail = b2.tail
+                WHERE a.deg_head < b2.deg_head
+                   OR (a.deg_head = b2.deg_head AND a.head < b2.head)
+            )
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+                   CAST((SELECT count(*) FROM w JOIN o
+                         ON o.tail = w.b AND o.head = w.c) AS BIGINT)
+                       AS n_triangles
+        """,
+        "entity_clusters": """
+            -- Blocking + levenshtein <= 10 match edges + recursive
+            -- transitive closure; cluster_id = min doc_id reachable.
+            WITH RECURSIVE d AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+            ),
+            b AS (
+                SELECT doc_id, t,
+                       regexp_extract(t, '[a-z0-9]+') AS w1,
+                       length(t) // 64 AS band
+                FROM d
+                WHERE regexp_extract(t, '[a-z0-9]+') <> ''
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+                FROM b a JOIN b c
+                  ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
+                WHERE levenshtein(a.t, c.t) <= 10
+            ),
+            e AS (
+                SELECT doc_a AS a, doc_b AS b FROM p
+                UNION
+                SELECT doc_b, doc_a FROM p
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            clusters AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM clusters
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -43,7 +43,7 @@ import ray.data
 
 from .common import bucket_ids, coalesce_for_exchange
 
-__all__ = ["levenshtein", "blocked_edit_distance"]
+__all__ = ["levenshtein", "blocked_edit_distance", "edit_distance_clusters"]
 
 _FIRST_WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -102,27 +102,22 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[m])
 
 
-def blocked_edit_distance(
+def _blocked_pairs(
     ds: ray.data.Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    len_band: int = 64,
-    top_pairs: int = 50,
-    max_block: int = 4096,
-    n_buckets: int = 64,
+    text_col: str,
+    id_col: str,
+    len_band: int,
+    max_block: int,
+    n_buckets: int,
 ) -> ray.data.Dataset:
-    """Top-k most-similar in-block document pairs by exact Levenshtein
-    distance: (doc_a, doc_b, len_a, len_b, dist), ordered by
-    (dist ASC, doc_a ASC, doc_b ASC) — a total order, so the LIMIT
-    boundary is deterministic and SQL-replayable.
-
-    Block key = (first [a-z0-9]+ word of lower(text),
-    codepoint_length // len_band); documents with no word emit no
-    candidate (mirrored by the oracle's predicate). Blocks larger
-    than ``max_block`` are dropped whole — a documented cap, not a
-    silent truncation (see module docstring); the default is far
-    above any block this corpus produces, so the oracle (which has no
-    cap) agrees.
+    """Shared candidate stage: (doc_a, doc_b, len_a, len_b, dist) for
+    every in-block pair (doc_a < doc_b). Block key = (first [a-z0-9]+
+    word of lower(text), codepoint_length // len_band); documents with
+    no word emit no candidate (mirrored by the oracle's predicate).
+    Blocks larger than ``max_block`` are dropped whole — a documented
+    cap, not a silent truncation (see module docstring); the default
+    is far above any block this corpus produces, so the oracle (which
+    has no cap) agrees.
     """
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -174,7 +169,7 @@ def blocked_edit_distance(
             }
         )
 
-    pairs = (
+    return (
         coalesce_for_exchange(
             ds.select_columns([id_col, text_col]).map_batches(
                 tag, batch_format="pyarrow"
@@ -183,6 +178,60 @@ def blocked_edit_distance(
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+
+
+def blocked_edit_distance(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_band: int = 64,
+    top_pairs: int = 50,
+    max_block: int = 4096,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k most-similar in-block document pairs by exact Levenshtein
+    distance: (doc_a, doc_b, len_a, len_b, dist), ordered by
+    (dist ASC, doc_a ASC, doc_b ASC) — a total order, so the LIMIT
+    boundary is deterministic and SQL-replayable. See
+    ``_blocked_pairs`` for the blocking contract.
+    """
+    pairs = _blocked_pairs(ds, text_col, id_col, len_band, max_block, n_buckets)
     # pair stream is block-bounded (documented above); the global
     # top-k is a sort over that already-small stream, not the corpus
     return pairs.sort(["dist", "doc_a", "doc_b"]).limit(top_pairs)
+
+
+def edit_distance_clusters(
+    ds: ray.data.Dataset,
+    max_dist: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_band: int = 64,
+    max_block: int = 4096,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Entity-resolution composite: blocking -> exact pairwise edit
+    distance -> match edges (dist <= max_dist) -> connected-component
+    clusters. Output (doc_id, cluster_id) for every document that has
+    at least one match edge; cluster_id = min doc_id in the component
+    (the record-linkage 'golden record key' convention).
+
+    This is the classic three-stage linkage plan (block, compare,
+    cluster) run as one streaming Ray pipeline; the CC stage is the
+    repo's label-propagation ``connected_components`` (two bucket
+    exchanges per round, driver sees one scalar per round). The SQL
+    oracle replays blocking + levenshtein edges + a recursive-CTE
+    transitive closure.
+    """
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+
+    pairs = _blocked_pairs(ds, text_col, id_col, len_band, max_block, n_buckets)
+    edges = pairs.map_batches(
+        lambda b: b.filter(pc.less_equal(b["dist"], max_dist)).select(
+            ["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, id_a="doc_a", id_b="doc_b")

@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -688,3 +688,271 @@ def hits(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 128,
+) -> ray.data.Dataset:
+    """Exact global triangle count via the degree-oriented
+    wedge-check algorithm (the MapReduce-era standard; e.g. Suri &
+    Vassilvitskii 2011, public). One summary row:
+    (n_edges, n_wedges, n_triangles).
+
+    Plan (all exchanges are coarse-bucket cogroups; the driver never
+    sees per-edge data):
+      1. canonicalize to undirected (u < v), per-batch distinct, then
+         one pair-bucket exchange for the global distinct edge set E;
+      2. degree table from E (node-bucket sum), joined back onto E by
+         u then by v (two cogroups) — degrees are corpus-sized, so
+         they are NEVER broadcast;
+      3. orient each edge from the (degree, id)-smaller endpoint to
+         the larger: the orientation is acyclic, every triangle has
+         exactly one apex with two out-edges, and max out-degree is
+         O(sqrt(m)) — the wedge stream is O(m^1.5) worst case instead
+         of sum(deg^2), which is what makes hub skew survivable;
+      4. wedges: per apex, all (deg,id)-ordered out-neighbor pairs,
+         keyed by the pair; matched against oriented edges in one
+         final pair-bucket cogroup; per-bucket match counts sum to the
+         triangle count.
+
+    Every step is integer arithmetic on the edge set, so the SQL
+    oracle replays it with the same orientation rule.
+    """
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": _bucket(uv[:, 0] * np.int64(1_000_003) + uv[:, 1],
+                                  n_buckets),
+                "u": uv[:, 0],
+                "v": uv[:, 1],
+            }
+        )
+
+    def distinct_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["u", "v"]].drop_duplicates()
+
+    e = (
+        coalesce_for_exchange(edges.map_batches(canon, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
+        .materialize()  # E is reused by degrees + orientation + probe
+    )
+
+    # degree table: node-bucket sum over both endpoints
+    def endpoints(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([u, v])
+        return pa.table(
+            {"bucket": _bucket(nodes, n_buckets), "node": nodes}
+        )
+
+    def degree_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("node", as_index=False).size()
+        return out.rename(columns={"size": "deg"})
+
+    deg = (
+        coalesce_for_exchange(e.map_batches(endpoints, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(degree_in_bucket, batch_format="pandas")
+        .materialize()  # joined twice below
+    )
+
+    # one aligned narrow schema for the two degree-attach cogroups:
+    # edge rows carry (key=endpoint, u, v, carry=previously attached
+    # degree); deg rows carry (key=node, deg); sides never mix columns
+    _ATTACH_SCHEMA = pa.schema(
+        [
+            pa.field("bucket", pa.int64()),
+            pa.field("side", pa.int8()),
+            pa.field("key", pa.int64()),
+            pa.field("u", pa.int64()),
+            pa.field("v", pa.int64()),
+            pa.field("carry", pa.int64()),
+            pa.field("deg", pa.int64()),
+        ]
+    )
+
+    def _attach(es: ray.data.Dataset, key_col: str,
+                carry_col: str | None) -> ray.data.Dataset:
+        """Cogroup-join deg onto the edge stream by one endpoint;
+        output (u, v, carry, deg) with deg = degree of key_col's
+        endpoint and carry = the previous pass's degree (0 first)."""
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            zero = np.zeros(len(k), dtype=np.int64)
+            carry = (
+                batch[carry_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if carry_col
+                else zero
+            )
+            return pa.table(
+                {
+                    "bucket": _bucket(k, n_buckets),
+                    "side": np.ones(len(k), dtype=np.int8),
+                    "key": k,
+                    "u": batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "v": batch["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "carry": carry,
+                    "deg": zero,
+                },
+                schema=_ATTACH_SCHEMA,
+            )
+
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            k = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            zero = np.zeros(len(k), dtype=np.int64)
+            return pa.table(
+                {
+                    "bucket": _bucket(k, n_buckets),
+                    "side": np.zeros(len(k), dtype=np.int8),
+                    "key": k,
+                    "u": zero,
+                    "v": zero,
+                    "carry": zero,
+                    "deg": batch["deg"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                },
+                schema=_ATTACH_SCHEMA,
+            )
+
+        def join_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            d = group.loc[group["side"] == 0, ["key", "deg"]]
+            es_ = group.loc[group["side"] == 1, ["key", "u", "v", "carry"]]
+            m = es_.merge(d, on="key", how="inner")
+            return m[["u", "v", "carry", "deg"]]
+
+        return (
+            coalesce_for_exchange(
+                es.map_batches(tag_edge, batch_format="pyarrow").union(
+                    deg.map_batches(tag_deg, batch_format="pyarrow")
+                )
+            )
+            .groupby("bucket")
+            .map_groups(join_in_bucket, batch_format="pandas")
+        )
+
+    # pass 1 attaches deg(u) into `deg`; pass 2 moves it to `carry`
+    # and attaches deg(v) into `deg`
+    e2 = _attach(_attach(e, "u", None), "v", "deg")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = batch["carry"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        tail = np.where(u_first, u, v)
+        head = np.where(u_first, v, u)
+        dhead = np.where(u_first, dv, du)
+        return pa.table(
+            {
+                "bucket": _bucket(tail, n_buckets),
+                "tail": tail,
+                "head": head,
+                "deg_head": dhead,
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, adj in group.groupby("tail", sort=False):
+            if len(adj) < 2:
+                continue
+            # (deg, id)-sorted out-neighbors; wedge pair (b, c) keeps
+            # the orientation order so the closing edge is b -> c
+            adj = adj.sort_values(["deg_head", "head"])
+            h = adj["head"].to_numpy(dtype=np.int64)
+            i, j = np.triu_indices(len(h), k=1)
+            outs.append(pd.DataFrame({"b": h[i], "c": h[j]}))
+        if not outs:
+            return pd.DataFrame({"b": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = (
+        oriented.groupby("bucket")
+        .map_groups(wedges_in_bucket, batch_format="pandas")
+    )
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": _bucket(b * np.int64(1_000_003) + c, n_buckets),
+                "b": b,
+                "c": c,
+                "side": np.zeros(len(b), dtype=np.int8),
+            }
+        )
+
+    def tag_closing(batch: pa.Table) -> pa.Table:
+        t = batch["tail"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["head"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": _bucket(t * np.int64(1_000_003) + h, n_buckets),
+                "b": t,
+                "c": h,
+                "side": np.ones(len(t), dtype=np.int8),
+            }
+        )
+
+    def match_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        es_ = group.loc[group["side"] == 1, ["b", "c"]]
+        ws = group.loc[group["side"] == 0, ["b", "c"]]
+        n_tri = len(ws.merge(es_, on=["b", "c"], how="inner"))
+        return pd.DataFrame(
+            {
+                "n_wedges": pd.Series([len(ws)], dtype=np.int64),
+                "n_triangles": pd.Series([n_tri], dtype=np.int64),
+            }
+        )
+
+    counts = (
+        coalesce_for_exchange(
+            wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+                oriented.map_batches(tag_closing, batch_format="pyarrow")
+            )
+        )
+        .groupby("bucket")
+        .map_groups(match_in_bucket, batch_format="pandas")
+    )
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    n_edges = sum(
+        int(r["n"])
+        for r in e.map_batches(edge_partial, batch_format="pyarrow").take_all()
+    )
+    agg = counts.groupby(None).aggregate(
+        Sum("n_wedges", alias_name="n_wedges"),
+        Sum("n_triangles", alias_name="n_triangles"),
+    ).take_all()[0]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_wedges": pa.array([int(agg["n_wedges"])], pa.int64()),
+                "n_triangles": pa.array([int(agg["n_triangles"])], pa.int64()),
+            }
+        )
+    )

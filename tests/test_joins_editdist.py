@@ -215,3 +215,103 @@ class TestCustdist:
         got = customer_order_distribution(customer, orders).to_pandas()
         got = dict(zip(got["c_count"], got["custdist"]))
         assert got == {0: 2, 2: 1}
+
+
+class TestTriangleCount:
+    def test_known_graphs(self, ray_session):
+        from pdf_extractor_ray.functions.graph import triangle_count
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in k4], "dst": [e[1] for e in k4]}))
+        row = triangle_count(ds).take_all()[0]
+        assert (row["n_edges"], row["n_triangles"]) == (6, 4)
+
+        c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in c4], "dst": [e[1] for e in c4]}))
+        assert triangle_count(ds).take_all()[0]["n_triangles"] == 0
+
+    def test_vs_bruteforce_random(self, ray_session):
+        import itertools
+
+        from pdf_extractor_ray.functions.graph import triangle_count
+
+        rng = np.random.default_rng(5)
+        edges = set()
+        for _ in range(150):
+            a, b = (int(x) for x in rng.integers(0, 40, 2))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        adj = {i: set() for i in range(40)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        brute = sum(
+            1 for a, b, c in itertools.combinations(range(40), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b])
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [u for u, _ in edges], "dst": [v for _, v in edges]}))
+        row = triangle_count(ds).take_all()[0]
+        assert row["n_triangles"] == brute
+        assert row["n_edges"] == len(edges)
+
+    def test_duplicate_and_reversed_edges_collapse(self, ray_session):
+        """Directed duplicates and reversals must not inflate counts."""
+        from pdf_extractor_ray.functions.graph import triangle_count
+
+        tri = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 0)]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in tri], "dst": [e[1] for e in tri]}))
+        row = triangle_count(ds).take_all()[0]
+        assert (row["n_edges"], row["n_triangles"]) == (3, 1)
+
+
+class TestEntityClusters:
+    def test_planted_chain_clusters_transitively(self, ray_session):
+        """A-B and B-C within dist 10 but A-C farther: transitive
+        closure must still put all three in one cluster."""
+        from pdf_extractor_ray.functions.editdist import edit_distance_clusters
+
+        # lengths 166/172/178 all sit inside band 2 (len // 64), so
+        # blocking keeps the chain together; dist(10,12)=12 > 10, so
+        # ONLY the closure links 10 and 12
+        base = "alpha " + "tok " * 40
+        rows = [
+            {"doc_id": 10, "text": base},
+            {"doc_id": 11, "text": base + "xxxxxx"},         # dist 6 to 10
+            {"doc_id": 12, "text": base + "xxxxxxyyyyyy"},   # dist 6 to 11
+            {"doc_id": 30, "text": "alpha " + "zzz " * 40},  # same block, far
+            {"doc_id": 40, "text": "omega unrelated text"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = edit_distance_clusters(ds, max_dist=10, len_band=64).to_pandas()
+        got = dict(zip(got["doc_id"], got["cluster_id"]))
+        assert got == {10: 10, 11: 10, 12: 10}
+
+    def test_matches_recursive_oracle_sf0001(self, ray_session):
+        from pdf_extractor_ray.functions.editdist import edit_distance_clusters
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        got = _canon(edit_distance_clusters(docs, max_dist=10).to_pandas())
+        want = _canon(_duck().execute("""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents),
+            b AS (SELECT doc_id, t, regexp_extract(t, '[a-z0-9]+') AS w1,
+                         length(t) // 64 AS band
+                  FROM d WHERE regexp_extract(t, '[a-z0-9]+') <> ''),
+            p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+                  FROM b a JOIN b c
+                    ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
+                  WHERE levenshtein(a.t, c.t) <= 10),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                         FROM reach GROUP BY a)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id FROM clusters
+        """).df())
+        pd.testing.assert_frame_equal(got, want)
