@@ -2799,6 +2799,46 @@ def _q_entity_clusters(sf_dir: str):
     return edit_distance_clusters(docs, max_dist=10, len_band=64)
 
 
+def _q_bigram_familiarity(sf_dir: str):
+    """Integer-exact n-gram-LM familiarity gate (KenLM-perplexity
+    cousin): per-doc sum of floor(log2(corpus bigram count)) over the
+    doc's bigram tokens, in milli-units. Count pass + big-big
+    bigram-bucket cogroup with per-(bucket, doc) pre-aggregation."""
+    from pdf_extractor_ray.functions.ngram_lm import bigram_familiarity
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return bigram_familiarity(docs)
+
+
+def _q_phrase_search(sf_dir: str):
+    """Positional-postings phrase intersection for 'value table':
+    postings emitted only for the phrase's words, one doc-bucket
+    exchange, per-doc anchor intersection pos(w0) & (pos(w1)-1)."""
+    from pdf_extractor_ray.functions.ngram_lm import phrase_count
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return phrase_count(docs, phrase="value table")
+
+
+def _q_quality_percentile(sf_dir: str):
+    """Exact percentile-rank calibration of the Flesch readability
+    score without a global sort: score-histogram exchange + driver
+    cumsum over the (range-bounded) distinct-score table + broadcast
+    lookup. rnk = RANK() semantics (ties share the min rank)."""
+    from pdf_extractor_ray.functions.quality import readability_scores
+    from pdf_extractor_ray.functions.selection import percentile_rank
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    scored = readability_scores(docs).select_columns(["doc_id", "fre_m"])
+    return percentile_rank(scored, score_col="fre_m", id_col="doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression ratio per document (RefinedWeb-style template
     detector). Deterministic but not SQL-replayable (no DEFLATE in
@@ -5679,6 +5719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
+        "bigram_familiarity": _q_bigram_familiarity,
+        "phrase_search": _q_phrase_search,
+        "quality_percentile": _q_quality_percentile,
         "compression_ratio": _q_compression_ratio,
         "brand_topk": _q_brand_topk,
         "lm_quality": _q_lm_quality,
@@ -6913,6 +6956,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(cluster_id AS BIGINT) AS cluster_id
             FROM clusters
+        """,
+        "bigram_familiarity": """
+            -- Integer n-gram-LM familiarity: floor(log2(count)) is
+            -- the bit length minus one, replayed float-free via
+            -- printf('%b'). Docs with < 2 words emit no row.
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w WHERE len(ws) >= 2)
+            ),
+            c AS (SELECT bg, count(*) AS n FROM g GROUP BY bg),
+            s AS (
+                SELECT g.doc_id,
+                       count(*) AS n_bigrams,
+                       sum(length(printf('%b', c.n)) - 1) AS fam_sum
+                FROM g JOIN c USING (bg) GROUP BY g.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(fam_sum AS BIGINT) AS fam_sum,
+                   CAST((1000 * fam_sum) // n_bigrams AS BIGINT) AS fam_milli
+            FROM s
+        """,
+        "quality_percentile": """
+            -- RANK() calibration of the exact-integer Flesch score
+            -- (same fre_m CTE as `readability`); pct_milli =
+            -- (1000*(rnk-1)) // (N-1).
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents),
+            runs AS (
+                SELECT doc_id,
+                       regexp_replace(lower(word), '[aeiouy]+', 'V', 'g') AS r
+                FROM w),
+            syl AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(GREATEST(
+                            length(r) - length(replace(r, 'V', '')), 1))
+                            AS BIGINT) AS n_syll
+                FROM runs GROUP BY doc_id),
+            sents AS (
+                SELECT doc_id,
+                       GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                           AS n_sents
+                FROM documents),
+            f AS (
+                SELECT d.doc_id,
+                       CAST(CASE WHEN s.n_words IS NULL THEN 0
+                            ELSE 206835 - (1015 * s.n_words) // t.n_sents
+                                 - (84600 * s.n_syll) // s.n_words
+                            END AS BIGINT) AS fre_m
+                FROM documents d
+                LEFT JOIN syl s ON s.doc_id = d.doc_id
+                JOIN sents t ON t.doc_id = d.doc_id),
+            r AS (
+                SELECT doc_id, fre_m,
+                       CAST(rank() OVER (ORDER BY fre_m) AS BIGINT) AS rnk,
+                       count(*) OVER () AS n
+                FROM f)
+            SELECT doc_id, fre_m, rnk,
+                   CAST(CASE WHEN n > 1
+                        THEN (1000 * (rnk - 1)) // (n - 1)
+                        ELSE 0 END AS BIGINT) AS pct_milli
+            FROM r
+        """,
+        "phrase_search": """
+            -- Exact phrase occurrences of 'value table' over the
+            -- [a-z0-9]+ word stream; docs with zero matches emit no
+            -- row (mirrors the positional intersection).
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN ws[i] = 'value' AND ws[i+1] = 'table'
+                            THEN 1 ELSE 0 END AS hit
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM w WHERE len(ws) >= 2)
+            )
+            SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_matches
+            FROM g GROUP BY doc_id HAVING sum(hit) > 0
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -43,6 +43,7 @@ __all__ = [
     "select_top_k_global",
     "select_token_budget",
     "group_quantile_split",
+    "percentile_rank",
 ]
 
 
@@ -474,3 +475,75 @@ def group_quantile_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def percentile_rank(
+    ds: ray.data.Dataset,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact global percentile calibration WITHOUT a global sort:
+    every row gains ``rnk`` = RANK() (ties share the min rank, i.e.
+    1 + count(scores strictly below)) and ``pct_milli`` =
+    (1000 * (rnk - 1)) // (N - 1)  (0 for N == 1).
+
+    Rank-normalizing a quality score is the standard way to turn an
+    uncalibrated scorer into a keep-fraction gate ("drop the bottom
+    30%") that is stable across corpus versions. A sort-based window
+    would exchange every row; this is two streaming scans plus
+    O(distinct scores) driver state:
+
+    1. per-batch partial histogram -> one score-bucket exchange for
+       exact per-score counts;
+    2. the count table (bounded by the score's VALUE RANGE, not by N —
+       the same quantized-integer-score contract select_top_k_global
+       documents; scores here are milli-units with a bounded range)
+       is cumulated on the driver and broadcast via ray.put;
+    3. a map_batches pass attaches rnk/pct_milli from the lookup.
+
+    SQL oracle: RANK() OVER (ORDER BY score).
+    """
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()  # consumed by histogram pass + attach pass
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch[score_col].to_numpy(zero_copy_only=False).tolist())
+        return pa.table(
+            {
+                "s": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded by distinct score values (range-bounded contract)
+    counts.sort(key=lambda r: r["s"])
+    total = sum(r["n"] for r in counts)
+    cum_below: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        cum_below[int(r["s"])] = acc
+        acc += int(r["n"])
+    lookup_ref = _ray.put(cum_below)
+    denom = max(total - 1, 1)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        rnk = np.asarray([lk[int(v)] for v in s], dtype=np.int64) + 1
+        pct = (1000 * (rnk - 1)) // denom if total > 1 else np.zeros(
+            len(rnk), dtype=np.int64
+        )
+        return batch.append_column(
+            "rnk", pa.array(rnk, pa.int64())
+        ).append_column("pct_milli", pa.array(pct, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
