@@ -2824,6 +2824,57 @@ def _q_phrase_search(sf_dir: str):
     return phrase_count(docs, phrase="value table")
 
 
+def _q_kcore(sf_dir: str):
+    """6-core of a nucleus+periphery synthetic web graph (dense
+    affine nucleus on the lowest 10% of ids + a tree periphery that
+    peels away over ~4 cascade rounds). Each round is three bucket
+    cogroups; the driver sees one survivor-count scalar per round."""
+    from pdf_extractor_ray.functions.graph import k_core
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+    m = max(n // 10, 10)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tree = ids[ids >= 1]
+        src = [np.concatenate([tree, tree])]
+        dst = [np.concatenate([tree // 2, tree // 3])]
+        nuc = ids[ids < m]
+        for a, b in ((7, 1), (13, 2), (31, 3), (17, 5), (23, 7)):
+            src.append(nuc)
+            dst.append((nuc * a + b) % m)
+        s = np.concatenate(src)
+        d = np.concatenate(dst)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    return k_core(docs.map_batches(mk_edges, batch_format="pyarrow"), k=6)
+
+
+def _q_vocab_drift(sf_dir: str):
+    """Crawl-monitoring vocabulary drift: top-20 words by absolute
+    count delta between source 'src3' and the rest of the corpus —
+    per-batch Counter partials, one word-bucket exchange, top-k over
+    the zipf-small vocab table."""
+    from pdf_extractor_ray.functions.corpus_stats import vocab_drift
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["text", "source"]
+    )
+    return vocab_drift(docs, side_col="source", side_b_value="src3", k=20)
+
+
+def _q_zipf_histogram(sf_dir: str):
+    """Word-frequency log-log histogram (Zipf curve) in exact
+    floor-log2 buckets — the corpus-health diagnostic; <= ~40 rows
+    out regardless of corpus size."""
+    from pdf_extractor_ray.functions.corpus_stats import zipf_histogram
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return zipf_histogram(docs)
+
+
 def _q_quality_percentile(sf_dir: str):
     """Exact percentile-rank calibration of the Flesch readability
     score without a global sort: score-histogram exchange + driver
@@ -5722,6 +5773,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
+        "kcore": _q_kcore,
+        "vocab_drift": _q_vocab_drift,
+        "zipf_histogram": _q_zipf_histogram,
         "compression_ratio": _q_compression_ratio,
         "brand_topk": _q_brand_topk,
         "lm_quality": _q_lm_quality,
@@ -5856,6 +5910,65 @@ _DSIR_SCORE_SQL = """
             LEFT JOIN wt ON wt.bin = bx.bin
             GROUP BY d.doc_id
 """
+
+
+def _kcore_sql(k: int = 6, n_rounds: int = 12) -> str:
+    """Chained-CTE replay of the k-core peel over the nucleus+tree
+    synthetic graph. Any round count >= the operator's converged
+    round count replays exactly (post-fixpoint rounds are no-ops);
+    12 rounds is 3x the measured 4-round cascade at both sf levels."""
+    cte = """
+        nn AS (SELECT greatest(count(*) // 10, 10) AS m FROM documents),
+        raw AS (
+            SELECT doc_id AS src, doc_id // 2 AS dst
+            FROM documents WHERE doc_id >= 1
+            UNION ALL
+            SELECT doc_id, doc_id // 3 FROM documents WHERE doc_id >= 1
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 1) % nn.m
+            FROM documents, nn WHERE doc_id < nn.m
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % nn.m
+            FROM documents, nn WHERE doc_id < nn.m
+            UNION ALL
+            SELECT doc_id, (doc_id * 31 + 3) % nn.m
+            FROM documents, nn WHERE doc_id < nn.m
+            UNION ALL
+            SELECT doc_id, (doc_id * 17 + 5) % nn.m
+            FROM documents, nn WHERE doc_id < nn.m
+            UNION ALL
+            SELECT doc_id, (doc_id * 23 + 7) % nn.m
+            FROM documents, nn WHERE doc_id < nn.m
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        )"""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round's edge set twice, so default CTE inlining re-expands the
+    # whole chain (exponential base-file scans -> "too many open
+    # files" at 12 rounds)
+    for r in range(n_rounds):
+        cte += f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+            ) GROUP BY node),
+        a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r} e
+            JOIN a{r} x ON x.node = e.u
+            JOIN a{r} y ON y.node = e.v)"""
+    return (
+        "WITH " + cte + f""",
+        df AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e{n_rounds}
+                UNION ALL SELECT v FROM e{n_rounds}
+            ) GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS doc_id, CAST(deg AS BIGINT) AS deg
+        FROM df WHERE deg >= {k}"""
+    )
 
 
 def _pagerank_sql(n_iters: int = 5) -> str:
@@ -6358,6 +6471,7 @@ def oracle_sql() -> dict[str, str]:
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
+        "kcore": _kcore_sql(6, 12),
         "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,
         "dsir_select": f"""
@@ -6985,6 +7099,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fam_sum AS BIGINT) AS fam_sum,
                    CAST((1000 * fam_sum) // n_bigrams AS BIGINT) AS fam_milli
             FROM s
+        """,
+        "vocab_drift": """
+            -- Top-20 words by |count(src3) - count(rest)|; ties by
+            -- word ASC (total order -> deterministic LIMIT boundary).
+            WITH w AS (
+                SELECT CASE WHEN source = 'src3' THEN 1 ELSE 0 END AS b,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT word,
+                       CAST(sum(1 - b) AS BIGINT) AS n_a,
+                       CAST(sum(b) AS BIGINT) AS n_b
+                FROM w GROUP BY word
+            )
+            SELECT word, n_a, n_b, CAST(abs(n_a - n_b) AS BIGINT) AS delta
+            FROM c
+            ORDER BY delta DESC, word ASC
+            LIMIT 20
+        """,
+        "zipf_histogram": """
+            -- floor(log2(count)) buckets over the word-frequency
+            -- table, float-free via printf('%b').
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS word
+                FROM documents
+            ),
+            c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+            SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS lg_count,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM c GROUP BY lg_count
         """,
         "quality_percentile": """
             -- RANK() calibration of the exact-integer Flesch score

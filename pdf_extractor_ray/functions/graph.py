@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -955,4 +955,190 @@ def triangle_count(
                 "n_triangles": pa.array([int(agg["n_triangles"])], pa.int64()),
             }
         )
+    )
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    n_buckets: int = 128,
+) -> ray.data.Dataset:
+    """Nodes of the k-core (the maximal subgraph where every node
+    keeps degree >= k after iteratively peeling lower-degree nodes) —
+    the classic web-graph density/spam-farm detector. Returns
+    Dataset[doc_id, deg] with each survivor's final in-core degree.
+
+    Peel loop: each round (a) keeps only edges whose BOTH endpoints
+    survived the previous round — two aligned-schema bucket cogroups
+    against the survivor set, which is corpus-sized and therefore
+    never broadcast — then (b) recomputes degrees from the surviving
+    edges and drops nodes under k. The edge set shrinks monotonically
+    (it is carried forward, not recomputed from the original graph),
+    so late rounds touch only the contested fringe. The driver sees
+    one scalar per round (survivor count); convergence = a round that
+    removes nobody. Raises RuntimeError if max_rounds is hit first —
+    a truncated peel is NOT the k-core, so silence is not an option.
+
+    SQL oracle: chained CTE replay of >= the same number of rounds
+    (extra rounds past the fixpoint are no-ops, so any round count
+    >= the operator's converged round count replays exactly).
+    """
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": _bucket(uv[:, 0] * np.int64(1_000_003) + uv[:, 1],
+                                  n_buckets),
+                "u": uv[:, 0],
+                "v": uv[:, 1],
+            }
+        )
+
+    def distinct_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["u", "v"]].drop_duplicates()
+
+    e = (
+        coalesce_for_exchange(edges.map_batches(canon, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    _FILT_SCHEMA = pa.schema(
+        [
+            pa.field("bucket", pa.int64()),
+            pa.field("side", pa.int8()),
+            pa.field("key", pa.int64()),
+            pa.field("u", pa.int64()),
+            pa.field("v", pa.int64()),
+        ]
+    )
+
+    def _filter_by_alive(es: ray.data.Dataset, alive: ray.data.Dataset,
+                         key_col: str) -> ray.data.Dataset:
+        """Keep edges whose key_col endpoint is in the alive set
+        (cogroup semi-join, aligned schema)."""
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            kk = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": _bucket(kk, n_buckets),
+                    "side": np.ones(len(kk), dtype=np.int8),
+                    "key": kk,
+                    "u": batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "v": batch["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+                },
+                schema=_FILT_SCHEMA,
+            )
+
+        def tag_alive(batch: pa.Table) -> pa.Table:
+            kk = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            z = np.zeros(len(kk), dtype=np.int64)
+            return pa.table(
+                {
+                    "bucket": _bucket(kk, n_buckets),
+                    "side": np.zeros(len(kk), dtype=np.int8),
+                    "key": kk,
+                    "u": z,
+                    "v": z,
+                },
+                schema=_FILT_SCHEMA,
+            )
+
+        def semi_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            ok = set(group.loc[group["side"] == 0, "key"])
+            es_ = group.loc[group["side"] == 1]
+            return es_.loc[es_["key"].isin(ok), ["u", "v"]]
+
+        return (
+            coalesce_for_exchange(
+                es.map_batches(tag_edge, batch_format="pyarrow").union(
+                    alive.map_batches(tag_alive, batch_format="pyarrow")
+                )
+            )
+            .groupby("bucket")
+            .map_groups(semi_in_bucket, batch_format="pandas")
+        )
+
+    def _degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        def endpoints(batch: pa.Table) -> pa.Table:
+            nodes = np.concatenate(
+                [
+                    batch["u"].to_numpy(zero_copy_only=False),
+                    batch["v"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+            return pa.table(
+                {"bucket": _bucket(nodes, n_buckets), "node": nodes}
+            )
+
+        def deg_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            out = group.groupby("node", as_index=False).size()
+            return out.rename(columns={"size": "deg"}).astype(np.int64)
+
+        return (
+            coalesce_for_exchange(
+                es.map_batches(endpoints, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(deg_in_bucket, batch_format="pandas")
+        )
+
+    def _count(ds_: ray.data.Dataset) -> int:
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        return sum(
+            int(r["n"])
+            for r in ds_.map_batches(partial, batch_format="pyarrow").take_all()
+        )
+
+    import pyarrow.compute as _pc
+
+    deg = _degrees(e).materialize()
+    alive = deg.map_batches(
+        lambda b: b.filter(_pc.greater_equal(b["deg"], k)).select(["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_alive = _count(alive)
+
+    for _ in range(max_rounds):
+        e = _filter_by_alive(
+            _filter_by_alive(e, alive, "u"), alive, "v"
+        ).materialize()
+        deg = _degrees(e).materialize()
+        alive = deg.map_batches(
+            lambda b: b.filter(_pc.greater_equal(b["deg"], k)).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_now = _count(alive)
+        if n_now == n_alive:
+            out = deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b["node"].cast(pa.int64()),
+                        "deg": b["deg"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            return out.map_batches(
+                lambda b: b.filter(_pc.greater_equal(b["deg"], k)),
+                batch_format="pyarrow",
+            )
+        n_alive = n_now
+
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds}"
     )

@@ -66,8 +66,6 @@ def bigram_familiarity(
     materialized once up front — the repo's standard multi-consumer
     contract (see packing.sequence_pack).
     """
-    from ray.data.aggregate import Sum
-
     ds = ds.select_columns([id_col, text_col]).materialize()
 
     # ---- pass 1: corpus bigram counts (hash-bucketed partial sums)
@@ -180,9 +178,33 @@ def bigram_familiarity(
         .map_groups(score_in_bucket, batch_format="pandas")
     )
 
-    per_doc = per_bucket.groupby("doc_id").aggregate(
-        Sum("n_bigrams", alias_name="n_bigrams"),
-        Sum("fam_sum", alias_name="fam_sum"),
+    # final per-doc sum: coarse doc-bucket map_groups, NOT the
+    # Aggregate API — a ~doc-cardinality key through Ray's Aggregate
+    # reduce is the measured 40x-CPU trap recorded in BASELINE.md
+    # (clf_train, round 4); one vectorized pandas sum per bucket
+    def tag_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_dbucket": pa.array(np.abs(d) % n_buckets),
+                "doc_id": pa.array(d, pa.int64()),
+                "n_bigrams": batch["n_bigrams"].cast(pa.int64()),
+                "fam_sum": batch["fam_sum"].cast(pa.int64()),
+            }
+        )
+
+    def sum_per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("doc_id", as_index=False)[
+            ["n_bigrams", "fam_sum"]
+        ].sum()
+        return out.astype(np.int64)
+
+    per_doc = (
+        coalesce_for_exchange(
+            per_bucket.map_batches(tag_doc_bucket, batch_format="pyarrow")
+        )
+        .groupby("_dbucket")
+        .map_groups(sum_per_doc, batch_format="pandas")
     )
 
     def finish(batch: pa.Table) -> pa.Table:

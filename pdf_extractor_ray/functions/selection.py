@@ -503,42 +503,54 @@ def percentile_rank(
 
     SQL oracle: RANK() OVER (ORDER BY score).
     """
-    from collections import Counter
-
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     ds = ds.materialize()  # consumed by histogram pass + attach pass
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        c = Counter(batch[score_col].to_numpy(zero_copy_only=False).tolist())
+        vals, cnts = np.unique(
+            batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
         return pa.table(
             {
-                "s": pa.array(list(c.keys()), pa.int64()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "_bucket": pa.array(np.abs(vals) % 256),
+                "s": pa.array(vals, pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
             }
         )
 
+    def sum_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("s", as_index=False)["n"].sum()
+        return out.astype(np.int64)
+
+    # coarse-bucket map_groups, not the Aggregate API (the measured
+    # high-cardinality-key trap recorded in BASELINE.md, clf_train r4).
+    # Collect with to_pandas (vectorized block concat), NOT take_all —
+    # row iteration over pandas-format blocks was measured at
+    # ~780us/row (165 s for a 212k-row count table)
     counts = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("s")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )  # bounded by distinct score values (range-bounded contract)
-    counts.sort(key=lambda r: r["s"])
-    total = sum(r["n"] for r in counts)
-    cum_below: dict[int, int] = {}
-    acc = 0
-    for r in counts:
-        cum_below[int(r["s"])] = acc
-        acc += int(r["n"])
-    lookup_ref = _ray.put(cum_below)
+        coalesce_for_exchange(
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded by distinct score values (range-bounded contract)
+        .sort_values("s")
+    )
+    ss = counts["s"].to_numpy(dtype=np.int64)
+    ns = counts["n"].to_numpy(dtype=np.int64)
+    total = int(ns.sum())
+    cum_below = np.concatenate([[0], np.cumsum(ns[:-1])]).astype(np.int64)
+    lookup_ref = _ray.put((ss, cum_below))  # broadcast once, read per task
     denom = max(total - 1, 1)
 
     def attach(batch: pa.Table) -> pa.Table:
-        lk = _ray.get(lookup_ref)
-        s = batch[score_col].to_numpy(zero_copy_only=False)
-        rnk = np.asarray([lk[int(v)] for v in s], dtype=np.int64) + 1
+        ss_, cum_ = _ray.get(lookup_ref)
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # every score is present in ss_ by construction: searchsorted
+        # returns its exact position
+        rnk = cum_[np.searchsorted(ss_, s)] + 1
         pct = (1000 * (rnk - 1)) // denom if total > 1 else np.zeros(
             len(rnk), dtype=np.int64
         )
