@@ -2824,6 +2824,30 @@ def _q_phrase_search(sf_dir: str):
     return phrase_count(docs, phrase="value table")
 
 
+def _q_cocitation(sf_dir: str):
+    """Top-20 co-cited page pairs ("related pages") over the affine
+    link graph: per-source neighbor-pair expansion with in-bucket
+    pre-aggregation, one pair-bucket sum exchange, top-k under a
+    total order."""
+    from pdf_extractor_ray.functions.graph import cocitation_topk
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        return pa.table({"src": src, "dst": dst})
+
+    return cocitation_topk(
+        docs.map_batches(mk_edges, batch_format="pyarrow"), k=20
+    )
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -5773,6 +5797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
+        "cocitation": _q_cocitation,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6472,6 +6497,29 @@ def oracle_sql() -> dict[str, str]:
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
         "kcore": _kcore_sql(6, 12),
+        "cocitation": """
+            -- Top-20 pairs by number of distinct common in-linking
+            -- sources, over the affine 3-out-link graph; ties by
+            -- (x, y) ASC (total order -> deterministic LIMIT).
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            raw AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            p AS (
+                SELECT a.dst AS x, b.dst AS y
+                FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+            )
+            SELECT x, y, CAST(count(*) AS BIGINT) AS n_common
+            FROM p GROUP BY x, y
+            ORDER BY n_common DESC, x ASC, y ASC
+            LIMIT 20
+        """,
         "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,
         "dsir_select": f"""

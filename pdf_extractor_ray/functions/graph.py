@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -1142,3 +1142,98 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds}"
     )
+
+
+def cocitation_topk(
+    edges: ray.data.Dataset,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    max_out: int = 4096,
+    n_buckets: int = 128,
+) -> ray.data.Dataset:
+    """Top-k co-cited page pairs: (x, y, n_common) where n_common =
+    number of distinct sources linking to BOTH x and y — the classic
+    "related pages" / co-citation similarity over a web graph.
+    Ordered by (n_common DESC, x ASC, y ASC), a total order.
+
+    Shape: one src-bucket exchange groups each source's distinct
+    out-links; the bucket task expands per-source neighbor pairs
+    (C(outdeg, 2) — `max_out` drops hub sources whole, the documented
+    skew cap, same contract as editdist.max_block) and pre-aggregates
+    pair counts inside the bucket; one pair-bucket exchange sums the
+    partials. The final top-k sorts the aggregated pair table (the
+    operator's output domain, already far smaller than the wedge
+    stream), not the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        sd = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": _bucket(sd[:, 0], n_buckets),
+                "src": sd[:, 0],
+                "dst": sd[:, 1],
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        # distinct again: per-batch unique above doesn't dedup ACROSS
+        # batches of the same source
+        g = group[["src", "dst"]].drop_duplicates()
+        for _, adj in g.groupby("src", sort=False):
+            n = len(adj)
+            if n < 2 or n > max_out:
+                continue
+            h = np.sort(adj["dst"].to_numpy(dtype=np.int64))
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({"x": h[i], "y": h[j]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype=np.int64),
+                    "y": pd.Series(dtype=np.int64),
+                    "n_common": pd.Series(dtype=np.int64),
+                }
+            )
+        allp = pd.concat(outs, ignore_index=True)
+        out = allp.groupby(["x", "y"], as_index=False).size()
+        return out.rename(columns={"size": "n_common"}).astype(np.int64)
+
+    per_bucket = (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pbucket": _bucket(x * np.int64(1_000_003) + y, n_buckets),
+                "x": x,
+                "y": y,
+                "n_common": batch["n_common"].cast(pa.int64()),
+            }
+        )
+
+    def sum_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["x", "y"], as_index=False)["n_common"].sum()
+        return out.astype(np.int64)
+
+    pair_counts = (
+        coalesce_for_exchange(
+            per_bucket.map_batches(tag_pair, batch_format="pyarrow")
+        )
+        .groupby("pbucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+    )
+    return pair_counts.sort(
+        ["n_common", "x", "y"], descending=[True, False, False]
+    ).limit(k)

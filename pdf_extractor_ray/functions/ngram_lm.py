@@ -248,25 +248,68 @@ def phrase_count(
         word_to_idx.setdefault(w, []).append(k)
     n_words = len(pw)
 
+    uniq_words = sorted(word_to_idx)
+    # per unique phrase word: its widx list, for vectorized expansion
+    widx_lists = [np.asarray(word_to_idx[w], dtype=np.int64) for w in uniq_words]
+
     def postings(batch: pa.Table) -> pa.Table:
-        ids, idxs, poss = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            ws = _words(t)
-            for pos, w in enumerate(ws):
-                hits = word_to_idx.get(w)
-                if hits:
-                    for k in hits:
-                        ids.append(int(i))
-                        idxs.append(k)
-                        poss.append(pos)
-        arr = np.asarray(ids, dtype=np.int64)
+        import pyarrow.compute as pc
+
+        # vectorized tokenize: lower + split on non-[a-z0-9] in Arrow
+        # C kernels; word positions are per-doc offsets into the flat
+        # token stream (empties from leading/trailing separators are
+        # skipped positionally, matching the regex-findall alphabet)
+        low = pc.utf8_lower(
+            pc.coalesce(batch[text_col], pa.scalar("", pa.string()))
+        )
+        split = pc.split_pattern_regex(low, r"[^a-z0-9]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offsets = split.offsets.to_numpy()
+        n_flat = len(flat)
+        nonempty = pc.invert(pc.equal(flat, "")).to_numpy(
+            zero_copy_only=False
+        ) if n_flat else np.empty(0, dtype=bool)
+        doc_ids_np = (
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # doc index of each flat token + position within its doc's
+        # NON-EMPTY token sequence (exactly the findall order):
+        # pos(i) = (# non-empty before i) - (# non-empty before the
+        # doc's first token)
+        doc_of = np.repeat(np.arange(len(doc_ids_np)), np.diff(offsets))
+        if n_flat:
+            cum_before = np.cumsum(nonempty) - nonempty
+            starts = offsets[:-1]
+            doc_start_cum = cum_before[starts.clip(max=n_flat - 1)]
+            pos_in_doc = cum_before - doc_start_cum[doc_of]
+        else:
+            pos_in_doc = np.empty(0, dtype=np.int64)
+
+        ids_l, idxs_l, poss_l = [], [], []
+        for w, wl in zip(uniq_words, widx_lists):
+            if not n_flat:
+                break
+            # Arrow C-kernel equality, not object-dtype numpy compare
+            m = pc.equal(flat, w).to_numpy(zero_copy_only=False) & nonempty
+            if not m.any():
+                continue
+            d = doc_ids_np[doc_of[m]]
+            p = pos_in_doc[m]
+            for k in wl:
+                ids_l.append(d)
+                idxs_l.append(np.full(len(d), k, dtype=np.int64))
+                poss_l.append(p)
+        if ids_l:
+            ids = np.concatenate(ids_l)
+            idxs = np.concatenate(idxs_l)
+            poss = np.concatenate(poss_l)
+        else:
+            ids = idxs = poss = np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "_bucket": pa.array(
-                    np.abs(arr) % n_buckets
-                    if len(ids)
-                    else np.empty(0, dtype=np.int64)
-                ),
+                "_bucket": pa.array(np.abs(ids) % n_buckets),
                 "doc_id": pa.array(ids, pa.int64()),
                 "widx": pa.array(idxs, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
@@ -274,29 +317,25 @@ def phrase_count(
         )
 
     def intersect_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_n = [], []
-        for doc, g in group.groupby("doc_id", sort=False):
-            # anchor = positions of word 0; each further word k must
-            # appear at anchor + k
-            sets = {}
-            for k, gg in g.groupby("widx"):
-                sets[k] = np.unique(gg["pos"].to_numpy(dtype=np.int64))
-            if len(sets) < n_words:
-                continue
-            anchors = sets[0]
-            for k in range(1, n_words):
-                anchors = anchors[np.isin(anchors + k, sets[k])]
-                if anchors.size == 0:
-                    break
-            if anchors.size:
-                out_ids.append(doc)
-                out_n.append(int(anchors.size))
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(out_ids, dtype=np.int64),
-                "n_matches": pd.Series(out_n, dtype=np.int64),
-            }
-        )
+        # fully vectorized positional AND across the whole bucket: an
+        # anchor (doc, p) survives iff word k appears at (doc, p + k)
+        # for every k — one hash merge per phrase word, never a
+        # per-document Python loop (measured: the loop version spent
+        # its wall time iterating ~1M pandas groups)
+        anchors = group.loc[group["widx"] == 0, ["doc_id", "pos"]]
+        anchors = anchors.drop_duplicates()
+        for k in range(1, n_words):
+            wk = group.loc[group["widx"] == k, ["doc_id", "pos"]].copy()
+            if anchors.empty or wk.empty:
+                anchors = anchors.iloc[0:0]
+                break
+            wk["pos"] = wk["pos"] - k
+            anchors = anchors.merge(
+                wk.drop_duplicates(), on=["doc_id", "pos"], how="inner"
+            )
+        out = anchors.groupby("doc_id", as_index=False).size()
+        out = out.rename(columns={"size": "n_matches"})
+        return out.astype(np.int64)
 
     return (
         coalesce_for_exchange(

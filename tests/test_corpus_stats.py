@@ -146,3 +146,36 @@ class TestKCore:
         ds = ray.data.from_arrow(pa.table({"src": s, "dst": d}))
         got = k_core(ds, k=k).to_pandas()
         assert dict(zip(got["doc_id"], got["deg"])) == want
+
+
+class TestCocitation:
+    def test_hand_graph(self, ray_session):
+        """Sources 0,1,2 all link {10,11}; source 3 links {10,12}."""
+        from pdf_extractor_ray.functions.graph import cocitation_topk
+
+        edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11),
+                 (3, 10), (3, 12)]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}))
+        got = cocitation_topk(ds, k=5).to_pandas()
+        assert got.iloc[0][["x", "y", "n_common"]].tolist() == [10, 11, 3]
+        assert got.iloc[1][["x", "y", "n_common"]].tolist() == [10, 12, 1]
+
+    def test_duplicate_edges_counted_once_per_source(self, ray_session):
+        from pdf_extractor_ray.functions.graph import cocitation_topk
+
+        edges = [(0, 10), (0, 10), (0, 11)]  # dup edge must not double
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}))
+        got = cocitation_topk(ds, k=5).to_pandas()
+        assert got.iloc[0][["x", "y", "n_common"]].tolist() == [10, 11, 1]
+
+    def test_hub_cap_drops_whole_source(self, ray_session):
+        from pdf_extractor_ray.functions.graph import cocitation_topk
+
+        edges = [(0, i) for i in range(10, 20)]          # hub, outdeg 10
+        edges += [(1, 30), (1, 31)]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}))
+        got = cocitation_topk(ds, k=50, max_out=5).to_pandas()
+        assert set(zip(got["x"], got["y"])) == {(30, 31)}
