@@ -2739,6 +2739,23 @@ def _q_semi_join(sf_dir: str):
     return orders_with_returns(orders, lineitem)
 
 
+def _q_semi_join_bloom(sf_dir: str):
+    """Same semi join through the Bloom-pushdown path (2^20-bit
+    broadcast filter prunes the orders side BEFORE the exchange;
+    false positives still hit the exact in-bucket check, so the
+    result — and the oracle — are identical to `semi_join`)."""
+    from pdf_extractor_ray.functions.relational import orders_with_returns
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
+    )
+    return orders_with_returns(orders, lineitem, bloom_bits_p=20)
+
+
 def _q_custdist(sf_dir: str):
     """TPC-H Q13: customer count by order count, zero-order customers
     included — left-outer reduced to a histogram; the second exchange
@@ -5790,6 +5807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
+        "semi_join_bloom": _q_semi_join_bloom,
         "custdist": _q_custdist,
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
@@ -6980,6 +6998,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "semi_join": """
+            -- Orders with at least one returned lineitem (EXISTS, not
+            -- join multiplicity), per priority; price in exact cents.
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS totalprice_c
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "semi_join_bloom": """  -- identical contract: bloom only prunes
             -- Orders with at least one returned lineitem (EXISTS, not
             -- join multiplicity), per priority; price in exact cents.
             SELECT o_orderpriority,

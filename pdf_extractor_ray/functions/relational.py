@@ -1375,10 +1375,59 @@ def customers_without_orders(
     )
 
 
+def _int_bloom_build(
+    ds: ray.data.Dataset, col: str, bits_p: int
+) -> "np.ndarray":
+    """Bloom bitmap (2^bits_p bits, two affine int64 probes) of an
+    int64 key column. Per-block partials are FIXED-SIZE packed
+    bitmaps (2^bits_p / 8 bytes), so the driver-side OR fold is
+    bounded by block count x bitmap size, never by key count; on a
+    cluster the same fold runs as a log-depth tree reduce.
+
+    Internal pruning structure only: false positives are fine (they
+    just reach the exact in-bucket check), so nothing here faces an
+    oracle."""
+    import numpy as np
+
+    n_bytes = (1 << bits_p) // 8
+    mask = np.int64((1 << bits_p) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for mult, add in ((np.int64(0x9E3779B1), np.int64(0x85EBCA6B)),
+                          (np.int64(0xC2B2AE35), np.int64(0x27D4EB2F))):
+            h = ((keys * mult + add) & mask).astype(np.int64)
+            np.bitwise_or.at(bm, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out
+
+
+def _int_bloom_probe(keys, bloom: "np.ndarray", bits_p: int) -> "np.ndarray":
+    """Vectorized membership mask for int64 keys against the bitmap."""
+    import numpy as np
+
+    mask = np.int64((1 << bits_p) - 1)
+    ok = np.ones(len(keys), dtype=bool)
+    keys = np.asarray(keys, dtype=np.int64)
+    for mult, add in ((np.int64(0x9E3779B1), np.int64(0x85EBCA6B)),
+                      (np.int64(0xC2B2AE35), np.int64(0x27D4EB2F))):
+        h = ((keys * mult + add) & mask).astype(np.int64)
+        ok &= (bloom[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
+    return ok
+
+
 def orders_with_returns(
     orders: ray.data.Dataset,
     lineitem: ray.data.Dataset,
     n_buckets: int = 64,
+    bloom_bits_p: int | None = None,
 ) -> ray.data.Dataset:
     """Big-big SEMI join (TPC-H Q4 shape, adapted to this corpus'
     columns): per-priority count and total price of orders that have
@@ -1393,10 +1442,21 @@ def orders_with_returns(
     EXISTS semantics (not join multiplicity): an order with five
     returned lineitems counts once, which is why the probe side is
     deduplicated rather than joined.
+
+    ``bloom_bits_p`` enables Bloom pushdown: a 2^p-bit filter of the
+    probe keys is built first (fixed-size per-block bitmap partials,
+    bounded driver fold) and broadcast; orders whose key cannot match
+    are dropped BEFORE the exchange. Results are identical — false
+    positives still hit the exact in-bucket set check — so this is a
+    pure exchange-volume knob; it pays when the probe side is
+    selective (few matching orders) and loses when most orders match
+    (measured A/B in BASELINE.md). It costs one extra pass over the
+    probe side, so the probe dataset is materialized when enabled.
     """
     from ray.data.aggregate import Sum
 
     import numpy as np
+    import ray as _ray
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
@@ -1428,12 +1488,38 @@ def orders_with_returns(
             }
         )
 
-    left = orders.select_columns(
+    li = lineitem.select_columns(["l_orderkey", "l_returnflag"])
+    orders_src = orders.select_columns(
         ["o_orderkey", "o_orderpriority", "o_totalprice"]
-    ).map_batches(tag_orders, batch_format="pyarrow")
-    right = lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
-        tag_lineitem, batch_format="pyarrow"
     )
+
+    if bloom_bits_p is not None:
+        import pyarrow.compute as pc
+
+        li = li.materialize()  # consumed by the bloom pass + the exchange
+
+        def r_keys(batch: pa.Table) -> pa.Table:
+            flt = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+            keys = np.unique(flt["l_orderkey"].to_numpy(zero_copy_only=False))
+            return pa.table({"k": pa.array(keys, pa.int64())})
+
+        bloom = _int_bloom_build(
+            li.map_batches(r_keys, batch_format="pyarrow"), "k", bloom_bits_p
+        )
+        bloom_ref = _ray.put(bloom)
+        bp = bloom_bits_p
+
+        def prefilter_orders(batch: pa.Table) -> pa.Table:
+            bm = _ray.get(bloom_ref)
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(_int_bloom_probe(keys, bm, bp)))
+
+        orders_src = orders_src.map_batches(
+            prefilter_orders, batch_format="pyarrow"
+        )
+
+    left = orders_src.map_batches(tag_orders, batch_format="pyarrow")
+    right = li.map_batches(tag_lineitem, batch_format="pyarrow")
 
     def semi_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         have = set(group.loc[group["_side"] == 1, "orderkey"])

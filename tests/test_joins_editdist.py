@@ -315,3 +315,58 @@ class TestEntityClusters:
                    CAST(cluster_id AS BIGINT) AS cluster_id FROM clusters
         """).df())
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestBloomPushdown:
+    def test_no_false_negatives(self):
+        from pdf_extractor_ray.functions.relational import (
+            _int_bloom_probe,
+        )
+        import numpy as np
+
+        # build a bitmap by hand through the probe's own hash pair
+        keys = np.array([3, 77, 1_000_003, -5, 2**40], dtype=np.int64)
+        bits_p = 16
+        bm = np.zeros((1 << bits_p) // 8, dtype=np.uint8)
+        mask = np.int64((1 << bits_p) - 1)
+        for mult, add in ((np.int64(0x9E3779B1), np.int64(0x85EBCA6B)),
+                          (np.int64(0xC2B2AE35), np.int64(0x27D4EB2F))):
+            h = ((keys * mult + add) & mask).astype(np.int64)
+            np.bitwise_or.at(bm, h >> 3,
+                             np.uint8(1) << (h & 7).astype(np.uint8))
+        assert _int_bloom_probe(keys, bm, bits_p).all()
+
+    def test_build_probe_roundtrip(self, ray_session):
+        from pdf_extractor_ray.functions.relational import (
+            _int_bloom_build, _int_bloom_probe,
+        )
+        import numpy as np
+
+        members = np.arange(0, 5000, 7, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": members})).repartition(4)
+        bm = _int_bloom_build(ds, "k", bits_p=18)
+        assert _int_bloom_probe(members, bm, 18).all()  # zero false negatives
+        probes = np.arange(1, 5000, 7, dtype=np.int64)  # disjoint set
+        fp = _int_bloom_probe(probes, bm, 18).mean()
+        assert fp < 0.05  # 714 members in 2^18 bits: fp rate tiny
+
+    def test_bloom_path_equals_plain(self, ray_session):
+        from pdf_extractor_ray.functions.relational import orders_with_returns
+
+        rng = np.random.default_rng(2)
+        orders = pa.table({
+            "o_orderkey": np.arange(2000, dtype=np.int64),
+            "o_orderpriority": pa.array(
+                np.where(rng.random(2000) < 0.5, "1-URGENT", "3-MEDIUM")),
+            "o_totalprice": rng.uniform(10, 1000, 2000)})
+        lk = rng.integers(0, 2000, 4000).astype(np.int64)
+        li = pa.table({"l_orderkey": lk,
+                       "l_returnflag": pa.array(
+                           np.where(lk % 13 == 0, "R", "N"))})
+        ods = ray.data.from_arrow(orders)
+        lds = ray.data.from_arrow(li)
+        a = orders_with_returns(ods, lds).to_pandas()
+        b = orders_with_returns(ods, lds, bloom_bits_p=12).to_pandas()
+        a = a.sort_values("o_orderpriority").reset_index(drop=True)
+        b = b.sort_values("o_orderpriority").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
