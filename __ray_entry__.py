@@ -2865,6 +2865,77 @@ def _q_cocitation(sf_dir: str):
     )
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the affine 3-out-link web graph: hop
+    distance (<=4) from the seed set {doc_id % 97 == 0}, reported as a
+    hop-count histogram. Level-synchronous frontier expansion, two
+    bucket cogroups per level; the driver sees one scalar per level.
+    Oracle: recursive CTE with min-hop fold."""
+    from pdf_extractor_ray.functions.graph import bfs_hops
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        return pa.table({"src": src, "dst": dst})
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": ids[ids % 97 == 0]})
+
+    visited = bfs_hops(
+        docs.map_batches(mk_edges, batch_format="pyarrow"),
+        docs.map_batches(mk_seeds, batch_format="pyarrow"),
+        max_depth=4,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"hops": batch["hops"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("hops", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    return (
+        visited.map_batches(partial, batch_format="pyarrow")
+        .groupby("hops")
+        .aggregate(Sum("n", alias_name="n_nodes"))
+    )
+
+
+def _q_peak_window(sf_dir: str):
+    """Row-frame moving window: per user, peak 4-event sliding sum of
+    value (exact integer cents) under ORDER BY (ts, event_id) — the
+    burst-spend signal. One coarse user-bucket exchange; the frame fold
+    is a clamped cumulative-sum diff, no Python loop."""
+    from pdf_extractor_ray.functions.relational import peak_moving_window
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return peak_moving_window(events, window_rows=4)
+
+
+def _q_length_outliers(sf_dir: str):
+    """Per-source robust length-outlier gate: rows with
+    |n_chars - median| > 3*MAD, counted per source. One wide step (a
+    per-(source, n_chars) count histogram); median, MAD and the outlier
+    count all derive from the histogram — carried doubled (med2 = 2*med,
+    mad4 = 4*MAD) so every output is an exact int64."""
+    from pdf_extractor_ray.functions.relational import mad_outliers
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "n_chars"]
+    )
+    return mad_outliers(docs, value_col="n_chars", group_col="source", k=3)
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -5816,6 +5887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
         "cocitation": _q_cocitation,
+        "bfs_hops": _q_bfs_hops,
+        "peak_window": _q_peak_window,
+        "length_outliers": _q_length_outliers,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6537,6 +6611,73 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY x, y
             ORDER BY n_common DESC, x ASC, y ASC
             LIMIT 20
+        """,
+        "bfs_hops": """
+            -- Min hop distance (<=4) from seeds {doc_id % 97 == 0} over
+            -- the affine 3-out-link graph, as a hop histogram.
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            bfs(node, d) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+                UNION
+                SELECT e.dst, bfs.d + 1
+                FROM bfs JOIN e ON e.src = bfs.node
+                WHERE bfs.d < 4
+            ),
+            dist AS (SELECT node, MIN(d) AS hops FROM bfs GROUP BY node)
+            SELECT CAST(hops AS BIGINT) AS hops,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM dist GROUP BY hops
+        """,
+        "peak_window": """
+            WITH v AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+                FROM events
+            ),
+            w AS (
+                SELECT user_id,
+                       sum(value_c) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                       ) AS win_c
+                FROM v
+            )
+            SELECT user_id, CAST(max(win_c) AS BIGINT) AS peak_window_c,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id
+        """,
+        "length_outliers": """
+            -- med2 = 2*median, mad4 = 4*MAD (doubled so even-count
+            -- medians stay integral); outlier test 2*dev2 > 3*mad4
+            -- is the integer form of |v - med| > 3*MAD.
+            WITH m AS (
+                SELECT source, CAST(2 * median(n_chars) AS BIGINT) AS med2,
+                       count(*) AS n_rows
+                FROM documents GROUP BY source
+            ),
+            d AS (
+                SELECT doc.source, abs(2 * doc.n_chars - m.med2) AS dev2
+                FROM documents doc JOIN m ON doc.source = m.source
+            ),
+            md AS (
+                SELECT source, CAST(2 * median(dev2) AS BIGINT) AS mad4
+                FROM d GROUP BY source
+            )
+            SELECT m.source, CAST(m.n_rows AS BIGINT) AS n_rows,
+                   m.med2, md.mad4,
+                   CAST((SELECT count(*) FROM d
+                         WHERE d.source = m.source
+                           AND 2 * d.dev2 > 3 * md.mad4) AS BIGINT)
+                       AS n_outliers
+            FROM m JOIN md ON m.source = md.source
         """,
         "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,

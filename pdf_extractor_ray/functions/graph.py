@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk", "bfs_hops"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -1237,3 +1237,84 @@ def cocitation_topk(
     return pair_counts.sort(
         ["n_common", "x", "y"], descending=[True, False, False]
     ).limit(k)
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    max_depth: int = 4,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance: for every node reachable from the
+    seed set within ``max_depth`` hops, its minimum hop count. The
+    crawl-depth / seed-proximity signal of a frontier scheduler (how far
+    a page sits from the trusted seed list).
+
+    Level-synchronous frontier expansion, two coarse-bucket exchanges
+    per level (the module-wide pattern):
+
+      1. frontier x edges cogroup on src-bucket -> candidate dst set
+         (deduped inside each bucket before it travels)
+      2. candidates x visited cogroup on node-bucket -> anti-join: a
+         candidate never seen before is a first visit, i.e. its minimum
+         hop distance is exactly this level
+
+    The visited set is re-exchanged once per level; with bounded depth
+    (crawl frontiers use 3-6) that is ``max_depth`` narrow-row shuffles
+    of O(reachable) rows, and the loop exits early when a level yields
+    no new nodes (the driver sees one scalar per level). Nothing is
+    collected on the driver.
+
+    ``edges``: Dataset[src, dst] (int64); ``seeds``: Dataset[node].
+    Returns Dataset[node, hops] with hops in [0, max_depth].
+    """
+    edges = edges.materialize()
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": n, "hops": np.zeros(len(n), np.int64)}
+        )
+
+    visited = seeds.map_batches(
+        seed_rows, batch_format="pyarrow"
+    ).materialize()
+    frontier = visited
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        fr = group[group["side"] == 0][["key"]].drop_duplicates()
+        es = group[group["side"] == 1][["key", "payload"]]
+        dst = es.merge(fr, on="key")["payload"].unique()
+        return pd.DataFrame({"node": dst.astype(np.int64)})
+
+    for depth in range(1, max_depth + 1):
+        f_t = _tag(frontier, "node", "node", side=0, n_buckets=n_buckets)
+        e_t = _tag(edges, "src", "dst", side=1, n_buckets=n_buckets)
+        candidates = (
+            coalesce_for_exchange(f_t.union(e_t))
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def first_visits(group: pd.DataFrame, d: int = depth) -> pd.DataFrame:
+            seen = group[group["side"] == 0]["key"].to_numpy(np.int64)
+            cand = group[group["side"] == 1]["key"].to_numpy(np.int64)
+            new = np.setdiff1d(np.unique(cand), seen)
+            return pd.DataFrame(
+                {"node": new, "hops": np.full(len(new), d, np.int64)}
+            )
+
+        v_t = _tag(visited, "node", "hops", side=0, n_buckets=n_buckets)
+        c_t = _tag(candidates, "node", "node", side=1, n_buckets=n_buckets)
+        new_nodes = (
+            coalesce_for_exchange(v_t.union(c_t))
+            .groupby("bucket")
+            .map_groups(first_visits, batch_format="pandas")
+        ).materialize()
+
+        if new_nodes.count() == 0:
+            break
+        visited = visited.union(new_nodes).materialize()
+        frontier = new_nodes
+
+    return visited

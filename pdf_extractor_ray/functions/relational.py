@@ -59,6 +59,8 @@ __all__ = [
     "topk_per_group",
     "order_priority_revenue",
     "exact_quantiles",
+    "peak_moving_window",
+    "mad_outliers",
     "customers_without_orders",
     "orders_with_returns",
     "customer_order_distribution",
@@ -980,6 +982,156 @@ def exact_quantiles(
         coalesce_for_exchange(hist)
         .groupby(group_col)
         .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+def peak_moving_window(
+    events: ray.data.Dataset,
+    window_rows: int = 4,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Row-frame moving-window aggregate: per user, the peak sum of
+    ``value`` over a sliding window of the last ``window_rows`` events
+    (SQL ``SUM(value_c) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``, partial
+    windows at the start included, then ``max`` per user).
+
+    The reference engine has no window frames; this is the burst-load
+    signal (peak short-horizon spend) a crawl scheduler throttles on.
+    Shuffle shape matches ``sessionize_users``: one coarse user-bucket
+    exchange of narrow rows; inside a bucket the frame fold is a single
+    vectorized cumulative-sum diff with the window start clamped to the
+    user's first row — no per-user task, no Python loop. Values are
+    folded to exact integer centi-units before any sum so the result is
+    bit-identical to the SQL oracle.
+
+    Output per user_id: ``peak_window_c`` (int64), ``n_events``.
+    """
+    mask = n_buckets - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+    w = int(window_rows)
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        value_c = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(batch["value"], pa.scalar(100.0)),
+                       pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "value_c": value_c,
+                "bucket": pc.bit_wise_and(uid, mask),
+            }
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"])
+        v = g["value_c"].to_numpy(np.int64)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+        # position of each row within its user run (sorted -> runs)
+        pos = g.groupby("user_id").cumcount().to_numpy(np.int64)
+        i = np.arange(len(v), dtype=np.int64)
+        start = i - np.minimum(pos, w - 1)  # clamp to user's first row
+        win = cs[i + 1] - cs[start]
+        return (
+            g.assign(win_c=win)
+            .groupby("user_id", as_index=False)
+            .agg(peak_window_c=("win_c", "max"), n_events=("win_c", "size"))
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Robust per-group outlier detection: flag rows whose deviation
+    from the group median exceeds ``k`` times the group's median
+    absolute deviation (MAD). The classic length-outlier gate of a
+    curation pipeline (truncated pages, concatenation blowups).
+
+    Exactness without a second data pass: the single wide step builds a
+    per-(group, value) count histogram (the exchange carries value
+    cardinality, not rows — same shape as ``exact_quantiles``); median,
+    MAD, and the outlier count are then all derived from that histogram
+    inside one ``map_groups``, because the absolute deviation of a
+    histogram bin depends only on (value, group median). Medians of
+    even-sized groups are half-integers, so everything is carried
+    doubled: ``med2`` = 2*median, ``mad4`` = 4*MAD, and the outlier
+    test |v - med| > k*MAD becomes the integer comparison
+    ``2*dev2 > k*mad4`` with ``dev2 = |2v - med2|``.
+
+    Output per group: ``n_rows``, ``med2``, ``mad4``, ``n_outliers``
+    (all int64, bit-exact against a SQL median()/abs() oracle).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_pylist(),
+                "v": batch[value_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby([group_col, "v"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    hist = ds.map_batches(partial, batch_format="pyarrow")
+
+    def doubled_weighted_median(
+        vals: np.ndarray, cum: np.ndarray, n: int
+    ) -> int:
+        # lo = value at rank ceil(n/2), hi = value at rank floor(n/2)+1
+        lo = vals[np.searchsorted(cum, (n + 1) // 2)]
+        hi = vals[np.searchsorted(cum, n // 2 + 1)]
+        return int(lo) + int(hi)
+
+    def stats(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("v")["n"].sum().sort_index()
+        vals = merged.index.to_numpy(np.int64)
+        cnt = merged.to_numpy(np.int64)
+        n = int(cnt.sum())
+        med2 = doubled_weighted_median(vals, np.cumsum(cnt), n)
+        dev2 = np.abs(2 * vals - med2)
+        order = np.argsort(dev2, kind="stable")
+        dv, dc = dev2[order], cnt[order]
+        uniq, idx = np.unique(dv, return_index=True)
+        dcc = np.add.reduceat(dc, idx)
+        mad4 = doubled_weighted_median(uniq, np.cumsum(dcc), n)
+        n_out = int(cnt[2 * dev2 > k * mad4].sum())
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "n_rows": [n],
+                "med2": [med2],
+                "mad4": [mad4],
+                "n_outliers": [n_out],
+            }
+        )
+
+    return (
+        coalesce_for_exchange(hist)
+        .groupby(group_col)
+        .map_groups(stats, batch_format="pandas")
     )
 
 
