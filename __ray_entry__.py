@@ -2936,6 +2936,100 @@ def _q_length_outliers(sf_dir: str):
     return mad_outliers(docs, value_col="n_chars", group_col="source", k=3)
 
 
+def _q_hourly_spikes(sf_dir: str):
+    """Access-log burst detection: per user, count of hours whose
+    event count exceeds the user's mean over ACTIVE hours (factor=1).
+    Integer-exact spike test (count * n_active_hours > factor *
+    n_events); two-level pre-aggregation before one user-bucket
+    exchange — the exchange carries (user, hour) partials, never
+    events."""
+    from pdf_extractor_ray.functions.relational import hourly_spikes
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    return hourly_spikes(events, factor=1)
+
+
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    lineitems whose supplier and ordering customer share a nation.
+    Three consecutive big-big hash joins (lineitem x orders on
+    orderkey, x customer on custkey, x supplier on suppkey) — each one
+    coarse-bucket cogroup exchange with in-bucket pre-aggregation on
+    the NEXT key, so exchange volume shrinks monotonically; only the
+    25-row nation table is broadcast."""
+    from pdf_extractor_ray.functions.relational import nation_revenue
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    cu = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    su = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    return nation_revenue(li, od, cu, su, nat)
+
+
+def _q_kwic(sf_dir: str):
+    """Keyword-in-context concordance for 'data': 1-based character
+    position of the first occurrence plus a +/-20-codepoint snippet.
+    Shuffle-free and fully vectorized (split_pattern + negative-start
+    utf8_slice_codeunits handle per-row-varying bounds without Python
+    loops); codepoint semantics match SQL strpos/substr exactly."""
+    from pdf_extractor_ray.functions.textstats import kwic_snippets
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return kwic_snippets(docs, term="data", context=20)
+
+
+def _q_returns_topk(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    1996. Big-big orderkey cogroup (no broadcast side) -> custkey
+    bucket exchange where the per-bucket sum is the exact customer
+    total, so each bucket emits only its local top-20 and the final
+    sort touches <= n_buckets*20 rows."""
+    from pdf_extractor_ray.functions.relational import returned_revenue_topk
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return returned_revenue_topk(li, od, k=20)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: per ship month, promo-part revenue vs total
+    revenue (exact integer cents). part grows with the corpus, so the
+    partkey join is a big-big bucket cogroup with per-(partkey, ym)
+    pre-aggregation on the lineitem side — never a broadcast."""
+    from pdf_extractor_ray.functions.relational import promo_revenue_by_month
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    )
+    return promo_revenue_by_month(li, pt)
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -5890,6 +5984,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "peak_window": _q_peak_window,
         "length_outliers": _q_length_outliers,
+        "hourly_spikes": _q_hourly_spikes,
+        "nation_revenue": _q_nation_revenue,
+        "kwic": _q_kwic,
+        "returns_topk": _q_returns_topk,
+        "promo_revenue": _q_promo_revenue,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6653,6 +6752,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(win_c) AS BIGINT) AS peak_window_c,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM w GROUP BY user_id
+        """,
+        "hourly_spikes": """
+            WITH h AS (
+                SELECT user_id,
+                       epoch_us(ts) // 1000000 // 3600 AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            u AS (
+                SELECT user_id, count(*) AS nh, sum(n) AS ne,
+                       max(n) AS peak
+                FROM h GROUP BY 1
+            )
+            SELECT h.user_id,
+                   CAST(any_value(u.nh) AS BIGINT) AS n_active_hours,
+                   CAST(sum(CASE WHEN h.n * u.nh > 1 * u.ne
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_spike_hours,
+                   CAST(any_value(u.peak) AS BIGINT) AS peak_hour_events
+            FROM h JOIN u USING (user_id)
+            GROUP BY h.user_id
+        """,
+        "nation_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice *
+                                       (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "kwic": """
+            SELECT doc_id,
+                   CAST(strpos(text, 'data') AS BIGINT) AS pos,
+                   substr(text,
+                          greatest(strpos(text, 'data') - 20, 1),
+                          (strpos(text, 'data')
+                           - greatest(strpos(text, 'data') - 20, 1))
+                          + length('data') + 20) AS snippet
+            FROM documents
+            WHERE strpos(text, 'data') > 0
+        """,
+        "returns_topk": """
+            WITH per AS (
+                SELECT o.o_custkey AS c_custkey,
+                       sum(CAST(floor(l.l_extendedprice *
+                                      (1 - l.l_discount) * 100 + 0.5)
+                                AS BIGINT)) AS revenue_c
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1
+            )
+            SELECT c_custkey, CAST(revenue_c AS BIGINT) AS revenue_c
+            FROM per
+            ORDER BY revenue_c DESC, c_custkey
+            LIMIT 20
+        """,
+        "promo_revenue": """
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                        AS BIGINT) AS ym,
+                   CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                                 THEN CAST(floor(l.l_extendedprice *
+                                                 (1 - l.l_discount) * 100
+                                                 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT)
+                       AS promo_revenue_c,
+                   CAST(sum(CAST(floor(l.l_extendedprice *
+                                       (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       AS total_revenue_c
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
         """,
         "length_outliers": """
             -- med2 = 2*median, mad4 = 4*MAD (doubled so even-count

@@ -61,6 +61,8 @@ __all__ = [
     "exact_quantiles",
     "peak_moving_window",
     "mad_outliers",
+    "hourly_spikes",
+    "nation_revenue",
     "customers_without_orders",
     "orders_with_returns",
     "customer_order_distribution",
@@ -1132,6 +1134,459 @@ def mad_outliers(
         coalesce_for_exchange(hist)
         .groupby(group_col)
         .map_groups(stats, batch_format="pandas")
+    )
+
+
+def hourly_spikes(
+    events: ray.data.Dataset,
+    factor: int = 3,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Burst detection: per user, hours whose event count exceeds
+    ``factor`` times the user's mean count over their ACTIVE hours —
+    the bot-burst / scrape-storm signal of an access-log curation run.
+
+    Two-level pre-aggregation, integer-exact throughout: per-batch
+    (user, hour) count partials collapse before the single coarse
+    user-bucket exchange, and the spike test ``count * n_active_hours >
+    factor * n_events`` is pure int64 (no float mean). The exchange
+    carries one row per (user, hour) per batch, never per event.
+
+    Output per user: ``n_active_hours``, ``n_spike_hours``,
+    ``peak_hour_events``.
+    """
+    mask = n_buckets - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        hour = (ts_us // 1_000_000) // 3600
+        df = pd.DataFrame({"user_id": uid, "hour": hour})
+        g = df.groupby(["user_id", "hour"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["bucket"] = g["user_id"].to_numpy(np.int64) & mask
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        hours = group.groupby(["user_id", "hour"], as_index=False)["n"].sum()
+        per_user = hours.groupby("user_id")
+        tot = per_user["n"].transform("sum")
+        nh = per_user["hour"].transform("size")
+        spike = (hours["n"] * nh) > (factor * tot)
+        return (
+            hours.assign(spike=spike.astype(np.int64))
+            .groupby("user_id", as_index=False)
+            .agg(
+                n_active_hours=("hour", "size"),
+                n_spike_hours=("spike", "sum"),
+                peak_hour_events=("n", "max"),
+            )
+        )
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def nation_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: pd.DataFrame,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue per nation from lineitems whose supplier
+    and ordering customer share a nation ("local supplier volume").
+
+    Three consecutive big-big hash joins, each a single coarse-bucket
+    cogroup exchange keyed on the join column — NO side is broadcast,
+    because at corpus scale lineitem, orders, customer and supplier all
+    grow with the data (only ``nation``, a fixed 25-row table, rides the
+    closure). Revenue folds to exact integer cents per lineitem row
+    BEFORE any aggregation (floor(ep*(1-disc)*100 + 0.5), the repo money
+    contract), and each bucket task pre-aggregates on its output key so
+    exchange N+1 carries partial sums, not rows:
+
+      1. lineitem x orders   on orderkey -> (custkey, suppkey, rev_c)
+         pre-summed per (custkey, suppkey) in the bucket
+      2. stage1   x customer on custkey  -> (suppkey, c_nation, rev_c)
+         pre-summed per (suppkey, c_nation)
+      3. stage2   x supplier on suppkey  -> filter c_nation == s_nation
+         -> partial per nationkey
+      4. tiny groupby(nationkey).sum + pandas merge with `nation`
+
+    Output: (n_name, revenue_c), one row per nation with local volume.
+    """
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev_c = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": keys,
+                "a": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev_c": rev_c,
+            }
+        )
+        g = df.groupby(["key", "a"], as_index=False)["rev_c"].sum()
+        g["side"] = np.int8(1)
+        g["b"] = np.int64(0)
+        g["bucket"] = (np.abs(g["key"].to_numpy(np.int64)) % n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def tag_dim(ds: ray.data.Dataset, key: str, val: str) -> ray.data.Dataset:
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "key": k,
+                    "a": batch[val].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                    "rev_c": np.zeros(len(k), np.int64),
+                    "side": np.zeros(len(k), np.int8),
+                    "b": np.zeros(len(k), np.int64),
+                    "bucket": np.abs(k) % n_buckets,
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    def rebucket(ds: ray.data.Dataset, promote_a_to_b: bool) -> ray.data.Dataset:
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if promote_a_to_b:
+                b = a
+                a = np.zeros(len(k), np.int64)
+            return pa.table(
+                {
+                    "key": k,
+                    "a": a,
+                    "rev_c": batch["rev_c"].to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    "side": np.ones(len(k), np.int8),
+                    "b": b,
+                    "bucket": np.abs(k) % n_buckets,
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    # stage 1: lineitem x orders on orderkey. The next join is on
+    # custkey, so the looked-up o_custkey becomes the new `key` and
+    # l_suppkey rides along in `a` until stage 3 needs it.
+    li = lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    od = tag_dim(orders, "o_orderkey", "o_custkey")
+
+    def swap_cogroup(group: pd.DataFrame) -> pd.DataFrame:
+        dims = group[group["side"] == 0][["key", "a"]].rename(
+            columns={"a": "looked_up"}
+        )
+        facts = group[group["side"] == 1][["key", "a", "rev_c"]]
+        m = facts.merge(dims, on="key", how="inner")
+        out = m.groupby(["looked_up", "a"], as_index=False)["rev_c"].sum()
+        return pd.DataFrame(
+            {
+                "key": out["looked_up"].to_numpy(np.int64),  # custkey
+                "a": out["a"].to_numpy(np.int64),  # suppkey
+                "b": np.zeros(len(out), np.int64),
+                "rev_c": out["rev_c"].to_numpy(np.int64),
+            }
+        )
+
+    stage1 = (
+        coalesce_for_exchange(li.union(od))
+        .groupby("bucket")
+        .map_groups(swap_cogroup, batch_format="pandas")
+    )
+
+    # stage 2: x customer on custkey -> key=suppkey, b=c_nationkey
+    cu = tag_dim(customer, "c_custkey", "c_nationkey")
+
+    def stage2_cogroup(group: pd.DataFrame) -> pd.DataFrame:
+        dims = group[group["side"] == 0][["key", "a"]].rename(
+            columns={"a": "c_nation"}
+        )
+        facts = group[group["side"] == 1][["key", "a", "rev_c"]]
+        m = facts.merge(dims, on="key", how="inner")
+        out = m.groupby(["a", "c_nation"], as_index=False)["rev_c"].sum()
+        return pd.DataFrame(
+            {
+                "key": out["a"].to_numpy(np.int64),  # suppkey
+                "a": np.zeros(len(out), np.int64),
+                "b": out["c_nation"].to_numpy(np.int64),
+                "rev_c": out["rev_c"].to_numpy(np.int64),
+            }
+        )
+
+    f1 = rebucket(stage1, promote_a_to_b=False)
+    # f1 carries key=custkey side=1; cogroup with customer dim
+    stage2 = (
+        coalesce_for_exchange(f1.union(cu))
+        .groupby("bucket")
+        .map_groups(stage2_cogroup, batch_format="pandas")
+    )
+
+    # stage 3: x supplier on suppkey, keep c_nation == s_nation
+    su = tag_dim(supplier, "s_suppkey", "s_nationkey")
+
+    def stage3_cogroup(group: pd.DataFrame) -> pd.DataFrame:
+        dims = group[group["side"] == 0][["key", "a"]].rename(
+            columns={"a": "s_nation"}
+        )
+        facts = group[group["side"] == 1][["key", "b", "rev_c"]]
+        m = facts.merge(dims, on="key", how="inner")
+        m = m[m["b"] == m["s_nation"]]
+        out = m.groupby("s_nation", as_index=False)["rev_c"].sum()
+        return pd.DataFrame(
+            {
+                "nationkey": out["s_nation"].to_numpy(np.int64),
+                "rev_c": out["rev_c"].to_numpy(np.int64),
+            }
+        )
+
+    f2 = rebucket(stage2, promote_a_to_b=False)
+    stage3 = (
+        coalesce_for_exchange(f2.union(su))
+        .groupby("bucket")
+        .map_groups(stage3_cogroup, batch_format="pandas")
+    )
+
+    agg = stage3.groupby("nationkey").aggregate(
+        Sum("rev_c", alias_name="revenue_c")
+    )
+
+    names = nation[["n_nationkey", "n_name"]].copy()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().merge(
+            names, left_on="nationkey", right_on="n_nationkey", how="inner"
+        )
+        return pa.Table.from_pandas(
+            df[["n_name", "revenue_c"]], preserve_index=False
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def returned_revenue_topk(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    k: int = 20,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED items
+    (l_returnflag = 'R') on orders placed inside [date_lo, date_hi).
+
+    Big-big join without a broadcast side: lineitem pre-aggregates
+    returned revenue (exact integer cents) per orderkey inside each
+    batch, orders filters to the date window, one orderkey-bucket
+    cogroup produces (custkey, rev_c) partials, and a second
+    custkey-bucket exchange finalizes per-customer totals. Because
+    bucket = custkey % n_buckets, the per-bucket sum IS the exact
+    customer total, so each bucket emits only its local top-k and the
+    final sort touches <= n_buckets * k rows.
+
+    Output: (c_custkey, revenue_c), k rows, ties broken by custkey ASC.
+    """
+    lo = pd.Timestamp(date_lo).value // 1_000
+    hi = pd.Timestamp(date_hi).value // 1_000  # us epoch bounds
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_c": np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("key", as_index=False)["rev_c"].sum()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.abs(g["key"].to_numpy(np.int64)) % n_buckets
+                ),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "val": pa.array(g["rev_c"].to_numpy(np.int64)),
+            }
+        )
+
+    def od_tag(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+        )
+        mask = pc.and_(
+            pc.greater_equal(us, pa.scalar(lo)), pc.less(us, pa.scalar(hi))
+        )
+        t = batch.filter(mask)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.abs(keys) % n_buckets),
+                "side": pa.array(np.zeros(len(keys), np.int8)),
+                "key": pa.array(keys),
+                "val": pa.array(
+                    t["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dims = group[group["side"] == 0][["key", "val"]].rename(
+            columns={"val": "custkey"}
+        )
+        facts = group[group["side"] == 1][["key", "val"]]
+        m = facts.merge(dims, on="key", how="inner")
+        out = m.groupby("custkey", as_index=False)["val"].sum()
+        return pd.DataFrame(
+            {
+                "custkey": out["custkey"].to_numpy(np.int64),
+                "rev_c": out["val"].to_numpy(np.int64),
+                "bucket2": np.abs(out["custkey"].to_numpy(np.int64))
+                % n_buckets,
+            }
+        )
+
+    def topk_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        per = group.groupby("custkey", as_index=False)["rev_c"].sum()
+        per = per.sort_values(
+            ["rev_c", "custkey"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "c_custkey": per["custkey"].to_numpy(np.int64),
+                "revenue_c": per["rev_c"].to_numpy(np.int64),
+            }
+        )
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    od = orders.map_batches(od_tag, batch_format="pyarrow")
+    partials = (
+        coalesce_for_exchange(li.union(od))
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    candidates = (
+        coalesce_for_exchange(partials)
+        .groupby("bucket2")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )
+    return candidates.sort(
+        ["revenue_c", "c_custkey"], descending=[True, False]
+    ).limit(k)
+
+
+def promo_revenue_by_month(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    promo_type: str = "ECONOMY",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """TPC-H Q14 shape: per ship month, revenue from parts of the promo
+    type vs total revenue — the promotion-effect time series.
+
+    part grows with the corpus, so this is a big-big partkey join, not
+    a broadcast: lineitem pre-aggregates exact integer-cent revenue per
+    (partkey, ym) inside each batch, part ships one (partkey, is_promo)
+    bit per row, one partkey-bucket cogroup folds to per-(ym, is_promo)
+    partials, and the final groupby touches one row per month per
+    bucket. Months are int64 ym = year*100 + month of l_shipdate.
+
+    Output: (ym, promo_revenue_c, total_revenue_c).
+    """
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(ship), pa.int64()), 100),
+            pc.cast(pc.month(ship), pa.int64()),
+        )
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "key": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "ym": ym.to_numpy(zero_copy_only=False),
+                "rev_c": np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby(["key", "ym"], as_index=False)["rev_c"].sum()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.abs(g["key"].to_numpy(np.int64)) % n_buckets
+                ),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "ym": pa.array(g["ym"].to_numpy(np.int64)),
+                "rev_c": pa.array(g["rev_c"].to_numpy(np.int64)),
+            }
+        )
+
+    def part_tag(batch: pa.Table) -> pa.Table:
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        promo = pc.equal(batch["p_type"], promo_type)
+        return pa.table(
+            {
+                "bucket": pa.array(np.abs(keys) % n_buckets),
+                "side": pa.array(np.zeros(len(keys), np.int8)),
+                "key": pa.array(keys),
+                "ym": pa.array(
+                    pc.cast(promo, pa.int64())
+                ),  # is_promo rides in ym on the dim side
+                "rev_c": pa.array(np.zeros(len(keys), np.int64)),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dims = group[group["side"] == 0][["key", "ym"]].rename(
+            columns={"ym": "is_promo"}
+        )
+        facts = group[group["side"] == 1][["key", "ym", "rev_c"]]
+        m = facts.merge(dims, on="key", how="inner")
+        m["promo_c"] = m["rev_c"] * m["is_promo"]
+        out = m.groupby("ym", as_index=False).agg(
+            promo_revenue_c=("promo_c", "sum"),
+            total_revenue_c=("rev_c", "sum"),
+        )
+        return out
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    pt = part.map_batches(part_tag, batch_format="pyarrow")
+    partials = (
+        coalesce_for_exchange(li.union(pt))
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+    return partials.groupby("ym").aggregate(
+        Sum("promo_revenue_c", alias_name="promo_revenue_c"),
+        Sum("total_revenue_c", alias_name="total_revenue_c"),
     )
 
 

@@ -31,6 +31,7 @@ import pyarrow as pa
 from pdf_extractor_ray.functions.common import bucket_ids, coalesce_for_exchange
 
 __all__ = [
+    "kwic_snippets",
     "lexical_diversity",
     "lexical_diversity_batch",
     "doc_stats_batch",
@@ -777,3 +778,55 @@ def lexical_diversity(ds, text_col: str = "text", id_col: str = "doc_id"):
         lambda b: lexical_diversity_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
+
+
+def kwic_snippets(
+    docs,
+    term: str,
+    context: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Keyword-in-context: for every document containing ``term``, the
+    1-based CHARACTER position of its first occurrence plus a snippet of
+    ``context`` characters either side — the concordance view a corpus
+    linguist (or a filter-rule author) samples before writing a rule.
+
+    Embarrassingly parallel (no shuffle) and fully vectorized with
+    per-row-varying bounds handled WITHOUT Python loops: the row is
+    split at the first occurrence (``split_pattern`` max_splits=1), the
+    head keeps its last ``context`` codepoints (negative-start slice),
+    the tail its first ``term_len + context``, and the term is spliced
+    back as the join separator. Codepoint-exact: ``utf8_length`` /
+    ``utf8_slice_codeunits`` are codepoint-indexed, so multibyte text
+    positions and slices match SQL ``strpos``/``substr`` exactly.
+
+    Output: (id_col, pos [1-based char], snippet).
+    """
+    import pyarrow.compute as pc
+
+    stop_tail = context  # codepoints kept after the term
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        hit = pc.greater_equal(pc.find_substring(text, term), 0)
+        ids = batch[id_col].filter(hit)
+        text = text.filter(hit)
+        parts = pc.split_pattern(text, term, max_splits=1)
+        head = pc.list_element(parts, 0)
+        tail = pc.list_element(parts, 1)
+        pos0 = pc.utf8_length(head)
+        snippet = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(head, start=-context, stop=1 << 30),
+            pc.utf8_slice_codeunits(tail, start=0, stop=stop_tail),
+            term,
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "pos": pc.add(pc.cast(pos0, pa.int64()), 1),
+                "snippet": snippet,
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
