@@ -3030,6 +3030,34 @@ def _q_promo_revenue(sf_dir: str):
     return promo_revenue_by_month(li, pt)
 
 
+def _q_corr_moments(sf_dir: str):
+    """Exact per-source second-moment statistics of the chars-vs-words
+    relationship (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy, all int64)
+    — everything Pearson r / an OLS slope needs, with zero float in
+    the distributed fold. Per-batch partials, then a source-cardinality
+    groupby; no corpus-sized exchange."""
+    from pdf_extractor_ray.functions.corpus_stats import corr_moments
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "n_chars", "text"]
+    )
+    return corr_moments(docs)
+
+
+def _q_ks_drift(sf_dir: str):
+    """Two-sample KS distance between src3's n_chars distribution and
+    the rest of the corpus, integer-exact (ks_num = max |cdf_a*n_b -
+    cdf_b*n_a|; D = ks_num/(n_a*n_b)). One value-bucket exchange of
+    per-value count partials; the driver folds one row per distinct
+    n_chars value."""
+    from pdf_extractor_ray.functions.corpus_stats import ks_statistic
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "n_chars"]
+    )
+    return ks_statistic(docs, side_col="source", side_b_value="src3")
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -5989,6 +6017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": _q_kwic,
         "returns_topk": _q_returns_topk,
         "promo_revenue": _q_promo_revenue,
+        "corr_moments": _q_corr_moments,
+        "ks_drift": _q_ks_drift,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6832,6 +6862,49 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
+        """,
+        "corr_moments": """
+            WITH v AS (
+                SELECT source,
+                       CAST(n_chars AS BIGINT) AS x,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS y
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM v GROUP BY source
+        """,
+        "ks_drift": """
+            WITH c AS (
+                SELECT n_chars AS value,
+                       CASE WHEN source = 'src3' THEN 1 ELSE 0 END AS is_b,
+                       count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT sum(CASE WHEN is_b = 0 THEN n ELSE 0 END) AS n_a,
+                       sum(CASE WHEN is_b = 1 THEN n ELSE 0 END) AS n_b
+                FROM c
+            ),
+            grid AS (SELECT DISTINCT value FROM c),
+            cum AS (
+                SELECT g.value,
+                       sum(CASE WHEN c.is_b = 0 THEN c.n ELSE 0 END) AS ca,
+                       sum(CASE WHEN c.is_b = 1 THEN c.n ELSE 0 END) AS cb
+                FROM grid g JOIN c ON c.value <= g.value
+                GROUP BY g.value
+            )
+            SELECT CAST(tot.n_a AS BIGINT) AS n_a,
+                   CAST(tot.n_b AS BIGINT) AS n_b,
+                   CAST(max(abs(cum.ca * tot.n_b - cum.cb * tot.n_a))
+                        AS BIGINT) AS ks_num
+            FROM cum, tot GROUP BY tot.n_a, tot.n_b
         """,
         "length_outliers": """
             -- med2 = 2*median, mad4 = 4*MAD (doubled so even-count

@@ -39,7 +39,7 @@ import ray.data
 
 from .common import bucket_ids, coalesce_for_exchange
 
-__all__ = ["vocab_drift", "zipf_histogram"]
+__all__ = ["vocab_drift", "zipf_histogram", "corr_moments", "ks_statistic"]
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -176,3 +176,139 @@ def zipf_histogram(
         Sum("n_words", alias_name="n_words"),
         Sum("n_occurrences", alias_name="n_occurrences"),
     )
+
+
+def corr_moments(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    x_col: str = "n_chars",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact per-group second-moment sufficient statistics for the
+    (chars, words) relationship: n, sum_x, sum_y, sum_xx, sum_yy,
+    sum_xy as int64 — everything Pearson r / a least-squares slope /
+    Welford variance needs, with zero float drift in the distributed
+    fold (the one float division happens at the consumer).
+
+    y = word count = space count + 1, computed vectorized
+    (``count_substring``), matching SQL ``length - length(replace)``
+    exactly. One per-batch partial per group, then a tiny groupby over
+    group cardinality — no corpus-sized exchange.
+
+    int64 headroom: sum_xx grows as n * x^2; at 5k-char docs that is
+    ~2.5e7 per row, overflowing int64 only past ~3.7e11 rows PER
+    GROUP — beyond the 100 TB design point; shard the group key if a
+    corpus ever exceeds it.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pyarrow.compute as pc
+
+        y = (
+            pc.count_substring(batch[text_col], " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        df = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_pylist(),
+                "n": np.ones(len(x), np.int64),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_yy": y * y,
+                "sum_xy": x * y,
+            }
+        )
+        g = df.groupby(group_col, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.select_columns([group_col, x_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_yy", alias_name="sum_yy"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+    )
+
+
+def ks_statistic(
+    ds: ray.data.Dataset,
+    side_col: str = "source",
+    side_b_value: str = "src3",
+    value_col: str = "n_chars",
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between ``value_col``'s
+    distribution in slice B (side_col == side_b_value) and the rest of
+    the corpus — the distribution-drift alarm for a new crawl dump,
+    INTEGER-EXACT: the statistic is reported as
+    ``ks_num = max_v |cdf_a(v)*n_b - cdf_b(v)*n_a|`` over the common
+    value grid, so D = ks_num / (n_a*n_b) with no float in the
+    distributed fold or the comparison.
+
+    Shape: per-batch (value, side) count partials collapse before one
+    value-bucket exchange; the driver then folds one row per DISTINCT
+    value (bounded by the value domain — n_chars has ~thousands of
+    distinct values, documented at the call site), sorts once, and
+    takes the running-max of the cumulative difference.
+
+    Returns a 1-row DataFrame: (n_a, n_b, ks_num).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = pc.equal(batch[side_col], side_b_value).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "value": batch[value_col].to_numpy(zero_copy_only=False),
+                "is_b": side.astype(np.int64),
+            }
+        )
+        g = df.groupby(["value", "is_b"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["_bucket"] = bucket_ids(g["value"].to_numpy(np.int64), 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["value", "is_b"], as_index=False)["n"].sum()
+
+    counts = (
+        coalesce_for_exchange(
+            ds.select_columns([side_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        # driver fold bounded by the DISTINCT value domain of value_col
+        # (per-value counts, not rows)
+        .to_pandas()
+    )
+    piv = (
+        counts.pivot_table(
+            index="value", columns="is_b", values="n", fill_value=0,
+            aggfunc="sum",
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    n_a = int(piv[0].sum())
+    n_b = int(piv[1].sum())
+    cum_a = piv[0].cumsum().to_numpy(np.int64)
+    cum_b = piv[1].cumsum().to_numpy(np.int64)
+    ks_num = int(np.abs(cum_a * n_b - cum_b * n_a).max()) if len(piv) else 0
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "ks_num": [ks_num]}
+    ).astype(np.int64)
