@@ -3058,6 +3058,19 @@ def _q_ks_drift(sf_dir: str):
     return ks_statistic(docs, side_col="source", side_b_value="src3")
 
 
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (source, lang): finest cells + per-source
+    subtotals + grand total, one corpus pass — subtotal levels derive
+    from the finest aggregate on the driver (bounded by the key-domain
+    product), never a second shuffle per level."""
+    from pdf_extractor_ray.functions.relational import rollup_counts
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "lang", "n_chars"]
+    )
+    return rollup_counts(docs)
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -6019,6 +6032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "corr_moments": _q_corr_moments,
         "ks_drift": _q_ks_drift,
+        "rollup": _q_rollup,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6862,6 +6876,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
+        """,
+        "rollup": """
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_value
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
         """,
         "corr_moments": """
             WITH v AS (

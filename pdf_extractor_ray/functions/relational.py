@@ -63,6 +63,9 @@ __all__ = [
     "mad_outliers",
     "hourly_spikes",
     "nation_revenue",
+    "returned_revenue_topk",
+    "promo_revenue_by_month",
+    "rollup_counts",
     "customers_without_orders",
     "orders_with_returns",
     "customer_order_distribution",
@@ -2228,3 +2231,68 @@ def customer_order_distribution(
     return per_bucket.groupby("c_count").aggregate(
         Sum("custdist", alias_name="custdist")
     )
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    keys: tuple[str, str] = ("source", "lang"),
+    value_col: str = "n_chars",
+    all_label: str = "(all)",
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP over two keys: finest-grain (k1, k2) rows plus
+    per-k1 subtotals plus the grand total — the OLAP report shape.
+
+    The corpus is touched ONCE: per-batch (k1, k2) count/sum partials
+    feed a groupby whose cardinality is the key-domain product (tiny:
+    sources x languages), and every subtotal level is derived from that
+    finest aggregate on the driver — never a second corpus pass per
+    level, which is how a naive rollup multiplies shuffle volume by
+    the number of levels. Subtotal rows carry ``all_label`` instead of
+    SQL NULL so the result is hash-comparable.
+
+    Output: (k1, k2, n_rows, sum_value), int64 aggregates.
+    """
+    k1, k2 = keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                k1: batch[k1].to_pylist(),
+                k2: batch[k2].to_pylist(),
+                "n_rows": np.ones(batch.num_rows, np.int64),
+                "sum_value": batch[value_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby([k1, k2], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        ds.select_columns([k1, k2, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([k1, k2])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        # bounded by |k1 domain| x |k2 domain| rows
+        .to_pandas()
+    )
+    sub = finest.groupby(k1, as_index=False)[["n_rows", "sum_value"]].sum()
+    sub[k2] = all_label
+    grand = pd.DataFrame(
+        {
+            k1: [all_label],
+            k2: [all_label],
+            "n_rows": [finest["n_rows"].sum()],
+            "sum_value": [finest["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [finest, sub[[k1, k2, "n_rows", "sum_value"]], grand],
+        ignore_index=True,
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].astype(np.int64)
+    return out

@@ -112,3 +112,50 @@ class TestKsStatistic:
             side_b_value="b", value_col="n_chars",
         )
         assert int(got["ks_num"].iloc[0]) == 0
+
+
+class TestRollupCounts:
+    def test_matches_pandas(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import rollup_counts
+
+        tbl = _docs(seed=41)
+        lang = [f"l{(i * 7) % 3}" for i in range(tbl.num_rows)]
+        tbl = tbl.append_column("lang", pa.array(lang))
+        got = (
+            rollup_counts(
+                ray.data.from_arrow(tbl), keys=("source", "lang"),
+                value_col="n_chars",
+            )
+            .sort_values(["source", "lang"])
+            .reset_index(drop=True)
+        )
+
+        df = tbl.to_pandas()
+        finest = df.groupby(["source", "lang"], as_index=False).agg(
+            n_rows=("n_chars", "size"), sum_value=("n_chars", "sum")
+        )
+        sub = finest.groupby("source", as_index=False)[
+            ["n_rows", "sum_value"]
+        ].sum()
+        sub["lang"] = "(all)"
+        grand = pd.DataFrame(
+            {
+                "source": ["(all)"], "lang": ["(all)"],
+                "n_rows": [len(df)], "sum_value": [df.n_chars.sum()],
+            }
+        )
+        want = (
+            pd.concat(
+                [finest, sub[["source", "lang", "n_rows", "sum_value"]],
+                 grand],
+                ignore_index=True,
+            )
+            .astype({"n_rows": np.int64, "sum_value": np.int64})
+            .sort_values(["source", "lang"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["source", "lang", "n_rows", "sum_value"]], want
+        )
