@@ -3071,6 +3071,19 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs)
 
 
+def _q_conversion_latency(sf_dir: str):
+    """Per-user view->purchase funnel latency in microseconds (first
+    purchase at/after the first view). One scan, one user-bucket
+    exchange; the from-side ships per-batch min partials, the to-side
+    ships only purchase rows (narrow int64 pairs)."""
+    from pdf_extractor_ray.functions.relational import conversion_latency
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    return conversion_latency(events)
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -6033,6 +6046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_moments": _q_corr_moments,
         "ks_drift": _q_ks_drift,
         "rollup": _q_rollup,
+        "conversion_latency": _q_conversion_latency,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6876,6 +6890,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
+        """,
+        "conversion_latency": """
+            WITH fv AS (
+                SELECT user_id, min(ts) AS v
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            fp AS (
+                SELECT e.user_id, min(e.ts) AS p
+                FROM events e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+                GROUP BY 1
+            )
+            SELECT fv.user_id,
+                   CAST(epoch_us(fp.p) - epoch_us(fv.v) AS BIGINT)
+                       AS latency_us
+            FROM fv JOIN fp USING (user_id)
         """,
         "rollup": """
             SELECT coalesce(source, '(all)') AS source,

@@ -66,6 +66,7 @@ __all__ = [
     "returned_revenue_topk",
     "promo_revenue_by_month",
     "rollup_counts",
+    "conversion_latency",
     "customers_without_orders",
     "orders_with_returns",
     "customer_order_distribution",
@@ -2296,3 +2297,90 @@ def rollup_counts(
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["sum_value"] = out["sum_value"].astype(np.int64)
     return out
+
+
+def conversion_latency(
+    events: ray.data.Dataset,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Funnel latency: per user, microseconds from the FIRST
+    ``from_type`` event to the first ``to_type`` event at or after it —
+    the time-to-convert distribution behind "how long from first view
+    to purchase".
+
+    One scan, one user-bucket exchange: the from-side collapses to a
+    per-(user, batch) min timestamp partial; the to-side must ship its
+    event rows (a later conversion can precede the batch-local first
+    view, so no batch-local prune against an unknown global minimum is
+    sound) — but only rows of ``to_type`` (one narrow int64 pair each),
+    the same honesty as sessionize. The in-bucket fold is vectorized:
+    per-user min of from-partials, then min of to-rows >= it.
+
+    Output: (user_id, latency_us), one row per converting user.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+
+        from_mask = et == from_type
+        fdf = (
+            pd.DataFrame({"user_id": uid[from_mask], "ts": ts_us[from_mask]})
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+        )
+        fdf["side"] = np.int8(0)
+        to_mask = et == to_type
+        tdf = pd.DataFrame(
+            {
+                "user_id": uid[to_mask],
+                "ts": ts_us[to_mask],
+                "side": np.full(int(to_mask.sum()), 1, np.int8),
+            }
+        )
+        out = pd.concat([fdf, tdf], ignore_index=True)
+        out["bucket"] = out["user_id"].to_numpy(np.int64) % n_buckets
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            group[group["side"] == 0]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("v")
+        )
+        to = group[group["side"] == 1].merge(
+            first, left_on="user_id", right_index=True
+        )
+        to = to[to["ts"] >= to["v"]]
+        if to.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "latency_us": pd.Series(dtype=np.int64),
+                }
+            )
+        conv = to.groupby("user_id", as_index=False).agg(
+            p=("ts", "min"), v=("v", "min")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": conv["user_id"].to_numpy(np.int64),
+                "latency_us": (conv["p"] - conv["v"]).to_numpy(np.int64),
+            }
+        )
+
+    return (
+        coalesce_for_exchange(
+            events.select_columns(["user_id", "ts", "event_type"]).map_batches(
+                partial, batch_format="pyarrow"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -315,3 +315,74 @@ class TestPromoRevenueByMonth:
         pd.testing.assert_frame_equal(
             got[["ym", "promo_revenue_c", "total_revenue_c"]], want
         )
+
+
+class TestConversionLatency:
+    def test_matches_bruteforce(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import conversion_latency
+
+        rng = random.Random(17)
+        rows = [
+            (
+                rng.randrange(25),
+                rng.randrange(1_000_000) * 1_000_000,
+                rng.choice(["view", "purchase", "click"]),
+            )
+            for _ in range(3_000
+            )
+        ]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        )
+        got = (
+            conversion_latency(ray.data.from_arrow(tbl), n_buckets=8)
+            .to_pandas()
+            .set_index("user_id")["latency_us"]
+        )
+
+        want = {}
+        for u in {r[0] for r in rows}:
+            views = [t for uu, t, e in rows if uu == u and e == "view"]
+            if not views:
+                continue
+            v = min(views)
+            purchases = [
+                t for uu, t, e in rows
+                if uu == u and e == "purchase" and t >= v
+            ]
+            if purchases:
+                want[u] = min(purchases) - v
+        assert dict(got) == want
+
+    def test_purchase_before_first_view_ignored(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import conversion_latency
+
+        rows = [
+            (1, 100, "purchase"),  # before any view: not a conversion
+            (1, 200, "view"),
+            (1, 500, "purchase"),
+            (2, 300, "view"),      # no purchase after: dropped
+        ]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        )
+        got = conversion_latency(
+            ray.data.from_arrow(tbl), n_buckets=4
+        ).to_pandas()
+        assert len(got) == 1
+        assert int(got["user_id"].iloc[0]) == 1
+        assert int(got["latency_us"].iloc[0]) == 300 * 1_000_000
