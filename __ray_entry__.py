@@ -3084,6 +3084,49 @@ def _q_conversion_latency(sf_dir: str):
     return conversion_latency(events)
 
 
+def _q_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap stats (n/min/max/sum of consecutive
+    deltas, exact microseconds, ORDER BY ts, event_id) — one
+    user-bucket exchange, vectorized lexsort+diff fold."""
+    from pdf_extractor_ray.functions.relational import interarrival_stats
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+    return interarrival_stats(events)
+
+
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution: counts of purchases by the type of the
+    latest strictly-preceding event in the user's history ('none' when
+    the purchase is the user's first event). Buckets emit <=|types|+1
+    partial rows each."""
+    from pdf_extractor_ray.functions.relational import last_touch_attribution
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return last_touch_attribution(events, target_type="purchase")
+
+
+def _q_profile(sf_dir: str):
+    """ANALYZE-style numeric profile of lineitem (row/null counts,
+    min/max/sum; money columns in exact integer cents). One pass, one
+    partial row per column per batch — no row-level shuffle."""
+    from pdf_extractor_ray.functions.relational import profile_columns
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return profile_columns(
+        li,
+        int_cols=("l_quantity",),
+        cent_cols=("l_extendedprice", "l_discount", "l_tax"),
+    )
+
+
 def _q_kcore(sf_dir: str):
     """6-core of a nucleus+periphery synthetic web graph (dense
     affine nucleus on the lowest 10% of ids + a tree periphery that
@@ -6047,6 +6090,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": _q_ks_drift,
         "rollup": _q_rollup,
         "conversion_latency": _q_conversion_latency,
+        "interarrival": _q_interarrival,
+        "attribution": _q_attribution,
+        "profile": _q_profile,
         "kcore": _q_kcore,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
@@ -6890,6 +6936,59 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1
+        """,
+        "interarrival": """
+            WITH o AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
+            FROM o WHERE gap IS NOT NULL
+            GROUP BY user_id
+        """,
+        "attribution": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT coalesce(prev, 'none') AS attributed_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "profile": """
+            WITH s AS (
+                SELECT 'l_quantity' AS col, CAST(l_quantity AS BIGINT) AS v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice',
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount',
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+                FROM lineitem
+            )
+            SELECT col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(v) AS BIGINT) AS n_null,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(max(v) AS BIGINT) AS max_v,
+                   CAST(sum(v) AS BIGINT) AS sum_v
+            FROM s GROUP BY col
         """,
         "conversion_latency": """
             WITH fv AS (

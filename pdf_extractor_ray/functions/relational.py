@@ -67,6 +67,9 @@ __all__ = [
     "promo_revenue_by_month",
     "rollup_counts",
     "conversion_latency",
+    "interarrival_stats",
+    "last_touch_attribution",
+    "profile_columns",
     "customers_without_orders",
     "orders_with_returns",
     "customer_order_distribution",
@@ -2383,4 +2386,218 @@ def conversion_latency(
         )
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def interarrival_stats(
+    events: ray.data.Dataset,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-user inter-arrival gap statistics: number of gaps and the
+    min/max/sum of consecutive-event time deltas under ORDER BY
+    (ts, event_id) — the visit-cadence signal (bot detection, churn
+    modeling) in exact microseconds.
+
+    Consecutive diffs are inherently order-dependent across the whole
+    user history, so the user-bucket exchange ships one narrow
+    (user, ts, event_id) row per event — the sessionize honesty — and
+    the in-bucket fold is fully vectorized: one lexsort, one np.diff,
+    user-boundary gaps masked out. Users with a single event have no
+    gaps and are dropped.
+
+    Output: (user_id, n_gaps, min_gap_us, max_gap_us, sum_gap_us).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(np.abs(uid.astype(np.int64)) % n_buckets),
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts_us),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        uid = group["user_id"].to_numpy(np.int64)
+        ts = group["ts"].to_numpy(np.int64)
+        eid = group["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        gaps = np.diff(ts)
+        same_user = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {"user_id": uid[1:][same_user], "gap": gaps[same_user]}
+        )
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "n_gaps": pd.Series(dtype=np.int64),
+                    "min_gap_us": pd.Series(dtype=np.int64),
+                    "max_gap_us": pd.Series(dtype=np.int64),
+                    "sum_gap_us": pd.Series(dtype=np.int64),
+                }
+            )
+        return df.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            min_gap_us=("gap", "min"),
+            max_gap_us=("gap", "max"),
+            sum_gap_us=("gap", "sum"),
+        )
+
+    return (
+        coalesce_for_exchange(
+            events.select_columns(["user_id", "ts", "event_id"]).map_batches(
+                tag, batch_format="pyarrow"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def last_touch_attribution(
+    events: ray.data.Dataset,
+    target_type: str = "purchase",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Last-touch attribution: for every ``target_type`` event, the
+    type of the latest event strictly preceding it in the user's
+    history (ORDER BY ts, event_id), counted per attributed type —
+    "what did users do right before purchasing". A target with no
+    prior event attributes to 'none'.
+
+    The lag is order-dependent across the whole user history, so the
+    user-bucket exchange ships narrow (user, ts, event_id, type) rows;
+    the in-bucket fold is one lexsort + one shift, and each bucket
+    emits at most |event types|+1 partial count rows, so the second
+    aggregation is constant-size.
+
+    Output: (attributed_type, n).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(np.abs(uid.astype(np.int64)) % n_buckets),
+                "user_id": pa.array(uid),
+                "ts": pa.array(ts_us),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        uid = group["user_id"].to_numpy(np.int64)
+        ts = group["ts"].to_numpy(np.int64)
+        eid = group["event_id"].to_numpy(np.int64)
+        et = group["event_type"].to_numpy()
+        if len(et) == 0:
+            return pd.DataFrame(
+                {
+                    "attributed_type": pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        prev = np.empty_like(et)
+        prev[0] = "none"
+        prev[1:] = et[:-1]
+        prev[1:][uid[1:] != uid[:-1]] = "none"
+        mask = et == target_type
+        df = pd.DataFrame({"attributed_type": prev[mask]})
+        g = df.groupby("attributed_type", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = (
+        coalesce_for_exchange(
+            events.select_columns(
+                ["user_id", "ts", "event_id", "event_type"]
+            ).map_batches(tag, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return partials.groupby("attributed_type").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    int_cols: tuple = (),
+    cent_cols: tuple = (),
+) -> ray.data.Dataset:
+    """ANALYZE-style numeric column profile: per column, row count,
+    null count, min, max and sum — the first thing a data engineer
+    runs on an unfamiliar 100-TB table. Float columns are profiled in
+    exact integer cents (floor(v*100+0.5)) so the distributed fold and
+    the oracle comparison carry no float drift.
+
+    One pass, no shuffle of data rows: each batch emits one partial
+    row PER COLUMN, and the final aggregation touches
+    O(columns x blocks) rows.
+
+    Output: (col, n_rows, n_null, min_v, max_v, sum_v).
+    """
+    cols = list(int_cols) + list(cent_cols)
+    cents = set(cent_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {
+            "col": [], "n_rows": [], "n_null": [],
+            "min_v": [], "max_v": [], "sum_v": [],
+        }
+        for c in cols:
+            arr = batch[c]
+            n = len(arr)
+            n_null = arr.null_count
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            if c in cents:
+                vals = np.floor(vals * 100 + 0.5).astype(np.int64)
+            else:
+                vals = vals.astype(np.int64)
+            out["col"].append(c)
+            out["n_rows"].append(n)
+            out["n_null"].append(n_null)
+            # sentinel extremes for an all-null batch keep min/max exact
+            out["min_v"].append(
+                int(vals.min()) if len(vals) else np.iinfo(np.int64).max
+            )
+            out["max_v"].append(
+                int(vals.max()) if len(vals) else np.iinfo(np.int64).min
+            )
+            out["sum_v"].append(int(vals.sum()))
+        return pa.table(
+            {
+                "col": pa.array(out["col"]),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_v": pa.array(out["min_v"], pa.int64()),
+                "max_v": pa.array(out["max_v"], pa.int64()),
+                "sum_v": pa.array(out["sum_v"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("sum_v", alias_name="sum_v"),
+        )
     )

@@ -386,3 +386,133 @@ class TestConversionLatency:
         assert len(got) == 1
         assert int(got["user_id"].iloc[0]) == 1
         assert int(got["latency_us"].iloc[0]) == 300 * 1_000_000
+
+
+class TestInterarrivalStats:
+    def test_matches_bruteforce(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import interarrival_stats
+
+        rng = random.Random(23)
+        rows = [
+            (rng.randrange(15), rng.randrange(10_000) * 1_000_000, i)
+            for i in range(1_200)
+        ]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        got = (
+            interarrival_stats(ray.data.from_arrow(tbl), n_buckets=8)
+            .to_pandas()
+            .set_index("user_id")
+        )
+
+        per = {}
+        for u, ts, eid in rows:
+            per.setdefault(u, []).append((ts, eid))
+        for u, evs in per.items():
+            evs.sort()
+            gaps = [
+                evs[i + 1][0] - evs[i][0] for i in range(len(evs) - 1)
+            ]
+            if not gaps:
+                assert u not in got.index
+                continue
+            r = got.loc[u]
+            assert int(r["n_gaps"]) == len(gaps)
+            assert int(r["min_gap_us"]) == min(gaps)
+            assert int(r["max_gap_us"]) == max(gaps)
+            assert int(r["sum_gap_us"]) == sum(gaps)
+
+
+class TestLastTouchAttribution:
+    def test_matches_bruteforce(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import (
+            last_touch_attribution,
+        )
+
+        rng = random.Random(31)
+        rows = [
+            (
+                rng.randrange(20),
+                rng.randrange(100_000) * 1_000_000,
+                i,
+                rng.choice(["view", "click", "purchase", "error"]),
+            )
+            for i in range(1_500)
+        ]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+        got = (
+            last_touch_attribution(
+                ray.data.from_arrow(tbl), target_type="purchase",
+                n_buckets=8,
+            )
+            .to_pandas()
+            .set_index("attributed_type")["n"]
+            .to_dict()
+        )
+
+        from collections import Counter, defaultdict
+
+        per = defaultdict(list)
+        for u, ts, eid, et in rows:
+            per[u].append((ts, eid, et))
+        want = Counter()
+        for u, evs in per.items():
+            evs.sort()
+            for i, (_, _, et) in enumerate(evs):
+                if et == "purchase":
+                    want[evs[i - 1][2] if i else "none"] += 1
+        assert got == dict(want)
+
+
+class TestProfileColumns:
+    def test_matches_pandas(self, ray_session):
+        import ray
+
+        from pdf_extractor_ray.functions.relational import profile_columns
+
+        rng = random.Random(37)
+        n = 900
+        qty = [rng.randrange(1, 50) for _ in range(n)]
+        price = [
+            None if rng.random() < 0.1 else round(rng.uniform(1, 999), 2)
+            for _ in range(n)
+        ]
+        tbl = pa.table(
+            {
+                "q": pa.array(qty, pa.int64()),
+                "p": pa.array(price, pa.float64()),
+            }
+        )
+        got = (
+            profile_columns(
+                ray.data.from_arrow(tbl), int_cols=("q",), cent_cols=("p",)
+            )
+            .to_pandas()
+            .set_index("col")
+        )
+        pv = [int(np.floor(x * 100 + 0.5)) for x in price if x is not None]
+        assert int(got.loc["q", "n_rows"]) == n
+        assert int(got.loc["q", "n_null"]) == 0
+        assert int(got.loc["q", "min_v"]) == min(qty)
+        assert int(got.loc["q", "max_v"]) == max(qty)
+        assert int(got.loc["q", "sum_v"]) == sum(qty)
+        assert int(got.loc["p", "n_null"]) == price.count(None)
+        assert int(got.loc["p", "min_v"]) == min(pv)
+        assert int(got.loc["p", "max_v"]) == max(pv)
+        assert int(got.loc["p", "sum_v"]) == sum(pv)
