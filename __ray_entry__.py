@@ -5972,6 +5972,83 @@ def _q_frame_sample(sf_dir: str):
     )
 
 
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15: supplier(s) with MAX revenue in a shipdate window —
+    argmax with ties kept; only the winners' keys touch supplier."""
+    from pdf_extractor_ray.functions.tpch_extra import top_revenue_supplier
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supplier = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+    )
+    return top_revenue_supplier(lineitem, supplier)
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18: HAVING sum(qty) > 250 over lineitem first; the tiny
+    survivor key set broadcasts back over orders + customer."""
+    from pdf_extractor_ray.functions.tpch_extra import large_volume_orders
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    customer = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    return large_volume_orders(lineitem, orders, customer, min_qty=250)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17: correlated avg-quantity subquery decorrelated into a
+    per-part aggregate + broadcast-probe pass; the 0.2*avg compare is
+    exact integer math (5*qty*cnt < sum_qty)."""
+    from pdf_extractor_ray.functions.tpch_extra import small_quantity_revenue
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size"]
+    )
+    return small_quantity_revenue(lineitem, part, max_size=5)
+
+
+def _q_sole_return_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins collapsed into
+    one per-orderkey cogroup (set tests in-group, no self-join)."""
+    from pdf_extractor_ray.functions.tpch_extra import sole_return_suppliers
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    supplier = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+    )
+    return sole_return_suppliers(lineitem, supplier, top_k=25)
+
+
+def _q_revenue_share_parts(sf_dir: str):
+    """TPC-H Q11 shape: global revenue total -> exact integer cutoff
+    on the driver -> broadcast threshold filter over the per-part
+    aggregate."""
+    from pdf_extractor_ray.functions.tpch_extra import revenue_share_parts
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    return revenue_share_parts(lineitem, frac_num=1, frac_den=1500)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_corpus": _q_extract_corpus,
@@ -6071,6 +6148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "semi_join_bloom": _q_semi_join_bloom,
         "custdist": _q_custdist,
+        "top_supplier": _q_top_supplier,
+        "large_volume_orders": _q_large_volume_orders,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "sole_return_suppliers": _q_sole_return_suppliers,
+        "revenue_share_parts": _q_revenue_share_parts,
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
@@ -7579,6 +7661,88 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.c_custkey
             )
             GROUP BY c_count
+        """,
+        # TPC-H Q15: argmax with ties over windowed per-supplier revenue
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       SUM(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                      + 0.5) AS BIGINT)) AS total_revenue_c
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT r.s_suppkey, s.s_name, r.total_revenue_c
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+        """,
+        # TPC-H Q18: HAVING over lineitem qty, enriched from orders+customer
+        "large_volume_orders": """
+            WITH t AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)
+                       AS o_totalprice_c,
+                   t.sum_qty
+            FROM t
+            JOIN orders o   ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey  = o.o_custkey
+        """,
+        # TPC-H Q17: qty < 0.2*avg(qty per part) as exact ints
+        "small_qty_revenue": """
+            WITH agg AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem
+                WHERE l_partkey IN
+                      (SELECT p_partkey FROM part WHERE p_size <= 5)
+                GROUP BY 1
+            )
+            SELECT CAST(COALESCE(SUM(CAST(floor(l.l_extendedprice*100 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS total_price_c
+            FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.sq
+        """,
+        # TPC-H Q21 shape: sole returning supplier on multi-supplier orders
+        "sole_return_suppliers": """
+            WITH per AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS ns,
+                       COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS nr,
+                       MIN(CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS sole_sk
+                FROM lineitem GROUP BY 1
+            ),
+            cnt AS (
+                SELECT sole_sk AS s_suppkey,
+                       CAST(COUNT(*) AS BIGINT) AS numwait
+                FROM per WHERE ns >= 2 AND nr = 1 GROUP BY 1
+            )
+            SELECT c.s_suppkey, s.s_name, c.numwait
+            FROM cnt c JOIN supplier s USING (s_suppkey)
+            ORDER BY c.numwait DESC, c.s_suppkey ASC
+            LIMIT 25
+        """,
+        # TPC-H Q11 shape: parts above a fraction of global revenue
+        "revenue_share_parts": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       SUM(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                      + 0.5) AS BIGINT)) AS revenue_c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, revenue_c FROM pp
+            WHERE CAST(revenue_c AS HUGEINT) * 1500 >
+                  (SELECT CAST(SUM(revenue_c) AS HUGEINT) FROM pp)
         """,
         "editdist_neardup": """
             -- Blocked Levenshtein near-dup: block on (first word,
