@@ -6036,6 +6036,35 @@ def _q_sole_return_suppliers(sf_dir: str):
     return sole_return_suppliers(lineitem, supplier, top_k=25)
 
 
+def _q_median_chars(sf_dir: str):
+    """Exact per-language median doc length via the value-histogram
+    exchange — (lang, n_chars, n) partials shuffle, never rows."""
+    from pdf_extractor_ray.functions.grouped_stats import group_median
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "n_chars"]
+    )
+    return group_median(docs, "lang", "n_chars")
+
+
+def _q_mode_length_bucket(sf_dir: str):
+    """Most common 100-char length bucket per language (ties to the
+    smallest bucket) — the histogram exchange feeding an argmax."""
+    from pdf_extractor_ray.functions.grouped_stats import group_mode
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "n_chars"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lang": batch["lang"], "bucket": n // 100})
+
+    return group_mode(
+        docs.map_batches(bucketize, batch_format="pyarrow"), "lang", "bucket"
+    )
+
+
 def _q_revenue_share_parts(sf_dir: str):
     """TPC-H Q11 shape: global revenue total -> exact integer cutoff
     on the driver -> broadcast threshold filter over the per-part
@@ -6153,6 +6182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "sole_return_suppliers": _q_sole_return_suppliers,
         "revenue_share_parts": _q_revenue_share_parts,
+        "median_chars": _q_median_chars,
+        "mode_length_bucket": _q_mode_length_bucket,
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
@@ -7743,6 +7774,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, revenue_c FROM pp
             WHERE CAST(revenue_c AS HUGEINT) * 1500 >
                   (SELECT CAST(SUM(revenue_c) AS HUGEINT) FROM pp)
+        """,
+        # Exact per-group median via value-histogram exchange
+        "median_chars": """
+            SELECT lang, median(n_chars) AS median
+            FROM documents GROUP BY lang
+        """,
+        # Histogram argmax: most common length bucket, ties -> smallest
+        "mode_length_bucket": """
+            SELECT lang, bucket AS mode_value, n FROM (
+                SELECT lang, n_chars // 100 AS bucket,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY count(*) DESC, n_chars // 100 ASC
+                       ) AS rn
+                FROM documents GROUP BY lang, n_chars // 100
+            ) WHERE rn = 1
         """,
         "editdist_neardup": """
             -- Blocked Levenshtein near-dup: block on (first word,
