@@ -6065,6 +6065,69 @@ def _q_mode_length_bucket(sf_dir: str):
     )
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-language p50/p90/p99 doc length off ONE histogram
+    exchange; the interpolation arithmetic is mirrored verbatim in the
+    oracle so the doubles match bit-for-bit."""
+    from pdf_extractor_ray.functions.grouped_stats import group_quantiles
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "n_chars"]
+    )
+    return group_quantiles(docs, "lang", "n_chars", qs=(0.5, 0.9, 0.99))
+
+
+def _q_pareto_parts(sf_dir: str):
+    """2-D Pareto skyline of parts (min price, max size): per-block
+    local skyline prune, then a single-task merge of the candidates —
+    the exchange carries skylines, never the table."""
+    from pdf_extractor_ray.functions.skyline import skyline_2d
+
+    part = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "price_c": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64)
+                ),
+                "p_size": batch["p_size"],
+            }
+        )
+
+    return skyline_2d(
+        part.map_batches(to_cents, batch_format="pyarrow"),
+        "p_partkey", "price_c", "p_size",
+    )
+
+
+def _q_scc_component(sf_dir: str):
+    """Strongly connected component of doc 0 in the affine 3-out-link
+    graph via forward-backward BFS closure (early-exit levels) and a
+    bucket-cogroup intersection. Oracle: two recursive CTE closures."""
+    from pdf_extractor_ray.functions.graph import scc_members
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        return pa.table({"src": src, "dst": dst})
+
+    return scc_members(
+        docs.map_batches(mk_edges, batch_format="pyarrow"), seed=0
+    )
+
+
 def _q_revenue_share_parts(sf_dir: str):
     """TPC-H Q11 shape: global revenue total -> exact integer cutoff
     on the driver -> broadcast threshold filter over the per-part
@@ -6184,6 +6247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share_parts": _q_revenue_share_parts,
         "median_chars": _q_median_chars,
         "mode_length_bucket": _q_mode_length_bucket,
+        "length_quantiles": _q_length_quantiles,
+        "pareto_parts": _q_pareto_parts,
+        "scc_component": _q_scc_component,
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
@@ -7791,6 +7857,89 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents GROUP BY lang, n_chars // 100
             ) WHERE rn = 1
+        """,
+        # Histogram quantiles: the SQL mirrors the engine's exact
+        # integer position/interpolation arithmetic so doubles match
+        "length_quantiles": """
+            WITH h AS (
+                SELECT lang, n_chars AS v, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+            cum AS (
+                SELECT lang, v,
+                       sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+                FROM h
+            ),
+            qs AS (SELECT * FROM (VALUES (500), (900), (990)) t(q_pm)),
+            pos AS (
+                SELECT tot.lang, q_pm,
+                       (n - 1) * q_pm // 1000 AS lo_idx,
+                       (n - 1) * q_pm % 1000  AS frac_th
+                FROM tot CROSS JOIN qs
+            ),
+            lo AS (
+                SELECT p.lang, p.q_pm, min(c.v) AS lo_v
+                FROM pos p JOIN cum c
+                  ON c.lang = p.lang AND c.cum >= p.lo_idx + 1
+                GROUP BY 1, 2
+            ),
+            hi AS (
+                SELECT p.lang, p.q_pm, min(c.v) AS hi_v
+                FROM pos p JOIN cum c
+                  ON c.lang = p.lang AND c.cum >= p.lo_idx + 2
+                GROUP BY 1, 2
+            )
+            SELECT p.lang, CAST(p.q_pm AS BIGINT) AS q_pm,
+                   CASE WHEN p.frac_th = 0 THEN CAST(lo_v AS DOUBLE)
+                        ELSE CAST(lo_v AS DOUBLE)
+                             + (CAST(hi_v AS DOUBLE) - CAST(lo_v AS DOUBLE))
+                               * (CAST(p.frac_th AS DOUBLE) / 1000.0)
+                   END AS value
+            FROM pos p
+            JOIN lo ON lo.lang = p.lang AND lo.q_pm = p.q_pm
+            LEFT JOIN hi ON hi.lang = p.lang AND hi.q_pm = p.q_pm
+        """,
+        # 2-D Pareto skyline: NOT EXISTS domination with a strict clause
+        "pareto_parts": """
+            WITH pts AS (
+                SELECT p_partkey,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS price_c,
+                       CAST(p_size AS BIGINT) AS p_size
+                FROM part
+            )
+            SELECT p.p_partkey, p.price_c, p.p_size
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+                  AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+            )
+        """,
+        # SCC of doc 0: forward closure INTERSECT backward closure
+        "scc_component": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            fwd(node) AS (
+                SELECT CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node
+            ),
+            bwd(node) AS (
+                SELECT CAST(0 AS BIGINT)
+                UNION
+                SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node
+            )
+            SELECT CAST(f.node AS BIGINT) AS node
+            FROM fwd f JOIN bwd b ON b.node = f.node
         """,
         "editdist_neardup": """
             -- Blocked Levenshtein near-dup: block on (first word,

@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk", "bfs_hops"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk", "bfs_hops", "scc_members"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -1318,3 +1318,53 @@ def bfs_hops(
         frontier = new_nodes
 
     return visited
+
+
+def scc_members(
+    edges: ray.data.Dataset,
+    seed: int,
+    max_depth: int = 256,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Strongly connected component containing ``seed`` — the
+    forward-backward (FW-BW) reachability method, the standard
+    distributed SCC primitive (Tarjan's stack does not distribute):
+    SCC(seed) = reach(seed, E) INTERSECT reach(seed, E-reversed).
+
+    Both closures run level-synchronous BFS with early exit (cost =
+    component diameter, not ``max_depth``); the intersection is one
+    coarse-bucket cogroup over the two O(reachable) node sets —
+    nothing meets the driver. Returns Dataset[node].
+
+    ``max_depth`` is a safety bound; BFS stops as soon as a level adds
+    no nodes, so the bound only matters for pathological path-graph
+    diameters.
+    """
+    fwd = bfs_hops(
+        edges, ray.data.from_items([{"node": int(seed)}]),
+        max_depth=max_depth, n_buckets=n_buckets,
+    )
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    bwd = bfs_hops(
+        edges.map_batches(swap, batch_format="pyarrow"),
+        ray.data.from_items([{"node": int(seed)}]),
+        max_depth=max_depth, n_buckets=n_buckets,
+    )
+
+    f_t = _tag(fwd, "node", "node", side=0, n_buckets=n_buckets)
+    b_t = _tag(bwd, "node", "node", side=1, n_buckets=n_buckets)
+
+    def intersect(group: pd.DataFrame) -> pd.DataFrame:
+        f = group[group["side"] == 0]["key"].to_numpy(np.int64)
+        b = group[group["side"] == 1]["key"].to_numpy(np.int64)
+        both = np.intersect1d(np.unique(f), np.unique(b))
+        return pd.DataFrame({"node": both})
+
+    return (
+        coalesce_for_exchange(f_t.union(b_t))
+        .groupby("bucket")
+        .map_groups(intersect, batch_format="pandas")
+    )

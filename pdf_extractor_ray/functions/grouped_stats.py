@@ -35,7 +35,7 @@ from ray.data.aggregate import Sum
 
 from .common import coalesce_for_exchange
 
-__all__ = ["group_median", "group_mode"]
+__all__ = ["group_median", "group_mode", "group_quantiles"]
 
 
 def _hist_partials(
@@ -87,6 +87,57 @@ def group_median(
         return pd.DataFrame({group_col: [g["g"].iloc[0]], "median": [med]})
 
     return hist.groupby("g").map_groups(median_of_hist, batch_format="pandas")
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> ray.data.Dataset:
+    """Exact per-group quantiles (``quantile_cont`` semantics: linear
+    interpolation at position ``(n-1)*q``) off the same value-histogram
+    exchange as ``group_median`` — one shuffle serves every requested
+    quantile. Output: (group_col, q, value), one row per (group, q),
+    with ``q`` in permille (int64) so the column is exactly joinable.
+
+    The interpolation weight is ``frac = (n-1)*q - floor((n-1)*q)``;
+    with q given in permille the products stay exact integers until
+    the final two-value blend, which the oracle replays verbatim.
+    """
+    hist = _hist_partials(ds, group_col, value_col)
+    q_pm = [int(round(q * 1000)) for q in qs]
+
+    def quantiles_of_hist(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("v")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        out_q, out_v = [], []
+        for qpm in q_pm:
+            # position in [0, n-1], exact integer arithmetic in
+            # thousandths: pos_th = (n-1)*qpm
+            pos_th = (n - 1) * qpm
+            lo_idx, frac_th = divmod(pos_th, 1000)
+            lo = float(vals[np.searchsorted(cum, lo_idx + 1)])
+            if frac_th == 0:
+                val = lo
+            else:
+                hi = float(vals[np.searchsorted(cum, lo_idx + 2)])
+                val = lo + (hi - lo) * (frac_th / 1000.0)
+            out_q.append(np.int64(qpm))
+            out_v.append(val)
+        return pd.DataFrame(
+            {
+                group_col: [g["g"].iloc[0]] * len(q_pm),
+                "q_pm": out_q,
+                "value": out_v,
+            }
+        )
+
+    return hist.groupby("g").map_groups(
+        quantiles_of_hist, batch_format="pandas"
+    )
 
 
 def group_mode(
