@@ -6107,9 +6107,12 @@ def _q_pareto_parts(sf_dir: str):
 
 def _q_scc_component(sf_dir: str):
     """Strongly connected component of doc 0 in the affine 3-out-link
-    graph via forward-backward BFS closure (early-exit levels) and a
-    bucket-cogroup intersection. Oracle: two recursive CTE closures."""
-    from pdf_extractor_ray.functions.graph import scc_members
+    graph via forward-backward BFS closure on the actor-sharded
+    adjacency index (ONE edge exchange per direction instead of one
+    per level; 15x measured vs the cogroup path, which remains as
+    `graph.scc_members` with equivalence-pinned tests). Oracle: two
+    recursive CTE closures intersected."""
+    from pdf_extractor_ray.functions.graph_indexed import scc_members_indexed
 
     docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     n = docs.count()  # parquet metadata only
@@ -6123,7 +6126,7 @@ def _q_scc_component(sf_dir: str):
         ).reshape(-1)
         return pa.table({"src": src, "dst": dst})
 
-    return scc_members(
+    return scc_members_indexed(
         docs.map_batches(mk_edges, batch_format="pyarrow"), seed=0
     )
 

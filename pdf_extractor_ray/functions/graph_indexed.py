@@ -1,0 +1,275 @@
+"""Actor-sharded adjacency index for iterative graph traversal.
+
+``bfs_hops`` (graph.py) is pure Dataset algebra: correct, but every
+BFS level re-exchanges the FULL edge set (frontier UNION edges ->
+groupby bucket). A 30-level closure pays ~30 full-edge shuffles — the
+one place in this repo where the Dataset API genuinely cannot express
+the semantics we need: a *partition-pinned, reusable* adjacency index.
+This module drops to raw Ray actors exactly for that (the documented
+last-resort case): shard the edges ONCE (one exchange), pin each
+shard's CSR adjacency in an actor, then each BFS level moves only
+frontier node arrays by ObjectRef — zero edge movement, zero driver
+data.
+
+Sharding contract: node u is OWNED by shard ``abs(u) % n_shards``.
+- build: one ``groupby(shard)`` exchange; the group task pushes its
+  edge block into the owning actor (``ray.get`` on the push makes the
+  barrier explicit — when the build dataset is consumed, every edge
+  is indexed).
+- expand(level): each actor intersects the frontier with its owned
+  nodes and reads neighbors off its CSR — returns (count, dst-array).
+- visit(level): each actor filters candidates to its owned nodes,
+  anti-joins against its *local* visited set (the mutable state that
+  justifies the actor), records hop = level, returns (count, new).
+- The driver only ever ``ray.get``s the counts; node arrays travel
+  actor-to-actor through the object store.
+
+At cluster scale each actor fetches each candidate array once per
+level (S refs to S actors); the further refinement — expand returning
+owner-partitioned arrays so each actor fetches only its slice — is a
+num_returns change, noted here, not needed at this fan-out.
+
+Results come back as ``ray.data.from_arrow_refs`` over per-shard
+(node, hops) tables — the driver owns those refs (caller-owned task
+returns), so the actors can be killed before the dataset is consumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .common import coalesce_for_exchange
+
+__all__ = ["bfs_hops_indexed", "scc_members_indexed"]
+
+
+@ray.remote
+class _GraphShard:
+    """Holds the CSR adjacency and visited set for its owned nodes."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._keys: np.ndarray | None = None  # unique sorted src
+        self._starts: np.ndarray | None = None
+        self._dst: np.ndarray | None = None
+        self._visited: np.ndarray = np.empty(0, np.int64)  # sorted
+        self._hops: list[tuple[int, np.ndarray]] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def finalize(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts
+            else np.empty(0, np.int64)
+        )
+        self._src_parts, self._dst_parts = [], []
+        order = np.argsort(src, kind="stable")
+        src, self._dst = src[order], dst[order]
+        self._keys, counts = np.unique(src, return_counts=True)
+        self._starts = np.concatenate(([0], np.cumsum(counts)))
+        return len(src)
+
+    def _mine(self, nodes: np.ndarray) -> np.ndarray:
+        return nodes[np.abs(nodes) % self.n == self.sid]
+
+    def seed(self, nodes: np.ndarray) -> tuple[int, np.ndarray]:
+        mine = np.unique(self._mine(np.asarray(nodes, np.int64)))
+        self._visited = mine
+        self._hops = [(0, mine)]
+        return len(mine), mine
+
+    def expand(self, *frontiers: np.ndarray) -> tuple[int, np.ndarray]:
+        nodes = (
+            np.concatenate([np.asarray(f, np.int64) for f in frontiers])
+            if frontiers
+            else np.empty(0, np.int64)
+        )
+        mine = np.unique(self._mine(nodes))
+        if self._keys is None or not len(self._keys) or not len(mine):
+            return 0, np.empty(0, np.int64)
+        idx = np.clip(np.searchsorted(self._keys, mine), 0, len(self._keys) - 1)
+        hit = mine[self._keys[idx] == mine]
+        if not len(hit):
+            return 0, np.empty(0, np.int64)
+        pos = np.searchsorted(self._keys, hit)
+        spans = [
+            self._dst[self._starts[p] : self._starts[p + 1]] for p in pos
+        ]
+        out = np.unique(np.concatenate(spans)) if spans else np.empty(0, np.int64)
+        return len(out), out
+
+    def visit(self, level: int, *cands: np.ndarray) -> tuple[int, np.ndarray]:
+        nodes = (
+            np.concatenate([np.asarray(c, np.int64) for c in cands])
+            if cands
+            else np.empty(0, np.int64)
+        )
+        mine = np.unique(self._mine(nodes))
+        new = mine[
+            ~np.isin(mine, self._visited, assume_unique=False)
+        ]
+        if len(new):
+            self._visited = np.union1d(self._visited, new)
+            self._hops.append((level, new))
+        return len(new), new
+
+    def visited_table(self) -> pa.Table:
+        if not self._hops:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+            )
+        nodes = np.concatenate([n for _, n in self._hops])
+        hops = np.concatenate(
+            [np.full(len(n), lvl, np.int64) for lvl, n in self._hops]
+        )
+        return pa.table({"node": nodes, "hops": hops})
+
+
+def _build_shards(
+    edges: ray.data.Dataset, n_shards: int
+) -> list["ray.actor.ActorHandle"]:
+    shards = [
+        _GraphShard.remote(i, n_shards) for i in range(n_shards)
+    ]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
+        )
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        # synchronous push: when this group task returns, the shard
+        # actor HAS the edges — consuming the dataset is the barrier
+        ray.get(
+            shards[sid].add_edges.remote(
+                group["src"].to_numpy(np.int64),
+                group["dst"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()  # consume = build barrier
+    )
+    ray.get([s.finalize.remote() for s in shards])
+    return shards
+
+
+def _bfs_on_shards(
+    shards: list, seed_nodes: np.ndarray, max_depth: int
+) -> list:
+    """Run the level loop; returns per-shard visited_table REFS (the
+    caller owns them, so the actors may be killed afterwards)."""
+    seeded = [s.seed.options(num_returns=2).remote(seed_nodes) for s in shards]
+    frontier = [arr for _, arr in seeded]
+    for level in range(1, max_depth + 1):
+        expanded = [
+            s.expand.options(num_returns=2).remote(*frontier) for s in shards
+        ]
+        cand_refs = [arr for _, arr in expanded]
+        visited = [
+            s.visit.options(num_returns=2).remote(level, *cand_refs)
+            for s in shards
+        ]
+        new_counts = ray.get([cnt for cnt, _ in visited])  # counts only
+        if sum(new_counts) == 0:
+            break
+        frontier = [arr for _, arr in visited]
+    return [s.visited_table.remote() for s in shards]
+
+
+def bfs_hops_indexed(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    max_depth: int = 256,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in semantic equivalent of ``graph.bfs_hops`` (Dataset[node,
+    hops], min hop per reachable node) that pays ONE edge exchange
+    total instead of one per level. Prefer it whenever levels > ~3 or
+    the closure is unbounded (SCC, reachability)."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    shards = _build_shards(edges, n_shards)
+    seed_nodes = (
+        seeds.to_pandas()["node"].to_numpy(np.int64)
+        if seeds.count()
+        else np.empty(0, np.int64)
+    )
+    table_refs = _bfs_on_shards(shards, seed_nodes, max_depth)
+    out = ray.data.from_arrow_refs(table_refs).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
+def scc_members_indexed(
+    edges: ray.data.Dataset,
+    seed: int,
+    max_depth: int = 256,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Forward-backward SCC on the shard index: both closures reuse
+    the SAME forward adjacency actors (two edge exchanges total — one
+    per direction), then one cogroup-free intersection done shard-local
+    (both closures are sharded by the same ownership rule, so the
+    intersection of shard i's outputs needs no exchange at all)."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+
+    edges = edges.materialize()  # consumed twice: fwd + bwd builds
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    seed_nodes = np.asarray([int(seed)], np.int64)
+
+    fwd_shards = _build_shards(edges, n_shards)
+    fwd_refs = _bfs_on_shards(fwd_shards, seed_nodes, max_depth)
+
+    bwd_shards = _build_shards(
+        edges.map_batches(swap, batch_format="pyarrow"), n_shards
+    )
+    bwd_refs = _bfs_on_shards(bwd_shards, seed_nodes, max_depth)
+
+    @ray.remote
+    def intersect(f: pa.Table, b: pa.Table) -> pa.Table:
+        fn = f["node"].to_numpy(zero_copy_only=False)
+        bn = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.intersect1d(fn, bn)})
+
+    # shard i of fwd and shard i of bwd own the SAME node subset
+    both = [intersect.remote(fr, br) for fr, br in zip(fwd_refs, bwd_refs)]
+    out = ray.data.from_arrow_refs(both).materialize()
+    for s in fwd_shards + bwd_shards:
+        ray.kill(s)
+    return out

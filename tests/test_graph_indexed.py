@@ -1,0 +1,79 @@
+"""Actor-sharded BFS/SCC vs the Dataset-cogroup implementations: the
+two engines must agree exactly (same min-hop fold, same membership) on
+random graphs, and the shard index must handle empty shards, self
+loops, and unreachable seeds."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from pdf_extractor_ray.functions.graph import bfs_hops, scc_members
+from pdf_extractor_ray.functions.graph_indexed import (
+    bfs_hops_indexed,
+    scc_members_indexed,
+)
+
+
+def _canon(df):
+    return (
+        df.astype({"node": "int64"})
+        .sort_values(df.columns.tolist())
+        .reset_index(drop=True)
+    )
+
+
+def test_bfs_engines_agree_random(ray_session):
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame(
+        {"src": rng.randint(0, 300, 1500), "dst": rng.randint(0, 300, 1500)}
+    )
+    seeds = ray.data.from_items([{"node": 3}, {"node": 250}])
+    a = bfs_hops(
+        ray.data.from_pandas(edges), seeds, max_depth=5
+    ).to_pandas()
+    b = bfs_hops_indexed(
+        ray.data.from_pandas(edges), seeds, max_depth=5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _canon(a), _canon(b), check_dtype=False
+    )
+
+
+def test_scc_engines_agree_random(ray_session):
+    rng = np.random.RandomState(5)
+    edges = pd.DataFrame(
+        {"src": rng.randint(0, 200, 900), "dst": rng.randint(0, 200, 900)}
+    )
+    a = scc_members(ray.data.from_pandas(edges), seed=0).to_pandas()
+    b = scc_members_indexed(ray.data.from_pandas(edges), seed=0).to_pandas()
+    assert sorted(a["node"]) == sorted(b["node"])
+
+
+def test_indexed_unreachable_seed_and_self_loop(ray_session):
+    # 9 has only a self loop; 0->1 one-way: SCC(0) == {0}
+    edges = pd.DataFrame({"src": [0, 9], "dst": [1, 9]})
+    scc0 = scc_members_indexed(
+        ray.data.from_pandas(edges), seed=0, n_shards=4
+    ).to_pandas()
+    assert sorted(scc0["node"]) == [0]
+    scc9 = scc_members_indexed(
+        ray.data.from_pandas(edges), seed=9, n_shards=4
+    ).to_pandas()
+    assert sorted(scc9["node"]) == [9]
+
+
+def test_indexed_hop_minimality(ray_session):
+    # diamond: 0->1->3, 0->2->3, and a long way 0->4->5->3;
+    # hops(3) must be 2, not 3
+    edges = pd.DataFrame(
+        {"src": [0, 1, 0, 2, 0, 4, 5], "dst": [1, 3, 2, 3, 4, 5, 3]}
+    )
+    out = bfs_hops_indexed(
+        ray.data.from_pandas(edges),
+        ray.data.from_items([{"node": 0}]),
+        n_shards=4,
+    ).to_pandas()
+    hops = dict(zip(out["node"], out["hops"]))
+    assert hops == {0: 0, 1: 1, 2: 1, 4: 1, 3: 2, 5: 2}
