@@ -6132,16 +6132,16 @@ def _q_scc_component(sf_dir: str):
 
 
 def _q_revenue_share_parts(sf_dir: str):
-    """TPC-H Q11 shape: global revenue total -> exact integer cutoff
-    on the driver -> broadcast threshold filter over the per-part
-    aggregate."""
+    """TPC-H Q11 shape: global average part revenue -> exact integer
+    cutoff on the driver -> broadcast threshold filter over the
+    per-part aggregate (parts earning > 1.25x the average)."""
     from pdf_extractor_ray.functions.tpch_extra import revenue_share_parts
 
     lineitem = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
-    return revenue_share_parts(lineitem, frac_num=1, frac_den=1500)
+    return revenue_share_parts(lineitem, mult_num=5, mult_den=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -7832,7 +7832,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.numwait DESC, c.s_suppkey ASC
             LIMIT 25
         """,
-        # TPC-H Q11 shape: parts above a fraction of global revenue
+        # TPC-H Q11 shape: parts earning > 1.25x the average part revenue
         "revenue_share_parts": """
             WITH pp AS (
                 SELECT l_partkey,
@@ -7841,8 +7841,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY 1
             )
             SELECT l_partkey, revenue_c FROM pp
-            WHERE CAST(revenue_c AS HUGEINT) * 1500 >
-                  (SELECT CAST(SUM(revenue_c) AS HUGEINT) FROM pp)
+            WHERE CAST(revenue_c AS HUGEINT) * 4 *
+                  (SELECT CAST(count(*) AS HUGEINT) FROM pp) >
+                  5 * (SELECT CAST(SUM(revenue_c) AS HUGEINT) FROM pp)
         """,
         # Exact per-group median via value-histogram exchange
         "median_chars": """

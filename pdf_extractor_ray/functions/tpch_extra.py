@@ -386,21 +386,25 @@ def sole_return_suppliers(
 
 def revenue_share_parts(
     lineitem: ray.data.Dataset,
-    frac_num: int = 1,
-    frac_den: int = 1500,
+    mult_num: int = 5,
+    mult_den: int = 4,
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """TPC-H Q11 shape: parts whose revenue exceeds a FRACTION of the
-    global total — a global scalar aggregate feeding a threshold
-    filter over the per-key aggregate.
+    """TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    AVERAGE per-part revenue — a global scalar aggregate feeding a
+    threshold filter over the per-key aggregate. (Average-relative,
+    not total-relative, so the predicate is scale-invariant: a fixed
+    fraction of the total selects nothing once #parts grows past the
+    fraction's reciprocal.)
 
     The per-part table is built once (pre-aggregated partials, one
-    narrow exchange) and materialized; the global total is one driver
-    scalar off it. The fractional cutoff folds to an exact integer
-    threshold on the driver (``rev_c * den > total * num``  <=>
-    ``rev_c >= total*num//den + 1`` in unbounded Python ints — no
-    int64 overflow, no float), then applies as a cheap broadcast
-    filter. Output: (l_partkey, revenue_c) for parts above the cut.
+    narrow exchange) and materialized; the global total and part count
+    are two driver scalars off it. The cutoff folds to an exact
+    integer threshold on the driver
+    (``rev_c * den * n_parts > num * total``  <=>
+    ``rev_c >= (num*total)//(den*n_parts) + 1`` in unbounded Python
+    ints — no int64 overflow, no float), then applies as a cheap
+    broadcast filter. Output: (l_partkey, revenue_c) above the cut.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -420,9 +424,10 @@ def revenue_share_parts(
         .materialize()  # consumed twice: total scan + threshold filter
     )
     total = int(per_part.sum("revenue_c"))
-    # rev_c*den > total*num  <=>  rev_c >= total*num//den + 1
+    n_parts = int(per_part.count())
+    # rev_c*den*n > num*total  <=>  rev_c >= (num*total)//(den*n) + 1
     # (unbounded Python ints -> no int64 overflow at any scale)
-    thr = (total * frac_num) // frac_den + 1
+    thr = (mult_num * total) // (mult_den * n_parts) + 1
 
     return per_part.map_batches(
         lambda b: b.filter(pc.greater_equal(b["revenue_c"], thr)),

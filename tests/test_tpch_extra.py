@@ -134,19 +134,20 @@ def test_sole_return_set_tests(ray_session):
 
 
 def test_revenue_share_threshold_exact(ray_session):
-    """Integer cutoff: rev*den > total*num is >=, not > floor."""
+    """Integer cutoff vs the average: exactly-average excluded
+    (strict >), one cent above included."""
     from pdf_extractor_ray.functions.tpch_extra import revenue_share_parts
 
-    # total = 100_00 cents; frac 1/4 -> cut 25_00; part 1 at exactly
-    # 25_00 must NOT pass (strict >), part 2 at 25_01 must.
+    # avg part revenue = 50_00 cents; part 3 sits exactly AT the
+    # average (excluded), part 2 one cent above it (included)
     li = pd.DataFrame(
         {
             "l_partkey": [1, 2, 3],
-            "l_extendedprice": [25.00, 25.01, 49.99],
+            "l_extendedprice": [49.99, 50.01, 50.00],
             "l_discount": [0.0, 0.0, 0.0],
         }
     )
     out = revenue_share_parts(
-        ray.data.from_pandas(li), frac_num=1, frac_den=4
+        ray.data.from_pandas(li), mult_num=1, mult_den=1
     ).to_pandas()
-    assert sorted(out["l_partkey"].tolist()) == [2, 3]
+    assert sorted(out["l_partkey"].tolist()) == [2]
