@@ -5344,6 +5344,34 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, docs, n_iters=5, damping_pct=85)
 
 
+def _q_pagerank_indexed(sf_dir: str):
+    """Same PageRank semantics and oracle as `pagerank`, on the
+    actor-sharded adjacency index: ranks/outdeg/adjacency co-located
+    per shard, so an iteration exchanges only (dst, contribution)
+    partial arrays — and the whole iteration chain is submitted with
+    zero driver-side ray.get (actor-serial ordering is the barrier).
+    Equivalence with the cogroup engine is bit-exact (pinned in
+    tests/test_graph_indexed.py)."""
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_indexed(edges, docs, n_iters=5, damping_pct=85)
+
+
 def _q_hits(sf_dir: str):
     """Kleinberg HITS hubs & authorities over a deterministic
     synthetic web graph. The pagerank query's 3-affine-map graph is
@@ -6339,6 +6367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
+        "pagerank_indexed": _q_pagerank_indexed,
         "hits": _q_hits,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -10793,6 +10822,9 @@ def oracle_sql() -> dict[str, str]:
     # composed oracle: ANN recall = LSH top-5 vs brute top-5 overlap,
     # built from the two leg oracles verbatim so the contract can't
     # drift from what the legs themselves are gated on
+    # the indexed engine must reproduce the cogroup engine bit-exactly,
+    # so it gates against the very same iteration-replay oracle
+    d["pagerank_indexed"] = d["pagerank"]
     d["ann_recall"] = (
         "SELECT b.query_id, "
         "CAST(count(l.neighbor_id) AS BIGINT) AS n_hit, "

@@ -45,7 +45,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["bfs_hops_indexed", "scc_members_indexed"]
+__all__ = ["bfs_hops_indexed", "scc_members_indexed", "pagerank_indexed"]
 
 
 @ray.remote
@@ -140,6 +140,175 @@ class _GraphShard:
             [np.full(len(n), lvl, np.int64) for lvl, n in self._hops]
         )
         return pa.table({"node": nodes, "hops": hops})
+
+
+@ray.remote
+class _PageRankShard:
+    """CSR adjacency + rank vector for the owned src nodes. Integer
+    semantics identical to ``graph.pagerank`` (micro-units, floor
+    division, rank-0 default for srcs outside the node universe,
+    dsts outside the universe dropped)."""
+
+    def __init__(self, shard_id: int, n_shards: int, base: int, d: int):
+        self.sid, self.n, self.base, self.d = shard_id, n_shards, base, d
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._node_parts: list[np.ndarray] = []
+        self._keys = self._counts = self._starts = self._dst = None
+        self._nodes = self._ranks = None
+
+    def add_edges(self, src, dst) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def add_nodes(self, nodes) -> int:
+        self._node_parts.append(np.asarray(nodes, np.int64))
+        return len(nodes)
+
+    def finalize(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts else np.empty(0, np.int64)
+        )
+        self._src_parts = self._dst_parts = []
+        order = np.argsort(src, kind="stable")
+        src, self._dst = src[order], dst[order]
+        self._keys, self._counts = np.unique(src, return_counts=True)
+        self._starts = np.concatenate(([0], np.cumsum(self._counts)))
+        self._nodes = (
+            np.unique(np.concatenate(self._node_parts))
+            if self._node_parts else np.empty(0, np.int64)
+        )
+        self._node_parts = []
+        self._ranks = np.full(len(self._nodes), 1_000_000, np.int64)
+        return len(src)
+
+    def contribs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(dst, contribution) partial sums from this shard's srcs —
+        everything local: adjacency, outdeg and ranks co-reside."""
+        if self._keys is None or not len(self._keys):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        if len(self._nodes):
+            idx = np.clip(
+                np.searchsorted(self._nodes, self._keys),
+                0, len(self._nodes) - 1,
+            )
+            known = self._nodes[idx] == self._keys
+            r = np.where(known, self._ranks[idx], 0)  # unknown src -> 0
+        else:
+            r = np.zeros(len(self._keys), np.int64)
+        per_src = r // self._counts
+        edge_vals = np.repeat(per_src, self._counts)
+        uniq, inv = np.unique(self._dst, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, edge_vals)
+        return uniq, sums
+
+    def apply(self, *contrib_pairs) -> int:
+        """Damped update for the owned universe from ALL shards'
+        contribution partials; runs after this shard's contribs() by
+        actor-serial ordering, so no driver barrier is needed."""
+        total = np.zeros(len(self._nodes), np.int64)
+        for dsts, vals in contrib_pairs:
+            if not len(dsts) or not len(self._nodes):
+                continue
+            m = np.abs(dsts) % self.n == self.sid
+            dsts, vals = dsts[m], vals[m]
+            idx = np.clip(
+                np.searchsorted(self._nodes, dsts), 0, len(self._nodes) - 1
+            )
+            ok = self._nodes[idx] == dsts  # unknown dst drops
+            np.add.at(total, idx[ok], vals[ok])
+        self._ranks = self.base + (self.d * total) // 100
+        return len(self._nodes)
+
+    def ranks_table(self) -> pa.Table:
+        return pa.table({"doc_id": self._nodes, "rank_u": self._ranks})
+
+
+def pagerank_indexed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in equivalent of ``graph.pagerank`` on the shard index:
+    adjacency, out-degrees AND ranks are co-located per shard, so an
+    iteration exchanges only (dst, contribution) partial-sum arrays —
+    the cogroup engine re-exchanges the edge set every iteration. The
+    whole iteration chain is submitted without a single driver-side
+    ``ray.get``: actor-serial ordering makes contribs(k) wait for
+    apply(k-1) on each shard automatically."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    base = (100 - damping_pct) * 10_000
+    shards = [
+        _PageRankShard.remote(i, n_shards, base, damping_pct)
+        for i in range(n_shards)
+    ]
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
+        )
+
+    def push_edges(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        ray.get(
+            shards[sid].add_edges.remote(
+                group["src"].to_numpy(np.int64),
+                group["dst"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    (
+        coalesce_for_exchange(edges.map_batches(tag_edges, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push_edges, batch_format="pandas")
+        .count()
+    )
+
+    def push_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = []
+        for sid in range(n_shards):
+            mine = ids[np.abs(ids) % n_shards == sid]
+            if len(mine):
+                refs.append(shards[sid].add_nodes.remote(mine))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    nodes.map_batches(push_nodes, batch_format="pyarrow").count()
+    ray.get([s.finalize.remote() for s in shards])
+
+    apply_refs = []
+    for _ in range(n_iters):
+        contrib_refs = [s.contribs.remote() for s in shards]
+        apply_refs.extend(s.apply.remote(*contrib_refs) for s in shards)
+    # one barrier at the END (not per iteration): surfaces any actor
+    # task error loudly — a swallowed failure would silently return
+    # stale ranks otherwise
+    ray.get(apply_refs)
+
+    out = ray.data.from_arrow_refs(
+        [s.ranks_table.remote() for s in shards]
+    ).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
 
 
 def _build_shards(

@@ -77,3 +77,46 @@ def test_indexed_hop_minimality(ray_session):
     ).to_pandas()
     hops = dict(zip(out["node"], out["hops"]))
     assert hops == {0: 0, 1: 1, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_pagerank_engines_bit_exact(ray_session):
+    from pdf_extractor_ray.functions.graph import pagerank
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    rng = np.random.RandomState(2)
+    edges = pd.DataFrame(
+        {"src": rng.randint(0, 150, 800), "dst": rng.randint(0, 150, 800)}
+    )
+    edges = edges[edges.src != edges.dst].drop_duplicates()
+    nodes = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64)})
+    a = (
+        pagerank(ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+                 n_iters=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pagerank_indexed(ray.data.from_pandas(edges),
+                         ray.data.from_pandas(nodes), n_iters=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes))
+
+
+def test_pagerank_indexed_unknown_src_dst(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    # src 99 not in universe -> contributes rank 0; dst 98 not in
+    # universe -> dropped. Node 2 has no in-edges -> pure base.
+    edges = pd.DataFrame({"src": [0, 99, 1], "dst": [1, 1, 98]})
+    nodes = pd.DataFrame({"doc_id": np.array([0, 1, 2], np.int64)})
+    out = (
+        pagerank_indexed(ray.data.from_pandas(edges),
+                         ray.data.from_pandas(nodes),
+                         n_iters=1, n_shards=4)
+        .to_pandas().set_index("doc_id")["rank_u"]
+    )
+    base = 150_000
+    assert out[0] == base and out[2] == base
+    # node 1 receives rank(0)//1 = 1_000_000 (99 contributes 0)
+    assert out[1] == base + (85 * 1_000_000) // 100
+    assert 98 not in out.index and 99 not in out.index
