@@ -3071,6 +3071,31 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs)
 
 
+def _q_cube(sf_dir: str):
+    """GROUP BY CUBE (source, lang): the full 2^2 subtotal lattice
+    from ONE corpus pass — every level derived from the finest
+    aggregate on the driver, never a shuffle per lattice level."""
+    from pdf_extractor_ray.functions.relational import cube_counts
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["source", "lang", "n_chars"]
+    )
+    return cube_counts(docs)
+
+
+def _q_running_totals(sf_dir: str):
+    """Per-user cumulative spend over time (SUM OVER PARTITION BY /
+    ORDER BY window): one user-bucket exchange, in-bucket vectorized
+    sort + cumsum, exact integer cents, ties broken by event_id."""
+    from pdf_extractor_ray.functions.relational import running_totals
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return running_totals(events)
+
+
 def _q_conversion_latency(sf_dir: str):
     """Per-user view->purchase funnel latency in microseconds (first
     purchase at/after the first view). One scan, one user-bucket
@@ -6299,6 +6324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_moments": _q_corr_moments,
         "ks_drift": _q_ks_drift,
         "rollup": _q_rollup,
+        "cube": _q_cube,
+        "running_totals": _q_running_totals,
         "conversion_latency": _q_conversion_latency,
         "interarrival": _q_interarrival,
         "attribution": _q_attribution,
@@ -7224,6 +7251,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY ROLLUP(source, lang)
+        """,
+        "cube": """
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_value
+            FROM documents
+            GROUP BY CUBE(source, lang)
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS BIGINT)
+                       AS running_c
+            FROM events
         """,
         "corr_moments": """
             WITH v AS (

@@ -2302,6 +2302,109 @@ def rollup_counts(
     return out
 
 
+def cube_counts(
+    ds: ray.data.Dataset,
+    keys: tuple[str, str] = ("source", "lang"),
+    value_col: str = "n_chars",
+    all_label: str = "(all)",
+) -> pd.DataFrame:
+    """GROUP BY CUBE over two keys: the full subtotal lattice —
+    (k1, k2), (k1, *), (*, k2), (*, *). Same one-corpus-pass contract
+    as ``rollup_counts``: the corpus feeds ONE finest-grain aggregate
+    (bounded by the key-domain product) and all 2^2 lattice levels are
+    derived from it on the driver. Subtotals carry ``all_label``
+    instead of SQL NULL so the result is hash-comparable.
+
+    Output: (k1, k2, n_rows, sum_value), int64 aggregates.
+    """
+    k1, k2 = keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                k1: batch[k1].to_pylist(),
+                k2: batch[k2].to_pylist(),
+                "n_rows": np.ones(batch.num_rows, np.int64),
+                "sum_value": batch[value_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby([k1, k2], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        ds.select_columns([k1, k2, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([k1, k2])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()  # bounded by |k1 domain| x |k2 domain| rows
+    )
+    sub1 = finest.groupby(k1, as_index=False)[["n_rows", "sum_value"]].sum()
+    sub1[k2] = all_label
+    sub2 = finest.groupby(k2, as_index=False)[["n_rows", "sum_value"]].sum()
+    sub2[k1] = all_label
+    grand = pd.DataFrame(
+        {
+            k1: [all_label],
+            k2: [all_label],
+            "n_rows": [finest["n_rows"].sum()],
+            "sum_value": [finest["sum_value"].sum()],
+        }
+    )
+    cols = [k1, k2, "n_rows", "sum_value"]
+    out = pd.concat(
+        [finest[cols], sub1[cols], sub2[cols], grand[cols]],
+        ignore_index=True,
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].astype(np.int64)
+    return out
+
+
+def running_totals(
+    events: ray.data.Dataset,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-user cumulative running totals over time — the classic
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, id)`` window, as
+    one user-bucket exchange with an in-bucket vectorized sort +
+    cumsum per user (each user's history lands in exactly one group;
+    the cumulative is exact integer cents).
+
+    Ties on ts break by event_id — the full ordering key — so the
+    prefix sums are deterministic and the window oracle replays them.
+    Output: (event_id, user_id, value_c, running_c).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": uid,
+                "ts": batch["ts"],
+                "value_c": np.floor(val * 100 + 0.5).astype(np.int64),
+                "_bucket": np.abs(uid) % n_buckets,
+            }
+        )
+
+    def cum_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        g["running_c"] = g.groupby("user_id")["value_c"].cumsum()
+        return g[["event_id", "user_id", "value_c", "running_c"]]
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cum_in_bucket, batch_format="pandas")
+    )
+
+
 def conversion_latency(
     events: ray.data.Dataset,
     from_type: str = "view",
