@@ -3555,6 +3555,77 @@ def _q_jsonl_extract(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def _csv_dir(sf_dir: str) -> str:
+    """Deterministic CSV shards from the documents table (QUOTE_ALL,
+    embedded newlines/quotes/commas preserved) — same staging pattern
+    as _jsonl_dir."""
+    import csv
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/graft_csv_{tag}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n_files = max(1, len(ids) // 100)
+        shards: list[list] = [[] for _ in range(n_files)]
+        for i, txt in zip(ids, texts):
+            shards[i % n_files].append((i, txt))
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for k, sh in enumerate(shards):
+            with open(os.path.join(tmp, f"part-{k:05d}.csv"), "w", newline="") as fh:
+                w = csv.writer(fh, quoting=csv.QUOTE_ALL)
+                w.writerow(["doc_id", "text"])
+                for i, txt in sorted(sh):
+                    w.writerow([i, txt or ""])
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok")
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    return d
+
+
+def _q_csv_extract(sf_dir: str):
+    """CSV ingest lane: documents round-tripped through sharded .csv
+    files (QUOTE_ALL, embedded newlines preserved), read back with
+    ray.data.read_csv (Arrow CSV reader, newlines_in_values on), then
+    the same per-record digest the oracle recomputes from documents."""
+    from pyarrow import csv as pacsv
+
+    ds = ray.data.read_csv(
+        _csv_dir(sf_dir),
+        file_extensions=["csv"],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "text": pa.string()}
+        ),
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        texts = batch["text"]
+        n_chars = pc.fill_null(
+            pc.cast(pc.utf8_length(texts), pa.int64()), 0
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": n_chars,
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def _q_range_band(sf_dir: str):
     """Range join (functions/relational.py::range_join_broadcast):
     events banded by value into 40 disjoint [i*25, i*25+18) intervals
@@ -5397,6 +5468,51 @@ def _q_pagerank_indexed(sf_dir: str):
     return pagerank_indexed(edges, docs, n_iters=5, damping_pct=85)
 
 
+def _q_pseudo_diameter(sf_dir: str):
+    """Graph pseudo-diameter by double BFS sweep (the standard
+    lower-bound heuristic, exact per its own definition): full BFS
+    closure from doc 0 on the shard index, pick the farthest node
+    (max hops, ties to the smallest id), full closure again from it —
+    the second eccentricity is the reported bound. Both sweeps are
+    O(diameter) frontier rounds with ZERO per-level edge movement.
+    Oracle: two chained recursive-CTE min-hop closures (the SQL
+    recursion needs an explicit d<64 cap to terminate — safe: this
+    graph family's diameter is ~log n, and a >=64 engine result would
+    mismatch loudly rather than silently)."""
+    from pdf_extractor_ray.functions.graph_indexed import bfs_hops_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        return pa.table({"src": src, "dst": dst})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow").materialize()
+
+    def far_node(closure) -> tuple[int, int]:
+        # distributed argmax with min-id tie-break; the closure table
+        # is node-sized, the driver sees two scalars
+        mx = closure.max("hops")
+        far = closure.filter(lambda r: r["hops"] == mx).min("node")
+        return int(far), int(mx)
+
+    sweep1 = bfs_hops_indexed(edges, ray.data.from_items([{"node": 0}]))
+    start2, _ = far_node(sweep1)
+    sweep2 = bfs_hops_indexed(
+        edges, ray.data.from_items([{"node": start2}])
+    )
+    end, lb = far_node(sweep2)
+    return pd.DataFrame(
+        {"sweep2_start": [start2], "far_node": [end], "diameter_lb": [lb]}
+    )
+
+
 def _q_hits(sf_dir: str):
     """Kleinberg HITS hubs & authorities over a deterministic
     synthetic web graph. The pagerank query's 3-affine-map graph is
@@ -6230,6 +6346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": _q_c4_filters,
         "warc_extract": _q_warc_extract,
         "jsonl_extract": _q_jsonl_extract,
+        "csv_extract": _q_csv_extract,
         "quality_topk": _q_quality_topk,
         "ccnet_buckets": _q_ccnet_buckets,
         "token_budget": _q_token_budget,
@@ -6395,6 +6512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
         "pagerank_indexed": _q_pagerank_indexed,
+        "pseudo_diameter": _q_pseudo_diameter,
         "hits": _q_hits,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
@@ -10335,6 +10453,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        "csv_extract": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS text_md5
+            FROM documents
+        """,
+        # double-sweep pseudo-diameter: two chained min-hop closures
+        "pseudo_diameter": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            b1(node, d) AS (
+                SELECT CAST(0 AS BIGINT), 0
+                UNION
+                SELECT e.dst, b1.d + 1 FROM b1 JOIN e ON e.src = b1.node
+                WHERE b1.d < 64
+            ),
+            d1 AS (SELECT node, MIN(d) AS d FROM b1 GROUP BY node),
+            far1 AS (
+                SELECT min(node) AS node FROM d1
+                WHERE d = (SELECT max(d) FROM d1)
+            ),
+            b2(node, d) AS (
+                SELECT node, 0 FROM far1
+                UNION
+                SELECT e.dst, b2.d + 1 FROM b2 JOIN e ON e.src = b2.node
+                WHERE b2.d < 64
+            ),
+            d2 AS (SELECT node, MIN(d) AS d FROM b2 GROUP BY node)
+            SELECT (SELECT CAST(node AS BIGINT) FROM far1) AS sweep2_start,
+                   (SELECT CAST(min(node) AS BIGINT) FROM d2
+                    WHERE d = (SELECT max(d) FROM d2)) AS far_node,
+                   (SELECT CAST(max(d) AS BIGINT) FROM d2) AS diameter_lb
         """,
         "normalize_text": """
             WITH m AS (SELECT doc_id,
