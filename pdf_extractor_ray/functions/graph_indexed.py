@@ -45,7 +45,12 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["bfs_hops_indexed", "scc_members_indexed", "pagerank_indexed"]
+__all__ = [
+    "bfs_hops_indexed",
+    "scc_members_indexed",
+    "pagerank_indexed",
+    "connected_components_indexed",
+]
 
 
 @ray.remote
@@ -140,6 +145,160 @@ class _GraphShard:
             [np.full(len(n), lvl, np.int64) for lvl, n in self._hops]
         )
         return pa.table({"node": nodes, "hops": hops})
+
+
+@ray.remote
+class _CCShard:
+    """Symmetrized CSR adjacency + min-label vector for owned nodes.
+    Hash-min label propagation with everything src-side local: each
+    round emits per-dst MIN partials (pre-folded before they travel)
+    and folds incoming mins for its own nodes."""
+
+    def __init__(self, shard_id: int, n_shards: int):
+        self.sid, self.n = shard_id, n_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._keys = self._counts = self._starts = self._dst = None
+        self._labels = None
+
+    def add_edges(self, src, dst) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def finalize(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts else np.empty(0, np.int64)
+        )
+        self._src_parts = self._dst_parts = []
+        order = np.argsort(src, kind="stable")
+        src, self._dst = src[order], dst[order]
+        self._keys, counts = np.unique(src, return_counts=True)
+        self._starts = np.concatenate(([0], np.cumsum(counts)))
+        # round-0 fused init: label(v) = min(v, neighbors(v)) — the
+        # whole neighborhood is local (symmetrized edges, src-owned)
+        if len(self._keys):
+            self._labels = np.minimum(
+                self._keys,
+                np.minimum.reduceat(self._dst, self._starts[:-1]),
+            )
+        else:
+            self._labels = np.empty(0, np.int64)
+        return len(src)
+
+    def messages(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-dst MIN of this shard's current src labels — pre-folded
+        so the exchange volume is bounded by distinct dst, not edges."""
+        if self._keys is None or not len(self._keys):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        edge_labels = np.repeat(
+            self._labels, np.diff(self._starts)
+        )
+        uniq, inv = np.unique(self._dst, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, edge_labels)
+        return uniq, mins
+
+    def fold(self, *msg_pairs) -> int:
+        """Fold incoming mins into owned labels; returns the local
+        label sum (the convergence scalar — labels only decrease)."""
+        for dsts, mins in msg_pairs:
+            if not len(dsts) or not len(self._keys):
+                continue
+            m = np.abs(dsts) % self.n == self.sid
+            dsts, mins = dsts[m], mins[m]
+            idx = np.clip(
+                np.searchsorted(self._keys, dsts), 0, len(self._keys) - 1
+            )
+            ok = self._keys[idx] == dsts
+            np.minimum.at(self._labels, idx[ok], mins[ok])
+        return int(self._labels.sum())
+
+    def labels_table(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": self._keys, "cluster_id": self._labels}
+        )
+
+
+def connected_components_indexed(
+    pairs: ray.data.Dataset,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 30,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in equivalent of ``graph.connected_components`` (hash-min
+    label propagation, cluster_id = min member id, covers every node
+    in an edge) on the shard index: the symmetrized edge list is
+    exchanged ONCE into shard-actor CSRs; each round ships only
+    per-dst min-label partials and one int per shard for the
+    convergence check. The cogroup engine re-exchanges the edge set
+    every round."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    shards = [_CCShard.remote(i, n_shards) for i in range(n_shards)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
+        )
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        ray.get(
+            shards[sid].add_edges.remote(
+                group["src"].to_numpy(np.int64),
+                group["dst"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    n_edges = (
+        coalesce_for_exchange(pairs.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()
+    )
+    if n_edges == 0:
+        for s in shards:
+            ray.kill(s)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ray.get([s.finalize.remote() for s in shards])
+
+    prev = None
+    for _ in range(max_iters):
+        msg_refs = [s.messages.remote() for s in shards]
+        sums = ray.get([s.fold.remote(*msg_refs) for s in shards])
+        total = sum(sums)
+        if total == prev:  # labels only decrease: fixpoint
+            break
+        prev = total
+
+    out = ray.data.from_arrow_refs(
+        [s.labels_table.remote() for s in shards]
+    ).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
 
 
 @ray.remote

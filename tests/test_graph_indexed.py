@@ -120,3 +120,46 @@ def test_pagerank_indexed_unknown_src_dst(ray_session):
     # node 1 receives rank(0)//1 = 1_000_000 (99 contributes 0)
     assert out[1] == base + (85 * 1_000_000) // 100
     assert 98 not in out.index and 99 not in out.index
+
+
+def test_cc_engines_agree_random(ray_session):
+    from pdf_extractor_ray.functions.graph import connected_components
+    from pdf_extractor_ray.functions.graph_indexed import (
+        connected_components_indexed,
+    )
+
+    rng = np.random.RandomState(4)
+    pairs = pd.DataFrame(
+        {"doc_a": rng.randint(0, 400, 300), "doc_b": rng.randint(0, 400, 300)}
+    )
+    a = (
+        connected_components(ray.data.from_pandas(pairs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        connected_components_indexed(ray.data.from_pandas(pairs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes))
+
+
+def test_cc_indexed_chain_and_empty(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        connected_components_indexed,
+    )
+
+    # long path 0-1-2-...-9 needs hash-min to propagate across rounds
+    pairs = pd.DataFrame({"doc_a": range(9), "doc_b": range(1, 10)})
+    out = (
+        connected_components_indexed(
+            ray.data.from_pandas(pairs), n_shards=4
+        ).to_pandas()
+    )
+    assert sorted(out["doc_id"]) == list(range(10))
+    assert set(out["cluster_id"]) == {0}
+    empty = connected_components_indexed(
+        ray.data.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": []}))
+    ).to_pandas()
+    # ray's to_pandas drops column names on a fully-empty dataset;
+    # the row-count contract is what both engines guarantee
+    assert len(empty) == 0
