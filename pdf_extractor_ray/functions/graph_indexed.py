@@ -50,6 +50,7 @@ __all__ = [
     "scc_members_indexed",
     "pagerank_indexed",
     "connected_components_indexed",
+    "hits_indexed",
 ]
 
 
@@ -464,6 +465,219 @@ def pagerank_indexed(
 
     out = ray.data.from_arrow_refs(
         [s.ranks_table.remote() for s in shards]
+    ).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
+@ray.remote
+class _HITSShard:
+    """Both edge orientations + hub/auth vectors for owned nodes.
+    Each HITS half-step is one partial-sum message round (the cogroup
+    engine pays two edge-moving exchanges per half-step)."""
+
+    def __init__(self, shard_id: int, n_shards: int, scale: int):
+        self.sid, self.n, self.scale = shard_id, n_shards, scale
+        self._o: list[tuple[np.ndarray, np.ndarray]] = []
+        self._i: list[tuple[np.ndarray, np.ndarray]] = []
+        self._node_parts: list[np.ndarray] = []
+        self._ok = self._oc = self._od = None  # out-CSR (by src)
+        self._ik = self._ic = self._is = None  # in-CSR (by dst)
+        self._nodes = self._hub = self._auth = None
+        self._araw = self._hraw = None
+
+    def add_out(self, src, dst) -> int:
+        self._o.append((np.asarray(src, np.int64), np.asarray(dst, np.int64)))
+        return len(src)
+
+    def add_in(self, dst, src) -> int:
+        self._i.append((np.asarray(dst, np.int64), np.asarray(src, np.int64)))
+        return len(dst)
+
+    def add_nodes(self, nodes) -> int:
+        self._node_parts.append(np.asarray(nodes, np.int64))
+        return len(nodes)
+
+    @staticmethod
+    def _csr(parts):
+        if parts:
+            k = np.concatenate([p[0] for p in parts])
+            v = np.concatenate([p[1] for p in parts])
+        else:
+            k = v = np.empty(0, np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        keys, counts = np.unique(k, return_counts=True)
+        return keys, counts, v
+
+    def finalize(self) -> int:
+        self._ok, self._oc, self._od = self._csr(self._o)
+        self._ik, self._ic, self._is = self._csr(self._i)
+        self._o = self._i = []
+        self._nodes = (
+            np.unique(np.concatenate(self._node_parts))
+            if self._node_parts else np.empty(0, np.int64)
+        )
+        self._node_parts = []
+        self._hub = np.full(len(self._nodes), self.scale, np.int64)
+        self._auth = np.zeros(len(self._nodes), np.int64)
+        return len(self._nodes)
+
+    def _lookup(self, keys: np.ndarray, vec: np.ndarray) -> np.ndarray:
+        """Value of ``vec`` (aligned to self._nodes) for ``keys``;
+        0 for keys outside the node universe."""
+        if not len(self._nodes) or not len(keys):
+            return np.zeros(len(keys), np.int64)
+        idx = np.clip(
+            np.searchsorted(self._nodes, keys), 0, len(self._nodes) - 1
+        )
+        return np.where(self._nodes[idx] == keys, vec[idx], 0)
+
+    @staticmethod
+    def _per_key_sums(dst: np.ndarray, vals: np.ndarray):
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, vals)
+        return uniq, sums
+
+    def auth_partials(self) -> tuple[np.ndarray, np.ndarray]:
+        """(dst, sum of hub(src)) partials from this shard's out-CSR."""
+        if not len(self._ok):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        hub = self._lookup(self._ok, self._hub)
+        return self._per_key_sums(self._od, np.repeat(hub, self._oc))
+
+    def fold_araw(self, *pairs) -> int:
+        """Fold incoming (dst, partial) into araw for owned universe
+        nodes; returns the local max (driver computes the global)."""
+        self._araw = self._fold(pairs)
+        return int(self._araw.max()) if len(self._araw) else 0
+
+    def normalize_auth(self, gmax: int) -> int:
+        self._auth = self._normalize(self._araw, gmax)
+        return 0
+
+    def hub_partials(self) -> tuple[np.ndarray, np.ndarray]:
+        """(src, sum of auth(dst)) partials from this shard's in-CSR."""
+        if not len(self._ik):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        auth = self._lookup(self._ik, self._auth)
+        return self._per_key_sums(self._is, np.repeat(auth, self._ic))
+
+    def fold_hraw(self, *pairs) -> int:
+        self._hraw = self._fold(pairs)
+        return int(self._hraw.max()) if len(self._hraw) else 0
+
+    def normalize_hub(self, gmax: int) -> int:
+        self._hub = self._normalize(self._hraw, gmax)
+        return 0
+
+    def _fold(self, pairs) -> np.ndarray:
+        total = np.zeros(len(self._nodes), np.int64)
+        for keys, vals in pairs:
+            if not len(keys) or not len(self._nodes):
+                continue
+            m = np.abs(keys) % self.n == self.sid
+            keys, vals = keys[m], vals[m]
+            idx = np.clip(
+                np.searchsorted(self._nodes, keys), 0, len(self._nodes) - 1
+            )
+            ok = self._nodes[idx] == keys  # unknown ids drop
+            np.add.at(total, idx[ok], vals[ok])
+        return total
+
+    def _normalize(self, raw: np.ndarray, gmax: int) -> np.ndarray:
+        if gmax <= 0:
+            return np.zeros(len(raw), np.int64)
+        # Python-int multiply per node: raw * scale never wraps
+        return np.fromiter(
+            (int(r) * self.scale // gmax for r in raw), np.int64, len(raw)
+        )
+
+    def values_table(self) -> pa.Table:
+        return pa.table(
+            {"doc_id": self._nodes, "auth_u": self._auth, "hub_u": self._hub}
+        )
+
+
+def hits_indexed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in equivalent of ``graph.hits`` (max-normalized integer
+    HITS) on the shard index: both edge orientations are exchanged
+    ONCE into shard CSRs; each half-step ships per-key partial sums
+    plus one local max per shard (the driver folds the global max in
+    Python ints, exactly like the cogroup engine)."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    shards = [_HITSShard.remote(i, n_shards, scale) for i in range(n_shards)]
+
+    edges = edges.materialize()  # consumed twice (two orientations)
+
+    def tag(by: str):
+        def f(batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = src if by == "src" else dst
+            return pa.table(
+                {"src": src, "dst": dst, "shard": np.abs(key) % n_shards}
+            )
+        return f
+
+    def push(method: str):
+        def f(group: pd.DataFrame) -> pd.DataFrame:
+            sid = int(group["shard"].iloc[0])
+            a = group["src"].to_numpy(np.int64)
+            b = group["dst"].to_numpy(np.int64)
+            if method == "out":
+                ray.get(shards[sid].add_out.remote(a, b))
+            else:
+                ray.get(shards[sid].add_in.remote(b, a))
+            return pd.DataFrame({"n": [len(group)]})
+        return f
+
+    for by, method in (("src", "out"), ("dst", "in")):
+        (
+            coalesce_for_exchange(
+                edges.map_batches(tag(by), batch_format="pyarrow")
+            )
+            .groupby("shard")
+            .map_groups(push(method), batch_format="pandas")
+            .count()
+        )
+
+    def push_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = []
+        for sid in range(n_shards):
+            mine = ids[np.abs(ids) % n_shards == sid]
+            if len(mine):
+                refs.append(shards[sid].add_nodes.remote(mine))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    nodes.map_batches(push_nodes, batch_format="pyarrow").count()
+    ray.get([s.finalize.remote() for s in shards])
+
+    for _ in range(n_iters):
+        a_refs = [s.auth_partials.remote() for s in shards]
+        amax = max(ray.get([s.fold_araw.remote(*a_refs) for s in shards]))
+        ray.get([s.normalize_auth.remote(amax) for s in shards])
+        h_refs = [s.hub_partials.remote() for s in shards]
+        hmax = max(ray.get([s.fold_hraw.remote(*h_refs) for s in shards]))
+        ray.get([s.normalize_hub.remote(hmax) for s in shards])
+
+    out = ray.data.from_arrow_refs(
+        [s.values_table.remote() for s in shards]
     ).materialize()
     for s in shards:
         ray.kill(s)

@@ -163,3 +163,28 @@ def test_cc_indexed_chain_and_empty(ray_session):
     # ray's to_pandas drops column names on a fully-empty dataset;
     # the row-count contract is what both engines guarantee
     assert len(empty) == 0
+
+
+def test_hits_engines_bit_exact(ray_session):
+    from pdf_extractor_ray.functions.graph import hits
+    from pdf_extractor_ray.functions.graph_indexed import hits_indexed
+
+    rng = np.random.RandomState(9)
+    edges = pd.DataFrame(
+        {"src": rng.randint(0, 120, 700), "dst": rng.randint(0, 120, 700)}
+    )
+    edges = edges[edges.src != edges.dst].drop_duplicates()
+    nodes = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64)})
+    a = (
+        hits(ray.data.from_pandas(edges), ray.data.from_pandas(nodes),
+             n_iters=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        hits_indexed(ray.data.from_pandas(edges),
+                     ray.data.from_pandas(nodes), n_iters=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a, b[a.columns.tolist()].astype({c: a[c].dtype for c in a.columns})
+    )
