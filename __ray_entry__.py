@@ -2085,6 +2085,21 @@ def _q_dup_clusters_indexed(sf_dir: str):
     return connected_components_indexed(pairs)
 
 
+def _q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs TF-IDF cosine join (AllPairs family): every doc
+    pair with cosine >= 0.5 over 3-gram terms with df in [2,20] —
+    integer idf (bit_length), integer norms/dots, and a sqrt-free
+    cross-multiplied threshold, so the SQL self-join replays it
+    bit-exactly. The exact counterpart to the MinHash/SimHash
+    approximate family."""
+    from pdf_extractor_ray.functions.allpairs import tfidf_cosine_pairs
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return tfidf_cosine_pairs(docs, threshold_pm=500, df_cap=20)
+
+
 def _q_dedup_survivors(sf_dir: str):
     """Fuzzy-dedup survivor ids: one canonical doc per near-dup
     cluster plus every unclustered doc (bucketed anti-join, nothing
@@ -6373,6 +6388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_spans_min30": _q_strip_spans_min30,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_indexed": _q_dup_clusters_indexed,
+        "cosine_pairs": _q_cosine_pairs,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
         "neardup_bucketed": _q_neardup_bucketed,
@@ -10499,6 +10515,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        # exact AllPairs cosine: integer idf/norm/dot, sqrt-free compare
+        "cosine_pairs": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM w0,
+                     unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                         t(i)
+            ),
+            tf AS (
+                SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+                FROM g GROUP BY 1, 2
+            ),
+            dft AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            wt AS (
+                SELECT t.doc_id, t.gram,
+                       t.tf * length(printf('%b', nn.n // d.df)) AS w
+                FROM tf t JOIN dft d USING (gram), nn
+                WHERE d.df BETWEEN 2 AND 20
+            ),
+            nrm AS (
+                SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+                FROM wt GROUP BY 1
+            ),
+            dt AS (
+                SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(SUM(a.w * b.w) AS BIGINT) AS d
+                FROM wt a JOIN wt b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT dt.da AS doc_a, dt.db AS doc_b, dt.d AS dot,
+                   na.n2 AS norm_a, nb.n2 AS norm_b
+            FROM dt
+            JOIN nrm na ON na.doc_id = dt.da
+            JOIN nrm nb ON nb.doc_id = dt.db
+            WHERE CAST(dt.d AS HUGEINT) * dt.d * 1000000 >=
+                  CAST(500 AS HUGEINT) * 500 * na.n2 * nb.n2
         """,
         "csv_extract": """
             SELECT doc_id,

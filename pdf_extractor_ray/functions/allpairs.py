@@ -1,0 +1,200 @@
+"""Exact all-pairs TF-IDF cosine similarity join (AllPairs/PPJoin
+family, integer-exact variant).
+
+Finds every document pair whose TF-IDF cosine clears a threshold —
+the exact counterpart to the MinHash/SimHash *approximate* near-dup
+family: no hashing, no bands, no recall loss, replayable in SQL.
+
+Semantics (all integers, so the DuckDB oracle replays bit for bit):
+
+- terms are word 3-grams of ``[a-z0-9]+`` tokens of lower(text) (the
+  repo's standard tokenizer); term frequency ``tf`` counts gram
+  occurrences per doc.
+- only terms with ``2 <= df <= df_cap`` participate (in weights,
+  norms AND dots). df=1 terms cannot contribute to any pair; the cap
+  is the OPERATOR'S volume contract — it bounds per-term pair fan-out
+  at df_cap^2 and is the standard prefix-filter analogue (a term
+  shared by half the corpus carries no similarity signal and would
+  otherwise emit O(corpus^2) candidate pairs).
+- weight ``w(t,d) = tf * bit_length(N // df(t))`` — the integer-idf
+  convention shared with the bigram-LM operator (floor-log2 idf keeps
+  every weight, norm and dot an exact int64; SQL replays bit_length
+  as ``length(printf('%b', x))``).
+- a pair passes when ``cos >= threshold_pm/1000``, evaluated without
+  any sqrt or divide: ``dot^2 * 1e6 >= t_pm^2 * ||a||^2 * ||b||^2``
+  (dot >= 0 here since weights are non-negative) — the final compare
+  runs in unbounded Python ints, so no overflow at any corpus size.
+
+Distributed shape (three narrow exchanges, corpus touched once):
+
+  1. gram-bucket exchange of (gram, doc, tf) rows; the bucket task
+     computes df per gram IN-BUCKET (every row of a gram co-locates),
+     drops out-of-band dfs, and emits BOTH per-doc norm partials and
+     per-pair dot partials, each pre-summed inside the bucket.
+  2. pair-bucket groupby folds dot partials -> exact dots.
+  3. doc-bucket cogroups attach ||a||^2 then ||b||^2 to each pair
+     (norms are doc-sized; nothing is broadcast).
+
+Reference parity: no reference analogue; covers the exact-similarity
+end of SURVEY.md §2's dedup/similarity axis (the oracle family the
+approximate operators are graded against).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .common import bucket_ids, coalesce_for_exchange
+
+__all__ = ["tfidf_cosine_pairs"]
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def tfidf_cosine_pairs(
+    docs: ray.data.Dataset,
+    threshold_pm: int = 500,
+    df_cap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+) -> pd.DataFrame:
+    """All pairs with TF-IDF cosine >= threshold_pm/1000. Returns
+    (doc_a, doc_b, dot, norm_a, norm_b) with doc_a < doc_b; callers
+    derive cos = dot / sqrt(norm_a*norm_b) if they want the float."""
+
+    n_docs = docs.count()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_g, out_d, out_tf = [], [], []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            ws = _WORD_RE.findall((text or "").lower())
+            if len(ws) < 3:
+                continue
+            counts: dict[str, int] = {}
+            for i in range(len(ws) - 2):
+                g = f"{ws[i]} {ws[i+1]} {ws[i+2]}"
+                counts[g] = counts.get(g, 0) + 1
+            out_g.extend(counts.keys())
+            out_d.extend([int(did)] * len(counts))
+            out_tf.extend(counts.values())
+        t = pa.table(
+            {
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(bucket_ids(t["gram"], n_buckets))
+        )
+
+    def per_gram(group: pd.DataFrame) -> pd.DataFrame:
+        """df filter + weights + norm partials + pair-dot partials,
+        all inside the gram bucket."""
+        g = group.groupby("gram")
+        norm_parts: list[pd.DataFrame] = []
+        pair_parts: list[pd.DataFrame] = []
+        for _, rows in g:
+            df = len(rows)  # rows are per (gram, doc): df = #docs
+            if df < 2 or df > df_cap:
+                continue
+            bl = (n_docs // df).bit_length()
+            d = rows["doc_id"].to_numpy(np.int64)
+            w = rows["tf"].to_numpy(np.int64) * bl
+            order = np.argsort(d)
+            d, w = d[order], w[order]
+            norm_parts.append(pd.DataFrame({"doc_id": d, "w2": w * w}))
+            ia, ib = np.triu_indices(len(d), k=1)
+            pair_parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": d[ia],
+                        "doc_b": d[ib],
+                        "dot": w[ia] * w[ib],
+                    }
+                )
+            )
+        norm = (
+            pd.concat(norm_parts).groupby("doc_id", as_index=False)["w2"].sum()
+            if norm_parts
+            else pd.DataFrame({"doc_id": [], "w2": []}).astype(np.int64)
+        )
+        pairs = (
+            pd.concat(pair_parts)
+            .groupby(["doc_a", "doc_b"], as_index=False)["dot"]
+            .sum()
+            if pair_parts
+            else pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "dot": []}
+            ).astype(np.int64)
+        )
+        norm["kind"] = np.int8(0)
+        norm = norm.rename(columns={"doc_id": "doc_a", "w2": "dot"})
+        norm["doc_b"] = np.int64(0)
+        pairs["kind"] = np.int8(1)
+        cols = ["kind", "doc_a", "doc_b", "dot"]
+        return pd.concat([norm[cols], pairs[cols]], ignore_index=True)
+
+    mixed = (
+        coalesce_for_exchange(
+            docs.select_columns([id_col, text_col]).map_batches(
+                gram_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_gram, batch_format="pandas")
+        .materialize()  # consumed twice: norm lane + pair lane
+    )
+
+    norms = (
+        mixed.filter(lambda r: r["kind"] == 0)
+        .groupby("doc_a")
+        .aggregate(Sum("dot", alias_name="n2"))
+        .to_pandas()
+        .rename(columns={"doc_a": "doc_id"})
+    )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flt = batch.filter(pc.equal(batch["kind"], 1))
+        return flt.select(["doc_a", "doc_b", "dot"])
+
+    dots = (
+        mixed.map_batches(tag_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("dot", alias_name="dot"))
+        .to_pandas()
+    )
+
+    cols = ["doc_a", "doc_b", "dot", "norm_a", "norm_b"]
+    if not len(dots) or not len(norms):
+        # ray's to_pandas drops column names on fully-empty datasets
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    # final threshold in unbounded Python ints (pair-sized, driver ok:
+    # output pairs are the operator's result set; at 100 TB this fold
+    # moves to one more pair-bucket map — the arithmetic is identical)
+    out = dots.merge(
+        norms.rename(columns={"doc_id": "doc_a", "n2": "norm_a"}), on="doc_a"
+    ).merge(
+        norms.rename(columns={"doc_id": "doc_b", "n2": "norm_b"}), on="doc_b"
+    )
+    t2 = int(threshold_pm) * int(threshold_pm)
+    keep = [
+        int(d) * int(d) * 1_000_000 >= t2 * int(na) * int(nb)
+        for d, na, nb in zip(out["dot"], out["norm_a"], out["norm_b"])
+    ]
+    out = out[np.array(keep, bool)] if len(out) else out
+    out = out[["doc_a", "doc_b", "dot", "norm_a", "norm_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
