@@ -3126,6 +3126,18 @@ def _q_running_totals(sf_dir: str):
     return running_totals(events)
 
 
+def _q_full_outer_activity(sf_dir: str):
+    """FULL OUTER join shape: (user, event_type) activity across two
+    disjoint weeks, null-extended both ways with a derived churn
+    status — one pass, one bucket exchange."""
+    from pdf_extractor_ray.functions.relational import full_outer_activity
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    return full_outer_activity(events)
+
+
 def _q_conversion_latency(sf_dir: str):
     """Per-user view->purchase funnel latency in microseconds (first
     purchase at/after the first view). One scan, one user-bucket
@@ -6504,6 +6516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": _q_rollup,
         "cube": _q_cube,
         "running_totals": _q_running_totals,
+        "full_outer_activity": _q_full_outer_activity,
         "conversion_latency": _q_conversion_latency,
         "interarrival": _q_interarrival,
         "attribution": _q_attribution,
@@ -7439,6 +7452,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "full_outer_activity": """
+            WITH a AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_a
+                FROM events
+                WHERE ts >= '2024-01-01' AND ts < '2024-01-04'
+                GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_b
+                FROM events
+                WHERE ts >= '2024-01-28' AND ts < '2024-01-31'
+                GROUP BY 1, 2
+            )
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   coalesce(a.event_type, b.event_type) AS event_type,
+                   coalesce(a.n_a, 0) AS n_a,
+                   coalesce(b.n_b, 0) AS n_b,
+                   CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                        THEN 'both'
+                        WHEN a.user_id IS NOT NULL THEN 'a_only'
+                        ELSE 'b_only' END AS status
+            FROM a FULL OUTER JOIN b
+              ON a.user_id = b.user_id AND a.event_type = b.event_type
         """,
         "running_totals": """
             SELECT event_id, user_id,

@@ -2405,6 +2405,70 @@ def running_totals(
     )
 
 
+def full_outer_activity(
+    events: ray.data.Dataset,
+    win_a: tuple[str, str] = ("2024-01-01", "2024-01-04"),
+    win_b: tuple[str, str] = ("2024-01-28", "2024-01-31"),
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """FULL OUTER join shape: (user, event_type) activity compared
+    across two disjoint time windows, null-extended BOTH ways — the
+    churn/retention report (appeared / disappeared / persisted).
+
+    One pass over events filters both windows and pre-aggregates
+    per-batch (user, type, side) counts; a single (user,type)-bucket
+    exchange folds the two sides together, zero-filling whichever side
+    is absent (that IS the full outer semantics — neither side is
+    privileged, unlike the left-outer custdist). Status is derived
+    in-bucket so the oracle can replay it with a CASE.
+
+    Output: (user_id, event_type, n_a, n_b, status) where status in
+    {'both', 'a_only', 'b_only'}.
+    """
+    a_lo, a_hi = np.datetime64(win_a[0], "us"), np.datetime64(win_a[1], "us")
+    b_lo, b_hi = np.datetime64(win_b[0], "us"), np.datetime64(win_b[1], "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        in_a = (ts >= a_lo) & (ts < a_hi)
+        in_b = (ts >= b_lo) & (ts < b_hi)
+        keep = in_a | in_b
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"]
+                .to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64),
+                "event_type": np.asarray(batch["event_type"].to_pylist())[
+                    keep
+                ],
+                "n_a": in_a[keep].astype(np.int64),
+                "n_b": in_b[keep].astype(np.int64),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False)[
+            ["n_a", "n_b"]
+        ].sum()
+        g["_bucket"] = bucket_ids(g["user_id"].to_numpy(np.int64), n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["user_id", "event_type"], as_index=False)[
+            ["n_a", "n_b"]
+        ].sum()
+        na = g["n_a"].to_numpy(np.int64)
+        nb = g["n_b"].to_numpy(np.int64)
+        g["status"] = np.where(
+            (na > 0) & (nb > 0), "both", np.where(na > 0, "a_only", "b_only")
+        )
+        return g
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def conversion_latency(
     events: ray.data.Dataset,
     from_type: str = "view",
