@@ -2522,6 +2522,31 @@ def _q_crawl_refresh(sf_dir: str):
     return latest_version(docs.map_batches(versions, batch_format="pyarrow"))
 
 
+def _q_scd2_history(sf_dir: str):
+    """SCD type-2 history build over the crawl_refresh versioned
+    input: every (url, version) becomes a [valid_from, valid_to)
+    interval with the next fetch as the exclusive end (open end
+    9_999_999 on the current row). One url-bucket exchange; the
+    oracle replays the lead() window."""
+    from pdf_extractor_ray.functions.dedup import scd2_history
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://example.org/page-{i % 200}" for i in ids]
+        ts = (ids * 7919) % 1000000
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": batch["doc_id"],
+                "fetch_ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    return scd2_history(docs.map_batches(versions, batch_format="pyarrow"))
+
+
 def _q_crawl_changes(sf_dir: str):
     """Content-change detection over synthetic revisits: 100 urls x ~5
     fetches each (doc_id % 100), content version flips every 3rd
@@ -6469,6 +6494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
         "crawl_refresh": _q_crawl_refresh,
+        "scd2_history": _q_scd2_history,
         "crawl_changes": _q_crawl_changes,
         "inverted_index": _q_inverted_index,
         "index_sink": _q_index_sink,
@@ -8618,6 +8644,28 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(floor(value*100 + 0.5) AS BIGINT), 0.9)
                        AS p90_c
             FROM events GROUP BY event_type
+        """,
+        "scd2_history": """
+            WITH v AS (
+                SELECT 'https://example.org/page-' || (doc_id % 200)
+                           AS url,
+                       doc_id,
+                       (doc_id * 7919) % 1000000 AS fetch_ts
+                FROM documents
+            ),
+            iv AS (
+                SELECT url, doc_id,
+                       CAST(fetch_ts AS BIGINT) AS valid_from,
+                       lead(fetch_ts) OVER (
+                           PARTITION BY url ORDER BY fetch_ts, doc_id
+                       ) AS nxt
+                FROM v
+            )
+            SELECT url, doc_id, valid_from,
+                   CAST(coalesce(nxt, 9999999) AS BIGINT) AS valid_to,
+                   CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_current
+            FROM iv
         """,
         "crawl_refresh": """
             WITH v AS (

@@ -71,6 +71,7 @@ __all__ = [
     "hash64_pairs",
     "ngram_jaccard",
     "dup_ngram_span_stats",
+    "scd2_history",
 ]
 
 _WORD_RE = re.compile(r"\S+")
@@ -1670,4 +1671,58 @@ def content_change_log(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(diff, batch_format="pandas")
+    )
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+    open_end: int = 9_999_999,
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Type-2 slowly-changing-dimension history build: every fetched
+    version of a key becomes a validity interval
+    ``[valid_from, valid_to)`` with the NEXT fetch's timestamp as the
+    exclusive end and ``open_end`` on the current version — the shape
+    a warehouse keeps crawl snapshots in (query any point in time with
+    a BETWEEN).
+
+    One coarse key-bucket exchange; each key's full version chain
+    lands in one group, where a vectorized sort + shift derives the
+    intervals. Ordering ties on ``ts_col`` break by ``id_col`` — the
+    full deterministic order the SQL lead() window replays.
+
+    Output: (key, doc_id, valid_from, valid_to, is_current int64).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from .common import bucket_ids as _b
+
+        t = batch.select([key_col, id_col, ts_col])
+        return t.append_column(
+            "_bucket", pa.array(_b(t[key_col], n_buckets))
+        )
+
+    def intervals(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = group.sort_values([key_col, ts_col, id_col])
+        nxt = g.groupby(key_col)[ts_col].shift(-1)
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                id_col: g[id_col].to_numpy(np.int64),
+                "valid_from": g[ts_col].to_numpy(np.int64),
+                "valid_to": nxt.fillna(open_end).to_numpy(np.int64),
+                "is_current": nxt.isna().to_numpy().astype(np.int64),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(intervals, batch_format="pandas")
     )
