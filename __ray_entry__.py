@@ -3151,6 +3151,19 @@ def _q_running_totals(sf_dir: str):
     return running_totals(events)
 
 
+def _q_event_trigrams(sf_dir: str):
+    """CEP-style multi-pattern counts: every ordered event-type triple
+    occurring as three consecutive events with gaps <= 1h, counted per
+    pattern in ONE pass (second-order transitions + session gap)."""
+    from pdf_extractor_ray.functions.relational import event_trigrams
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return event_trigrams(events, max_gap_s=3600)
+
+
 def _q_full_outer_activity(sf_dir: str):
     """FULL OUTER join shape: (user, event_type) activity across two
     disjoint weeks, null-extended both ways with a derived churn
@@ -6543,6 +6556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": _q_cube,
         "running_totals": _q_running_totals,
         "full_outer_activity": _q_full_outer_activity,
+        "event_trigrams": _q_event_trigrams,
         "conversion_latency": _q_conversion_latency,
         "interarrival": _q_interarrival,
         "attribution": _q_attribution,
@@ -7478,6 +7492,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type AS t1, ts,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3,
+                       lead(ts, 1) OVER w AS ts2,
+                       lead(ts, 2) OVER w AS ts3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM s
+            WHERE t3 IS NOT NULL
+              AND epoch_us(ts2) - epoch_us(ts)  <= 3600000000
+              AND epoch_us(ts3) - epoch_us(ts2) <= 3600000000
+            GROUP BY 1, 2, 3
         """,
         "full_outer_activity": """
             WITH a AS (

@@ -2405,6 +2405,67 @@ def running_totals(
     )
 
 
+def event_trigrams(
+    events: ray.data.Dataset,
+    max_gap_s: int = 3600,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Multi-pattern sequence counts (CEP-style, contiguous variant):
+    for every ordered event-type triple (a, b, c), how many times a
+    user's stream contains it as THREE CONSECUTIVE events with each
+    inter-event gap <= ``max_gap_s`` — the second-order extension of
+    ``transition_counts`` with a session-gap constraint, counting all
+    observed patterns in ONE pass (no per-pattern scans).
+
+    One user-bucket exchange; in-bucket per-user ts-order (ties by
+    event_id) + two vectorized shifts + gap masks + a tiny rollup, so
+    the second exchange carries one row per (bucket, a, b, c).
+    Output: (t1, t2, t3, n).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": uid,
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "event_type": batch["event_type"],
+                "_bucket": np.abs(uid) % n_buckets,
+            }
+        )
+
+    def count_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        same2 = g["user_id"].to_numpy() == g["user_id"].shift(-1).to_numpy()
+        same3 = g["user_id"].to_numpy() == g["user_id"].shift(-2).to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()  # us
+        gap1 = np.roll(ts, -1) - ts
+        gap2 = np.roll(ts, -2) - np.roll(ts, -1)
+        lim = max_gap_s * 1_000_000
+        ok = same2 & same3 & (gap1 <= lim) & (gap2 <= lim)
+        ok[-2:] = False
+        t = g["event_type"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "t1": t[:-2][ok[:-2]],
+                "t2": t[1:-1][ok[:-2]],
+                "t3": t[2:][ok[:-2]],
+            }
+        )
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
 def full_outer_activity(
     events: ray.data.Dataset,
     win_a: tuple[str, str] = ("2024-01-01", "2024-01-04"),
