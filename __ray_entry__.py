@@ -5548,6 +5548,39 @@ def _q_pagerank_indexed(sf_dir: str):
     return pagerank_indexed(edges, docs, n_iters=5, damping_pct=85)
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized (topic-sensitive / TrustRank) PageRank on the
+    shard index: teleport mass lands only on the seed set
+    {doc_id % 97 == 0}, so ranks measure link proximity to the trusted
+    seeds — the seed-relative crawl-prioritization signal. Same
+    integer semantics and exchange shape as `pagerank_indexed`; the
+    oracle replays every iteration with a seed CASE in the base
+    term."""
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": ids[ids % 97 == 0]})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow")
+    return pagerank_indexed(edges, docs, n_iters=5, seeds=seeds)
+
+
 def _q_pseudo_diameter(sf_dir: str):
     """Graph pseudo-diameter by double BFS sweep (the standard
     lower-bound heuristic, exact per its own definition): full BFS
@@ -6626,6 +6659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
         "pagerank_indexed": _q_pagerank_indexed,
+        "pagerank_personalized": _q_pagerank_personalized,
         "pseudo_diameter": _q_pseudo_diameter,
         "hits": _q_hits,
         "hits_indexed": _q_hits_indexed,
@@ -6759,6 +6793,50 @@ def _kcore_sql(k: int = 6, n_rounds: int = 12) -> str:
             ) GROUP BY node)
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(deg AS BIGINT) AS deg
         FROM df WHERE deg >= {k}"""
+    )
+
+
+def _pagerank_personalized_sql(n_iters: int = 5) -> str:
+    """Chained-CTE replay of personalized PageRank: identical edge
+    derivation and floor arithmetic, but the teleport base and the
+    initial rank land only on seeds {doc_id % 97 == 0}."""
+    cte = """
+        nodes AS (SELECT doc_id FROM documents),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 31 + 3) % (SELECT count(*) FROM documents)
+                FROM documents)
+            WHERE src <> dst),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id,
+                      CAST(CASE WHEN doc_id % 97 = 0 THEN 1000000
+                                ELSE 0 END AS BIGINT) AS r
+               FROM nodes)"""
+    for k in range(1, n_iters + 1):
+        cte += f""",
+        r{k} AS (
+            SELECT nd.doc_id,
+                   CAST(CASE WHEN nd.doc_id % 97 = 0 THEN 150000 ELSE 0 END
+                        + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS doc_id,
+                       CAST(sum(p.r // o.deg) AS BIGINT) AS c
+                FROM edges e
+                JOIN r{k - 1} p ON p.doc_id = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.doc_id = nd.doc_id)"""
+    return (
+        "WITH " + cte
+        + f"\n        SELECT doc_id, r AS rank_u FROM r{n_iters}"
     )
 
 
@@ -7262,6 +7340,7 @@ def oracle_sql() -> dict[str, str]:
         # accuracy argmax (ties -> lowest set index). Sets 0-2 are
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
+        "pagerank_personalized": _pagerank_personalized_sql(5),
         "kcore": _kcore_sql(6, 12),
         "cocitation": """
             -- Top-20 pairs by number of distinct common in-linking

@@ -309,13 +309,22 @@ class _PageRankShard:
     division, rank-0 default for srcs outside the node universe,
     dsts outside the universe dropped)."""
 
-    def __init__(self, shard_id: int, n_shards: int, base: int, d: int):
+    def __init__(
+        self,
+        shard_id: int,
+        n_shards: int,
+        base: int,
+        d: int,
+        personalized: bool = False,
+    ):
         self.sid, self.n, self.base, self.d = shard_id, n_shards, base, d
+        self.personalized = personalized
         self._src_parts: list[np.ndarray] = []
         self._dst_parts: list[np.ndarray] = []
         self._node_parts: list[np.ndarray] = []
+        self._seed_parts: list[np.ndarray] = []
         self._keys = self._counts = self._starts = self._dst = None
-        self._nodes = self._ranks = None
+        self._nodes = self._ranks = self._base_vec = None
 
     def add_edges(self, src, dst) -> int:
         self._src_parts.append(np.asarray(src, np.int64))
@@ -324,6 +333,10 @@ class _PageRankShard:
 
     def add_nodes(self, nodes) -> int:
         self._node_parts.append(np.asarray(nodes, np.int64))
+        return len(nodes)
+
+    def add_seeds(self, nodes) -> int:
+        self._seed_parts.append(np.asarray(nodes, np.int64))
         return len(nodes)
 
     def finalize(self) -> int:
@@ -345,7 +358,18 @@ class _PageRankShard:
             if self._node_parts else np.empty(0, np.int64)
         )
         self._node_parts = []
-        self._ranks = np.full(len(self._nodes), 1_000_000, np.int64)
+        if self.personalized:
+            seeds = (
+                np.unique(np.concatenate(self._seed_parts))
+                if self._seed_parts else np.empty(0, np.int64)
+            )
+            mask = np.isin(self._nodes, seeds)
+            self._base_vec = np.where(mask, self.base, 0).astype(np.int64)
+            self._ranks = np.where(mask, 1_000_000, 0).astype(np.int64)
+        else:
+            self._base_vec = np.full(len(self._nodes), self.base, np.int64)
+            self._ranks = np.full(len(self._nodes), 1_000_000, np.int64)
+        self._seed_parts = []
         return len(src)
 
     def contribs(self) -> tuple[np.ndarray, np.ndarray]:
@@ -384,7 +408,7 @@ class _PageRankShard:
             )
             ok = self._nodes[idx] == dsts  # unknown dst drops
             np.add.at(total, idx[ok], vals[ok])
-        self._ranks = self.base + (self.d * total) // 100
+        self._ranks = self._base_vec + (self.d * total) // 100
         return len(self._nodes)
 
     def ranks_table(self) -> pa.Table:
@@ -398,6 +422,7 @@ def pagerank_indexed(
     damping_pct: int = 85,
     id_col: str = "doc_id",
     n_shards: int | None = None,
+    seeds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Drop-in equivalent of ``graph.pagerank`` on the shard index:
     adjacency, out-degrees AND ranks are co-located per shard, so an
@@ -405,7 +430,13 @@ def pagerank_indexed(
     the cogroup engine re-exchanges the edge set every iteration. The
     whole iteration chain is submitted without a single driver-side
     ``ray.get``: actor-serial ordering makes contribs(k) wait for
-    apply(k-1) on each shard automatically."""
+    apply(k-1) on each shard automatically.
+
+    ``seeds`` (Dataset[node]) switches to PERSONALIZED PageRank: the
+    teleport mass (base term and initial rank) lands only on the seed
+    set, so scores measure proximity to the seeds — the
+    topic-sensitive / TrustRank variant used for seed-relative crawl
+    prioritization. Same integer semantics, same exchange shape."""
     if n_shards is None:
         try:
             n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -413,7 +444,9 @@ def pagerank_indexed(
             n_shards = 8
     base = (100 - damping_pct) * 10_000
     shards = [
-        _PageRankShard.remote(i, n_shards, base, damping_pct)
+        _PageRankShard.remote(
+            i, n_shards, base, damping_pct, personalized=seeds is not None
+        )
         for i in range(n_shards)
     ]
 
@@ -452,6 +485,19 @@ def pagerank_indexed(
         return pa.table({"n": pa.array([len(ids)], pa.int64())})
 
     nodes.map_batches(push_nodes, batch_format="pyarrow").count()
+    if seeds is not None:
+        def push_seeds(batch: pa.Table) -> pa.Table:
+            ids = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            refs = [
+                shards[sid].add_seeds.remote(
+                    ids[np.abs(ids) % n_shards == sid]
+                )
+                for sid in range(n_shards)
+            ]
+            ray.get(refs)
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+        seeds.map_batches(push_seeds, batch_format="pyarrow").count()
     ray.get([s.finalize.remote() for s in shards])
 
     apply_refs = []

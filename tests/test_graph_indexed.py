@@ -188,3 +188,24 @@ def test_hits_engines_bit_exact(ray_session):
     pd.testing.assert_frame_equal(
         a, b[a.columns.tolist()].astype({c: a[c].dtype for c in a.columns})
     )
+
+
+def test_personalized_pagerank_teleports_only_to_seeds(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    # star: seeds {0}; node 2 unreachable from 0 -> rank exactly 0
+    edges = pd.DataFrame({"src": [0, 1], "dst": [1, 0]})
+    nodes = pd.DataFrame({"doc_id": np.array([0, 1, 2], np.int64)})
+    seeds = ray.data.from_items([{"node": 0}])
+    out = (
+        pagerank_indexed(ray.data.from_pandas(edges),
+                         ray.data.from_pandas(nodes),
+                         n_iters=2, n_shards=4, seeds=seeds)
+        .to_pandas().set_index("doc_id")["rank_u"]
+    )
+    assert out[2] == 0                      # no teleport, no paths
+    assert out[0] > out[1] > 0              # seed holds the base mass
+    # iteration replay: r1(1) = 0 + 85*(1_000_000//1)//100
+    # r1(0) = 150_000 + 0 (node 1 starts at rank 0)
+    # r2(0) = 150_000 + 85*(850_000//1)//100 = 872_500
+    assert out[0] == 872_500
