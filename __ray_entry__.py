@@ -5581,6 +5581,34 @@ def _q_pagerank_personalized(sf_dir: str):
     return pagerank_indexed(edges, docs, n_iters=5, seeds=seeds)
 
 
+def _q_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (Bellman-Ford, 8
+    relaxation rounds) from doc 0 over the affine link graph with
+    deterministic integer weights w = (src*7919 + dst*104729) % 9 + 1.
+    Each round ships pre-folded per-dst MIN(dist+w) partials on the
+    shard index; the oracle replays the same 8 rounds as chained
+    min-fold CTEs."""
+    from pdf_extractor_ray.functions.graph_indexed import sssp_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        w = (src * 7919 + dst * 104729) % 9 + 1
+        return pa.table({"src": src, "dst": dst, "w": w})
+
+    return sssp_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"),
+        seed=0, max_rounds=8,
+    )
+
+
 def _q_pseudo_diameter(sf_dir: str):
     """Graph pseudo-diameter by double BFS sweep (the standard
     lower-bound heuristic, exact per its own definition): full BFS
@@ -6660,6 +6688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_indexed": _q_pagerank_indexed,
         "pagerank_personalized": _q_pagerank_personalized,
+        "sssp": _q_sssp,
         "pseudo_diameter": _q_pseudo_diameter,
         "hits": _q_hits,
         "hits_indexed": _q_hits_indexed,
@@ -6793,6 +6822,43 @@ def _kcore_sql(k: int = 6, n_rounds: int = 12) -> str:
             ) GROUP BY node)
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(deg AS BIGINT) AS deg
         FROM df WHERE deg >= {k}"""
+    )
+
+
+def _sssp_sql(n_rounds: int = 8) -> str:
+    """Chained min-fold CTE replay of Bellman-Ford: d_k = per-node min
+    of (d_{k-1} UNION ALL every one-edge relaxation of d_{k-1})."""
+    cte = """
+        e AS (
+            SELECT src, dst,
+                   (src * 7919 + dst * 104729) % 9 + 1 AS w
+            FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 1) % (SELECT count(*) FROM documents)
+                           AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id * 31 + 3) % (SELECT count(*) FROM documents)
+                FROM documents)
+        ),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d)"""
+    for k in range(1, n_rounds + 1):
+        cte += f""",
+        d{k} AS (
+            SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+                SELECT node, d FROM d{k - 1}
+                UNION ALL
+                SELECT e.dst AS node, p.d + e.w AS d
+                FROM e JOIN d{k - 1} p ON p.node = e.src
+            ) GROUP BY node)"""
+    return (
+        "WITH " + cte
+        + f"\n        SELECT node, d AS dist FROM d{n_rounds}"
     )
 
 
@@ -7341,6 +7407,7 @@ def oracle_sql() -> dict[str, str]:
         # lattice, 3-4 stream.
         "pagerank": _pagerank_sql(5),
         "pagerank_personalized": _pagerank_personalized_sql(5),
+        "sssp": _sssp_sql(8),
         "kcore": _kcore_sql(6, 12),
         "cocitation": """
             -- Top-20 pairs by number of distinct common in-linking

@@ -51,6 +51,7 @@ __all__ = [
     "pagerank_indexed",
     "connected_components_indexed",
     "hits_indexed",
+    "sssp_indexed",
 ]
 
 
@@ -511,6 +512,194 @@ def pagerank_indexed(
 
     out = ray.data.from_arrow_refs(
         [s.ranks_table.remote() for s in shards]
+    ).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
+_INF = np.int64(1) << 62
+
+
+@ray.remote
+class _SSSPShard:
+    """Weighted CSR + distance vector for owned nodes. Bellman-Ford
+    relaxation rounds: each round ships per-dst MIN(dist+w) partials
+    (pre-folded), folds incoming mins locally, and reports whether
+    anything improved (the convergence bit)."""
+
+    def __init__(self, shard_id: int, n_shards: int):
+        self.sid, self.n = shard_id, n_shards
+        self._parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._keys = self._counts = self._dst = self._w = None
+        self._nodes = self._dist = None
+
+    def add_edges(self, src, dst, w) -> int:
+        self._parts.append(
+            (
+                np.asarray(src, np.int64),
+                np.asarray(dst, np.int64),
+                np.asarray(w, np.int64),
+            )
+        )
+        return len(src)
+
+    def add_nodes(self, nodes) -> int:
+        # endpoint registration: a node owned here may only appear as
+        # the dst of edges held by OTHER shards — without this row its
+        # folded distance would have nowhere to live
+        self._node_parts = getattr(self, "_node_parts", [])
+        self._node_parts.append(np.asarray(nodes, np.int64))
+        return len(nodes)
+
+    def finalize(self, seed: int) -> int:
+        if self._parts:
+            src = np.concatenate([p[0] for p in self._parts])
+            dst = np.concatenate([p[1] for p in self._parts])
+            w = np.concatenate([p[2] for p in self._parts])
+        else:
+            src = dst = w = np.empty(0, np.int64)
+        self._parts = []
+        order = np.argsort(src, kind="stable")
+        src, self._dst, self._w = src[order], dst[order], w[order]
+        self._keys, self._counts = np.unique(src, return_counts=True)
+        registered = (
+            [np.concatenate(self._node_parts)]
+            if getattr(self, "_node_parts", None)
+            else []
+        )
+        self._node_parts = []
+        owned_dst = self._dst[np.abs(self._dst) % self.n == self.sid]
+        self._nodes = np.unique(
+            np.concatenate([self._keys, owned_dst] + registered)
+        )
+        self._dist = np.full(len(self._nodes), _INF, np.int64)
+        if len(self._nodes) and abs(int(seed)) % self.n == self.sid:
+            i = np.searchsorted(self._nodes, seed)
+            if i < len(self._nodes) and self._nodes[i] == seed:
+                self._dist[i] = 0
+        return len(src)
+
+    def relax_messages(self) -> tuple[np.ndarray, np.ndarray]:
+        if not len(self._keys):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        idx = np.clip(
+            np.searchsorted(self._nodes, self._keys), 0,
+            max(len(self._nodes) - 1, 0),
+        )
+        d = np.where(
+            self._nodes[idx] == self._keys, self._dist[idx], _INF
+        ) if len(self._nodes) else np.full(len(self._keys), _INF)
+        finite = d < _INF
+        if not finite.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        edge_d = np.repeat(d, self._counts)
+        em = edge_d < _INF
+        cand = edge_d[em] + self._w[em]
+        dsts = self._dst[em]
+        uniq, inv = np.unique(dsts, return_inverse=True)
+        mins = np.full(len(uniq), _INF, np.int64)
+        np.minimum.at(mins, inv, cand)
+        return uniq, mins
+
+    def fold(self, *pairs) -> int:
+        """Returns 1 if any owned distance improved this round."""
+        changed = 0
+        for keys, vals in pairs:
+            if not len(keys) or not len(self._nodes):
+                continue
+            m = np.abs(keys) % self.n == self.sid
+            keys, vals = keys[m], vals[m]
+            idx = np.clip(
+                np.searchsorted(self._nodes, keys), 0, len(self._nodes) - 1
+            )
+            ok = self._nodes[idx] == keys
+            before = self._dist[idx[ok]]
+            np.minimum.at(self._dist, idx[ok], vals[ok])
+            if (self._dist[idx[ok]] < before).any():
+                changed = 1
+        return changed
+
+    def dist_table(self) -> pa.Table:
+        fin = self._dist < _INF
+        return pa.table(
+            {"node": self._nodes[fin], "dist": self._dist[fin]}
+        )
+
+
+def sssp_indexed(
+    edges: ray.data.Dataset,
+    seed: int,
+    max_rounds: int = 8,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Single-source shortest paths (Bellman-Ford, ``max_rounds``
+    relaxation rounds — paths of at most that many edges; early exit
+    when a round improves nothing) on the shard index. Expects
+    Dataset[src, dst, w] with int64 weights; returns Dataset[node,
+    dist] for nodes reached within the round budget. One edge exchange
+    total; each round ships pre-folded per-dst MIN(dist+w) partials
+    plus one changed-bit per shard."""
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    shards = [_SSSPShard.remote(i, n_shards) for i in range(n_shards)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": src,
+                "dst": batch["dst"].cast(pa.int64()),
+                "w": batch["w"].cast(pa.int64()),
+                "shard": np.abs(src) % n_shards,
+            }
+        )
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        dst = group["dst"].to_numpy(np.int64)
+        refs = [
+            shards[sid].add_edges.remote(
+                group["src"].to_numpy(np.int64),
+                dst,
+                group["w"].to_numpy(np.int64),
+            )
+        ]
+        # register dst endpoints with THEIR owners (a dst-only node
+        # must exist in its owner's universe for folds to land)
+        for osid in range(n_shards):
+            mine = dst[np.abs(dst) % n_shards == osid]
+            if len(mine):
+                refs.append(shards[osid].add_nodes.remote(np.unique(mine)))
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(group)]})
+
+    (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()
+    )
+    # the seed belongs in its owner's universe even if isolated
+    # (the oracle's d0 row exists unconditionally)
+    ray.get(
+        shards[abs(int(seed)) % n_shards].add_nodes.remote(
+            np.asarray([int(seed)], np.int64)
+        )
+    )
+    ray.get([s.finalize.remote(int(seed)) for s in shards])
+
+    for _ in range(max_rounds):
+        msg_refs = [s.relax_messages.remote() for s in shards]
+        changed = ray.get([s.fold.remote(*msg_refs) for s in shards])
+        if not any(changed):
+            break
+
+    out = ray.data.from_arrow_refs(
+        [s.dist_table.remote() for s in shards]
     ).materialize()
     for s in shards:
         ray.kill(s)

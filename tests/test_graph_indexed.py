@@ -209,3 +209,33 @@ def test_personalized_pagerank_teleports_only_to_seeds(ray_session):
     # r1(0) = 150_000 + 0 (node 1 starts at rank 0)
     # r2(0) = 150_000 + 85*(850_000//1)//100 = 872_500
     assert out[0] == 872_500
+
+
+def test_sssp_hand_graph(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import sssp_indexed
+
+    # 0 -5-> 1 -1-> 2 ; 0 -3-> 2 direct: dist(2) = 3 (not 6)
+    # 3 is dst-only, owned by a shard that holds no edges for it
+    edges = pd.DataFrame(
+        {"src": [0, 1, 0, 2], "dst": [1, 2, 2, 3], "w": [5, 1, 3, 10]}
+    )
+    out = (
+        sssp_indexed(ray.data.from_pandas(edges), seed=0, n_shards=4)
+        .to_pandas().set_index("node")["dist"]
+    )
+    assert dict(out) == {0: 0, 1: 5, 2: 3, 3: 13}
+
+
+def test_sssp_round_budget_truncates(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import sssp_indexed
+
+    # path 0->1->2->3, one round only reaches node 1
+    edges = pd.DataFrame(
+        {"src": [0, 1, 2], "dst": [1, 2, 3], "w": [1, 1, 1]}
+    )
+    out = (
+        sssp_indexed(ray.data.from_pandas(edges), seed=0,
+                     max_rounds=1, n_shards=4)
+        .to_pandas().set_index("node")["dist"]
+    )
+    assert dict(out) == {0: 0, 1: 1}
