@@ -2100,6 +2100,20 @@ def _q_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, threshold_pm=500, df_cap=20)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup: the smaller doc's 3-gram SET mostly inside
+    the larger's (|A∩B| >= 0.7*min set size) — catches partial copies
+    and quote expansions that cosine misses. Same gram-bucket exchange
+    and df-band contract as cosine_pairs; integer cross-multiplied
+    threshold."""
+    from pdf_extractor_ray.functions.allpairs import containment_pairs
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    return containment_pairs(docs, threshold_pm=700, df_cap=20)
+
+
 def _q_dedup_survivors(sf_dir: str):
     """Fuzzy-dedup survivor ids: one canonical doc per near-dup
     cluster plus every unclustered doc (bucketed anti-join, nothing
@@ -6500,6 +6514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_indexed": _q_dup_clusters_indexed,
         "cosine_pairs": _q_cosine_pairs,
+        "containment_pairs": _q_containment_pairs,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
         "neardup_bucketed": _q_neardup_bucketed,
@@ -10777,6 +10792,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    md5(text) AS text_md5
             FROM documents
+        """,
+        # asymmetric containment over distinct df-band 3-gram sets
+        "containment_pairs": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM w0,
+                     unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                         t(i)
+            ),
+            dft AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+            gb AS (
+                SELECT g.doc_id, g.gram FROM g JOIN dft USING (gram)
+                WHERE dft.df BETWEEN 2 AND 20
+            ),
+            sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                FROM gb GROUP BY 1
+            ),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM gb a JOIN gb b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.da AS doc_a, i.db AS doc_b, i.n_common,
+                   sa.sz AS size_a, sb.sz AS size_b
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.da
+            JOIN sz sb ON sb.doc_id = i.db
+            WHERE i.n_common * 1000 >= 700 * least(sa.sz, sb.sz)
         """,
         # exact AllPairs cosine: integer idf/norm/dot, sqrt-free compare
         "cosine_pairs": """

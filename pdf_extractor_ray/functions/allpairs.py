@@ -54,7 +54,7 @@ from ray.data.aggregate import Sum
 
 from .common import bucket_ids, coalesce_for_exchange
 
-__all__ = ["tfidf_cosine_pairs"]
+__all__ = ["tfidf_cosine_pairs", "containment_pairs"]
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -197,4 +197,131 @@ def tfidf_cosine_pairs(
     ]
     out = out[np.array(keep, bool)] if len(out) else out
     out = out[["doc_a", "doc_b", "dot", "norm_a", "norm_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    threshold_pm: int = 700,
+    df_cap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+) -> pd.DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER document's 3-gram
+    set is mostly inside the larger's — ``|A ∩ B| >= t * min(|A|,|B|)``
+    — the partial-copy / quote-expansion signal cosine misses (a
+    paragraph quoted inside a long page has low cosine but high
+    containment). Set semantics (tf ignored); same gram-bucket
+    exchange and df band contract as ``tfidf_cosine_pairs``; the
+    threshold is integer cross-multiplied (no divide).
+
+    Set sizes count ONLY df-band grams (the same universe the
+    intersection is computed over, so containment is well-defined and
+    the oracle replays it exactly).
+
+    Output: (doc_a, doc_b, n_common, size_a, size_b), doc_a < doc_b.
+    """
+
+    n_docs = docs.count()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_g, out_d = [], []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            ws = _WORD_RE.findall((text or "").lower())
+            seen = set()
+            for i in range(len(ws) - 2):
+                seen.add(f"{ws[i]} {ws[i+1]} {ws[i+2]}")
+            out_g.extend(seen)
+            out_d.extend([int(did)] * len(seen))
+        t = pa.table(
+            {
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(bucket_ids(t["gram"], n_buckets))
+        )
+
+    def per_gram(group: pd.DataFrame) -> pd.DataFrame:
+        sizes: list[pd.DataFrame] = []
+        pairs: list[pd.DataFrame] = []
+        for _, rows in group.groupby("gram"):
+            df = len(rows)
+            if df < 2 or df > df_cap:
+                continue
+            d = np.sort(rows["doc_id"].to_numpy(np.int64))
+            sizes.append(pd.DataFrame({"doc_id": d, "n": 1}))
+            ia, ib = np.triu_indices(len(d), k=1)
+            pairs.append(
+                pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib], "n": 1})
+            )
+        size = (
+            pd.concat(sizes).groupby("doc_id", as_index=False)["n"].sum()
+            if sizes
+            else pd.DataFrame({"doc_id": [], "n": []}).astype(np.int64)
+        )
+        pair = (
+            pd.concat(pairs)
+            .groupby(["doc_a", "doc_b"], as_index=False)["n"]
+            .sum()
+            if pairs
+            else pd.DataFrame({"doc_a": [], "doc_b": [], "n": []}).astype(
+                np.int64
+            )
+        )
+        size["kind"] = np.int8(0)
+        size = size.rename(columns={"doc_id": "doc_a"})
+        size["doc_b"] = np.int64(0)
+        pair["kind"] = np.int8(1)
+        cols = ["kind", "doc_a", "doc_b", "n"]
+        return pd.concat([size[cols], pair[cols]], ignore_index=True)
+
+    mixed = (
+        coalesce_for_exchange(
+            docs.select_columns([id_col, text_col]).map_batches(
+                gram_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_gram, batch_format="pandas")
+        .materialize()  # consumed twice: size lane + pair lane
+    )
+
+    sizes = (
+        mixed.filter(lambda r: r["kind"] == 0)
+        .groupby("doc_a")
+        .aggregate(Sum("n", alias_name="sz"))
+        .to_pandas()
+        .rename(columns={"doc_a": "doc_id"})
+    )
+
+    def pair_lane(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["kind"], 1)).select(
+            ["doc_a", "doc_b", "n"]
+        )
+
+    inter = (
+        mixed.map_batches(pair_lane, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_common"))
+        .to_pandas()
+    )
+
+    cols = ["doc_a", "doc_b", "n_common", "size_a", "size_b"]
+    if not len(inter) or not len(sizes):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    out = inter.merge(
+        sizes.rename(columns={"doc_id": "doc_a", "sz": "size_a"}), on="doc_a"
+    ).merge(
+        sizes.rename(columns={"doc_id": "doc_b", "sz": "size_b"}), on="doc_b"
+    )
+    mn = np.minimum(out["size_a"].to_numpy(), out["size_b"].to_numpy())
+    keep = out["n_common"].to_numpy() * 1000 >= int(threshold_pm) * mn
+    out = out[keep][cols].astype(np.int64)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -82,3 +82,26 @@ def test_df_band_is_the_contract(ray_session):
         ray.data.from_pandas(docs), threshold_pm=100, df_cap=4
     )
     assert len(out) == 0
+
+
+def test_containment_catches_partial_copy(ray_session):
+    from pdf_extractor_ray.functions.allpairs import containment_pairs
+
+    rng = np.random.RandomState(21)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(vocab[rng.randint(0, 60)] for _ in range(40))
+        for _ in range(10)
+    ]
+    # doc 10 = first quarter of doc 0 embedded in fresh text: low
+    # cosine, high containment of the smaller set
+    quote = " ".join(texts[0].split()[:10])
+    texts.append(quote)
+    docs = pd.DataFrame({"doc_id": range(11), "text": texts})
+    out = containment_pairs(
+        ray.data.from_pandas(docs).repartition(4),
+        threshold_pm=700, df_cap=15,
+    )
+    assert ((out["doc_a"] == 0) & (out["doc_b"] == 10)).any()
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 10)].iloc[0]
+    assert row["n_common"] * 1000 >= 700 * min(row["size_a"], row["size_b"])
