@@ -3165,6 +3165,19 @@ def _q_running_totals(sf_dir: str):
     return running_totals(events)
 
 
+def _q_props_rollup(sf_dir: str):
+    """Semi-structured lane: numeric field "k" extracted from the
+    props JSON column with zero-copy Arrow RE2 (no per-row
+    json.loads), rolled up per event_type; misses surface as NULL and
+    drop, exactly like json_extract + CAST in the oracle."""
+    from pdf_extractor_ray.functions.relational import json_prop_rollup
+
+    events = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "props"]
+    )
+    return json_prop_rollup(events, key="k")
+
+
 def _q_event_trigrams(sf_dir: str):
     """CEP-style multi-pattern counts: every ordered event-type triple
     occurring as three consecutive events with gaps <= 1h, counted per
@@ -6633,6 +6646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "full_outer_activity": _q_full_outer_activity,
         "event_trigrams": _q_event_trigrams,
+        "props_rollup": _q_props_rollup,
         "conversion_latency": _q_conversion_latency,
         "interarrival": _q_interarrival,
         "attribution": _q_attribution,
@@ -7653,6 +7667,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "props_rollup": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM v WHERE k IS NOT NULL GROUP BY event_type
         """,
         "event_trigrams": """
             WITH s AS (

@@ -29,6 +29,7 @@ Patterns demonstrated (each is the scale-path shape, not the easy one):
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import numpy as np
@@ -2402,6 +2403,53 @@ def running_totals(
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(cum_in_bucket, batch_format="pandas")
+    )
+
+
+def json_prop_rollup(
+    events: ray.data.Dataset,
+    key: str = "k",
+) -> ray.data.Dataset:
+    """Typed extraction of a numeric field from the ``props`` JSON
+    column, rolled up per event_type — the semi-structured-payload
+    lane (every event pipeline carries one).
+
+    The extraction is zero-copy Arrow RE2 (``pc.extract_regex`` with a
+    named group), not a per-row ``json.loads`` loop — the regex
+    handles the flat ``"key": <int>`` shape; rows where it misses
+    (absent key, non-numeric value, nested object) surface as NULL and
+    are excluded from the aggregates exactly like SQL's
+    ``json_extract``-then-CAST. Per-batch partials feed one tiny
+    groupby. Output: (event_type, n, sum_k, min_k, max_k).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    pat = r'"' + re.escape(key) + r'":\s*(?P<v>-?\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=pat)
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "v": v})
+        t = t.filter(pc.is_valid(t["v"]))
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), sum_k=("v", "sum"),
+            min_k=("v", "min"), max_k=("v", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        coalesce_for_exchange(
+            events.map_batches(partial, batch_format="pyarrow")
+        )
+        .groupby("event_type")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("sum_k", alias_name="sum_k"),
+            _Min("min_k", alias_name="min_k"),
+            _Max("max_k", alias_name="max_k"),
+        )
     )
 
 
