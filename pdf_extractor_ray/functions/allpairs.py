@@ -59,6 +59,53 @@ __all__ = ["tfidf_cosine_pairs", "containment_pairs"]
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length via frexp (exact for x < 2^53)."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def _band_spans(group: pd.DataFrame, df_cap: int):
+    """Sort the bucket's rows by gram; return (sorted frame, span
+    starts, span sizes) for grams inside the df band [2, df_cap]."""
+    g = group.sort_values("gram", kind="stable").reset_index(drop=True)
+    grams = g["gram"].to_numpy()
+    # span boundaries without per-gram iteration
+    change = np.concatenate(([True], grams[1:] != grams[:-1]))
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.concatenate((starts, [len(g)])))
+    band = (sizes >= 2) & (sizes <= df_cap)
+    return g, starts[band], sizes[band]
+
+
+def _concat_aranges(sizes: np.ndarray) -> np.ndarray:
+    """[arange(s) for s in sizes] concatenated, without a Python loop."""
+    total = int(sizes.sum())
+    if not total:
+        return np.empty(0, np.int64)
+    out = np.ones(total, np.int64)
+    ends = np.cumsum(sizes)
+    out[0] = 0
+    out[ends[:-1]] = 1 - sizes[:-1]
+    return np.cumsum(out)
+
+
+def _pair_indices(starts: np.ndarray, sizes: np.ndarray):
+    """All in-span row-index pairs, vectorized per size class (sizes
+    are df-capped, so there are at most df_cap-1 classes)."""
+    ia_all, ib_all = [], []
+    for s in np.unique(sizes):
+        sel = starts[sizes == s]
+        # (k, s) matrix of row indices for every span of this size
+        mat = sel[:, None] + np.arange(s)[None, :]
+        iu1, iu2 = np.triu_indices(s, k=1)
+        ia_all.append(mat[:, iu1].ravel())
+        ib_all.append(mat[:, iu2].ravel())
+    if not ia_all:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(ia_all), np.concatenate(ib_all)
+
+
 def tfidf_cosine_pairs(
     docs: ray.data.Dataset,
     threshold_pm: int = 500,
@@ -99,47 +146,43 @@ def tfidf_cosine_pairs(
         )
 
     def per_gram(group: pd.DataFrame) -> pd.DataFrame:
-        """df filter + weights + norm partials + pair-dot partials,
-        all inside the gram bucket."""
-        g = group.groupby("gram")
-        norm_parts: list[pd.DataFrame] = []
-        pair_parts: list[pd.DataFrame] = []
-        for _, rows in g:
-            df = len(rows)  # rows are per (gram, doc): df = #docs
-            if df < 2 or df > df_cap:
-                continue
-            bl = (n_docs // df).bit_length()
-            d = rows["doc_id"].to_numpy(np.int64)
-            w = rows["tf"].to_numpy(np.int64) * bl
-            order = np.argsort(d)
-            d, w = d[order], w[order]
-            norm_parts.append(pd.DataFrame({"doc_id": d, "w2": w * w}))
-            ia, ib = np.triu_indices(len(d), k=1)
-            pair_parts.append(
-                pd.DataFrame(
-                    {
-                        "doc_a": d[ia],
-                        "doc_b": d[ib],
-                        "dot": w[ia] * w[ib],
-                    }
-                )
+        """df filter + weights + norm partials + pair-dot partials —
+        fully vectorized (span detection by sorted-gram boundaries,
+        pair expansion by size class; no per-gram Python loop: the
+        loop was 15x the runtime at 160k grams/bucket)."""
+        g, starts, sizes = _band_spans(group, df_cap)
+        if not len(starts):
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype=np.int8),
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "dot": pd.Series([], dtype=np.int64),
+                }
             )
-        norm = (
-            pd.concat(norm_parts).groupby("doc_id", as_index=False)["w2"].sum()
-            if norm_parts
-            else pd.DataFrame({"doc_id": [], "w2": []}).astype(np.int64)
+        in_band = np.zeros(len(g), bool)
+        row_df = np.zeros(len(g), np.int64)
+        idx = np.repeat(starts, sizes) + _concat_aranges(sizes)
+        in_band[idx] = True
+        row_df[idx] = np.repeat(sizes, sizes)
+        d_all = g["doc_id"].to_numpy(np.int64)
+        tf_all = g["tf"].to_numpy(np.int64)
+        w_all = np.zeros(len(g), np.int64)
+        w_all[in_band] = tf_all[in_band] * _bit_length(
+            n_docs // row_df[in_band]
         )
+        norm = (
+            pd.DataFrame({"doc_a": d_all[in_band], "dot": w_all[in_band] ** 2})
+            .groupby("doc_a", as_index=False)["dot"].sum()
+        )
+        ia, ib = _pair_indices(starts, sizes)
+        lo = np.minimum(d_all[ia], d_all[ib])
+        hi = np.maximum(d_all[ia], d_all[ib])
         pairs = (
-            pd.concat(pair_parts)
-            .groupby(["doc_a", "doc_b"], as_index=False)["dot"]
-            .sum()
-            if pair_parts
-            else pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "dot": []}
-            ).astype(np.int64)
+            pd.DataFrame({"doc_a": lo, "doc_b": hi, "dot": w_all[ia] * w_all[ib]})
+            .groupby(["doc_a", "doc_b"], as_index=False)["dot"].sum()
         )
         norm["kind"] = np.int8(0)
-        norm = norm.rename(columns={"doc_id": "doc_a", "w2": "dot"})
         norm["doc_b"] = np.int64(0)
         pairs["kind"] = np.int8(1)
         cols = ["kind", "doc_a", "doc_b", "dot"]
@@ -156,8 +199,15 @@ def tfidf_cosine_pairs(
         .materialize()  # consumed twice: norm lane + pair lane
     )
 
+    def norm_lane(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["kind"], 0)).select(
+            ["doc_a", "dot"]
+        )
+
     norms = (
-        mixed.filter(lambda r: r["kind"] == 0)
+        mixed.map_batches(norm_lane, batch_format="pyarrow")
         .groupby("doc_a")
         .aggregate(Sum("dot", alias_name="n2"))
         .to_pandas()
@@ -246,34 +296,32 @@ def containment_pairs(
         )
 
     def per_gram(group: pd.DataFrame) -> pd.DataFrame:
-        sizes: list[pd.DataFrame] = []
-        pairs: list[pd.DataFrame] = []
-        for _, rows in group.groupby("gram"):
-            df = len(rows)
-            if df < 2 or df > df_cap:
-                continue
-            d = np.sort(rows["doc_id"].to_numpy(np.int64))
-            sizes.append(pd.DataFrame({"doc_id": d, "n": 1}))
-            ia, ib = np.triu_indices(len(d), k=1)
-            pairs.append(
-                pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib], "n": 1})
+        """Vectorized like the cosine twin: boundary spans + size-class
+        pair expansion, no per-gram loop."""
+        g, starts, sizes = _band_spans(group, df_cap)
+        if not len(starts):
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype=np.int8),
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
             )
+        d_all = g["doc_id"].to_numpy(np.int64)
+        band_idx = np.repeat(starts, sizes) + _concat_aranges(sizes)
         size = (
-            pd.concat(sizes).groupby("doc_id", as_index=False)["n"].sum()
-            if sizes
-            else pd.DataFrame({"doc_id": [], "n": []}).astype(np.int64)
+            pd.DataFrame({"doc_a": d_all[band_idx], "n": np.int64(1)})
+            .groupby("doc_a", as_index=False)["n"].sum()
         )
+        ia, ib = _pair_indices(starts, sizes)
+        lo = np.minimum(d_all[ia], d_all[ib])
+        hi = np.maximum(d_all[ia], d_all[ib])
         pair = (
-            pd.concat(pairs)
-            .groupby(["doc_a", "doc_b"], as_index=False)["n"]
-            .sum()
-            if pairs
-            else pd.DataFrame({"doc_a": [], "doc_b": [], "n": []}).astype(
-                np.int64
-            )
+            pd.DataFrame({"doc_a": lo, "doc_b": hi, "n": np.int64(1)})
+            .groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
         )
         size["kind"] = np.int8(0)
-        size = size.rename(columns={"doc_id": "doc_a"})
         size["doc_b"] = np.int64(0)
         pair["kind"] = np.int8(1)
         cols = ["kind", "doc_a", "doc_b", "n"]
@@ -290,8 +338,15 @@ def containment_pairs(
         .materialize()  # consumed twice: size lane + pair lane
     )
 
+    def size_lane(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["kind"], 0)).select(
+            ["doc_a", "n"]
+        )
+
     sizes = (
-        mixed.filter(lambda r: r["kind"] == 0)
+        mixed.map_batches(size_lane, batch_format="pyarrow")
         .groupby("doc_a")
         .aggregate(Sum("n", alias_name="sz"))
         .to_pandas()
