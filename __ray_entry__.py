@@ -5667,7 +5667,10 @@ def _q_pseudo_diameter(sf_dir: str):
         # distributed argmax with min-id tie-break; the closure table
         # is node-sized, the driver sees two scalars
         mx = closure.max("hops")
-        far = closure.filter(lambda r: r["hops"] == mx).min("node")
+        far = closure.map_batches(
+            lambda b: b.filter(pc.equal(b["hops"], mx)),
+            batch_format="pyarrow",
+        ).min("node")
         return int(far), int(mx)
 
     sweep1 = bfs_hops_indexed(edges, ray.data.from_items([{"node": 0}]))

@@ -113,8 +113,9 @@ def top_revenue_supplier(
     )
     best = per_supp.max("total_revenue_c")
 
-    winners = per_supp.filter(
-        lambda r: r["total_revenue_c"] == best
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue_c"], best)),
+        batch_format="pyarrow",
     ).to_pandas()
 
     keys = set(winners["s_suppkey"].tolist())
@@ -166,7 +167,10 @@ def large_volume_orders(
         )
         .groupby("o_orderkey")
         .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .filter(lambda r: r["sum_qty"] > min_qty)
+        .map_batches(  # vectorized HAVING: the agg is per-ORDER sized
+            lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)),
+            batch_format="pyarrow",
+        )
         .to_pandas()  # threshold tail: tiny by construction
     )
     ok_set_ref = ray.put(
