@@ -3165,6 +3165,16 @@ def _q_running_totals(sf_dir: str):
     return running_totals(events)
 
 
+def _q_max_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency (each event holds a slot 10 min):
+    the distributed global-prefix-sum pattern — per-window local scans
+    plus a driver-side carry fold over one int per time window."""
+    from pdf_extractor_ray.functions.relational import max_concurrency
+
+    events = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    return max_concurrency(events, hold_s=600)
+
+
 def _q_props_rollup(sf_dir: str):
     """Semi-structured lane: numeric field "k" extracted from the
     props JSON column with zero-copy Arrow RE2 (no per-row
@@ -6650,6 +6660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_activity": _q_full_outer_activity,
         "event_trigrams": _q_event_trigrams,
         "props_rollup": _q_props_rollup,
+        "max_concurrency": _q_max_concurrency,
         "conversion_latency": _q_conversion_latency,
         "interarrival": _q_interarrival,
         "attribution": _q_attribution,
@@ -7670,6 +7681,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "max_concurrency": """
+            WITH pts AS (
+                SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+                UNION ALL
+                SELECT epoch_us(ts) + 600000000, -1 FROM events
+            ),
+            net AS (
+                SELECT t AS ts_us, CAST(SUM(delta) AS BIGINT) AS d
+                FROM pts GROUP BY 1
+            ),
+            run AS (
+                SELECT ts_us,
+                       SUM(d) OVER (ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS r
+                FROM net
+            )
+            SELECT CAST((SELECT max(r) FROM run) AS BIGINT)
+                       AS max_concurrent,
+                   CAST((SELECT min(ts_us) FROM run
+                         WHERE r = (SELECT max(r) FROM run)) AS BIGINT)
+                       AS at_ts_us
         """,
         "props_rollup": """
             WITH v AS (

@@ -2406,6 +2406,90 @@ def running_totals(
     )
 
 
+def max_concurrency(
+    events: ray.data.Dataset,
+    hold_s: int = 600,
+    window_s: int = 86_400,
+) -> pd.DataFrame:
+    """Sweep-line maximum concurrency: each event holds a resource for
+    ``hold_s`` seconds; find the peak number simultaneously held and
+    the earliest instant it is reached — the load-sizing question every
+    event system asks, and the repo's distributed GLOBAL PREFIX SUM
+    pattern (a running sum over a globally time-ordered stream, which
+    no single groupby expresses).
+
+    Shape: (1) one pass folds events into +1/-1 boundary points,
+    pre-aggregated per (time-window, ts, delta) — the exchange carries
+    net deltas per distinct instant, not events; (2) an in-window task
+    sorts locally and emits BOTH the window's prefix maxima and its
+    TOTAL net delta; (3) the driver folds the per-window totals (one
+    int per window) into exclusive carries — the classic scan carry
+    step — and the final answer is max over windows of
+    (carry + local running max). Ends sort before starts at the same
+    instant (half-open intervals), which the oracle replays by
+    ordering on (ts, delta).
+
+    Output: one row (max_concurrent, at_ts_us).
+    """
+    hold_us = hold_s * 1_000_000
+    win_us = window_s * 1_000_000
+
+    def points(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t0 = ts.astype(np.int64)
+        t1 = t0 + hold_us
+        all_ts = np.concatenate([t0, t1])
+        delta = np.concatenate(
+            [np.ones(len(t0), np.int64), -np.ones(len(t1), np.int64)]
+        )
+        df = pd.DataFrame({"ts_us": all_ts, "delta": delta})
+        g = df.groupby("ts_us", as_index=False)["delta"].sum()
+        g["win"] = g["ts_us"] // win_us
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def window_scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("ts_us", as_index=False)["delta"].sum()
+        g = g.sort_values("ts_us")
+        run = g["delta"].cumsum().to_numpy()
+        # NOTE: net delta per instant already encodes "ends before
+        # starts" — at one instant the -1s and +1s collapse into one
+        # net step, and the running value AFTER the step is the
+        # concurrency ON the half-open interval starting there
+        best = int(run.max()) if len(run) else 0
+        at = int(g["ts_us"].to_numpy()[int(np.argmax(run))]) if len(run) else 0
+        total = int(g["delta"].sum())
+        return pd.DataFrame(
+            {
+                "win": [int(group["win"].iloc[0])],
+                "local_max": [best],
+                "at_ts_us": [at],
+                "net": [total],
+            }
+        )
+
+    per_win = (
+        coalesce_for_exchange(events.map_batches(points, batch_format="pyarrow"))
+        .groupby("win")
+        .map_groups(window_scan, batch_format="pandas")
+        .to_pandas()  # one row per time window: bounded by time span
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    # scan carry: concurrency entering window k = sum of nets before k
+    carry = np.concatenate(([0], np.cumsum(per_win["net"].to_numpy())[:-1]))
+    totals = carry + per_win["local_max"].to_numpy()
+    best_i = int(np.argmax(totals))
+    # earliest instant: among windows achieving the max, the first
+    # (windows are time-ordered and at_ts_us is the window's earliest
+    # argmax because cumsum argmax returns the first hit)
+    return pd.DataFrame(
+        {
+            "max_concurrent": [int(totals[best_i])],
+            "at_ts_us": [int(per_win["at_ts_us"].iloc[best_i])],
+        }
+    )
+
+
 def json_prop_rollup(
     events: ray.data.Dataset,
     key: str = "k",

@@ -51,3 +51,39 @@ def test_running_totals_tie_break_and_split_batches(ray_session):
     )
     # order: e1 (10:00) -> e2 (11:00, lower id) -> e3
     assert out["running_c"].tolist() == [100, 125, 175]
+
+
+def test_max_concurrency_carry_across_windows(ray_session):
+    from pdf_extractor_ray.functions.relational import max_concurrency
+
+    # three events starting just before a window boundary, held long
+    # enough to overlap into the next window: the peak (3) happens in
+    # window 1 only if the carry from window 0 is applied
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 23:55:00",  # win 0, holds into win 1
+            "2024-01-01 23:58:00",  # win 0, holds into win 1
+            "2024-01-02 00:01:00",  # win 1
+        ]
+    )
+    ev = pd.DataFrame({"ts": ts})
+    out = max_concurrency(
+        ray.data.from_pandas(ev).repartition(3), hold_s=600
+    )
+    assert out["max_concurrent"].tolist() == [3]
+    # earliest peak instant = third event's start
+    assert out["at_ts_us"].tolist() == [
+        int(pd.Timestamp("2024-01-02 00:01:00").value // 1000)
+    ]
+
+
+def test_max_concurrency_end_before_start(ray_session):
+    from pdf_extractor_ray.functions.relational import max_concurrency
+
+    # second event starts EXACTLY when the first ends: half-open
+    # intervals never overlap -> peak 1
+    ts = pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:10:00"])
+    out = max_concurrency(
+        ray.data.from_pandas(pd.DataFrame({"ts": ts})), hold_s=600
+    )
+    assert out["max_concurrent"].tolist() == [1]
