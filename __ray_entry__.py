@@ -5646,6 +5646,93 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_authority_topk(sf_dir: str):
+    """Composite: link-authority page selection — indexed PageRank
+    over the affine graph, scores joined back to documents via a
+    doc-bucket cogroup (no broadcast of the node-sized rank table),
+    length-gated (n_chars >= 500), top 20 by (rank DESC, doc_id ASC).
+    Oracle: the pagerank CTE stack joined to documents with the same
+    gate and order."""
+    from pdf_extractor_ray.functions.graph_indexed import pagerank_indexed
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    ids = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = ids.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        i = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(i, 3)
+        dst = np.stack(
+            [(i * 7 + 1) % n, (i * 13 + 2) % n, (i * 31 + 3) % n], axis=1
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ranks = pagerank_indexed(
+        ids.map_batches(mk_edges, batch_format="pyarrow"), ids, n_iters=5
+    )
+
+    # doc-bucket cogroup join (both sides node-sized; nothing broadcast)
+    nb = 64
+
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": d,
+                "rank_u": batch["rank_u"],
+                "lang": pa.array([""] * len(d), pa.string()),
+                "n_chars": pa.array(np.zeros(len(d), np.int64)),
+                "side": pa.array(np.zeros(len(d), np.int8)),
+                "bucket": pa.array(np.abs(d) % nb),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        flt = batch.filter(_pc.greater_equal(batch["n_chars"], 500))
+        d = flt["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": d,
+                "rank_u": pa.array(np.zeros(len(d), np.int64)),
+                "lang": flt["lang"],
+                "n_chars": flt["n_chars"].cast(pa.int64()),
+                "side": pa.array(np.ones(len(d), np.int8)),
+                "bucket": pa.array(np.abs(d) % nb),
+            }
+        )
+
+    def join_topk(group: pd.DataFrame) -> pd.DataFrame:
+        r = group[group["side"] == 0][["doc_id", "rank_u"]]
+        d = group[group["side"] == 1][["doc_id", "lang", "n_chars"]]
+        m = d.merge(r, on="doc_id")
+        # per-bucket prune to the bucket's own top 20: the global
+        # top 20 is a subset of the per-bucket top 20s
+        return m.sort_values(
+            ["rank_u", "doc_id"], ascending=[False, True]
+        ).head(20)
+
+    cand = (
+        coalesce_for_exchange(
+            ranks.map_batches(tag_rank, batch_format="pyarrow").union(
+                docs.map_batches(tag_docs, batch_format="pyarrow")
+            )
+        )
+        .groupby("bucket")
+        .map_groups(join_topk, batch_format="pandas")
+        .to_pandas()  # <= 20 * n_buckets rows
+    )
+    out = cand.sort_values(
+        ["rank_u", "doc_id"], ascending=[False, True]
+    ).head(20)
+    return out[["doc_id", "lang", "n_chars", "rank_u"]].reset_index(drop=True)
+
+
 def _q_pseudo_diameter(sf_dir: str):
     """Graph pseudo-diameter by double BFS sweep (the standard
     lower-bound heuristic, exact per its own definition): full BFS
@@ -6732,6 +6819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_indexed": _q_pagerank_indexed,
         "pagerank_personalized": _q_pagerank_personalized,
         "sssp": _q_sssp,
+        "authority_topk": _q_authority_topk,
         "pseudo_diameter": _q_pseudo_diameter,
         "hits": _q_hits,
         "hits_indexed": _q_hits_indexed,
@@ -11512,6 +11600,14 @@ def oracle_sql() -> dict[str, str]:
     # the indexed engine must reproduce the cogroup engine bit-exactly,
     # so it gates against the very same iteration-replay oracle
     d["pagerank_indexed"] = d["pagerank"]
+    # composite: pagerank scores joined to gated documents, top 20
+    d["authority_topk"] = (
+        "SELECT dd.doc_id, dd.lang, CAST(dd.n_chars AS BIGINT) AS n_chars,"
+        " pr.rank_u FROM (" + _pagerank_sql(5) + ") pr"
+        " JOIN documents dd ON dd.doc_id = pr.doc_id"
+        " WHERE dd.n_chars >= 500"
+        " ORDER BY pr.rank_u DESC, dd.doc_id ASC LIMIT 20"
+    )
     d["dup_clusters_indexed"] = d["dup_clusters"]
     d["hits_indexed"] = d["hits"]
     d["ann_recall"] = (
