@@ -147,6 +147,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "image_decode",
             "audio_features",
             "video_frames",
+            "pagerank_indexed",
+            "cosine_pairs",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()
