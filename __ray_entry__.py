@@ -5646,6 +5646,44 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Tensor-column reduction: per-dimension n/sum/min/max over the
+    embedding list column, exact via float64-promoted micro-unit
+    quantization (floor(x*1e6+0.5) — float32 -> double is exact, so
+    both sides see identical integers). Per-batch 2-D numpy fold emits
+    64 partial rows per block; one tiny groupby."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        u = np.floor(arr.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        d = u.shape[1]
+        return pa.table(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "n": np.full(d, u.shape[0], np.int64),
+                "sum_u": u.sum(axis=0),
+                "min_u": u.min(axis=0),
+                "max_u": u.max(axis=0),
+            }
+        )
+
+    return (
+        coalesce_for_exchange(emb.map_batches(partial, batch_format="pyarrow"))
+        .groupby("dim")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("sum_u", alias_name="sum_u"),
+            _Min("min_u", alias_name="min_u"),
+            _Max("max_u", alias_name="max_u"),
+        )
+    )
+
+
 def _q_authority_topk(sf_dir: str):
     """Composite: link-authority page selection — indexed PageRank
     over the affine graph, scores joined back to documents via a
@@ -6820,6 +6858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "sssp": _q_sssp,
         "authority_topk": _q_authority_topk,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "pseudo_diameter": _q_pseudo_diameter,
         "hits": _q_hits,
         "hits_indexed": _q_hits_indexed,
@@ -7769,6 +7808,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_value
             FROM documents
             GROUP BY CUBE(source, lang)
+        """,
+        "embedding_dim_stats": """
+            SELECT CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_u,
+                   CAST(MIN(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS min_u,
+                   CAST(MAX(CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS max_u
+            FROM (SELECT unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY 1
         """,
         "max_concurrency": """
             WITH pts AS (
