@@ -2114,6 +2114,37 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(docs, threshold_pm=700, df_cap=20)
 
 
+def _q_cluster_size_hist(sf_dir: str):
+    """Dedup report: histogram of near-dup cluster sizes (how much of
+    the corpus duplicates, and in what clump sizes) — an aggregate OF
+    an aggregate: indexed label-prop clusters -> per-cluster member
+    counts -> counts per size. Both rollups are narrow exchanges."""
+    from ray.data.aggregate import Count as _Count
+    from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+    from pdf_extractor_ray.functions.graph_indexed import (
+        connected_components_indexed,
+    )
+
+    pairs = minhash_dedup_pairs(_docs_with_dups(sf_dir), threshold=0.8)
+    clusters = connected_components_indexed(pairs)
+    sizes = clusters.groupby("cluster_id").aggregate(
+        _Count(alias_name="size")
+    )
+    return (
+        sizes.groupby("size")
+        .aggregate(_Count(alias_name="n_clusters"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "size": b["size"].cast(pa.int64()),
+                    "n_clusters": b["n_clusters"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_dedup_survivors(sf_dir: str):
     """Fuzzy-dedup survivor ids: one canonical doc per near-dup
     cluster plus every unclustered doc (bucketed anti-join, nothing
@@ -6664,6 +6695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_spans_min30": _q_strip_spans_min30,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_indexed": _q_dup_clusters_indexed,
+        "cluster_size_hist": _q_cluster_size_hist,
         "cosine_pairs": _q_cosine_pairs,
         "containment_pairs": _q_containment_pairs,
         "dedup_survivors": _q_dedup_survivors,
@@ -9346,6 +9378,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM d
             WHERE doc_id NOT IN
                   (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+        """,
+        "cluster_size_hist": f"""
+            WITH RECURSIVE {_CLUSTER_CTES},
+            sz AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                FROM clusters GROUP BY 1
+            )
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY size
         """,
         "dedup_ngram": """
             WITH s AS (
