@@ -2903,6 +2903,36 @@ def _q_triangles(sf_dir: str):
     return triangle_count(docs.map_batches(mk_edges, batch_format="pyarrow"))
 
 
+def _q_triangles_indexed(sf_dir: str):
+    """Same exact triangle count on the actor-sharded index: the edge
+    set is exchanged ONCE (vs ~7 coarse-bucket exchanges for the
+    Dataset-algebra engine); degrees, orientation, wedges and the
+    closing-edge probe run shard-local with only neighbor-degree ids
+    and the O(m^1.5) wedge stream moving actor-to-actor. Gated against
+    the very same SQL replay as `triangles`."""
+    from pdf_extractor_ray.functions.graph_indexed import (
+        triangle_count_indexed,
+    )
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        df = pd.DataFrame({"src": src, "dst": dst})
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return triangle_count_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow")
+    )
+
+
 def _q_entity_clusters(sf_dir: str):
     """Record-linkage composite: blocking -> exact Levenshtein match
     edges (dist <= 10) -> connected-component entity clusters with
@@ -6797,6 +6827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_neardup": _q_editdist_neardup,
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
+        "triangles_indexed": _q_triangles_indexed,
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
@@ -11704,6 +11735,7 @@ def oracle_sql() -> dict[str, str]:
     )
     d["dup_clusters_indexed"] = d["dup_clusters"]
     d["hits_indexed"] = d["hits"]
+    d["triangles_indexed"] = d["triangles"]
     d["ann_recall"] = (
         "SELECT b.query_id, "
         "CAST(count(l.neighbor_id) AS BIGINT) AS n_hit, "

@@ -52,6 +52,7 @@ __all__ = [
     "connected_components_indexed",
     "hits_indexed",
     "sssp_indexed",
+    "triangle_count_indexed",
 ]
 
 
@@ -1050,3 +1051,248 @@ def scc_members_indexed(
     for s in fwd_shards + bwd_shards:
         ray.kill(s)
     return out
+
+
+@ray.remote
+class _TriShard:
+    """Owns the incident-edge lists (and later the oriented CSR) for
+    its nodes during an indexed triangle count. Lifecycle:
+    add_incident* -> finalize_tri -> deg_queries -> deg_lookup (as a
+    peer) -> orient -> wedge_queries -> probe (as a peer)."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._x_parts: list[np.ndarray] = []
+        self._y_parts: list[np.ndarray] = []
+        # after finalize_tri: incident CSR + owned degrees
+        self._x: np.ndarray | None = None  # sorted owned endpoints
+        self._y: np.ndarray | None = None  # neighbor per incident row
+        self._deg_keys: np.ndarray | None = None
+        self._deg: np.ndarray | None = None
+        self._q_parts: list[np.ndarray] | None = None  # deg queries
+        # after orient: oriented out-edges (tail owned)
+        self._o_tail: np.ndarray | None = None
+        self._o_head: np.ndarray | None = None
+        self._o_dhead: np.ndarray | None = None
+
+    def add_incident(self, x: np.ndarray, y: np.ndarray) -> int:
+        self._x_parts.append(np.asarray(x, np.int64))
+        self._y_parts.append(np.asarray(y, np.int64))
+        return len(x)
+
+    def finalize_tri(self) -> int:
+        x = (
+            np.concatenate(self._x_parts)
+            if self._x_parts
+            else np.empty(0, np.int64)
+        )
+        y = (
+            np.concatenate(self._y_parts)
+            if self._y_parts
+            else np.empty(0, np.int64)
+        )
+        self._x_parts, self._y_parts = [], []
+        # local distinct is global distinct: every copy of undirected
+        # edge (u, v) arrives HERE for its u-side iff owner(u) == sid,
+        # so (x, y) duplicates collapse exactly
+        if len(x):
+            uv = np.unique(np.stack([x, y], axis=1), axis=0)
+            x, y = uv[:, 0], uv[:, 1]
+        self._x, self._y = x, y
+        self._deg_keys, counts = np.unique(x, return_counts=True)
+        self._deg = counts.astype(np.int64)
+        return len(x)
+
+    def deg_queries(self) -> list:
+        """Unique neighbor ids partitioned by owner shard (S slots —
+        callers route slot t to shard t's deg_lookup)."""
+        y = np.unique(self._y) if self._y is not None else np.empty(0, np.int64)
+        own = np.abs(y) % self.n
+        self._q_parts = [y[own == t] for t in range(self.n)]
+        return self._q_parts
+
+    def deg_lookup(self, nodes: np.ndarray) -> np.ndarray:
+        nodes = np.asarray(nodes, np.int64)
+        if not len(nodes):
+            return np.empty(0, np.int64)
+        # every queried node has >= 1 incident edge at its owner, so
+        # searchsorted always hits
+        pos = np.searchsorted(self._deg_keys, nodes)
+        return self._deg[pos]
+
+    def orient(self, *deg_replies: np.ndarray) -> int:
+        """Build the oriented out-edge set for owned tails: keep
+        (x, y) iff (deg(x), x) < (deg(y), y). Returns |N+| (this
+        shard's share of the distinct edge count: the orientation
+        assigns each undirected edge to exactly one owner)."""
+        # neighbor-degree lookup table from the peer replies (aligned
+        # with the partitions deg_queries returned)
+        qk = np.concatenate(self._q_parts) if self._q_parts else np.empty(0, np.int64)
+        qv = (
+            np.concatenate([np.asarray(r, np.int64) for r in deg_replies])
+            if deg_replies
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(qk)
+        qk, qv = qk[order], qv[order]
+        self._q_parts = None
+        x, y = self._x, self._y
+        dx = self._deg[np.searchsorted(self._deg_keys, x)]
+        dy = qv[np.searchsorted(qk, y)]
+        keep = (dx < dy) | ((dx == dy) & (x < y))
+        tail, head, dhead = x[keep], y[keep], dy[keep]
+        # sort segments by (tail, deg_head, head): wedge pairs then
+        # come out orientation-ordered for free
+        o = np.lexsort((head, dhead, tail))
+        self._o_tail, self._o_head, self._o_dhead = tail[o], head[o], dhead[o]
+        self._x = self._y = None  # incident lists no longer needed
+        return int(len(tail))
+
+    def wedge_queries(self) -> list:
+        """All wedge pairs (b, c) of this shard's apexes — b before c
+        in (deg, id) order, so the closing edge is oriented b -> c —
+        partitioned by owner(b) into S slots, each a (2, K) int64
+        array, routed to that owner's probe()."""
+        t, h = self._o_tail, self._o_head
+        bs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
+        if t is not None and len(t):
+            # offset-k sweep: positions p, p+k in the same tail
+            # segment pair up; max k is the max out-degree, which the
+            # orientation bounds at O(sqrt(m)) regardless of hub skew
+            k = 1
+            while True:
+                same = t[:-k] == t[k:] if k < len(t) else np.empty(0, bool)
+                if not same.any():
+                    break
+                p = np.flatnonzero(same)
+                bs.append(h[p])
+                cs.append(h[p + k])
+                k += 1
+        if bs:
+            b = np.concatenate(bs)
+            c = np.concatenate(cs)
+        else:
+            b = np.empty(0, np.int64)
+            c = np.empty(0, np.int64)
+        own = np.abs(b) % self.n
+        return [
+            np.stack([b[own == s], c[own == s]]) for s in range(self.n)
+        ]
+
+    def probe(self, *pair_blocks: np.ndarray) -> tuple[int, int]:
+        """Count wedge pairs that close: (b, c) is a triangle iff the
+        oriented edge b -> c exists in this shard (b is owned here).
+        Returns (n_pairs_probed, n_matched)."""
+        blocks = [np.asarray(pb, np.int64) for pb in pair_blocks]
+        n_pairs = int(sum(pb.shape[1] for pb in blocks))
+        if n_pairs == 0 or self._o_tail is None or not len(self._o_tail):
+            return n_pairs, 0
+        b = np.concatenate([pb[0] for pb in blocks])
+        c = np.concatenate([pb[1] for pb in blocks])
+        mine = pd.DataFrame({"b": self._o_tail, "c": self._o_head})
+        q = pd.DataFrame({"b": b, "c": c})
+        return n_pairs, int(len(q.merge(mine, on=["b", "c"], how="inner")))
+
+
+def triangle_count_indexed(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in equivalent of ``graph.triangle_count`` (one summary row:
+    n_edges, n_wedges, n_triangles; degree-oriented wedge-check with
+    the identical (deg, id) orientation rule, so the two engines and
+    the SQL oracle agree bit for bit) on the shard index.
+
+    The Dataset-algebra engine pays ~7 coarse-bucket exchanges
+    (distinct, degrees, 2x degree-attach, orientation, wedges, match).
+    Here the edge set is exchanged ONCE into shard actors (each
+    undirected edge lands at both endpoint owners); degrees, the
+    orientation, wedge generation and the closing-edge probe all
+    happen shard-local, with only neighbor-degree lookups (O(m) ids)
+    and the wedge stream (O(m^1.5) worst case, the algorithm's honest
+    currency) moving actor-to-actor through the object store. The
+    driver sees integers only.
+
+    Scale note: wedge blocks ship in one slot per (apex-shard, owner)
+    pair; at extreme m a chunked probe (multiple slots per pair) is a
+    num_returns change, same as the module-level BFS note.
+    """
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    S = n_shards
+    shards = [_TriShard.remote(i, S) for i in range(S)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        # per-batch distinct bounds the push volume; exact distinct
+        # happens at the owning shard (finalize_tri)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        x = np.concatenate([uv[:, 0], uv[:, 1]])
+        y = np.concatenate([uv[:, 1], uv[:, 0]])
+        return pa.table({"x": x, "y": y, "shard": np.abs(x) % S})
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        ray.get(
+            shards[sid].add_incident.remote(
+                group["x"].to_numpy(np.int64),
+                group["y"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    n_pushed = (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()
+    )
+    empty = n_pushed == 0
+    if not empty:
+        ray.get([s.finalize_tri.remote() for s in shards])
+        qs = [
+            s.deg_queries.options(num_returns=S).remote() for s in shards
+        ]
+        replies = [
+            [shards[t].deg_lookup.remote(qs[s][t]) for t in range(S)]
+            for s in range(S)
+        ]
+        n_out = ray.get(
+            [shards[s].orient.remote(*replies[s]) for s in range(S)]
+        )
+        wq = [
+            s.wedge_queries.options(num_returns=S).remote() for s in shards
+        ]
+        probes = [
+            shards[t].probe.remote(*[wq[s][t] for s in range(S)])
+            for t in range(S)
+        ]
+        res = ray.get(probes)
+        n_edges = int(sum(n_out))
+        n_wedges = int(sum(p for p, _ in res))
+        n_tri = int(sum(m for _, m in res))
+    else:
+        n_edges = n_wedges = n_tri = 0
+    for s in shards:
+        ray.kill(s)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+                "n_triangles": pa.array([n_tri], pa.int64()),
+            }
+        )
+    )

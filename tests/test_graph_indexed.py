@@ -239,3 +239,56 @@ def test_sssp_round_budget_truncates(ray_session):
         .to_pandas().set_index("node")["dist"]
     )
     assert dict(out) == {0: 0, 1: 1}
+
+
+def test_triangles_indexed_matches_cogroup_engine(ray_session):
+    from pdf_extractor_ray.functions.graph import triangle_count
+    from pdf_extractor_ray.functions.graph_indexed import (
+        triangle_count_indexed,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, m in [(40, 250), (300, 1500)]:
+        edges = pd.DataFrame(
+            {"src": rng.integers(0, n, m), "dst": rng.integers(0, n, m)}
+        )
+        a = triangle_count(ray.data.from_pandas(edges)).to_pandas()
+        b = triangle_count_indexed(
+            ray.data.from_pandas(edges), n_shards=4
+        ).to_pandas()
+        assert a.equals(b)
+
+
+def test_triangles_indexed_known_graph(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        triangle_count_indexed,
+    )
+
+    # K4 has 4 triangles, 6 edges; wedge stream under the (deg, id)
+    # orientation: every node has deg 3, out-degrees are 3/2/1/0 ->
+    # wedges C(3,2)+C(2,2) = 4, all of which close
+    edges = pd.DataFrame(
+        {"src": [0, 0, 0, 1, 1, 2], "dst": [1, 2, 3, 2, 3, 3]}
+    )
+    out = triangle_count_indexed(
+        ray.data.from_pandas(edges), n_shards=4
+    ).to_pandas()
+    assert out.iloc[0].tolist() == [6, 4, 4]
+
+
+def test_triangles_indexed_dup_and_selfloop_input(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        triangle_count_indexed,
+    )
+
+    # duplicated directed edges + self-loops collapse to one triangle
+    edges = pd.DataFrame(
+        {
+            "src": [0, 1, 0, 1, 2, 2, 5],
+            "dst": [1, 0, 2, 2, 0, 2, 5],
+        }
+    )
+    out = triangle_count_indexed(
+        ray.data.from_pandas(edges), n_shards=4
+    ).to_pandas()
+    assert out.iloc[0].tolist() == [3, 1, 1]
