@@ -50,6 +50,45 @@ class TestBigramFamiliarity:
         assert got.loc[0, "fam_milli"] > got.loc[99, "fam_milli"]
         assert got.loc[99, "fam_sum"] == 0  # every bigram unique
 
+    def test_broadcast_and_exchange_paths_identical(self, ray_session):
+        """The head-broadcast path (absent bigram => lg 0) and the
+        bigram-bucket cogroup path must agree bit for bit, including
+        docs whose bigrams are ALL singletons (fam row comes from the
+        doc_totals union on the exchange path)."""
+        from pdf_extractor_ray.functions.ngram_lm import bigram_familiarity
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(50)]
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, rng.integers(0, 30))),
+            }
+            for i in range(200)
+        ]
+        rows.append({"doc_id": 900, "text": "zzq yyx wwv uut"})  # all hapax
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        outs = {}
+        for path in ("broadcast", "exchange"):
+            got = bigram_familiarity(ds, count_path=path).to_pandas()
+            outs[path] = (
+                got[sorted(got.columns)]
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+                .astype("int64")
+            )
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["exchange"])
+        assert 900 in set(outs["broadcast"]["doc_id"])
+        # auto with a zero limit must take the exchange path and agree
+        got = bigram_familiarity(ds, broadcast_limit=0).to_pandas()
+        got = (
+            got[sorted(got.columns)]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got, outs["broadcast"])
+
     def test_matches_oracle_sf0001(self, ray_session):
         from pdf_extractor_ray.functions.ngram_lm import bigram_familiarity
 
