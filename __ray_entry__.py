@@ -3358,6 +3358,37 @@ def _q_kcore(sf_dir: str):
     return k_core(docs.map_batches(mk_edges, batch_format="pyarrow"), k=6)
 
 
+def _q_kcore_indexed(sf_dir: str):
+    """Same 6-core, same graph and oracle, on the shard index: the
+    edge set is exchanged ONCE into shard actors (vs three
+    corpus-sized cogroups PER peel round); each round moves only the
+    death-decrement partials, whose total volume across all rounds is
+    bounded by one pass over the edges."""
+    from pdf_extractor_ray.functions.graph_indexed import k_core_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+    m = max(n // 10, 10)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tree = ids[ids >= 1]
+        src = [np.concatenate([tree, tree])]
+        dst = [np.concatenate([tree // 2, tree // 3])]
+        nuc = ids[ids < m]
+        for a, b in ((7, 1), (13, 2), (31, 3), (17, 5), (23, 7)):
+            src.append(nuc)
+            dst.append((nuc * a + b) % m)
+        s = np.concatenate(src)
+        d = np.concatenate(dst)
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    return k_core_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"), k=6
+    )
+
+
 def _q_vocab_drift(sf_dir: str):
     """Crawl-monitoring vocabulary drift: top-20 words by absolute
     count delta between source 'src3' and the rest of the corpus —
@@ -6854,6 +6885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "profile": _q_profile,
         "kcore": _q_kcore,
+        "kcore_indexed": _q_kcore_indexed,
         "vocab_drift": _q_vocab_drift,
         "zipf_histogram": _q_zipf_histogram,
         "compression_ratio": _q_compression_ratio,
@@ -11736,6 +11768,7 @@ def oracle_sql() -> dict[str, str]:
     d["dup_clusters_indexed"] = d["dup_clusters"]
     d["hits_indexed"] = d["hits"]
     d["triangles_indexed"] = d["triangles"]
+    d["kcore_indexed"] = d["kcore"]
     d["ann_recall"] = (
         "SELECT b.query_id, "
         "CAST(count(l.neighbor_id) AS BIGINT) AS n_hit, "

@@ -53,6 +53,7 @@ __all__ = [
     "hits_indexed",
     "sssp_indexed",
     "triangle_count_indexed",
+    "k_core_indexed",
 ]
 
 
@@ -1296,3 +1297,209 @@ def triangle_count_indexed(
             }
         )
     )
+
+
+@ray.remote
+class _KCoreShard:
+    """Owns the undirected adjacency (CSR) and live degree of its
+    nodes during an indexed k-core peel. Lifecycle: add_incident* ->
+    finalize_kcore(k) -> rounds of find_deaths / n_last_died / apply
+    -> survivors."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._x_parts: list[np.ndarray] = []
+        self._y_parts: list[np.ndarray] = []
+        self._keys: np.ndarray | None = None   # owned nodes, sorted
+        self._off: np.ndarray | None = None    # CSR offsets per key
+        self._nbr: np.ndarray | None = None    # neighbor ids
+        self._deg: np.ndarray | None = None    # live degree per key
+        self._alive: np.ndarray | None = None
+        self._k = 0
+        self._died_last = 0
+
+    def add_incident(self, x: np.ndarray, y: np.ndarray) -> int:
+        self._x_parts.append(np.asarray(x, np.int64))
+        self._y_parts.append(np.asarray(y, np.int64))
+        return len(x)
+
+    def finalize_kcore(self, k: int) -> int:
+        self._k = int(k)
+        x = (
+            np.concatenate(self._x_parts)
+            if self._x_parts
+            else np.empty(0, np.int64)
+        )
+        y = (
+            np.concatenate(self._y_parts)
+            if self._y_parts
+            else np.empty(0, np.int64)
+        )
+        self._x_parts, self._y_parts = [], []
+        # local distinct is global distinct: every copy of undirected
+        # edge (u, v) reaches THIS shard for its u side iff owner(u)
+        # is sid, so per-shard dedupe collapses exactly
+        if len(x):
+            uv = np.unique(np.stack([x, y], axis=1), axis=0)
+            x, y = uv[:, 0], uv[:, 1]
+        self._keys, counts = np.unique(x, return_counts=True)
+        self._deg = counts.astype(np.int64)
+        self._off = np.zeros(len(self._keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._off[1:])
+        self._nbr = y  # x is sorted by np.unique/stack ordering
+        self._alive = np.ones(len(self._keys), dtype=bool)
+        return len(x)
+
+    def find_deaths(self) -> list:
+        """Mark owned nodes with live degree < k dead; return the
+        decrement partials (2, K) int64 [node, dec] for their CSR
+        neighbors, partitioned by owner shard (S slots)."""
+        dying = self._alive & (self._deg < self._k)
+        self._died_last = int(dying.sum())
+        self._alive &= ~dying
+        if self._died_last == 0 or self._nbr is None:
+            e = np.empty((2, 0), np.int64)
+            return [e for _ in range(self.n)]
+        idx = np.flatnonzero(dying)
+        spans = [
+            self._nbr[self._off[i] : self._off[i + 1]] for i in idx
+        ]
+        nbrs = np.concatenate(spans) if spans else np.empty(0, np.int64)
+        nodes, decs = np.unique(nbrs, return_counts=True)
+        own = np.abs(nodes) % self.n
+        return [
+            np.stack([nodes[own == t], decs[own == t].astype(np.int64)])
+            for t in range(self.n)
+        ]
+
+    def n_last_died(self) -> int:
+        return self._died_last
+
+    def apply(self, *dec_blocks: np.ndarray) -> int:
+        """Subtract neighbor-death decrements from still-alive owned
+        nodes (decrements addressed to already-dead nodes are moot —
+        the edge left the subgraph when its first endpoint died)."""
+        applied = 0
+        for blk in dec_blocks:
+            blk = np.asarray(blk, np.int64)
+            if not blk.shape[1] or self._keys is None or not len(self._keys):
+                continue
+            pos = np.searchsorted(self._keys, blk[0])
+            pos_c = np.minimum(pos, len(self._keys) - 1)
+            ok = (self._keys[pos_c] == blk[0]) & self._alive[pos_c]
+            np.subtract.at(self._deg, pos_c[ok], blk[1][ok])
+            applied += int(ok.sum())
+        return applied
+
+    def survivors(self) -> pa.Table:
+        if self._keys is None or not len(self._keys):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        m = self._alive
+        return pa.table(
+            {
+                "doc_id": pa.array(self._keys[m], pa.int64()),
+                "deg": pa.array(self._deg[m], pa.int64()),
+            }
+        )
+
+
+def k_core_indexed(
+    edges: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in equivalent of ``graph.k_core`` (survivor (doc_id, deg)
+    rows of the k-core under simultaneous-removal peel rounds — the
+    identical round evolution, so the two engines and the chained-CTE
+    SQL oracle agree exactly) on the shard index.
+
+    The Dataset-algebra engine pays three corpus-sized cogroups per
+    peel round (two survivor semi-joins + a degree rebuild), with the
+    edge set re-exchanged every round. Here the edge set is exchanged
+    ONCE into shard actors; each round moves only the death-decrement
+    partials — (neighbor, count) pairs for edges incident to nodes
+    that died THIS round — so total exchange volume across ALL rounds
+    is bounded by one pass over the edges (each edge's endpoint dies
+    at most once) plus S^2 empty slots per quiet round. The driver
+    sees one integer per shard per round.
+
+    Decrements addressed to nodes that died in the same or an earlier
+    round are skipped at apply: the edge already left the subgraph
+    with its first-dying endpoint, which is exactly the simultaneous
+    cogroup semantics. Raises RuntimeError if max_rounds is hit before
+    the fixpoint — a truncated peel is NOT the k-core.
+    """
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    S = n_shards
+    shards = [_KCoreShard.remote(i, S) for i in range(S)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        x = np.concatenate([uv[:, 0], uv[:, 1]])
+        y = np.concatenate([uv[:, 1], uv[:, 0]])
+        return pa.table({"x": x, "y": y, "shard": np.abs(x) % S})
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        ray.get(
+            shards[sid].add_incident.remote(
+                group["x"].to_numpy(np.int64),
+                group["y"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    n_pushed = (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()
+    )
+    if n_pushed:
+        ray.get([s.finalize_kcore.remote(k) for s in shards])
+        converged = False
+        for _ in range(max_rounds):
+            slots = [
+                s.find_deaths.options(num_returns=S).remote() for s in shards
+            ]
+            died = sum(ray.get([s.n_last_died.remote() for s in shards]))
+            if died == 0:
+                converged = True
+                break
+            ray.get(
+                [
+                    shards[t].apply.remote(*[slots[s][t] for s in range(S)])
+                    for t in range(S)
+                ]
+            )
+        if not converged:
+            for s in shards:
+                ray.kill(s)
+            raise RuntimeError(
+                f"k_core_indexed did not converge within "
+                f"max_rounds={max_rounds}"
+            )
+    out = ray.data.from_arrow_refs([s.survivors.remote() for s in shards])
+    out = out.materialize()
+    for s in shards:
+        ray.kill(s)
+    return out

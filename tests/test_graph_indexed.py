@@ -292,3 +292,54 @@ def test_triangles_indexed_dup_and_selfloop_input(ray_session):
         ray.data.from_pandas(edges), n_shards=4
     ).to_pandas()
     assert out.iloc[0].tolist() == [3, 1, 1]
+
+
+def test_kcore_indexed_matches_cogroup_engine(ray_session):
+    from pdf_extractor_ray.functions.graph import k_core
+    from pdf_extractor_ray.functions.graph_indexed import k_core_indexed
+
+    rng = np.random.default_rng(13)
+    for n, m, k in [(60, 400, 3), (300, 2500, 4)]:
+        edges = pd.DataFrame(
+            {"src": rng.integers(0, n, m), "dst": rng.integers(0, n, m)}
+        )
+        a = (
+            k_core(ray.data.from_pandas(edges), k=k)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            k_core_indexed(ray.data.from_pandas(edges), k=k, n_shards=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+
+def test_kcore_indexed_known_graph(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import k_core_indexed
+
+    # K5 (all deg 4) + a pendant chain off node 0: 2-core = the K5,
+    # chain peels over multiple cascade rounds
+    k5s, k5d = [], []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            k5s.append(i)
+            k5d.append(j)
+    edges = pd.DataFrame(
+        {"src": k5s + [0, 10, 11], "dst": k5d + [10, 11, 12]}
+    )
+    out = (
+        k_core_indexed(ray.data.from_pandas(edges), k=2, n_shards=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert out["deg"].tolist() == [4, 4, 4, 4, 4]
+
+
+def test_kcore_indexed_empty_core(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import k_core_indexed
+
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})  # path
+    out = k_core_indexed(
+        ray.data.from_pandas(edges), k=3, n_shards=4
+    ).to_pandas()
+    assert len(out) == 0
