@@ -1182,27 +1182,43 @@ def cocitation_topk(
         )
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        """Per-source pair expansion WITHOUT a per-source Python loop:
+        sorted-boundary span detection + size-class triu expansion
+        (the allpairs._pair_indices pattern — the per-source
+        DataFrame-per-group loop was the measured wall of the first
+        cut, same lesson as cosine_pairs). Sorting by (src, dst)
+        makes each span's dsts ascending, so (dsts[ia], dsts[ib])
+        reproduces the original sorted-h orientation exactly."""
+        from .allpairs import _pair_indices
+
         # distinct again: per-batch unique above doesn't dedup ACROSS
         # batches of the same source
         g = group[["src", "dst"]].drop_duplicates()
-        for _, adj in g.groupby("src", sort=False):
-            n = len(adj)
-            if n < 2 or n > max_out:
-                continue
-            h = np.sort(adj["dst"].to_numpy(dtype=np.int64))
-            i, j = np.triu_indices(n, k=1)
-            outs.append(pd.DataFrame({"x": h[i], "y": h[j]}))
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "x": pd.Series(dtype=np.int64),
-                    "y": pd.Series(dtype=np.int64),
-                    "n_common": pd.Series(dtype=np.int64),
-                }
-            )
-        allp = pd.concat(outs, ignore_index=True)
-        out = allp.groupby(["x", "y"], as_index=False).size()
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        srcs = g["src"].to_numpy(np.int64)
+        dsts = g["dst"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "x": pd.Series(dtype=np.int64),
+                "y": pd.Series(dtype=np.int64),
+                "n_common": pd.Series(dtype=np.int64),
+            }
+        )
+        if not len(srcs):
+            return empty
+        bnd = np.flatnonzero(np.diff(srcs)) + 1
+        starts = np.concatenate(([0], bnd))
+        sizes = np.diff(np.concatenate((starts, [len(srcs)])))
+        keep = (sizes >= 2) & (sizes <= max_out)
+        starts, sizes = starts[keep], sizes[keep]
+        if not len(starts):
+            return empty
+        ia, ib = _pair_indices(starts, sizes)
+        out = (
+            pd.DataFrame({"x": dsts[ia], "y": dsts[ib]})
+            .groupby(["x", "y"], as_index=False)
+            .size()
+        )
         return out.rename(columns={"size": "n_common"}).astype(np.int64)
 
     per_bucket = (
