@@ -2933,6 +2933,37 @@ def _q_triangles_indexed(sf_dir: str):
     )
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus over the affine 3-out-link graph
+    (same graph as `pagerank`/`triangles`): 2 walks per source node,
+    length 6, step choice = first-8-md5-hex("node:step:walk") %
+    outdeg over ascending-ranked outlinks — exactly replayed by the
+    oracle's recursive CTE. Edge set exchanged once into shard
+    actors; each round moves only live walk-state triples."""
+    from pdf_extractor_ray.functions.graph_indexed import (
+        random_walks_indexed,
+    )
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    return random_walks_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"),
+        walk_len=6,
+        walks_per_node=2,
+    )
+
+
 def _q_entity_clusters(sf_dir: str):
     """Record-linkage composite: blocking -> exact Levenshtein match
     edges (dist <= 10) -> connected-component entity clusters with
@@ -6859,6 +6890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": _q_entity_clusters,
         "triangles": _q_triangles,
         "triangles_indexed": _q_triangles_indexed,
+        "random_walks": _q_random_walks,
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
@@ -8778,6 +8810,50 @@ def oracle_sql() -> dict[str, str]:
               ON a.w1 = c.w1 AND a.band = c.band AND a.doc_id < c.doc_id
             ORDER BY dist ASC, doc_a ASC, doc_b ASC
             LIMIT 50
+        """,
+        "random_walks": """
+            -- Deterministic DeepWalk corpus: recursive CTE replay of
+            -- H(node, step, walk) = first-8-md5-hex % outdeg over
+            -- ascending-ranked outlinks; walks end at sink nodes.
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                    FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 13 + 2) % nn.n
+                    FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 31 + 3) % nn.n
+                    FROM documents, nn
+                ) WHERE src <> dst
+            ),
+            adj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst)
+                           - 1 AS rnk,
+                       count(*) OVER (PARTITION BY src) AS odeg
+                FROM e
+            ),
+            wk(start, walk, step, node) AS (
+                SELECT DISTINCT src, w.walk, 0, src
+                FROM adj, (SELECT unnest(generate_series(0, 1)) AS walk) w
+                UNION ALL
+                SELECT wk.start, wk.walk, wk.step + 1, a.dst
+                FROM wk JOIN adj a ON a.src = wk.node
+                 AND a.rnk = CAST(
+                     ('0x' || substring(md5(
+                         CAST(wk.node AS VARCHAR) || ':' ||
+                         CAST(wk.step + 1 AS VARCHAR) || ':' ||
+                         CAST(wk.walk AS VARCHAR)), 1, 8))::UBIGINT
+                     % a.odeg AS BIGINT)
+                WHERE wk.step + 1 <= 5
+            )
+            SELECT CAST(start AS BIGINT) AS start,
+                   CAST(walk AS BIGINT) AS walk,
+                   CAST(step AS BIGINT) AS step,
+                   CAST(node AS BIGINT) AS node
+            FROM wk
         """,
         "triangles": """
             -- Degree-oriented wedge-check triangle count over the

@@ -1503,3 +1503,233 @@ def k_core_indexed(
     for s in shards:
         ray.kill(s)
     return out
+
+
+@ray.remote
+class _WalkShard:
+    """Owns the out-adjacency (CSR, dsts ascending in-span) of its
+    nodes during deterministic random-walk generation, plus the output
+    buffer of walk positions it emitted. Lifecycle: add_edges* ->
+    finalize_walks -> start(walks_per_node) -> step(t)* -> drain."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._keys: np.ndarray | None = None
+        self._off: np.ndarray | None = None
+        self._nbr: np.ndarray | None = None
+        self._out: list[tuple[np.ndarray, np.ndarray, int, np.ndarray]] = []
+        self._n_live = 0
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def finalize_walks(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts
+            else np.empty(0, np.int64)
+        )
+        self._src_parts, self._dst_parts = [], []
+        if len(src):
+            # distinct + (src, dst)-sorted in one shot: in-span dsts
+            # ascending is the rank order the oracle's row_number
+            # replays
+            sd = np.unique(np.stack([src, dst], axis=1), axis=0)
+            src, dst = sd[:, 0], sd[:, 1]
+        self._keys, counts = np.unique(src, return_counts=True)
+        self._off = np.zeros(len(self._keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._off[1:])
+        self._nbr = dst
+        return len(src)
+
+    def _advance(
+        self, t: int, starts: np.ndarray, ws: np.ndarray, cur: np.ndarray
+    ) -> list:
+        """Advance walk states sitting on owned nodes: pick the
+        H(cur, t, w) % outdeg ranked outlink, record the emitted
+        positions, return next states partitioned by owner(next)."""
+        import hashlib
+
+        if len(cur) and self._keys is not None and len(self._keys):
+            pos = np.searchsorted(self._keys, cur)
+            pos_c = np.minimum(pos, len(self._keys) - 1)
+            live = self._keys[pos_c] == cur
+        else:
+            live = np.zeros(len(cur), dtype=bool)
+        starts, ws, cur = starts[live], ws[live], cur[live]
+        if not len(cur):
+            self._n_live = 0
+            e = np.empty((3, 0), np.int64)
+            return [e for _ in range(self.n)]
+        pos = np.searchsorted(self._keys, cur)
+        odeg = self._off[pos + 1] - self._off[pos]
+        # H = first 8 hex digits of md5("cur:t:w") — replayed verbatim
+        # by the oracle's ('0x' || substring(md5(...), 1, 8))::UBIGINT
+        choice = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{c}:{t}:{w}".encode()).hexdigest()[:8], 16
+                )
+                for c, w in zip(cur.tolist(), ws.tolist())
+            ),
+            dtype=np.int64,
+            count=len(cur),
+        ) % odeg
+        nxt = self._nbr[self._off[pos] + choice]
+        self._out.append((starts, ws, t, nxt))
+        self._n_live = len(nxt)
+        own = np.abs(nxt) % self.n
+        return [
+            np.stack([starts[own == s], ws[own == s], nxt[own == s]])
+            for s in range(self.n)
+        ]
+
+    def start(self, walks_per_node: int, t: int) -> list:
+        """Seed one walk state per (owned source node, walk id) and
+        advance them one step (t = 1)."""
+        W = walks_per_node
+        nodes = self._keys if self._keys is not None else np.empty(0, np.int64)
+        starts = np.repeat(nodes, W)
+        ws = np.tile(np.arange(W, dtype=np.int64), len(nodes))
+        return self._advance(t, starts, ws, starts.copy())
+
+    def step(self, t: int, *state_blocks: np.ndarray) -> list:
+        blocks = [np.asarray(b, np.int64) for b in state_blocks]
+        if blocks:
+            starts = np.concatenate([b[0] for b in blocks])
+            ws = np.concatenate([b[1] for b in blocks])
+            cur = np.concatenate([b[2] for b in blocks])
+        else:
+            starts = ws = cur = np.empty(0, np.int64)
+        return self._advance(t, starts, ws, cur)
+
+    def n_live(self) -> int:
+        return self._n_live
+
+    def drain(self, walks_per_node: int) -> pa.Table:
+        """Step-0 positions for owned start nodes + every emitted
+        step-t position."""
+        nodes = self._keys if self._keys is not None else np.empty(0, np.int64)
+        W = walks_per_node
+        s0 = np.repeat(nodes, W)
+        w0 = np.tile(np.arange(W, dtype=np.int64), len(nodes))
+        starts = [s0] + [s for s, _, _, _ in self._out]
+        ws = [w0] + [w for _, w, _, _ in self._out]
+        steps = [np.zeros(len(s0), np.int64)] + [
+            np.full(len(s), t, np.int64) for s, _, t, _ in self._out
+        ]
+        nodes_o = [s0] + [n for _, _, _, n in self._out]
+        return pa.table(
+            {
+                "start": pa.array(np.concatenate(starts), pa.int64()),
+                "walk": pa.array(np.concatenate(ws), pa.int64()),
+                "step": pa.array(np.concatenate(steps), pa.int64()),
+                "node": pa.array(np.concatenate(nodes_o), pa.int64()),
+            }
+        )
+
+
+def random_walks_indexed(
+    edges: ray.data.Dataset,
+    walk_len: int = 8,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic DeepWalk-style walk corpus over a directed graph
+    (the graph-structured analogue of a training-data export: walk
+    sequences feed skip-gram / node-embedding training exactly like
+    token streams feed LMs).
+
+    Semantics (exactly replayable in SQL, see the `random_walks`
+    oracle): adjacency is the DISTINCT self-loop-free edge set with
+    each source's outlinks ranked ascending by dst; every node with
+    outdeg >= 1 starts ``walks_per_node`` walks; at step t (1-based)
+    a walk at node v moves to the outlink with rank
+    ``H(v, t, w) % outdeg(v)`` where H = the first 8 md5 hex digits
+    of "v:t:w" — the repo's standard SQL-replayable hash (cf.
+    hash_sample) — and a walk ENDS when it reaches a node with no
+    outlinks. Output: one row per visited position
+    (start, walk, step, node), step 0 included.
+
+    Index shape: the edge set is exchanged once into shard actors;
+    each of the walk_len-1 rounds moves only the live walk-state
+    triples (start, walk, cur) actor-to-actor — O(n_live) per round,
+    zero edge movement, integers only to the driver. The md5 loop is
+    the per-state cost; it is the price of SQL replayability (a
+    vectorized hash here would need a matching SQL builtin).
+    """
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    S = n_shards
+    shards = [_WalkShard.remote(i, S) for i in range(S)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        sd = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": sd[:, 0],
+                "dst": sd[:, 1],
+                "shard": np.abs(sd[:, 0]) % S,
+            }
+        )
+
+    def push(group: pd.DataFrame) -> pd.DataFrame:
+        sid = int(group["shard"].iloc[0])
+        ray.get(
+            shards[sid].add_edges.remote(
+                group["src"].to_numpy(np.int64),
+                group["dst"].to_numpy(np.int64),
+            )
+        )
+        return pd.DataFrame({"n": [len(group)]})
+
+    n_pushed = (
+        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
+        .groupby("shard")
+        .map_groups(push, batch_format="pandas")
+        .count()
+    )
+    if n_pushed and walk_len > 1:
+        ray.get([s.finalize_walks.remote() for s in shards])
+        slots = [
+            s.start.options(num_returns=S).remote(walks_per_node, 1)
+            for s in shards
+        ]
+        for t in range(2, walk_len):
+            if sum(ray.get([s.n_live.remote() for s in shards])) == 0:
+                break
+            slots = [
+                shards[u]
+                .step.options(num_returns=S)
+                .remote(t, *[slots[s][u] for s in range(S)])
+                for u in range(S)
+            ]
+        ray.get([s.n_live.remote() for s in shards])  # step barrier
+    elif n_pushed:
+        ray.get([s.finalize_walks.remote() for s in shards])
+    out = ray.data.from_arrow_refs(
+        [s.drain.remote(walks_per_node) for s in shards]
+    )
+    out = out.materialize()
+    for s in shards:
+        ray.kill(s)
+    return out

@@ -343,3 +343,84 @@ def test_kcore_indexed_empty_core(ray_session):
         ray.data.from_pandas(edges), k=3, n_shards=4
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_random_walks_known_graph_and_sinks(ray_session):
+    import hashlib
+    from pdf_extractor_ray.functions.graph_indexed import (
+        random_walks_indexed,
+    )
+
+    # 0 -> {1, 2}, 1 -> {2}; 2 is a sink: walks end there
+    edges = pd.DataFrame({"src": [0, 0, 1, 0], "dst": [1, 2, 2, 1]})
+    out = (
+        random_walks_indexed(
+            ray.data.from_pandas(edges),
+            walk_len=4,
+            walks_per_node=1,
+            n_shards=4,
+        )
+        .to_pandas()
+        .sort_values(["start", "walk", "step"])
+        .reset_index(drop=True)
+    )
+
+    def h(v, t, w):
+        return int(hashlib.md5(f"{v}:{t}:{w}".encode()).hexdigest()[:8], 16)
+
+    # replay by hand: start 0 at step1 picks rank h(0,1,0)%2 of [1,2]
+    adj = {0: [1, 2], 1: [2]}
+    want = []
+    for s in (0, 1):
+        v = s
+        want.append((s, 0, 0, v))
+        for t in range(1, 4):
+            if v not in adj:
+                break
+            v = adj[v][h(v, t, 0) % len(adj[v])]
+            want.append((s, 0, t, v))
+    want_df = (
+        pd.DataFrame(want, columns=["start", "walk", "step", "node"])
+        .sort_values(["start", "walk", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["start", "walk", "step", "node"]].astype("int64"),
+        want_df.astype("int64"),
+    )
+    # every walk that reached the sink stopped there
+    assert (out.groupby(["start", "walk"])["step"].max() <= 3).all()
+
+
+def test_random_walks_multi_walk_and_dup_edges(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        random_walks_indexed,
+    )
+
+    # duplicate directed edges + self-loops collapse before ranking
+    edges = pd.DataFrame(
+        {"src": [0, 0, 0, 0, 1, 2], "dst": [1, 1, 2, 0, 0, 0]}
+    )
+    out = random_walks_indexed(
+        ray.data.from_pandas(edges),
+        walk_len=5,
+        walks_per_node=3,
+        n_shards=4,
+    ).to_pandas()
+    # 3 sources x 3 walks x step0 rows present
+    z = out[out["step"] == 0]
+    assert len(z) == 9
+    # strongly connected: every walk runs the full length
+    assert len(out) == 9 * 5
+    # walks are deterministic: rerun is identical
+    out2 = random_walks_indexed(
+        ray.data.from_pandas(edges),
+        walk_len=5,
+        walks_per_node=3,
+        n_shards=4,
+    ).to_pandas()
+    key = ["start", "walk", "step", "node"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[key],
+        out2.sort_values(key).reset_index(drop=True)[key],
+    )
