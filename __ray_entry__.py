@@ -2964,6 +2964,37 @@ def _q_random_walks(sf_dir: str):
     )
 
 
+def _q_walk_skipgrams(sf_dir: str):
+    """DeepWalk training-pair extraction composed on the walk corpus:
+    skip-gram (center, context) counts with window 2 over the same
+    deterministic walks as `random_walks` — one walk-bucket exchange
+    (pairs pre-aggregated in bucket) + one pair-bucket sum."""
+    from pdf_extractor_ray.functions.graph import skipgram_pairs
+    from pdf_extractor_ray.functions.graph_indexed import (
+        random_walks_indexed,
+    )
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    walks = random_walks_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"),
+        walk_len=6,
+        walks_per_node=2,
+    )
+    return skipgram_pairs(walks, window=2)
+
+
 def _q_entity_clusters(sf_dir: str):
     """Record-linkage composite: blocking -> exact Levenshtein match
     edges (dist <= 10) -> connected-component entity clusters with
@@ -6891,6 +6922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "triangles_indexed": _q_triangles_indexed,
         "random_walks": _q_random_walks,
+        "walk_skipgrams": _q_walk_skipgrams,
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
@@ -8854,6 +8886,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(step AS BIGINT) AS step,
                    CAST(node AS BIGINT) AS node
             FROM wk
+        """,
+        "walk_skipgrams": """
+            -- Skip-gram pairs over the deterministic walk corpus:
+            -- same recursive-CTE walks as `random_walks`, then a
+            -- windowed self-join within each (start, walk).
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                    FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 13 + 2) % nn.n
+                    FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 31 + 3) % nn.n
+                    FROM documents, nn
+                ) WHERE src <> dst
+            ),
+            adj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst)
+                           - 1 AS rnk,
+                       count(*) OVER (PARTITION BY src) AS odeg
+                FROM e
+            ),
+            wk(start, walk, step, node) AS (
+                SELECT DISTINCT src, w.walk, 0, src
+                FROM adj, (SELECT unnest(generate_series(0, 1)) AS walk) w
+                UNION ALL
+                SELECT wk.start, wk.walk, wk.step + 1, a.dst
+                FROM wk JOIN adj a ON a.src = wk.node
+                 AND a.rnk = CAST(
+                     ('0x' || substring(md5(
+                         CAST(wk.node AS VARCHAR) || ':' ||
+                         CAST(wk.step + 1 AS VARCHAR) || ':' ||
+                         CAST(wk.walk AS VARCHAR)), 1, 8))::UBIGINT
+                     % a.odeg AS BIGINT)
+                WHERE wk.step + 1 <= 5
+            )
+            SELECT CAST(a.node AS BIGINT) AS center,
+                   CAST(b.node AS BIGINT) AS context,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM wk a JOIN wk b
+              ON a.start = b.start AND a.walk = b.walk
+             AND abs(a.step - b.step) BETWEEN 1 AND 2
+            GROUP BY a.node, b.node
         """,
         "triangles": """
             -- Degree-oriented wedge-check triangle count over the

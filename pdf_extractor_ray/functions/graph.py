@@ -40,7 +40,7 @@ import ray.data
 
 from .common import coalesce_for_exchange
 
-__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk", "bfs_hops", "scc_members"]
+__all__ = ["connected_components", "canonical_doc_ids", "pagerank", "hits", "triangle_count", "k_core", "cocitation_topk", "bfs_hops", "scc_members", "skipgram_pairs"]
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -1383,4 +1383,108 @@ def scc_members(
         coalesce_for_exchange(f_t.union(b_t))
         .groupby("bucket")
         .map_groups(intersect, batch_format="pandas")
+    )
+
+
+def skipgram_pairs(
+    walks: ray.data.Dataset,
+    window: int = 2,
+    n_buckets: int = 128,
+) -> ray.data.Dataset:
+    """Skip-gram (center, context, n_pairs) counts over a walk corpus
+    — the DeepWalk/word2vec training-pair extraction step, applied to
+    ``random_walks_indexed`` output (start, walk, step, node). A
+    center at step s pairs with every position at step s±d for
+    1 <= d <= window within the SAME walk.
+
+    Shape: one (start, walk)-bucket exchange groups each walk's
+    positions (a walk is at most walk_len rows, so buckets stay
+    balanced); the bucket task sorts by step and emits pairs with an
+    offset-d sweep (both directions) pre-aggregated per bucket, then
+    one pair-bucket exchange sums the partials — the module-standard
+    two-exchange aggregate, never materializing the raw pair stream
+    driver-side.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["walk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": _bucket(s * np.int64(1_000_003) + w, n_buckets),
+                "start": s,
+                "walk": w,
+                "step": batch["step"].cast(pa.int64()),
+                "node": batch["node"].cast(pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["start", "walk", "step"], kind="mergesort")
+        sw = (
+            g["start"].to_numpy(np.int64) * np.int64(1_000_003)
+            + g["walk"].to_numpy(np.int64)
+        )
+        st = g["step"].to_numpy(np.int64)
+        nd = g["node"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if d >= len(nd):
+                break
+            same = (sw[:-d] == sw[d:]) & (st[:-d] + d == st[d:])
+            p = np.flatnonzero(same)
+            if not len(p):
+                continue
+            # both directions: (center, later context) and the mirror
+            cs.append(nd[p])
+            xs.append(nd[p + d])
+            cs.append(nd[p + d])
+            xs.append(nd[p])
+        if not cs:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series(dtype=np.int64),
+                    "context": pd.Series(dtype=np.int64),
+                    "n_pairs": pd.Series(dtype=np.int64),
+                }
+            )
+        out = (
+            pd.DataFrame(
+                {"center": np.concatenate(cs), "context": np.concatenate(xs)}
+            )
+            .groupby(["center", "context"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n_pairs"}).astype(np.int64)
+
+    per_bucket = (
+        coalesce_for_exchange(walks.map_batches(tag, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        c = batch["center"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch["context"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pbucket": _bucket(c * np.int64(1_000_003) + x, n_buckets),
+                "center": c,
+                "context": x,
+                "n_pairs": batch["n_pairs"].cast(pa.int64()),
+            }
+        )
+
+    def sum_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["center", "context"], as_index=False)[
+            "n_pairs"
+        ].sum()
+        return out.astype(np.int64)
+
+    return (
+        coalesce_for_exchange(
+            per_bucket.map_batches(tag_pair, batch_format="pyarrow")
+        )
+        .groupby("pbucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
     )

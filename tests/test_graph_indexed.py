@@ -5,6 +5,7 @@ loops, and unreachable seeds."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray
@@ -424,3 +425,33 @@ def test_random_walks_multi_walk_and_dup_edges(ray_session):
         out.sort_values(key).reset_index(drop=True)[key],
         out2.sort_values(key).reset_index(drop=True)[key],
     )
+
+
+def test_skipgram_pairs_hand_window(ray_session):
+    from pdf_extractor_ray.functions.graph import skipgram_pairs
+
+    # one walk 10->11->12->13, one walk 20->21 (different start)
+    rows = [
+        {"start": 10, "walk": 0, "step": 0, "node": 10},
+        {"start": 10, "walk": 0, "step": 1, "node": 11},
+        {"start": 10, "walk": 0, "step": 2, "node": 12},
+        {"start": 10, "walk": 0, "step": 3, "node": 13},
+        {"start": 20, "walk": 0, "step": 0, "node": 20},
+        {"start": 20, "walk": 0, "step": 1, "node": 21},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = skipgram_pairs(ds, window=2).to_pandas()
+    got = {
+        (r.center, r.context): r.n_pairs for r in out.itertuples()
+    }
+    # walk 1: d=1 pairs (10,11),(11,12),(12,13) + mirrors;
+    # d=2 pairs (10,12),(11,13) + mirrors; walk 2: (20,21)+(21,20);
+    # no cross-walk pairs
+    assert got[(10, 11)] == 1 and got[(11, 10)] == 1
+    assert got[(10, 12)] == 1 and got[(12, 10)] == 1
+    assert got[(20, 21)] == 1 and got[(21, 20)] == 1
+    assert (10, 13) not in got and (10, 20) not in got
+    # 3 d=1 pairs + 2 d=2 pairs in walk 1, 1 d=1 pair in walk 2,
+    # each in both directions
+    assert len(got) == 12
+    assert all(v == 1 for v in got.values())
