@@ -1054,6 +1054,44 @@ def scc_members_indexed(
     return out
 
 
+def _direct_push(
+    edges: ray.data.Dataset,
+    make_xy,
+    shards: list,
+    method: str,
+) -> int:
+    """Fused tag+push index build: each scan batch partitions its rows
+    by owner shard and pushes them STRAIGHT into the shard actors,
+    bypassing the groupby(shard) sort exchange — which an A/B at 2M
+    nodes / 6M edges measured as pure overhead for this many-to-few
+    routing (14.5 s -> 6.2 s, identical shard contents; push order is
+    irrelevant because every finalize does an exact distinct/merge).
+    ``ray.get`` per batch applies backpressure so scan tasks cannot
+    outrun the shards. Returns the number of pushed rows."""
+    S = len(shards)
+
+    def tag_push(batch: pa.Table) -> pa.Table:
+        x, y = make_xy(batch)
+        if not len(x):
+            return pa.table({"n": pa.array([0], pa.int64())})
+        own = np.abs(x) % S
+        order = np.argsort(own, kind="stable")
+        x, y, own = x[order], y[order], own[order]
+        bnd = np.flatnonzero(np.diff(own)) + 1
+        starts = np.concatenate(([0], bnd, [len(own)]))
+        refs = []
+        for i in range(len(starts) - 1):
+            a, b = int(starts[i]), int(starts[i + 1])
+            refs.append(
+                getattr(shards[int(own[a])], method).remote(x[a:b], y[a:b])
+            )
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(x)], pa.int64())})
+
+    parts = edges.map_batches(tag_push, batch_format="pyarrow").take_all()
+    return sum(int(r["n"]) for r in parts)
+
+
 @ray.remote
 class _TriShard:
     """Owns the incident-edge lists (and later the oriented CSR) for
@@ -1230,7 +1268,7 @@ def triangle_count_indexed(
     S = n_shards
     shards = [_TriShard.remote(i, S) for i in range(S)]
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def make_xy(batch: pa.Table):
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
@@ -1240,26 +1278,12 @@ def triangle_count_indexed(
         # per-batch distinct bounds the push volume; exact distinct
         # happens at the owning shard (finalize_tri)
         uv = np.unique(np.stack([u, v], axis=1), axis=0)
-        x = np.concatenate([uv[:, 0], uv[:, 1]])
-        y = np.concatenate([uv[:, 1], uv[:, 0]])
-        return pa.table({"x": x, "y": y, "shard": np.abs(x) % S})
-
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        ray.get(
-            shards[sid].add_incident.remote(
-                group["x"].to_numpy(np.int64),
-                group["y"].to_numpy(np.int64),
-            )
+        return (
+            np.concatenate([uv[:, 0], uv[:, 1]]),
+            np.concatenate([uv[:, 1], uv[:, 0]]),
         )
-        return pd.DataFrame({"n": [len(group)]})
 
-    n_pushed = (
-        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()
-    )
+    n_pushed = _direct_push(edges, make_xy, shards, "add_incident")
     empty = n_pushed == 0
     if not empty:
         ray.get([s.finalize_tri.remote() for s in shards])
@@ -1446,7 +1470,7 @@ def k_core_indexed(
     S = n_shards
     shards = [_KCoreShard.remote(i, S) for i in range(S)]
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def make_xy(batch: pa.Table):
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
@@ -1454,26 +1478,12 @@ def k_core_indexed(
         u = np.minimum(s, d)
         v = np.maximum(s, d)
         uv = np.unique(np.stack([u, v], axis=1), axis=0)
-        x = np.concatenate([uv[:, 0], uv[:, 1]])
-        y = np.concatenate([uv[:, 1], uv[:, 0]])
-        return pa.table({"x": x, "y": y, "shard": np.abs(x) % S})
-
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        ray.get(
-            shards[sid].add_incident.remote(
-                group["x"].to_numpy(np.int64),
-                group["y"].to_numpy(np.int64),
-            )
+        return (
+            np.concatenate([uv[:, 0], uv[:, 1]]),
+            np.concatenate([uv[:, 1], uv[:, 0]]),
         )
-        return pd.DataFrame({"n": [len(group)]})
 
-    n_pushed = (
-        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()
-    )
+    n_pushed = _direct_push(edges, make_xy, shards, "add_incident")
     if n_pushed:
         ray.get([s.finalize_kcore.remote(k) for s in shards])
         converged = False
@@ -1678,36 +1688,15 @@ def random_walks_indexed(
     S = n_shards
     shards = [_WalkShard.remote(i, S) for i in range(S)]
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def make_xy(batch: pa.Table):
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
         sd = np.unique(np.stack([s, d], axis=1), axis=0)
-        return pa.table(
-            {
-                "src": sd[:, 0],
-                "dst": sd[:, 1],
-                "shard": np.abs(sd[:, 0]) % S,
-            }
-        )
+        return sd[:, 0], sd[:, 1]
 
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        ray.get(
-            shards[sid].add_edges.remote(
-                group["src"].to_numpy(np.int64),
-                group["dst"].to_numpy(np.int64),
-            )
-        )
-        return pd.DataFrame({"n": [len(group)]})
-
-    n_pushed = (
-        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()
-    )
+    n_pushed = _direct_push(edges, make_xy, shards, "add_edges")
     if n_pushed and walk_len > 1:
         ray.get([s.finalize_walks.remote() for s in shards])
         slots = [
