@@ -43,7 +43,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import coalesce_for_exchange
 
 __all__ = [
     "bfs_hops_indexed",
@@ -250,31 +249,12 @@ def connected_components_indexed(
             n_shards = 8
     shards = [_CCShard.remote(i, n_shards) for i in range(n_shards)]
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def make_xy(batch: pa.Table):
         a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        return pa.table(
-            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
-        )
+        return np.concatenate([a, b]), np.concatenate([b, a])
 
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        ray.get(
-            shards[sid].add_edges.remote(
-                group["src"].to_numpy(np.int64),
-                group["dst"].to_numpy(np.int64),
-            )
-        )
-        return pd.DataFrame({"n": [len(group)]})
-
-    n_edges = (
-        coalesce_for_exchange(pairs.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()
-    )
+    n_edges = _direct_push(pairs, make_xy, shards, "add_edges")
     if n_edges == 0:
         for s in shards:
             ray.kill(s)
@@ -453,29 +433,13 @@ def pagerank_indexed(
         for i in range(n_shards)
     ]
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
+    def make_xy(batch: pa.Table):
+        return (
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    def push_edges(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        ray.get(
-            shards[sid].add_edges.remote(
-                group["src"].to_numpy(np.int64),
-                group["dst"].to_numpy(np.int64),
-            )
-        )
-        return pd.DataFrame({"n": [len(group)]})
-
-    (
-        coalesce_for_exchange(edges.map_batches(tag_edges, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push_edges, batch_format="pandas")
-        .count()
-    )
+    _direct_push(edges, make_xy, shards, "add_edges")
 
     def push_nodes(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -649,42 +613,31 @@ def sssp_indexed(
             n_shards = 8
     shards = [_SSSPShard.remote(i, n_shards) for i in range(n_shards)]
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def push_batch(batch: pa.Table) -> pa.Table:
+        """Direct push (see _direct_push): owner-partitioned slices
+        straight into the shard actors, no sort exchange. Weighted
+        edges go to the src owner; dst endpoints are registered with
+        THEIR owners (a dst-only node must exist in its owner's
+        universe for folds to land)."""
         src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "src": src,
-                "dst": batch["dst"].cast(pa.int64()),
-                "w": batch["w"].cast(pa.int64()),
-                "shard": np.abs(src) % n_shards,
-            }
-        )
-
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        dst = group["dst"].to_numpy(np.int64)
-        refs = [
-            shards[sid].add_edges.remote(
-                group["src"].to_numpy(np.int64),
-                dst,
-                group["w"].to_numpy(np.int64),
-            )
-        ]
-        # register dst endpoints with THEIR owners (a dst-only node
-        # must exist in its owner's universe for folds to land)
-        for osid in range(n_shards):
-            mine = dst[np.abs(dst) % n_shards == osid]
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = []
+        own = np.abs(src) % n_shards
+        downs = np.abs(dst) % n_shards
+        for sid in range(n_shards):
+            m = own == sid
+            if m.any():
+                refs.append(
+                    shards[sid].add_edges.remote(src[m], dst[m], w[m])
+                )
+            mine = dst[downs == sid]
             if len(mine):
-                refs.append(shards[osid].add_nodes.remote(np.unique(mine)))
+                refs.append(shards[sid].add_nodes.remote(np.unique(mine)))
         ray.get(refs)
-        return pd.DataFrame({"n": [len(group)]})
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
-    (
-        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()
-    )
+    edges.map_batches(push_batch, batch_format="pyarrow").take_all()
     # the seed belongs in its owner's universe even if isolated
     # (the oracle's d0 row exists unconditionally)
     ray.get(
@@ -860,37 +813,20 @@ def hits_indexed(
 
     edges = edges.materialize()  # consumed twice (two orientations)
 
-    def tag(by: str):
-        def f(batch: pa.Table) -> pa.Table:
-            src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            key = src if by == "src" else dst
-            return pa.table(
-                {"src": src, "dst": dst, "shard": np.abs(key) % n_shards}
-            )
-        return f
-
-    def push(method: str):
-        def f(group: pd.DataFrame) -> pd.DataFrame:
-            sid = int(group["shard"].iloc[0])
-            a = group["src"].to_numpy(np.int64)
-            b = group["dst"].to_numpy(np.int64)
-            if method == "out":
-                ray.get(shards[sid].add_out.remote(a, b))
-            else:
-                ray.get(shards[sid].add_in.remote(b, a))
-            return pd.DataFrame({"n": [len(group)]})
-        return f
-
-    for by, method in (("src", "out"), ("dst", "in")):
-        (
-            coalesce_for_exchange(
-                edges.map_batches(tag(by), batch_format="pyarrow")
-            )
-            .groupby("shard")
-            .map_groups(push(method), batch_format="pandas")
-            .count()
+    def make_out(batch: pa.Table):
+        return (
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
+
+    def make_in(batch: pa.Table):
+        return (
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    _direct_push(edges, make_out, shards, "add_out")
+    _direct_push(edges, make_in, shards, "add_in")
 
     def push_nodes(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -928,31 +864,14 @@ def _build_shards(
         _GraphShard.remote(i, n_shards) for i in range(n_shards)
     ]
 
-    def tag(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"src": src, "dst": dst, "shard": np.abs(src) % n_shards}
+    def make_xy(batch: pa.Table):
+        return (
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    def push(group: pd.DataFrame) -> pd.DataFrame:
-        sid = int(group["shard"].iloc[0])
-        # synchronous push: when this group task returns, the shard
-        # actor HAS the edges — consuming the dataset is the barrier
-        ray.get(
-            shards[sid].add_edges.remote(
-                group["src"].to_numpy(np.int64),
-                group["dst"].to_numpy(np.int64),
-            )
-        )
-        return pd.DataFrame({"n": [len(group)]})
-
-    (
-        coalesce_for_exchange(edges.map_batches(tag, batch_format="pyarrow"))
-        .groupby("shard")
-        .map_groups(push, batch_format="pandas")
-        .count()  # consume = build barrier
-    )
+    # synchronous direct push: consuming the dataset is the barrier
+    _direct_push(edges, make_xy, shards, "add_edges")
     ray.get([s.finalize.remote() for s in shards])
     return shards
 
