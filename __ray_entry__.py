@@ -2995,6 +2995,34 @@ def _q_walk_skipgrams(sf_dir: str):
     return skipgram_pairs(walks, window=2)
 
 
+def _q_lpa_communities(sf_dir: str):
+    """Synchronous majority-label propagation (3 rounds, ties to the
+    smaller label) over the symmetrized affine graph — finds dense
+    sub-communities; the oracle replays each round with a chained
+    count + row_number CTE. One direct-push edge exchange; rounds
+    ship pre-aggregated (dst, label, count) partials."""
+    from pdf_extractor_ray.functions.graph_indexed import (
+        lpa_communities_indexed,
+    )
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    return lpa_communities_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"), n_iters=3
+    )
+
+
 def _q_entity_clusters(sf_dir: str):
     """Record-linkage composite: blocking -> exact Levenshtein match
     edges (dist <= 10) -> connected-component entity clusters with
@@ -6923,6 +6951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_indexed": _q_triangles_indexed,
         "random_walks": _q_random_walks,
         "walk_skipgrams": _q_walk_skipgrams,
+        "lpa_communities": _q_lpa_communities,
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
@@ -8886,6 +8915,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(step AS BIGINT) AS step,
                    CAST(node AS BIGINT) AS node
             FROM wk
+        """,
+        "lpa_communities": """
+            -- 3 rounds of synchronous majority-label propagation over
+            -- the symmetrized affine graph; ties to the smaller label
+            -- (count DESC, label ASC row_number), label_0(v) = v.
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            raw AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+            ),
+            e0 AS (
+                SELECT DISTINCT least(src, dst) AS u,
+                       greatest(src, dst) AS v
+                FROM raw WHERE src <> dst
+            ),
+            e AS (
+                SELECT u AS a, v AS b FROM e0
+                UNION ALL SELECT v, u FROM e0
+            ),
+            lab0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+            c1 AS (
+                SELECT e.a AS node, l.label, count(*) AS c
+                FROM e JOIN lab0 l ON l.node = e.b
+                GROUP BY e.a, l.label
+            ),
+            lab1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label ASC
+                    ) AS rn FROM c1) WHERE rn = 1
+            ),
+            c2 AS (
+                SELECT e.a AS node, l.label, count(*) AS c
+                FROM e JOIN lab1 l ON l.node = e.b
+                GROUP BY e.a, l.label
+            ),
+            lab2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label ASC
+                    ) AS rn FROM c2) WHERE rn = 1
+            ),
+            c3 AS (
+                SELECT e.a AS node, l.label, count(*) AS c
+                FROM e JOIN lab2 l ON l.node = e.b
+                GROUP BY e.a, l.label
+            ),
+            lab3 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label ASC
+                    ) AS rn FROM c3) WHERE rn = 1
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(label AS BIGINT) AS community
+            FROM lab3
         """,
         "walk_skipgrams": """
             -- Skip-gram pairs over the deterministic walk corpus:

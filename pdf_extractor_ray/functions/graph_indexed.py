@@ -53,6 +53,8 @@ __all__ = [
     "sssp_indexed",
     "triangle_count_indexed",
     "k_core_indexed",
+    "random_walks_indexed",
+    "lpa_communities_indexed",
 ]
 
 
@@ -1637,6 +1639,178 @@ def random_walks_indexed(
     out = ray.data.from_arrow_refs(
         [s.drain.remote(walks_per_node) for s in shards]
     )
+    out = out.materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
+@ray.remote
+class _LPAShard:
+    """Owns the symmetrized CSR adjacency and current community label
+    of its nodes during synchronous label propagation. Each round
+    ships per-(dst, label) COUNT partials (pre-aggregated before they
+    travel); the owner folds counts and takes the majority label with
+    the deterministic (count DESC, label ASC) tie-break."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._keys: np.ndarray | None = None
+        self._off: np.ndarray | None = None
+        self._nbr: np.ndarray | None = None
+        self._labels: np.ndarray | None = None
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def finalize_lpa(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts
+            else np.empty(0, np.int64)
+        )
+        self._src_parts, self._dst_parts = [], []
+        if len(src):
+            sd = np.unique(np.stack([src, dst], axis=1), axis=0)
+            src, dst = sd[:, 0], sd[:, 1]
+        self._keys, counts = np.unique(src, return_counts=True)
+        self._off = np.zeros(len(self._keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._off[1:])
+        self._nbr = dst
+        self._labels = self._keys.copy()  # label_0(v) = v
+        return len(src)
+
+    def contribs(self) -> list:
+        """(neighbor, my_label, count) partials for every owned edge
+        u -> v: v hears label(u). Pre-aggregated per (v, label) and
+        partitioned by owner(v) into S slots, each a (3, K) int64."""
+        if self._keys is None or not len(self._keys):
+            e = np.empty((3, 0), np.int64)
+            return [e for _ in range(self.n)]
+        sizes = np.diff(self._off)
+        lab_per_edge = np.repeat(self._labels, sizes)
+        vl = np.stack([self._nbr, lab_per_edge], axis=1)
+        uniq, cnt = np.unique(vl, axis=0, return_counts=True)
+        v, lab = uniq[:, 0], uniq[:, 1]
+        own = np.abs(v) % self.n
+        return [
+            np.stack([v[own == t], lab[own == t], cnt[own == t]])
+            for t in range(self.n)
+        ]
+
+    def apply(self, *blocks: np.ndarray) -> int:
+        """Fold incoming (v, label, count) partials for owned nodes:
+        new label(v) = majority label, ties to the smaller label."""
+        blocks = [np.asarray(b, np.int64) for b in blocks]
+        if self._keys is None or not len(self._keys):
+            return 0
+        vs = np.concatenate([b[0] for b in blocks])
+        ls = np.concatenate([b[1] for b in blocks])
+        cs = np.concatenate([b[2] for b in blocks])
+        if not len(vs):
+            return 0
+        # sum partial counts per (v, label)
+        vl = np.stack([vs, ls], axis=1)
+        uniq, inv = np.unique(vl, axis=0, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cs)
+        v, lab = uniq[:, 0], uniq[:, 1]
+        # first row per v under (v ASC, count DESC, label ASC) is the
+        # winner (uniq is already (v, label)-sorted; a stable sort by
+        # -count keeps label ASC within equal counts)
+        order = np.argsort(-tot, kind="stable")
+        v, lab = v[order], lab[order]
+        order2 = np.argsort(v, kind="stable")
+        v, lab = v[order2], lab[order2]
+        first = np.concatenate(([True], v[1:] != v[:-1]))
+        v, lab = v[first], lab[first]
+        pos = np.searchsorted(self._keys, v)
+        self._labels[pos] = lab
+        return int(len(v))
+
+    def labels_table(self) -> pa.Table:
+        if self._keys is None:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "community": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "node": pa.array(self._keys, pa.int64()),
+                "community": pa.array(self._labels, pa.int64()),
+            }
+        )
+
+
+def lpa_communities_indexed(
+    edges: ray.data.Dataset,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al.) with fully deterministic semantics: the graph is symmetrized
+    and self-loop-free, label_0(v) = v, and each round every node
+    simultaneously adopts the MAJORITY label among its neighbors with
+    ties broken by the smaller label — replayed exactly by the SQL
+    oracle's chained per-round CTEs (count DESC, label ASC
+    row_number). Unlike connected components (min-label fixpoint =
+    membership), LPA finds dense sub-communities WITHIN components;
+    a fixed ``n_iters`` keeps it exactly replayable.
+
+    Index shape: one direct-push edge exchange into shard actors;
+    each round ships per-(dst, label) count partials (pre-aggregated
+    at the sender — volume <= the edge count, usually far less) and
+    the driver sees one int per shard per round.
+    """
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    S = n_shards
+    shards = [_LPAShard.remote(i, S) for i in range(S)]
+
+    def make_xy(batch: pa.Table):
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return (
+            np.concatenate([uv[:, 0], uv[:, 1]]),
+            np.concatenate([uv[:, 1], uv[:, 0]]),
+        )
+
+    n_pushed = _direct_push(edges, make_xy, shards, "add_edges")
+    if n_pushed:
+        ray.get([s.finalize_lpa.remote() for s in shards])
+        for _ in range(n_iters):
+            slots = [
+                s.contribs.options(num_returns=S).remote() for s in shards
+            ]
+            ray.get(
+                [
+                    shards[t].apply.remote(*[slots[s][t] for s in range(S)])
+                    for t in range(S)
+                ]
+            )
+    out = ray.data.from_arrow_refs([s.labels_table.remote() for s in shards])
     out = out.materialize()
     for s in shards:
         ray.kill(s)

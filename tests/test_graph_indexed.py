@@ -455,3 +455,45 @@ def test_skipgram_pairs_hand_window(ray_session):
     # each in both directions
     assert len(got) == 12
     assert all(v == 1 for v in got.values())
+
+
+def test_lpa_communities_barbell(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        lpa_communities_indexed,
+    )
+
+    # two triangles bridged at 2-10: LPA separates them; hand-replay
+    # of the 3 synchronous rounds (ties -> smaller label) gives
+    # {0,1,2} -> 0 and {10,11,12} -> 2
+    edges = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 10, 11, 12, 2],
+            "dst": [1, 2, 0, 11, 12, 10, 10],
+        }
+    )
+    out = lpa_communities_indexed(
+        ray.data.from_pandas(edges), n_iters=3, n_shards=4
+    ).to_pandas()
+    got = dict(zip(out["node"], out["community"]))
+    assert got == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+
+
+def test_lpa_communities_deterministic(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import (
+        lpa_communities_indexed,
+    )
+
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 200, 1200), "dst": rng.integers(0, 200, 1200)}
+    )
+    a = (
+        lpa_communities_indexed(ray.data.from_pandas(edges), n_shards=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        lpa_communities_indexed(ray.data.from_pandas(edges), n_shards=7)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    # shard count must not change the result
+    pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
