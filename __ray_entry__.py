@@ -5271,6 +5271,21 @@ def _q_embedding_clusters(sf_dir: str):
     )
 
 
+def _q_kmeans_lloyd(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means (2 iterations, k=8) in
+    exact integer micro-units: every vector contributes to every
+    centroid update via per-batch (cluster, count, sum-vector)
+    partials through one k-group exchange; the driver holds k x d
+    integers. The oracle replays the identical arithmetic with
+    chained CTEs (truncated // update, ties to lowest centroid)."""
+    from pdf_extractor_ray.functions.similarity import kmeans_lloyd
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(emb, n_clusters=8, iters=2)
+
+
 def _q_element_types(sf_dir: str):
     """Element-type histogram over the extraction output (SURVEY.md §2.5
     G2): explode the nested elements column inside each batch, partial-
@@ -6892,6 +6907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_orders_partitioned": _q_asof_orders_partitioned,
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
+        "kmeans_lloyd": _q_kmeans_lloyd,
         "hash_sample": _q_hash_sample,
         "weighted_sample": _q_weighted_sample,
         "clf_train": _q_clf_train,
@@ -7122,6 +7138,56 @@ _DSIR_SCORE_SQL = """
             LEFT JOIN wt ON wt.bin = bx.bin
             GROUP BY d.doc_id
 """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Chained-CTE replay of distributed integer Lloyd k-means
+    (`similarity.kmeans_lloyd`): micro-unit quantization, k-lowest-id
+    init, argmin assignment with (d ASC, j ASC) ties, truncated-//
+    centroid update with empty clusters keeping their centroid, and a
+    final assignment under the last centroids."""
+    parts = [
+        """WITH q AS (
+    SELECT vec_id, i AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+cen0 AS (
+    SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS j, dim,
+           val AS cval
+    FROM q
+    QUALIFY dense_rank() OVER (ORDER BY vec_id) <= {k}
+)""".format(k=k)
+    ]
+    for it in range(1, iters + 2):
+        parts.append(
+            """a{it} AS (
+    SELECT vec_id, j FROM (
+        SELECT q.vec_id, c.j,
+               sum((q.val - c.cval) * (q.val - c.cval)) AS d
+        FROM q JOIN cen{prev} c USING (dim)
+        GROUP BY q.vec_id, c.j
+    ) QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d ASC, j ASC) = 1
+)""".format(it=it, prev=it - 1)
+        )
+        if it <= iters:
+            parts.append(
+                """cen{it} AS (
+    SELECT c.j, c.dim, COALESCE(s.sv // s.n, c.cval) AS cval
+    FROM cen{prev} c LEFT JOIN (
+        SELECT a.j, q.dim, sum(q.val) AS sv, count(*) AS n
+        FROM a{it} a JOIN q USING (vec_id)
+        GROUP BY a.j, q.dim
+    ) s ON s.j = c.j AND s.dim = c.dim
+)""".format(it=it, prev=it - 1)
+            )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        + "CAST(j AS BIGINT) AS cluster FROM a{f}".format(f=iters + 1)
+    )
 
 
 def _kcore_sql(k: int = 6, n_rounds: int = 12) -> str:
@@ -7767,6 +7833,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _pagerank_personalized_sql(5),
         "sssp": _sssp_sql(8),
         "kcore": _kcore_sql(6, 12),
+        "kmeans_lloyd": _kmeans_sql(8, 2),
         "cocitation": """
             -- Top-20 pairs by number of distinct common in-linking
             -- sources, over the affine 3-out-link graph; ties by

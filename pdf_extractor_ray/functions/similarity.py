@@ -42,6 +42,7 @@ __all__ = [
     "embedding_neardup_bucketed",
     "semantic_dedup",
     "cosine_topk_local",
+    "kmeans_lloyd",
 ]
 
 
@@ -822,3 +823,148 @@ def embedding_gram(
         .aggregate(_Sum("g"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def kmeans_lloyd(
+    ds: ray.data.Dataset,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Distributed FULL-CORPUS Lloyd k-means in exact integer
+    micro-units — every vector participates in every centroid update
+    (unlike ``cluster_assign``, whose Lloyd runs on a bounded
+    driver-side sample by design). Output: Dataset[id, cluster] under
+    the final centroids.
+
+    Exact semantics, replayed verbatim by the SQL oracle
+    (``_kmeans_sql``): vectors quantize to micro-units
+    ``floor(x * 1e6 + 0.5)`` (the embedding_gram pattern); initial
+    centroids are the quantized vectors of the ``n_clusters`` lowest
+    ids; assignment is argmin of the int64 squared distance with ties
+    to the lowest centroid index; the update is per-dimension
+    TRUNCATED integer division (matching SQL ``//``), and an empty
+    cluster keeps its previous centroid.
+
+    Scale shape: the quantized corpus is materialized once and scanned
+    ``iters + 1`` times; each iteration moves only per-batch (cluster,
+    count, d-dim partial-sum) rows through one tiny groupby (k groups)
+    and the driver holds k x d integers. Distances use the
+    guarded-exact float64 path: |q.c| <= d * 1e12 < 2^53, so the BLAS
+    matmul is integer-exact (same argument as embedding_gram).
+    """
+    k = n_clusters
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = _arrow_matrix(batch[vec_col])
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        d = qm.shape[1] if qm.size else 0
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qm.ravel(), pa.int64()), d
+                )
+                if d
+                else pa.array([], pa.list_(pa.int64())),
+            }
+        )
+
+    ds_q = ds.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- init: quantized vectors of the k lowest ids (per-batch
+    # k-smallest partials -> driver merge; driver holds O(blocks * k)
+    # candidate rows, each k small — the same bounded-init contract as
+    # cluster_assign's train sample)
+    def k_smallest(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) <= k:
+            return batch
+        keep = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    cand = ds_q.map_batches(k_smallest, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(id_col).head(k)
+    cen = np.stack(
+        [np.asarray(v, dtype=np.int64) for v in cand["q"]]
+    )  # (k, d)
+    d_dim = cen.shape[1]
+
+    def assign_for(cen_ref):
+        def f(batch: pa.Table) -> np.ndarray:
+            cen_b = ray.get(cen_ref).astype(np.float64)
+            mat = _arrow_matrix(batch["q"])  # int64 -> float64, exact
+            # score_j = -2 q.c_j + |c_j|^2; every term is an integer
+            # exactly representable in float64 (< 2^53)
+            score = -2.0 * (mat @ cen_b.T) + (cen_b * cen_b).sum(axis=1)
+            return score.argmin(axis=1)  # first occurrence = lowest j
+
+        return f
+
+    for _ in range(iters):
+        cen_ref = ray.put(cen)
+        assign = assign_for(cen_ref)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            j = assign(batch)
+            qm = np.floor(_arrow_matrix(batch["q"]) + 0.0).astype(np.int64)
+            sums = np.zeros((k, d_dim), np.int64)
+            np.add.at(sums, j, qm)
+            n = np.bincount(j, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "j": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(n, pa.int64()),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.int64()), d_dim
+                    ),
+                }
+            )
+
+        def fold(group):
+            import pandas as _pd
+
+            sv = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in group["s"]]
+            ).sum(axis=0)
+            return _pd.DataFrame(
+                {
+                    "j": [int(group["j"].iloc[0])],
+                    "n": [int(group["n"].sum())],
+                    "s": [sv.tolist()],
+                }
+            )
+
+        agg = (
+            ds_q.map_batches(partials, batch_format="pyarrow")
+            .groupby("j")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )  # exactly k rows
+        new_cen = cen.copy()
+        for _, row in agg.iterrows():
+            n = int(row["n"])
+            if n > 0:
+                sv = np.asarray(row["s"], dtype=np.int64)
+                # truncated division toward zero == SQL //
+                new_cen[int(row["j"])] = (
+                    np.sign(sv) * (np.abs(sv) // n)
+                ).astype(np.int64)
+        cen = new_cen
+
+    cen_ref = ray.put(cen)
+    assign = assign_for(cen_ref)
+
+    def final(batch: pa.Table) -> pa.Table:
+        j = assign(batch)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(j.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds_q.map_batches(final, batch_format="pyarrow")
