@@ -2995,6 +2995,32 @@ def _q_walk_skipgrams(sf_dir: str):
     return skipgram_pairs(walks, window=2)
 
 
+def _q_mis(sf_dir: str):
+    """Deterministic Luby maximal independent set over the affine
+    graph — parallel symmetry-breaking (maximal conflict-free task
+    batch). Priorities are pure (node, round) md5 functions computed
+    shard-local; each round exchanges only the death set (every node
+    dies exactly once across all rounds)."""
+    from pdf_extractor_ray.functions.graph_indexed import mis_indexed
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # parquet metadata only
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 31 + 3) % n],
+            axis=1,
+        ).reshape(-1)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    return mis_indexed(
+        docs.map_batches(mk_edges, batch_format="pyarrow"), max_rounds=8
+    )
+
+
 def _q_lpa_communities(sf_dir: str):
     """Synchronous majority-label propagation (3 rounds, ties to the
     smaller label) over the symmetrized affine graph — finds dense
@@ -6968,6 +6994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "walk_skipgrams": _q_walk_skipgrams,
         "lpa_communities": _q_lpa_communities,
+        "mis": _q_mis,
         "bigram_familiarity": _q_bigram_familiarity,
         "phrase_search": _q_phrase_search,
         "quality_percentile": _q_quality_percentile,
@@ -7138,6 +7165,61 @@ _DSIR_SCORE_SQL = """
             LEFT JOIN wt ON wt.bin = bx.bin
             GROUP BY d.doc_id
 """
+
+
+def _mis_sql(max_rounds: int = 8) -> str:
+    """Chained-CTE replay of deterministic Luby MIS
+    (`graph_indexed.mis_indexed`) over the affine 3-out-link graph:
+    per round, priority = (first-8-md5-hex("node:r"), node); a node
+    joins iff no alive neighbor precedes it; winners + neighborhoods
+    die. Rounds past exhaustion are empty no-ops."""
+    prio = (
+        "CAST(('0x' || substring(md5(CAST({n} AS VARCHAR) || ':{r}'), "
+        "1, 8))::UBIGINT AS BIGINT)"
+    )
+    parts = [
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+    FROM documents, nn
+    UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+    UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM raw WHERE src <> dst
+),
+e AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+alive0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)"""
+    ]
+    for r in range(1, max_rounds + 1):
+        pv = prio.format(n="a.node", r=r)
+        pu = prio.format(n="e.b", r=r)
+        parts.append(
+            """mis{r} AS MATERIALIZED (
+    SELECT a.node FROM alive{prev} a WHERE NOT EXISTS (
+        SELECT 1 FROM e JOIN alive{prev} al ON al.node = e.b
+        WHERE e.a = a.node
+          AND ({pu} < {pv}
+               OR ({pu} = {pv} AND e.b < a.node))
+    )
+)""".format(r=r, prev=r - 1, pu=pu, pv=pv)
+        )
+        parts.append(
+            """alive{r} AS MATERIALIZED (
+    SELECT node FROM alive{prev}
+    WHERE node NOT IN (SELECT node FROM mis{r})
+      AND node NOT IN (
+          SELECT e.b FROM e JOIN mis{r} m ON e.a = m.node)
+)""".format(r=r, prev=r - 1)
+        )
+    union = "\nUNION ALL ".join(
+        "SELECT CAST(node AS BIGINT) AS node, CAST({r} AS BIGINT) AS round "
+        "FROM mis{r}".format(r=r)
+        for r in range(1, max_rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
@@ -7834,6 +7916,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp": _sssp_sql(8),
         "kcore": _kcore_sql(6, 12),
         "kmeans_lloyd": _kmeans_sql(8, 2),
+        "mis": _mis_sql(8),
         "cocitation": """
             -- Top-20 pairs by number of distinct common in-linking
             -- sources, over the affine 3-out-link graph; ties by

@@ -55,6 +55,7 @@ __all__ = [
     "k_core_indexed",
     "random_walks_indexed",
     "lpa_communities_indexed",
+    "mis_indexed",
 ]
 
 
@@ -1811,6 +1812,224 @@ def lpa_communities_indexed(
                 ]
             )
     out = ray.data.from_arrow_refs([s.labels_table.remote() for s in shards])
+    out = out.materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
+@ray.remote
+class _MISShard:
+    """Owns adjacency + alive state of its nodes during deterministic
+    Luby maximal-independent-set rounds. Priorities are a pure
+    function of (node, round) — first 8 md5 hex digits of "node:r" —
+    so neighbor priorities are computed locally; only DEATHS travel
+    (broadcast to all shards; each keeps the dead set it needs to
+    veto neighbors)."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.sid = shard_id
+        self.n = n_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._keys: np.ndarray | None = None
+        self._off: np.ndarray | None = None
+        self._nbr: np.ndarray | None = None
+        self._alive: np.ndarray | None = None
+        self._dead: np.ndarray = np.empty(0, np.int64)  # sorted, global
+        self._mis: list[tuple[int, np.ndarray]] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def finalize_mis(self) -> int:
+        src = (
+            np.concatenate(self._src_parts)
+            if self._src_parts
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_parts)
+            if self._dst_parts
+            else np.empty(0, np.int64)
+        )
+        self._src_parts, self._dst_parts = [], []
+        if len(src):
+            sd = np.unique(np.stack([src, dst], axis=1), axis=0)
+            src, dst = sd[:, 0], sd[:, 1]
+        self._keys, counts = np.unique(src, return_counts=True)
+        self._off = np.zeros(len(self._keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._off[1:])
+        self._nbr = dst
+        self._alive = np.ones(len(self._keys), dtype=bool)
+        return len(src)
+
+    @staticmethod
+    def _prio(nodes: np.ndarray, r: int) -> np.ndarray:
+        import hashlib
+
+        return np.fromiter(
+            (
+                int(hashlib.md5(f"{v}:{r}".encode()).hexdigest()[:8], 16)
+                for v in nodes.tolist()
+            ),
+            dtype=np.int64,
+            count=len(nodes),
+        )
+
+    def decide(self, r: int) -> np.ndarray:
+        """Pick owned MIS winners for round r: alive v wins iff NO
+        alive neighbor u has (prio(u), u) < (prio(v), v). Returns the
+        death set this shard generates — its winners plus ALL their
+        neighbors (owners dedupe on apply)."""
+        if self._keys is None or not len(self._keys):
+            return np.empty(0, np.int64)
+        idx = np.flatnonzero(self._alive)
+        if not len(idx):
+            return np.empty(0, np.int64)
+        v = self._keys[idx]
+        pv = self._prio(v, r)
+        # neighbor spans; veto if any alive neighbor precedes
+        nbr_alive_mask = ~np.isin(self._nbr, self._dead)
+        # vectorized per-span check via repeat/compare
+        spans = self._off
+        sizes = (spans[idx + 1] - spans[idx]).astype(np.int64)
+        flat = np.concatenate(
+            [self._nbr[spans[i] : spans[i + 1]] for i in idx]
+        ) if len(idx) else np.empty(0, np.int64)
+        alive_flat = np.concatenate(
+            [nbr_alive_mask[spans[i] : spans[i + 1]] for i in idx]
+        ) if len(idx) else np.empty(0, bool)
+        pu = self._prio(flat, r)
+        pv_rep = np.repeat(pv, sizes)
+        v_rep = np.repeat(v, sizes)
+        beats = alive_flat & (
+            (pu < pv_rep) | ((pu == pv_rep) & (flat < v_rep))
+        )
+        # reduce per span: any beating neighbor -> veto
+        veto = np.zeros(len(idx), dtype=bool)
+        pos = np.repeat(np.arange(len(idx)), sizes)
+        np.logical_or.at(veto, pos, beats)
+        win = v[~veto]
+        if not len(win):
+            return np.empty(0, np.int64)
+        self._mis.append((r, win))
+        wpos = np.searchsorted(self._keys, win)
+        wnbrs = np.concatenate(
+            [self._nbr[spans[p] : spans[p + 1]] for p in wpos]
+        )
+        return np.unique(np.concatenate([win, wnbrs]))
+
+    def apply_deaths(self, *death_blocks: np.ndarray) -> int:
+        """Fold the round's global death set: update the shared dead
+        filter and kill owned nodes."""
+        blocks = [np.asarray(b, np.int64) for b in death_blocks]
+        dead_new = (
+            np.unique(np.concatenate(blocks))
+            if blocks
+            else np.empty(0, np.int64)
+        )
+        if not len(dead_new):
+            return int(self._alive.sum()) if self._alive is not None else 0
+        self._dead = np.union1d(self._dead, dead_new)
+        if self._keys is not None and len(self._keys):
+            pos = np.searchsorted(self._keys, dead_new)
+            pos_c = np.minimum(pos, len(self._keys) - 1)
+            ok = self._keys[pos_c] == dead_new
+            self._alive[pos_c[ok]] = False
+        return int(self._alive.sum()) if self._alive is not None else 0
+
+    def mis_table(self) -> pa.Table:
+        if not self._mis:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "round": pa.array([], pa.int64()),
+                }
+            )
+        nodes = np.concatenate([n for _, n in self._mis])
+        rounds = np.concatenate(
+            [np.full(len(n), r, np.int64) for r, n in self._mis]
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "round": pa.array(rounds, pa.int64()),
+            }
+        )
+
+
+def mis_indexed(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+    n_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic Luby maximal independent set over the symmetrized
+    self-loop-free graph — the classic parallel symmetry-breaking
+    primitive (e.g. picking a maximal batch of mutually-conflicting
+    fetch/compaction tasks to run together). Round r gives every
+    alive node the priority (first-8-md5-hex("node:r"), node); a node
+    joins the MIS iff it precedes ALL alive neighbors, then winners
+    and their neighbors leave the graph. Fully deterministic, so the
+    SQL oracle replays every round with generated chained CTEs
+    (`_mis_sql`). Returns Dataset[node, round] of MIS members.
+
+    Index shape: one direct-push edge exchange; priorities are pure
+    (node, round) functions computed shard-local, so each round moves
+    ONLY the death set (winners + their neighborhoods — every node
+    dies exactly once across all rounds, so total exchange volume is
+    one node set plus the S-fold broadcast of it). Raises
+    RuntimeError if max_rounds is hit with nodes still alive — a
+    truncated MIS is not maximal. The per-shard dead filter is the
+    documented O(n) memory trade; the refinement (neighbor-filtered
+    retention per shard) is a slicing change, not a redesign.
+    """
+    if n_shards is None:
+        try:
+            n_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_shards = 8
+    S = n_shards
+    shards = [_MISShard.remote(i, S) for i in range(S)]
+
+    def make_xy(batch: pa.Table):
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return (
+            np.concatenate([uv[:, 0], uv[:, 1]]),
+            np.concatenate([uv[:, 1], uv[:, 0]]),
+        )
+
+    n_pushed = _direct_push(edges, make_xy, shards, "add_edges")
+    if n_pushed:
+        ray.get([s.finalize_mis.remote() for s in shards])
+        done = False
+        for r in range(1, max_rounds + 1):
+            deaths = [s.decide.remote(r) for s in shards]
+            n_alive = sum(
+                ray.get(
+                    [s.apply_deaths.remote(*deaths) for s in shards]
+                )
+            )
+            if n_alive == 0:
+                done = True
+                break
+        if not done:
+            for s in shards:
+                ray.kill(s)
+            raise RuntimeError(
+                f"mis_indexed did not finish within max_rounds={max_rounds}"
+            )
+    out = ray.data.from_arrow_refs([s.mis_table.remote() for s in shards])
     out = out.materialize()
     for s in shards:
         ray.kill(s)

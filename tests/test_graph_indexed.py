@@ -497,3 +497,48 @@ def test_lpa_communities_deterministic(ray_session):
     )
     # shard count must not change the result
     pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+
+def test_mis_independence_and_maximality(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import mis_indexed
+
+    rng = np.random.default_rng(31)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 300, 1800), "dst": rng.integers(0, 300, 1800)}
+    )
+    out = mis_indexed(
+        ray.data.from_pandas(edges), max_rounds=20, n_shards=4
+    ).to_pandas()
+    mis = set(out["node"])
+    # undirected distinct adjacency
+    e = edges[edges.src != edges.dst]
+    adj: dict[int, set] = {}
+    for s, d in zip(e["src"], e["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    # independence: no two MIS members adjacent
+    for v in mis:
+        assert not (adj.get(v, set()) & mis), v
+    # maximality: every non-member has a MIS neighbor
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, v
+
+
+def test_mis_shard_invariance(ray_session):
+    from pdf_extractor_ray.functions.graph_indexed import mis_indexed
+
+    rng = np.random.default_rng(37)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 150, 700), "dst": rng.integers(0, 150, 700)}
+    )
+    key = ["node", "round"]
+    a = (
+        mis_indexed(ray.data.from_pandas(edges), max_rounds=20, n_shards=3)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        mis_indexed(ray.data.from_pandas(edges), max_rounds=20, n_shards=8)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
