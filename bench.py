@@ -149,6 +149,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "video_frames",
             "pagerank_indexed",
             "cosine_pairs",
+            "random_walks",
+            "kmeans_lloyd",
+            "kcore_indexed",
+            "mis",
+            "bigram_familiarity",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -1691,6 +1691,15 @@ class _LPAShard:
         self._labels = self._keys.copy()  # label_0(v) = v
         return len(src)
 
+    def round_one_local(self) -> int:
+        """Round 1 needs no exchange: label_0(u) = u and neighbors
+        are distinct, so every count is 1 and the majority rule's
+        (count DESC, label ASC) tie-break degenerates to the MIN
+        neighbor id — which is local to the (symmetrized) CSR."""
+        if self._keys is not None and len(self._keys):
+            self._labels = np.minimum.reduceat(self._nbr, self._off[:-1])
+        return 0
+
     def contribs(self) -> list:
         """(neighbor, my_label, count) partials for every owned edge
         u -> v: v hears label(u). Pre-aggregated per (v, label) and
@@ -1801,7 +1810,13 @@ def lpa_communities_indexed(
     n_pushed = _direct_push(edges, make_xy, shards, "add_edges")
     if n_pushed:
         ray.get([s.finalize_lpa.remote() for s in shards])
-        for _ in range(n_iters):
+        if n_iters >= 1:
+            # round 1 degenerates to local min-neighbor (see
+            # round_one_local) — skips the largest exchange of the
+            # whole run (round-1 labels are all distinct, so its
+            # partial stream is edge-sized)
+            ray.get([s.round_one_local.remote() for s in shards])
+        for _ in range(1, n_iters):
             slots = [
                 s.contribs.options(num_returns=S).remote() for s in shards
             ]
