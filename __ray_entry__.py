@@ -5312,6 +5312,47 @@ def _q_kmeans_lloyd(sf_dir: str):
     return kmeans_lloyd(emb, n_clusters=8, iters=2)
 
 
+def _q_cluster_balanced_sample(sf_dir: str):
+    """Embedding-curation composite (SemDeDup / DataComp-style mix
+    balancing): distributed full-corpus Lloyd k-means, then keep at
+    most CAP vectors per cluster by the deterministic md5-salted
+    order — over-represented embedding regions are capped while
+    sparse regions keep everything. One k-group exchange for the
+    per-cluster rank (k = 8 groups)."""
+    import hashlib
+
+    from pdf_extractor_ray.functions.similarity import kmeans_lloyd
+
+    CAP = 32
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    assigned = kmeans_lloyd(emb, n_clusters=8, iters=2)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": batch["cluster"].cast(pa.int64()),
+                "_salt": pa.array(s, pa.string()),
+            }
+        )
+
+    def cap_in_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_salt", "vec_id"], kind="mergesort").head(CAP)
+        return g[["vec_id", "cluster"]].astype(np.int64)
+
+    return (
+        assigned.map_batches(salt, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cap_in_cluster, batch_format="pandas")
+    )
+
+
 def _q_element_types(sf_dir: str):
     """Element-type histogram over the extraction output (SURVEY.md §2.5
     G2): explode the nested elements column inside each batch, partial-
@@ -6934,6 +6975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "element_types": _q_element_types,
         "embedding_clusters": _q_embedding_clusters,
         "kmeans_lloyd": _q_kmeans_lloyd,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         "hash_sample": _q_hash_sample,
         "weighted_sample": _q_weighted_sample,
         "clf_train": _q_clf_train,
@@ -7916,6 +7958,24 @@ def oracle_sql() -> dict[str, str]:
         "sssp": _sssp_sql(8),
         "kcore": _kcore_sql(6, 12),
         "kmeans_lloyd": _kmeans_sql(8, 2),
+        "cluster_balanced_sample": (
+            _kmeans_sql(8, 2).replace(
+                "\nSELECT CAST(vec_id AS BIGINT) AS vec_id, "
+                "CAST(j AS BIGINT) AS cluster FROM a3",
+                """,
+final AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(j AS BIGINT) AS cluster
+    FROM a3
+)
+SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (
+        PARTITION BY cluster
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+    ) AS rn FROM final
+) WHERE rn <= 32""",
+            )
+        ),
         "mis": _mis_sql(8),
         "cocitation": """
             -- Top-20 pairs by number of distinct common in-linking

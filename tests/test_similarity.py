@@ -62,3 +62,24 @@ class TestKmeansLloyd:
             got[["vec_id", "cluster"]].astype("int64"),
             want[["vec_id", "cluster"]].astype("int64"),
         )
+
+
+def test_cluster_balanced_sample_cap(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["cluster_balanced_sample"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    sizes = out.groupby("cluster").size()
+    assert (sizes <= 32).all()
+    # deterministic
+    out2 = entry.queries()["cluster_balanced_sample"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    key = ["cluster", "vec_id"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[key],
+        out2.sort_values(key).reset_index(drop=True)[key],
+    )
