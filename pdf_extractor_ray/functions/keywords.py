@@ -188,7 +188,6 @@ def ngram_novelty(
     partial (total, novel) counts, so the second exchange is
     doc-count-sized.
     """
-    from ray.data.aggregate import Sum
 
     def pairs(batch: pa.Table) -> pa.Table:
         grams_out: list[str] = []
@@ -225,7 +224,25 @@ def ngram_novelty(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
-    return partials.groupby(id_col).aggregate(
-        Sum("n_grams", alias_name="n_grams"),
-        Sum("n_novel", alias_name="n_novel"),
+    # final per-doc fold via the coarse doc-bucket pattern — a
+    # corpus-cardinality key through Ray's Aggregate API is the
+    # measured group-explosion trap (BASELINE round 4)
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_dbucket", pa.array(np.abs(d) % 256)
+        )
+
+    def sum_per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(id_col, as_index=False)[
+            ["n_grams", "n_novel"]
+        ].sum()
+        return out.astype(np.int64)
+
+    return (
+        coalesce_for_exchange(
+            partials.map_batches(tag_doc, batch_format="pyarrow")
+        )
+        .groupby("_dbucket")
+        .map_groups(sum_per_doc, batch_format="pandas")
     )
