@@ -6912,6 +6912,199 @@ def _q_revenue_share_parts(sf_dir: str):
     return revenue_share_parts(lineitem, mult_num=5, mult_den=4)
 
 
+def _nation_region(sf_dir: str) -> pd.DataFrame:
+    """nation pre-joined with region (25 + 5 fixed rows — the only
+    tables small enough to ride a closure)."""
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    region = pd.read_parquet(_t(sf_dir, "region"))
+    return nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+
+
+def _q_discount_band_revenue(sf_dir: str):
+    """TPC-H Q6: revenue recoverable by dropping the 5-7% discount
+    band for small-qty 1996 lines. Map-only scan aggregate — one int64
+    partial per batch, a single-task fold, zero exchange; discounts
+    compare as exact integer permille, never floats."""
+    from pdf_extractor_ray.functions.tpch_extra import discount_band_revenue
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount",
+                 "l_quantity"],
+    )
+    return discount_band_revenue(li)
+
+
+def _q_late_lines_priority(sf_dir: str):
+    """TPC-H Q12 shape (no shipmode column exists: "late" = shipped
+    > 60 days after the order date): one big-big orderkey cogroup,
+    conditional counts per order priority."""
+    from pdf_extractor_ray.functions.tpch_extra import late_lines_by_priority
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    return late_lines_by_priority(li, od, late_days=60)
+
+
+def _q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7: revenue from a supplier nation to a DIFFERENT
+    customer nation per ship year (1995-1996). Three chained big-big
+    cogroups (orderkey -> custkey -> suppkey), partials pre-aggregated
+    on the next key at every stage; only the 25-row nation table is
+    broadcast."""
+    from pdf_extractor_ray.functions.tpch_extra import cross_nation_volume
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    cu = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    su = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    return cross_nation_volume(li, od, cu, su, nation)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: ASIA-market PROMO-part revenue split per order
+    year into NATION_2's share vs total (exact integer cents for both
+    — the division is the reader's). Four chained big-big cogroups
+    (partkey, orderkey, custkey, suppkey); part is never broadcast."""
+    from pdf_extractor_ray.functions.tpch_extra import market_share
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cu = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    su = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    )
+    return market_share(li, od, cu, su, pt, _nation_region(sf_dir))
+
+
+def _q_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape (partsupp re-expressed over shipments):
+    DISTINCT shipping suppliers per (brand, type), one brand excluded.
+    Two exchanges: partkey cogroup of pre-distincted pairs, then a
+    (brand, type)-bucket exchange where nunique is bucket-exact."""
+    from pdf_extractor_ray.functions.tpch_extra import supplier_count_by_part
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type"]
+    )
+    return supplier_count_by_part(li, pt, exclude_brand="Brand#5")
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19: OR-of-ANDs (brand x quantity band x size band)
+    revenue — one partkey cogroup, vectorized disjunctive predicate,
+    single int64 result."""
+    from pdf_extractor_ray.functions.tpch_extra import disjunctive_revenue
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    return disjunctive_revenue(li, pt)
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (supplycost re-expressed as account balance):
+    per SMALL/size-15 part, the EUROPE supplier that shipped it with
+    minimum account balance (tie: suppkey) — the decorrelated
+    min-subquery. suppkey cogroup then partkey cogroup; per-bucket
+    argmin partials keep every exchange narrow."""
+    from pdf_extractor_ray.functions.tpch_extra import min_acctbal_supplier
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    )
+    su = ray.data.read_parquet(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_acctbal", "s_nationkey"],
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size", "p_type"]
+    )
+    return min_acctbal_supplier(li, su, pt, _nation_region(sf_dir))
+
+
+def _q_part_leading_supplier(sf_dir: str):
+    """TPC-H Q20 shape: per 'plate'-named part, the leading supplier
+    by shipped quantity with exact share numerators (the spec's >50%
+    demand test is a caller-side threshold on supp_qty/total_qty; the
+    uniform synthetic corpus makes the raw filter empty). One partkey
+    exchange of per-(part,supp) quantity partials."""
+    from pdf_extractor_ray.functions.tpch_extra import dominant_part_suppliers
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    )
+    return dominant_part_suppliers(li, pt, name_token="plate")
+
+
+def _q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape (supplycost re-expressed as retail price):
+    profit = revenue - qty*retail (exact cents) for 'red' parts,
+    grouped by supplier nation x order year. Three chained big-big
+    cogroups (partkey -> orderkey -> suppkey)."""
+    from pdf_extractor_ray.functions.tpch_extra import profit_by_nation_year
+
+    li = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+    su = ray.data.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    pt = ray.data.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    return profit_by_nation_year(li, od, su, pt, nation, name_token="red")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_corpus": _q_extract_corpus,
@@ -7024,6 +7217,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "sole_return_suppliers": _q_sole_return_suppliers,
         "revenue_share_parts": _q_revenue_share_parts,
+        "discount_band_revenue": _q_discount_band_revenue,
+        "late_lines_priority": _q_late_lines_priority,
+        "nation_pair_volume": _q_nation_pair_volume,
+        "market_share": _q_market_share,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "part_leading_supplier": _q_part_leading_supplier,
+        "nation_profit": _q_nation_profit,
         "median_chars": _q_median_chars,
         "mode_length_bucket": _q_mode_length_bucket,
         "length_quantiles": _q_length_quantiles,
@@ -8955,6 +9157,152 @@ SELECT vec_id, cluster FROM (
             WHERE CAST(revenue_c AS HUGEINT) * 4 *
                   (SELECT CAST(count(*) AS HUGEINT) FROM pp) >
                   5 * (SELECT CAST(SUM(revenue_c) AS HUGEINT) FROM pp)
+        """,
+        # TPC-H Q6: discount-band revenue, exact integer permille filter
+        "discount_band_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(
+                       l_extendedprice*l_discount*100+0.5) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_c
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND CAST(floor(l_discount*100+0.5) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # TPC-H Q12 shape: late (>60 days after order) lines by priority
+        "late_lines_priority": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN l_shipdate >
+                                      o_orderdate + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        # TPC-H Q7: cross-nation volume per ship year
+        "nation_pair_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE s_nationkey <> c_nationkey
+              AND year(l_shipdate) IN (1995, 1996)
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q8 shape: NATION_2 share of the ASIA PROMO market
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 2
+                                 THEN CAST(floor(l_extendedprice *
+                                      (1-l_discount)*100+0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS nation_rev_c,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_rev_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n ON c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE p_type = 'PROMO' AND r.r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        # TPC-H Q16 shape: distinct shipping suppliers per (brand, type)
+        "supplier_part_counts": """
+            SELECT p_brand, p_type,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+            GROUP BY 1, 2
+        """,
+        # TPC-H Q19: OR-of-ANDs brand/qty/size predicate revenue
+        "disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(
+                       l_extendedprice*(1-l_discount)*100+0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_c
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        # TPC-H Q2 shape: min-acctbal EUROPE supplier per filtered part
+        "min_cost_supplier": """
+            WITH shipped AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            cand AS (
+                SELECT p_partkey, s_suppkey,
+                       CAST(floor(s_acctbal*100+0.5) AS BIGINT)
+                           AS acctbal_c,
+                       row_number() OVER (
+                           PARTITION BY p_partkey
+                           ORDER BY CAST(floor(s_acctbal*100+0.5)
+                                         AS BIGINT), s_suppkey
+                       ) AS rn
+                FROM shipped
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n ON s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE r.r_name = 'EUROPE'
+                  AND p_size = 15 AND p_type = 'SMALL'
+            )
+            SELECT p_partkey, s_suppkey, acctbal_c FROM cand WHERE rn = 1
+        """,
+        # TPC-H Q20 shape: leading supplier + exact share per part
+        "part_leading_supplier": """
+            WITH sq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(l_quantity) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT l_partkey, CAST(sum(q) AS BIGINT) AS t
+                FROM sq GROUP BY 1
+            ),
+            lead AS (
+                SELECT sq.l_partkey, sq.l_suppkey, sq.q, tot.t,
+                       row_number() OVER (
+                           PARTITION BY sq.l_partkey
+                           ORDER BY sq.q DESC, sq.l_suppkey
+                       ) AS rn
+                FROM sq
+                JOIN tot USING (l_partkey)
+                JOIN part ON sq.l_partkey = p_partkey
+                WHERE p_name LIKE '%plate%'
+            )
+            SELECT l_partkey AS p_partkey, l_suppkey,
+                   q AS supp_qty, t AS total_qty
+            FROM lead WHERE rn = 1
+        """,
+        # TPC-H Q9 shape: profit by supplier nation x order year
+        "nation_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100
+                                       + 0.5) AS BIGINT)
+                            - CAST(l_quantity AS BIGINT) *
+                              CAST(floor(p_retailprice*100+0.5)
+                                   AS BIGINT)) AS BIGINT) AS profit_c
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
         """,
         # Exact per-group median via value-histogram exchange
         "median_chars": """

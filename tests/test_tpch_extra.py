@@ -17,7 +17,8 @@ SF = "/root/testdata/sf0.001"
 
 def _duck():
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "supplier", "part"):
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF}/{t}.parquet')"
         )
@@ -58,6 +59,15 @@ def _run(name):
         "small_qty_revenue",
         "sole_return_suppliers",
         "revenue_share_parts",
+        "discount_band_revenue",
+        "late_lines_priority",
+        "nation_pair_volume",
+        "market_share",
+        "supplier_part_counts",
+        "disjunctive_revenue",
+        "min_cost_supplier",
+        "part_leading_supplier",
+        "nation_profit",
     ],
 )
 def test_matches_oracle_sf0001(name, ray_session):
@@ -151,3 +161,87 @@ def test_revenue_share_threshold_exact(ray_session):
         ray.data.from_pandas(li), mult_num=1, mult_den=1
     ).to_pandas()
     assert sorted(out["l_partkey"].tolist()) == [2]
+
+
+def test_min_cost_supplier_tiebreak(ray_session):
+    """Two region suppliers with the same acctbal: the smaller
+    suppkey wins (the oracle's row_number tie order)."""
+    from pdf_extractor_ray.functions.tpch_extra import min_acctbal_supplier
+
+    li = pd.DataFrame(
+        {"l_partkey": [7, 7, 7], "l_suppkey": [5, 3, 9]}
+    )
+    su = pd.DataFrame(
+        {
+            "s_suppkey": [3, 5, 9],
+            "s_acctbal": [10.00, 10.00, 99.0],
+            "s_nationkey": [0, 0, 0],
+        }
+    )
+    pt = pd.DataFrame(
+        {"p_partkey": [7], "p_size": [15], "p_type": ["SMALL"]}
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": [0], "n_name": ["N0"], "r_name": ["EUROPE"]}
+    )
+    out = min_acctbal_supplier(
+        ray.data.from_pandas(li).repartition(3),
+        ray.data.from_pandas(su),
+        ray.data.from_pandas(pt),
+        nation,
+    ).to_pandas()
+    assert out.values.tolist() == [[7, 3, 1000]]
+
+
+def test_part_leading_supplier_tiebreak(ray_session):
+    """Quantity tie between suppliers: smaller suppkey leads; share
+    numerators are the exact integer quantities."""
+    from pdf_extractor_ray.functions.tpch_extra import (
+        dominant_part_suppliers,
+    )
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 1],
+            "l_suppkey": [8, 2, 8, 2],
+            "l_quantity": [3.0, 4.0, 4.0, 3.0],
+        }
+    )
+    pt = pd.DataFrame({"p_partkey": [1], "p_name": ["red plate"]})
+    out = dominant_part_suppliers(
+        ray.data.from_pandas(li).repartition(4),
+        ray.data.from_pandas(pt),
+        name_token="plate",
+    ).to_pandas()
+    # both suppliers total 7; suppkey 2 wins the tie
+    assert out.values.tolist() == [[1, 2, 7, 14]]
+
+
+def test_supplier_part_counts_cross_batch_distinct(ray_session):
+    """The same (brand, type, supplier) triple arriving from many
+    partkey buckets counts once."""
+    from pdf_extractor_ray.functions.tpch_extra import (
+        supplier_count_by_part,
+    )
+
+    # parts 1..4 spread across partkey buckets, all Brand#9/PROMO,
+    # all shipped by supplier 1 (+ one by supplier 2)
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3, 4, 4],
+            "l_suppkey": [1, 1, 1, 1, 2],
+        }
+    )
+    pt = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_brand": ["Brand#9"] * 4,
+            "p_type": ["PROMO"] * 4,
+        }
+    )
+    out = supplier_count_by_part(
+        ray.data.from_pandas(li).repartition(5),
+        ray.data.from_pandas(pt),
+        exclude_brand="Brand#5",
+    ).to_pandas()
+    assert out.values.tolist() == [["Brand#9", "PROMO", 2]]
