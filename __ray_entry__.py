@@ -29,7 +29,10 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from pdf_extractor_ray.functions.common import coalesce_for_exchange
+from pdf_extractor_ray.functions.common import (
+    coalesce_for_exchange,
+    sized_read_parquet as _rp,
+)
 
 # ----------------------------------------------------------------- util
 
@@ -2284,7 +2287,7 @@ def _q_winnow(sf_dir: str):
 
 
 def _q_q1_pricing(sf_dir: str):
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -2328,7 +2331,7 @@ def _q_q1_pricing(sf_dir: str):
 def _q_q3_top_orders(sf_dir: str):
     import pyarrow.parquet as pq
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -2399,7 +2402,7 @@ def _q_q3_top_orders(sf_dir: str):
 
 
 def _q_events_window(sf_dir: str):
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "ts", "value"]
     )
 
@@ -2434,7 +2437,7 @@ def _q_events_window(sf_dir: str):
 def _q_events_hopping(sf_dir: str):
     from pdf_extractor_ray.functions.relational import events_hopping_window
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "ts", "value"]
     )
     return events_hopping_window(events, size_s=3600, hop_s=1800)
@@ -2445,7 +2448,7 @@ def _q_events_pivot(sf_dir: str):
     pivot happens inside each batch (pandas crosstab -> fixed columns),
     so the shuffle carries one row per user per batch with 5 int
     columns — never the raw event stream."""
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     types = ["click", "error", "purchase", "signup", "view"]
@@ -2483,7 +2486,7 @@ def _q_pricing_rollup(sf_dir: str):
     fine-grained aggregate re-aggregates to the coarser levels without
     touching the fact table again. NULL group keys encode the level
     (SQL ROLLUP convention)."""
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
     )
@@ -2537,7 +2540,7 @@ def _q_pricing_rollup(sf_dir: str):
 def _q_value_quantiles(sf_dir: str):
     from pdf_extractor_ray.functions.relational import exact_quantiles
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "value"]
     )
     return exact_quantiles(events, qs=(0.5, 0.9))
@@ -2673,7 +2676,7 @@ def _q_quantiles_sampled(sf_dir: str):
     the identical sample in SQL and matches exactly."""
     from pdf_extractor_ray.functions.sketches import sampled_quantiles
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
     return sampled_quantiles(events, qs=(0.5, 0.9), pct=10)
@@ -2682,7 +2685,7 @@ def _q_quantiles_sampled(sf_dir: str):
 def _q_distinct_users(sf_dir: str):
     from pdf_extractor_ray.functions.relational import distinct_users_per_type
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
     return distinct_users_per_type(events)
@@ -2694,7 +2697,7 @@ def _q_distinct_users_hll(sf_dir: str):
     asserts the estimates against the exact counts."""
     from pdf_extractor_ray.functions.sketches import hll_distinct_per_key
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
     return hll_distinct_per_key(events)
@@ -2707,7 +2710,7 @@ def _q_hll_registers(sf_dir: str):
     split, bin()-length rank)."""
     from pdf_extractor_ray.functions.sketches import hll_md5_registers
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
     return hll_md5_registers(events, p=8)
@@ -2719,7 +2722,7 @@ def _q_hll_estimate(sf_dir: str):
     branch — an APPROXIMATE algorithm with an EXACT-value gate."""
     from pdf_extractor_ray.functions.sketches import hll_md5_estimate
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
     return hll_md5_estimate(events, p=8)
@@ -2804,10 +2807,10 @@ def _q_anti_join(sf_dir: str):
     anti-join non-degenerate.)"""
     from pdf_extractor_ray.functions.relational import customers_without_orders
 
-    customer = ray.data.read_parquet(
+    customer = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
     )
 
@@ -2829,11 +2832,11 @@ def _q_semi_join(sf_dir: str):
     collapse, bucket cogroup, in-bucket pre-aggregation."""
     from pdf_extractor_ray.functions.relational import orders_with_returns
 
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
     )
     return orders_with_returns(orders, lineitem)
@@ -2846,11 +2849,11 @@ def _q_semi_join_bloom(sf_dir: str):
     result — and the oracle — are identical to `semi_join`)."""
     from pdf_extractor_ray.functions.relational import orders_with_returns
 
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
     )
     return orders_with_returns(orders, lineitem, bloom_bits_p=20)
@@ -2862,8 +2865,8 @@ def _q_custdist(sf_dir: str):
     carries per-(bucket, c_count) rows, never per-customer rows."""
     from pdf_extractor_ray.functions.relational import customer_order_distribution
 
-    customer = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
-    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    customer = _rp(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = _rp(_t(sf_dir, "orders"), columns=["o_custkey"])
     return customer_order_distribution(customer, orders)
 
 
@@ -3162,7 +3165,7 @@ def _q_peak_window(sf_dir: str):
     is a clamped cumulative-sum diff, no Python loop."""
     from pdf_extractor_ray.functions.relational import peak_moving_window
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
     )
     return peak_moving_window(events, window_rows=4)
@@ -3191,7 +3194,7 @@ def _q_hourly_spikes(sf_dir: str):
     events."""
     from pdf_extractor_ray.functions.relational import hourly_spikes
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts"]
     )
     return hourly_spikes(events, factor=1)
@@ -3207,17 +3210,17 @@ def _q_nation_revenue(sf_dir: str):
     25-row nation table is broadcast."""
     from pdf_extractor_ray.functions.relational import nation_revenue
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     )
-    cu = ray.data.read_parquet(
+    cu = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
-    su = ray.data.read_parquet(
+    su = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     )
     nat = pd.read_parquet(_t(sf_dir, "nation"))
@@ -3246,12 +3249,12 @@ def _q_returns_topk(sf_dir: str):
     sort touches <= n_buckets*20 rows."""
     from pdf_extractor_ray.functions.relational import returned_revenue_topk
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_returnflag"],
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -3265,12 +3268,12 @@ def _q_promo_revenue(sf_dir: str):
     pre-aggregation on the lineitem side — never a broadcast."""
     from pdf_extractor_ray.functions.relational import promo_revenue_by_month
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_shipdate", "l_extendedprice",
                  "l_discount"],
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
     )
     return promo_revenue_by_month(li, pt)
@@ -3335,7 +3338,7 @@ def _q_running_totals(sf_dir: str):
     sort + cumsum, exact integer cents, ties broken by event_id."""
     from pdf_extractor_ray.functions.relational import running_totals
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"),
         columns=["event_id", "user_id", "ts", "value"],
     )
@@ -3348,7 +3351,7 @@ def _q_max_concurrency(sf_dir: str):
     plus a driver-side carry fold over one int per time window."""
     from pdf_extractor_ray.functions.relational import max_concurrency
 
-    events = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    events = _rp(_t(sf_dir, "events"), columns=["ts"])
     return max_concurrency(events, hold_s=600)
 
 
@@ -3359,7 +3362,7 @@ def _q_props_rollup(sf_dir: str):
     drop, exactly like json_extract + CAST in the oracle."""
     from pdf_extractor_ray.functions.relational import json_prop_rollup
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "props"]
     )
     return json_prop_rollup(events, key="k")
@@ -3371,7 +3374,7 @@ def _q_event_trigrams(sf_dir: str):
     pattern in ONE pass (second-order transitions + session gap)."""
     from pdf_extractor_ray.functions.relational import event_trigrams
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"),
         columns=["user_id", "event_id", "ts", "event_type"],
     )
@@ -3384,7 +3387,7 @@ def _q_full_outer_activity(sf_dir: str):
     status — one pass, one bucket exchange."""
     from pdf_extractor_ray.functions.relational import full_outer_activity
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
     return full_outer_activity(events)
@@ -3397,7 +3400,7 @@ def _q_conversion_latency(sf_dir: str):
     ships only purchase rows (narrow int64 pairs)."""
     from pdf_extractor_ray.functions.relational import conversion_latency
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
     return conversion_latency(events)
@@ -3409,7 +3412,7 @@ def _q_interarrival(sf_dir: str):
     user-bucket exchange, vectorized lexsort+diff fold."""
     from pdf_extractor_ray.functions.relational import interarrival_stats
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     )
     return interarrival_stats(events)
@@ -3422,7 +3425,7 @@ def _q_attribution(sf_dir: str):
     partial rows each."""
     from pdf_extractor_ray.functions.relational import last_touch_attribution
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"),
         columns=["user_id", "ts", "event_id", "event_type"],
     )
@@ -3435,7 +3438,7 @@ def _q_profile(sf_dir: str):
     partial row per column per batch — no row-level shuffle."""
     from pdf_extractor_ray.functions.relational import profile_columns
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
@@ -3558,7 +3561,7 @@ def _q_compression_ratio(sf_dir: str):
 def _q_brand_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -3959,7 +3962,7 @@ def _q_range_band(sf_dir: str):
     BETWEEN predicate and aggregates per band."""
     from pdf_extractor_ray.functions.relational import range_join_broadcast
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "value"]
     )
     ranges = pd.DataFrame(
@@ -4009,7 +4012,7 @@ def _q_range_band_partitioned(sf_dir: str):
     identical oracle, so the driver checks the two paths agree."""
     from pdf_extractor_ray.functions.relational import range_join_partitioned
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "value"]
     )
     ranges = pd.DataFrame(
@@ -4630,14 +4633,14 @@ def _q_tfidf_terms(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from pdf_extractor_ray.functions.relational import sessionize_users
 
-    events = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    events = _rp(_t(sf_dir, "events"), columns=["user_id", "ts"])
     return sessionize_users(events, gap_s=1800)
 
 
 def _q_sessionize_events(sf_dir: str):
     from pdf_extractor_ray.functions.relational import sessionize_events
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
     )
     return sessionize_events(events, gap_s=1800)
@@ -4648,7 +4651,7 @@ def _q_asof_orders(sf_dir: str):
 
     from pdf_extractor_ray.functions.relational import latest_order_asof
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id", "ts"]
     )
     orders = pq.read_table(
@@ -4666,10 +4669,10 @@ def _q_asof_orders_partitioned(sf_dir: str):
         latest_order_asof_partitioned,
     )
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id", "ts"]
     )
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
     return latest_order_asof_partitioned(events, orders)
@@ -4757,11 +4760,11 @@ def _q_priority_revenue(sf_dir: str):
     """Big-big hash join (native Dataset.join): revenue per priority."""
     from pdf_extractor_ray.functions.relational import order_priority_revenue
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
     return order_priority_revenue(lineitem, orders)
@@ -4824,7 +4827,7 @@ def _q_sorted_export(sf_dir: str):
     cumulative-histogram arithmetic."""
     from pdf_extractor_ray.functions.ordering import range_sort_manifest
 
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -5205,7 +5208,7 @@ def _q_funnel(sf_dir: str):
     walk == the oracle's nested-min SQL)."""
     from pdf_extractor_ray.functions.relational import funnel_steps
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
     return funnel_steps(events, steps=["view", "click", "purchase"])
@@ -5216,7 +5219,7 @@ def _q_transitions(sf_dir: str):
     (ts, event_id)-ordered stream; oracle = lag window replay."""
     from pdf_extractor_ray.functions.relational import transition_counts
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"),
         columns=["user_id", "event_type", "ts", "event_id"],
     )
@@ -5229,7 +5232,7 @@ def _q_retention(sf_dir: str):
     epoch micros, replayed exactly in SQL)."""
     from pdf_extractor_ray.functions.relational import retention_cohorts
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "ts"]
     )
     return retention_cohorts(events)
@@ -5240,7 +5243,7 @@ def _q_cooccurrence(sf_dir: str):
     users whose history contains both types, per unordered pair."""
     from pdf_extractor_ray.functions.relational import cooccurrence_pairs
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["user_id", "event_type"]
     )
     return cooccurrence_pairs(events)
@@ -5252,7 +5255,7 @@ def _q_group_topk(sf_dir: str):
     user buckets — never a (type, user)-keyed aggregate group set."""
     from pdf_extractor_ray.functions.relational import topk_per_group
 
-    events = ray.data.read_parquet(
+    events = _rp(
         _t(sf_dir, "events"), columns=["event_type", "user_id"]
     )
 
@@ -6745,11 +6748,11 @@ def _q_top_supplier(sf_dir: str):
     argmax with ties kept; only the winners' keys touch supplier."""
     from pdf_extractor_ray.functions.tpch_extra import top_revenue_supplier
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    supplier = ray.data.read_parquet(
+    supplier = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
     )
     return top_revenue_supplier(lineitem, supplier)
@@ -6760,14 +6763,14 @@ def _q_large_volume_orders(sf_dir: str):
     survivor key set broadcasts back over orders + customer."""
     from pdf_extractor_ray.functions.tpch_extra import large_volume_orders
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
     )
-    orders = ray.data.read_parquet(
+    orders = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
-    customer = ray.data.read_parquet(
+    customer = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
     )
     return large_volume_orders(lineitem, orders, customer, min_qty=250)
@@ -6779,11 +6782,11 @@ def _q_small_qty_revenue(sf_dir: str):
     exact integer math (5*qty*cnt < sum_qty)."""
     from pdf_extractor_ray.functions.tpch_extra import small_quantity_revenue
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
-    part = ray.data.read_parquet(
+    part = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_size"]
     )
     return small_quantity_revenue(lineitem, part, max_size=5)
@@ -6794,11 +6797,11 @@ def _q_sole_return_suppliers(sf_dir: str):
     one per-orderkey cogroup (set tests in-group, no self-join)."""
     from pdf_extractor_ray.functions.tpch_extra import sole_return_suppliers
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_returnflag"],
     )
-    supplier = ray.data.read_parquet(
+    supplier = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
     )
     return sole_return_suppliers(lineitem, supplier, top_k=25)
@@ -6851,7 +6854,7 @@ def _q_pareto_parts(sf_dir: str):
     the exchange carries skylines, never the table."""
     from pdf_extractor_ray.functions.skyline import skyline_2d
 
-    part = ray.data.read_parquet(
+    part = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
     )
 
@@ -6905,7 +6908,7 @@ def _q_revenue_share_parts(sf_dir: str):
     per-part aggregate (parts earning > 1.25x the average)."""
     from pdf_extractor_ray.functions.tpch_extra import revenue_share_parts
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -6929,7 +6932,7 @@ def _q_discount_band_revenue(sf_dir: str):
     compare as exact integer permille, never floats."""
     from pdf_extractor_ray.functions.tpch_extra import discount_band_revenue
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_shipdate", "l_extendedprice", "l_discount",
                  "l_quantity"],
@@ -6943,10 +6946,10 @@ def _q_late_lines_priority(sf_dir: str):
     conditional counts per order priority."""
     from pdf_extractor_ray.functions.tpch_extra import late_lines_by_priority
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -6961,18 +6964,18 @@ def _q_nation_pair_volume(sf_dir: str):
     broadcast."""
     from pdf_extractor_ray.functions.tpch_extra import cross_nation_volume
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     )
-    cu = ray.data.read_parquet(
+    cu = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
-    su = ray.data.read_parquet(
+    su = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     )
     nation = pd.read_parquet(_t(sf_dir, "nation"))
@@ -6986,22 +6989,22 @@ def _q_market_share(sf_dir: str):
     (partkey, orderkey, custkey, suppkey); part is never broadcast."""
     from pdf_extractor_ray.functions.tpch_extra import market_share
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_orderkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
-    cu = ray.data.read_parquet(
+    cu = _rp(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
-    su = ray.data.read_parquet(
+    su = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
     )
     return market_share(li, od, cu, su, pt, _nation_region(sf_dir))
@@ -7014,10 +7017,10 @@ def _q_supplier_part_counts(sf_dir: str):
     (brand, type)-bucket exchange where nunique is bucket-exact."""
     from pdf_extractor_ray.functions.tpch_extra import supplier_count_by_part
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type"]
     )
     return supplier_count_by_part(li, pt, exclude_brand="Brand#5")
@@ -7029,12 +7032,12 @@ def _q_disjunctive_revenue(sf_dir: str):
     single int64 result."""
     from pdf_extractor_ray.functions.tpch_extra import disjunctive_revenue
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"],
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
     )
     return disjunctive_revenue(li, pt)
@@ -7048,14 +7051,14 @@ def _q_min_cost_supplier(sf_dir: str):
     argmin partials keep every exchange narrow."""
     from pdf_extractor_ray.functions.tpch_extra import min_acctbal_supplier
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
     )
-    su = ray.data.read_parquet(
+    su = _rp(
         _t(sf_dir, "supplier"),
         columns=["s_suppkey", "s_acctbal", "s_nationkey"],
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_size", "p_type"]
     )
     return min_acctbal_supplier(li, su, pt, _nation_region(sf_dir))
@@ -7069,11 +7072,11 @@ def _q_part_leading_supplier(sf_dir: str):
     exchange of per-(part,supp) quantity partials."""
     from pdf_extractor_ray.functions.tpch_extra import dominant_part_suppliers
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_suppkey", "l_quantity"],
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
     )
     return dominant_part_suppliers(li, pt, name_token="plate")
@@ -7086,18 +7089,18 @@ def _q_nation_profit(sf_dir: str):
     cogroups (partkey -> orderkey -> suppkey)."""
     from pdf_extractor_ray.functions.tpch_extra import profit_by_nation_year
 
-    li = ray.data.read_parquet(
+    li = _rp(
         _t(sf_dir, "lineitem"),
         columns=["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
                  "l_extendedprice", "l_discount"],
     )
-    od = ray.data.read_parquet(
+    od = _rp(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
     )
-    su = ray.data.read_parquet(
+    su = _rp(
         _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     )
-    pt = ray.data.read_parquet(
+    pt = _rp(
         _t(sf_dir, "part"),
         columns=["p_partkey", "p_name", "p_retailprice"],
     )

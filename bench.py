@@ -154,6 +154,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "kcore_indexed",
             "mis",
             "bigram_familiarity",
+            "market_share",
+            "nation_pair_volume",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()
