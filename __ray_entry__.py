@@ -5796,6 +5796,92 @@ def _q_dsir_select(sf_dir: str):
     )
 
 
+def _q_mixture_select(sf_dir: str):
+    """Temperature-sampled training-mix composition (mT5/UniMax
+    family, alpha=0.5): per-language quotas = largest-remainder
+    apportionment of a 40%% document budget over sqrt-scaled counts
+    (`functions/mixture.py::temperature_quotas` — exact integer after
+    one IEEE-correctly-rounded sqrt), then EXACT per-language
+    hash-rank selection via the grouped histogram selector (no
+    per-source sort; driver holds cell counts + one cutoff per
+    language). Output: per-language (n_docs, weight, quota,
+    n_selected, sel_md5) where sel_md5 pins the exact membership. The
+    oracle replays quota arithmetic with windows and the selection
+    with the identical (md5(id), id) rank."""
+    from pdf_extractor_ray.functions.mixture import select_mixture
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang"]
+    )
+    n = docs.count()  # parquet metadata only
+    sel = select_mixture(
+        docs.materialize(), 2 * n // 5, key_col="lang", id_col="doc_id"
+    )
+
+    # bounded verification rollup (n_langs rows): per-batch id lists,
+    # then per-lang sorted-id md5 — same shape as partitioned_sink
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang")["doc_id"].agg(list).rename("ids")
+        g = g.reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "ids": pa.array(g["ids"], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(i for lst in group["ids"] for i in lst)
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_selected": np.int64(len(ids)),
+                "sel_md5": [
+                    hashlib.md5(
+                        ",".join(str(i) for i in ids).encode()
+                    ).hexdigest()
+                ],
+            }
+        )
+
+    rolled = (
+        sel.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # n_langs rows
+    )
+
+    # quota table replay (driver-side, n_langs entries — the same
+    # counts the operator derived internally)
+    from pdf_extractor_ray.functions.mixture import temperature_quotas
+
+    counts = (
+        ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()
+    )
+    quotas = temperature_quotas(
+        dict(zip(counts["lang"], counts["count()"])), 2 * n // 5
+    )
+    qdf = pd.DataFrame(
+        [
+            {
+                "lang": k,
+                "n_docs": np.int64(v["n_docs"]),
+                "weight": np.int64(v["weight"]),
+                "quota": np.int64(v["quota"]),
+            }
+            for k, v in quotas.items()
+        ]
+    )
+    out = qdf.merge(rolled, on="lang", how="left")
+    out["n_selected"] = out["n_selected"].fillna(0).astype(np.int64)
+    out["sel_md5"] = out["sel_md5"].fillna("")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_pagerank(sf_dir: str):
     """Link-graph PageRank over a deterministic synthetic web graph
     (3 out-links per doc via fixed affine maps mod N, self-loops and
@@ -7342,6 +7428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_indexed": _q_hits_indexed,
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
+        "mixture_select": _q_mixture_select,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "image_decode": _q_image_decode,
@@ -8582,6 +8669,51 @@ SELECT vec_id, cluster FROM (
         """,
         "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,
+        # mixture_select: temperature (alpha=0.5) quota apportionment
+        # in exact integer arithmetic (the one sqrt is IEEE correctly
+        # rounded on both engines), then per-language hash-rank
+        # selection with the repo's standard (md5(id), id) order.
+        "mixture_select": """
+            WITH n AS (SELECT lang, count(*) AS n_docs
+                       FROM documents GROUP BY lang),
+                 tot AS (SELECT sum(n_docs) AS N FROM n),
+                 w AS (SELECT lang, n_docs,
+                              CAST(floor(sqrt(n_docs * 1000000.0))
+                                   AS BIGINT) AS wt
+                       FROM n),
+                 ws AS (SELECT sum(wt) AS W FROM w),
+                 b AS (SELECT CAST(2 * N // 5 AS BIGINT) AS B FROM tot),
+                 base AS (SELECT lang, n_docs, wt,
+                                 B * wt // W AS q0, B * wt % W AS rem
+                          FROM w, ws, b),
+                 ex AS (SELECT *,
+                               row_number() OVER (ORDER BY rem DESC,
+                                                  lang) AS rk,
+                               (SELECT B FROM b) - sum(q0) OVER ()
+                                   AS extra
+                        FROM base),
+                 quota AS (SELECT lang, n_docs, wt,
+                                  q0 + CASE WHEN rk <= extra
+                                            THEN 1 ELSE 0 END AS q
+                           FROM ex),
+                 sel AS (SELECT d.lang, d.doc_id,
+                                row_number() OVER (
+                                    PARTITION BY d.lang
+                                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                             d.doc_id) AS rn
+                         FROM documents d),
+                 keep AS (SELECT s.lang, s.doc_id
+                          FROM sel s JOIN quota q USING(lang)
+                          WHERE s.rn <= q.q)
+            SELECT q.lang, q.n_docs, q.wt AS weight, q.q AS quota,
+                   CAST(count(k.doc_id) AS BIGINT) AS n_selected,
+                   COALESCE(md5(string_agg(CAST(k.doc_id AS VARCHAR), ','
+                                           ORDER BY k.doc_id)), '')
+                       AS sel_md5
+            FROM quota q LEFT JOIN keep k USING(lang)
+            GROUP BY q.lang, q.n_docs, q.wt, q.q
+            ORDER BY q.lang
+        """,
         "dsir_select": f"""
             WITH s AS ({_DSIR_SCORE_SQL}),
                  r AS (SELECT doc_id, dsir_score,
