@@ -5796,6 +5796,50 @@ def _q_dsir_select(sf_dir: str):
     )
 
 
+def _q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; CCMatrix):
+    top-20 en->de document pairs by ratio margin cos/((avg_x+avg_y)/2)
+    over each side's top-4 cross-lingual neighbors. The de side (the
+    smaller language of the pair shard) is broadcast; the en side
+    streams through one fused top-k+margin map_batches; per-y averages
+    come from the existing knn_bruteforce tree merge. Oracle replays
+    the full margin arithmetic with window functions over the exact
+    cosine cross join."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.bitext import bitext_margin_pairs
+
+    langs = pq.read_table(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang"]
+    ).to_pandas()
+    de_ids = set(langs.loc[langs["lang"] == "de", "doc_id"].astype(int))
+    en_ids = set(langs.loc[langs["lang"] == "en", "doc_id"].astype(int))
+
+    # target side (de): bounded driver load — the broadcast matrix
+    yt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ydf = yt.to_pandas()
+    ydf = ydf[ydf["vec_id"].isin(de_ids)].sort_values("vec_id")
+    y_ids = ydf["vec_id"].tolist()
+    y_mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in ydf["embedding"]]
+    )
+
+    # source side (en): streams
+    en_ref = ray.put(np.array(sorted(en_ids), dtype=np.int64))
+
+    def only_en(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch["vec_id"].to_numpy(zero_copy_only=False), ray.get(en_ref)
+        )
+        return batch.filter(pa.array(keep))
+
+    x_ds = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(only_en, batch_format="pyarrow")
+
+    return bitext_margin_pairs(x_ds, y_ids, y_mat, k=4, top_n=20)
+
+
 def _q_mixture_select(sf_dir: str):
     """Temperature-sampled training-mix composition (mT5/UniMax
     family, alpha=0.5): per-language quotas = largest-remainder
@@ -7429,6 +7473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score": _q_dsir_score,
         "dsir_select": _q_dsir_select,
         "mixture_select": _q_mixture_select,
+        "bitext_mine": _q_bitext_mine,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "image_decode": _q_image_decode,
@@ -8669,6 +8714,44 @@ SELECT vec_id, cluster FROM (
         """,
         "hits": _hits_sql(3),
         "dsir_score": _DSIR_SCORE_SQL,
+        # bitext_mine: ratio-margin mining replayed in closed form —
+        # x side en, y side de (vec_id joined to documents.lang), k=4
+        # neighbor averages on both sides, global top-20 by margin
+        # with (src_id, tgt_id) tie order.
+        "bitext_mine": """
+            WITH x AS (SELECT e.vec_id AS id, e.embedding AS v
+                       FROM embeddings e JOIN documents d
+                         ON d.doc_id = e.vec_id
+                       WHERE d.lang = 'en'),
+                 y AS (SELECT e.vec_id AS id, e.embedding AS v
+                       FROM embeddings e JOIN documents d
+                         ON d.doc_id = e.vec_id
+                       WHERE d.lang = 'de'),
+                 s AS (SELECT x.id AS xid, y.id AS yid,
+                              list_cosine_similarity(x.v, y.v) AS cos
+                       FROM x CROSS JOIN y),
+                 fx AS (SELECT *, row_number() OVER (
+                            PARTITION BY xid
+                            ORDER BY cos DESC, yid) AS rn
+                        FROM s),
+                 ax AS (SELECT xid, sum(cos) / 4 AS a
+                        FROM fx WHERE rn <= 4 GROUP BY xid),
+                 fy AS (SELECT *, row_number() OVER (
+                            PARTITION BY yid
+                            ORDER BY cos DESC, xid) AS rn
+                        FROM s),
+                 ay AS (SELECT yid, sum(cos) / 4 AS a
+                        FROM fy WHERE rn <= 4 GROUP BY yid),
+                 m AS (SELECT f.xid, f.yid,
+                              f.cos / ((ax.a + ay.a) / 2) AS margin
+                       FROM fx f JOIN ax USING(xid) JOIN ay USING(yid)
+                       WHERE f.rn <= 4),
+                 r AS (SELECT xid AS src_id, yid AS tgt_id,
+                              row_number() OVER (
+                                  ORDER BY margin DESC, xid, yid) AS rank
+                       FROM m)
+            SELECT src_id, tgt_id, rank FROM r WHERE rank <= 20
+        """,
         # mixture_select: temperature (alpha=0.5) quota apportionment
         # in exact integer arithmetic (the one sqrt is IEEE correctly
         # rounded on both engines), then per-language hash-rank
