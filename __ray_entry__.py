@@ -1826,6 +1826,52 @@ def _q_token_chunks(sf_dir: str):
     return _chunks_with_md5(chunks)
 
 
+def _q_bin_export(sf_dir: str):
+    """nanoGPT/Megatron-style binary token-shard export with a
+    byte-exact read-back audit: the SQL-derivable token stream (doc d
+    contributes (d*31+j)%32000 per word j, as in token_chunks) is cut
+    into 512-token chunks, the chunks land in 4 uint16-LE .bin shards
+    (+ int64 .idx offset triples) by chunk_id % 4 — one groupby
+    exchange, atomic tmp+rename per file — and the manifest the query
+    returns comes from RE-READING the actual files: bin_md5 is the md5
+    of the on-disk byte stream's hex, idx_md5 the decoded offset
+    triples. The oracle rebuilds both fingerprints from the chunk CTE
+    (uint16 LE = low-byte hex then high-byte hex per token)."""
+    import re as _re
+
+    from pdf_extractor_ray.functions.binexport import (
+        export_token_bin_shards,
+        read_token_bin_manifest,
+    )
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        ids_out = []
+        dids = batch["doc_id"].to_pylist()
+        for d, t in zip(dids, batch["text"].to_pylist()):
+            nw = len(_re.findall(r"\S+", t or ""))
+            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(ids_out, pa.list_(pa.int32())),
+            }
+        )
+
+    chunks = token_stream_chunks(
+        docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
+    )
+    out_dir = os.path.join(
+        "/tmp/graft_bin_export", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shards = export_token_bin_shards(chunks, out_dir, n_shards=4)
+    return read_token_bin_manifest(out_dir, shards)
+
+
 def _q_tokenize_chunks(sf_dir: str):
     """The REAL training-data export tail: BPE-encode every document
     with the actor-pool stage (vendored ranks table; a real cl100k
@@ -7458,6 +7504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
+        "bin_export": _q_bin_export,
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
@@ -10936,6 +10983,53 @@ SELECT vec_id, cluster FROM (
                    md5(string_agg(CAST(tid AS VARCHAR), ','
                        ORDER BY pos)) AS ids_md5
             FROM c GROUP BY chunk_id
+        """,
+        # bin_export: byte-exact replay of the on-disk uint16-LE .bin
+        # shards + int64 .idx triples — same chunk CTE as
+        # token_chunks, then per-shard (chunk_id % 4) hex streams.
+        "bin_export": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ \\t\\n\\r\\f\\x0b]+')) AS nw
+                FROM documents),
+            o AS (
+                SELECT doc_id, nw,
+                       sum(nw) OVER (ORDER BY doc_id) - nw AS off
+                FROM w),
+            tok AS (
+                SELECT doc_id, off, unnest(range(nw)) AS j FROM o),
+            c AS (
+                SELECT (off + j) // 512 AS chunk_id,
+                       off + j AS pos,
+                       (doc_id * 31 + j) % 32000 AS tid
+                FROM tok),
+            h AS (
+                SELECT chunk_id % 4 AS shard, chunk_id, pos,
+                       lpad(lower(to_hex(tid % 256)), 2, '0') ||
+                       lpad(lower(to_hex(tid // 256)), 2, '0') AS hx
+                FROM c),
+            per_chunk AS (
+                SELECT shard, chunk_id, count(*) AS n
+                FROM h GROUP BY shard, chunk_id),
+            idx AS (
+                SELECT shard, chunk_id, n,
+                       sum(n) OVER (PARTITION BY shard
+                                    ORDER BY chunk_id) - n AS off
+                FROM per_chunk),
+            idxagg AS (
+                SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+                       md5(string_agg(chunk_id || ':' || off || ':' || n,
+                                      ',' ORDER BY chunk_id)) AS idx_md5
+                FROM idx GROUP BY shard),
+            binagg AS (
+                SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens,
+                       md5(string_agg(hx, '' ORDER BY pos)) AS bin_md5
+                FROM h GROUP BY shard)
+            SELECT CAST(shard AS BIGINT) AS shard, n_chunks, n_tokens,
+                   bin_md5, idx_md5
+            FROM binagg JOIN idxagg USING(shard)
+            ORDER BY shard
         """,
         # robots gate: the oracle rebuilds the expected allow/deny
         # decision from the synthetic rule (host parity selects the
