@@ -1872,6 +1872,61 @@ def _q_bin_export(sf_dir: str):
     return read_token_bin_manifest(out_dir, shards)
 
 
+def _q_fim_chunks(sf_dir: str):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    the StarCoder/CodeLlama data-prep step): 50% of the 512-token
+    chunks — selected by the standard md5(chunk_id) percent hash —
+    are reordered PSM ([PRE] prefix [SUF] suffix [MID] middle, splits
+    at n//3 and 2n//3, sentinels 32001-32003). Pure per-row map, no
+    exchange. ids_md5 pins the exact transformed token order; the
+    oracle replays the permutation with position CASE arithmetic plus
+    three sentinel UNION rows per transformed chunk."""
+    import re as _re
+
+    from pdf_extractor_ray.functions.fim import fim_transform
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        ids_out = []
+        dids = batch["doc_id"].to_pylist()
+        for d, t in zip(dids, batch["text"].to_pylist()):
+            nw = len(_re.findall(r"\S+", t or ""))
+            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(ids_out, pa.list_(pa.int32())),
+            }
+        )
+
+    chunks = token_stream_chunks(
+        docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
+    )
+    fim = fim_transform(chunks, rate_pct=50)
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(
+                ",".join(str(int(t)) for t in ids).encode()
+            ).hexdigest()
+            for ids in batch["ids"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "chunk_id": batch["chunk_id"],
+                "fim_applied": batch["fim_applied"],
+                "n_tokens": batch["n_tokens"],
+                "ids_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    return fim.map_batches(rollup, batch_format="pyarrow")
+
+
 def _q_tokenize_chunks(sf_dir: str):
     """The REAL training-data export tail: BPE-encode every document
     with the actor-pool stage (vendored ranks table; a real cl100k
@@ -7505,6 +7560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": _q_anchor_stats,
         "token_chunks": _q_token_chunks,
         "bin_export": _q_bin_export,
+        "fim_chunks": _q_fim_chunks,
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
@@ -11030,6 +11086,58 @@ SELECT vec_id, cluster FROM (
                    bin_md5, idx_md5
             FROM binagg JOIN idxagg USING(shard)
             ORDER BY shard
+        """,
+        # fim_chunks: PSM permutation replayed with position CASE
+        # arithmetic (jj = pos % 512 is the within-chunk index; a
+        # transformed chunk maps prefix j->j+1, suffix j->j-b+a+2,
+        # middle j->j+n-b+3) plus three sentinel rows per chunk.
+        "fim_chunks": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ \\t\\n\\r\\f\\x0b]+')) AS nw
+                FROM documents),
+            o AS (
+                SELECT doc_id, nw,
+                       sum(nw) OVER (ORDER BY doc_id) - nw AS off
+                FROM w),
+            tok AS (
+                SELECT doc_id, off, unnest(range(nw)) AS j FROM o),
+            c AS (
+                SELECT (off + j) // 512 AS chunk_id,
+                       (off + j) % 512 AS jj,
+                       (doc_id * 31 + j) % 32000 AS tid
+                FROM tok),
+            n AS (SELECT chunk_id, count(*) AS n
+                  FROM c GROUP BY chunk_id),
+            f AS (
+                SELECT chunk_id, n,
+                       ((('0x' || substring(md5(CAST(chunk_id AS VARCHAR)),
+                                            1, 8))::UBIGINT % 100) < 50
+                        AND n >= 3) AS fim,
+                       n // 3 AS a, 2 * n // 3 AS b
+                FROM n),
+            toks AS (
+                SELECT c.chunk_id,
+                       CASE WHEN NOT f.fim THEN c.jj
+                            WHEN c.jj < f.a THEN c.jj + 1
+                            WHEN c.jj >= f.b THEN c.jj - f.b + f.a + 2
+                            ELSE c.jj + f.n - f.b + 3 END AS op,
+                       c.tid
+                FROM c JOIN f USING(chunk_id)
+                UNION ALL
+                SELECT chunk_id, 0, 32001 FROM f WHERE fim
+                UNION ALL
+                SELECT chunk_id, a + 1, 32002 FROM f WHERE fim
+                UNION ALL
+                SELECT chunk_id, a + n - b + 2, 32003 FROM f WHERE fim)
+            SELECT t.chunk_id, f.fim AS fim_applied,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(CAST(t.tid AS VARCHAR), ','
+                                  ORDER BY t.op)) AS ids_md5
+            FROM toks t JOIN f USING(chunk_id)
+            GROUP BY t.chunk_id, f.fim
+            ORDER BY t.chunk_id
         """,
         # robots gate: the oracle rebuilds the expected allow/deny
         # decision from the synthetic rule (host parity selects the
