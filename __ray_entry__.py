@@ -6516,6 +6516,68 @@ def _q_embedding_gram(sf_dir: str):
     return embedding_gram(emb)
 
 
+def _q_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection (Gonzalez farthest-first, the
+    Sener & Savarese core-set rule): 6 maximally-spread embedding rows,
+    seed = lowest id, distances EXACT integers over centi-quantized
+    vectors so the trajectory is engine-replayable bit for bit. Driver
+    state = the 6 centers; per round one linear min-dist update pass +
+    a 1-row-per-block reduce, no shuffle. Oracle unrolls the six steps
+    as chained CTEs over the same quantization."""
+    from pdf_extractor_ray.functions.coreset import kcenter_select
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return kcenter_select(emb, k=6)
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled farthest-first replay over centi-quantized vectors."""
+    parts = [
+        """WITH x AS (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(range(len(embedding))) AS i
+    FROM embeddings),
+q AS (
+    SELECT vec_id AS id, i,
+           CAST(floor(CAST(v AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qv
+    FROM x),
+c0 AS (SELECT min(id) AS id FROM q)"""
+    ]
+    for r in range(1, k):
+        if r == 1:
+            parts.append(
+                f"""d{r} AS (
+    SELECT a.id, sum((a.qv - b.qv) * (a.qv - b.qv)) AS md
+    FROM q a JOIN q b
+      ON b.id = (SELECT id FROM c{r - 1}) AND a.i = b.i
+    GROUP BY a.id)"""
+            )
+        else:
+            parts.append(
+                f"""d{r} AS (
+    SELECT a.id, LEAST(p.md, sum((a.qv - b.qv) * (a.qv - b.qv))) AS md
+    FROM q a JOIN q b
+      ON b.id = (SELECT id FROM c{r - 1}) AND a.i = b.i
+    JOIN d{r - 1} p ON p.id = a.id
+    GROUP BY a.id, p.md)"""
+            )
+        parts.append(
+            f"c{r} AS (SELECT id FROM d{r} ORDER BY md DESC, id LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS rank, (SELECT id FROM c{r}) AS center_id"
+        for r in range(k)
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(rank AS BIGINT) AS rank,"
+        + " CAST(center_id AS BIGINT) AS center_id"
+        + f" FROM ({sel}) ORDER BY rank"
+    )
+
+
 def _q_bpe_piece_hist(sf_dir: str):
     """The distributed half of BPE tokenizer training: the corpus's
     pre-tokenization piece histogram (functions/tokenizer.py). Pieces
@@ -7563,6 +7625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_chunks": _q_fim_chunks,
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
+        "kcenter_coreset": _q_kcenter,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
         "pagerank_indexed": _q_pagerank_indexed,
@@ -11015,6 +11078,7 @@ SELECT vec_id, cluster FROM (
               ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i
         """,
+        "kcenter_coreset": _kcenter_sql(6),
         "token_chunks": """
             WITH w AS (
                 SELECT doc_id,
