@@ -52,7 +52,9 @@ import ray.data
 
 from pdf_extractor_ray.functions.similarity import (
     _arrow_matrix,
+    _gemm_t,
     _normalize,
+    _topk_per_query,
     knn_bruteforce,
 )
 
@@ -111,13 +113,14 @@ def bitext_margin_pairs(
             np.int64, copy=False
         )
         x = _normalize(_arrow_matrix(batch[vec_col]))
-        sims = x @ y.T  # (B, |Y|)
-        # per-x top-k columns (ties: lower y id first, matching the
-        # oracle's ORDER BY cos DESC, yid)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(len(ids)), kk)
-        cols = order.reshape(-1)
-        cos = sims[rows, cols]
+        sims = _gemm_t(x, y)  # (B, |Y|)
+        # per-x top-k columns via the shared tie-exact pruner — the
+        # ids passed are COLUMN indices (0..|Y|-1, ascending like the
+        # y ids they map to), so (cos desc, col asc) == the oracle's
+        # ORDER BY cos DESC, yid
+        rows, cols, cos = _topk_per_query(
+            sims, np.arange(sims.shape[1], dtype=np.int64), kk
+        )
         avg_x = cos.reshape(len(ids), kk).sum(axis=1) / float(kk)
         margin = cos / ((np.repeat(avg_x, kk) + ay[cols]) / 2.0)
         df = pd.DataFrame(
@@ -132,7 +135,9 @@ def bitext_margin_pairs(
         ).head(top_n)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    cand = x_ds.map_batches(batch_pairs, batch_format="pyarrow")
+    cand = x_ds.map_batches(
+        batch_pairs, batch_format="pyarrow", batch_size=4096
+    )
 
     # bounded global merge: n_batches x top_n rows -> top_n
     merged = cand.to_pandas()
