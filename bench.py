@@ -156,6 +156,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "bigram_familiarity",
             "market_share",
             "nation_pair_volume",
+            "mixture_select",
+            "bitext_mine",
+            "bin_export",
+            "fim_chunks",
+            "kcenter_coreset",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -82,7 +82,18 @@ def kcenter_select(
         cq = center_q  # captured by value for this round's closures
 
         def update(batch: pa.Table) -> pa.Table:
-            q = np.asarray(batch["q"].to_pylist(), dtype=np.int64)
+            # flatten()+reshape, not to_pylist: zero-copy off the list
+            # column (the same _arrow_matrix lesson — pylist built
+            # n*d Python ints per pass and dominated the round wall)
+            qc = batch["q"]
+            if isinstance(qc, pa.ChunkedArray):
+                qc = qc.combine_chunks()
+            q = (
+                qc.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(len(qc), -1)
+            )
             diff = q - cq[None, :]
             d2 = np.einsum("ij,ij->i", diff, diff)
             mind = np.minimum(
