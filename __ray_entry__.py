@@ -2301,6 +2301,89 @@ def _q_dedup_embedding(sf_dir: str):
     return out[["query_id", "neighbor_id"]].reset_index(drop=True)
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive embedding training (the
+    offline step of every dense-retrieval pipeline): for each of the
+    20 lowest-id vectors, the top-3 most-similar vectors with a
+    DIFFERENT label — same-label rows are masked in the batch kernel
+    before the top-k prune, so they can never surface. Oracle = the
+    exact cosine cross join with the label-inequality predicate."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.similarity import knn_hard_negatives
+
+    t = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(20)
+    ids = df["vec_id"].tolist()
+    labs = df["label"].tolist()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+    )
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    out = knn_hard_negatives(emb, mat, ids, labs, k=3)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_domain_curation(sf_dir: str):
+    """Host-level curation (RefinedWeb/C4-style domain filtering): the
+    per-document Gopher gate rolled up per synthetic host
+    ('h'||doc_id%40); hosts whose fail rate reaches 500 permille are
+    blocked wholesale, surviving docs = individual passes on unblocked
+    hosts. One coarse host exchange; the oracle replays the gopher CTE
+    plus the host rollup in exact integer permille."""
+    from pdf_extractor_ray.functions.quality import gopher_quality
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    gq = gopher_quality(docs, min_stopwords=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        passes = batch["passes"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"host": [f"h{d % 40}" for d in dids], "p": passes}
+        )
+        g = df.groupby("host").agg(
+            n_docs=("p", "size"), n_fail=("p", lambda s: int((~s).sum()))
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "host": pa.array(g["host"], pa.string()),
+                "n_docs": pa.array(g["n_docs"], pa.int64()),
+                "n_fail": pa.array(g["n_fail"], pa.int64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        n = int(group["n_docs"].sum())
+        f = int(group["n_fail"].sum())
+        pm = 1000 * f // n
+        blocked = pm >= 500
+        return pd.DataFrame(
+            {
+                "host": [group["host"].iloc[0]],
+                "n_docs": np.int64(n),
+                "n_fail": np.int64(f),
+                "fail_permille": np.int64(pm),
+                "blocked": [bool(blocked)],
+                "n_kept": np.int64(0 if blocked else n - f),
+            }
+        )
+
+    return (
+        gq.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _q_knn_lsh(sf_dir: str):
     """Random-hyperplane LSH ANN with data-sampled planes: hyperplanes
     = the 6 lowest-id corpus vectors, so the sign-pattern bucketing is
@@ -7426,6 +7509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "knn_lsh": _q_knn_lsh,
+        "hard_negatives": _q_hard_negatives,
+        "domain_curation": _q_domain_curation,
         "ann_recall": _q_ann_recall,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
@@ -8289,6 +8374,78 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        # hard_negatives: cosine cross join restricted to different
+        # labels; self is excluded automatically (same label).
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+                              label AS ql
+                       FROM embeddings ORDER BY vec_id LIMIT 20),
+                 s AS (SELECT q.qid, e.vec_id AS nid,
+                              list_cosine_similarity(q.qe, e.embedding)
+                                  AS cos
+                       FROM q JOIN embeddings e ON e.label <> q.ql),
+                 r AS (SELECT qid, nid,
+                              row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rn
+                       FROM s)
+            SELECT qid AS query_id, nid AS neighbor_id, rn AS rank
+            FROM r WHERE rn <= 3
+        """,
+        # domain_curation: gopher verdict per doc (same CTEs as
+        # gopher_quality), rolled up per synthetic host in exact
+        # integer permille; blocked hosts keep zero docs.
+        "domain_curation": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+                     len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> regexp_matches(x, '\\S')) AS lines,
+                     len(list_distinct(regexp_extract_all(lower(text),
+                         '\\b(?:the|be|to|of|and|that|have|with)\\b')))
+                       AS n_stop
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_words, n_stop,
+                     CASE WHEN n_words > 0
+                          THEN word_chars / CAST(n_words AS DOUBLE)
+                          ELSE 0 END AS mean_len,
+                     CASE WHEN n_words > 0
+                          THEN n_alpha / CAST(n_words AS DOUBLE)
+                          ELSE 0 END AS alpha_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines))
+                                       / CAST(len(lines) AS DOUBLE)
+                          ELSE 0 END AS dup_frac
+              FROM s
+            ),
+            v AS (
+              SELECT doc_id,
+                     (n_words BETWEEN 50 AND 100000)
+                       AND mean_len BETWEEN 3.0 AND 10.0
+                       AND alpha_frac >= 0.80
+                       AND dup_frac <= 0.30
+                       AND n_stop >= 1 AS passes
+              FROM c
+            ),
+            h AS (
+              SELECT 'h' || (doc_id % 40) AS host,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_fail
+              FROM v GROUP BY 1
+            )
+            SELECT host, n_docs, n_fail,
+                   CAST(1000 * n_fail // n_docs AS BIGINT)
+                       AS fail_permille,
+                   (1000 * n_fail // n_docs) >= 500 AS blocked,
+                   CAST(CASE WHEN (1000 * n_fail // n_docs) >= 500
+                             THEN 0 ELSE n_docs - n_fail END
+                        AS BIGINT) AS n_kept
+            FROM h
         """,
         "gopher_quality": """
             WITH s AS (

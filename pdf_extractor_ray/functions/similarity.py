@@ -36,6 +36,7 @@ import ray.data
 
 __all__ = [
     "knn_bruteforce",
+    "knn_hard_negatives",
     "knn_lsh",
     "knn_ivf",
     "cluster_assign",
@@ -264,6 +265,57 @@ def _merge_topk(cand: ray.data.Dataset, k: int):
             {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
         )
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def knn_hard_negatives(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    query_ids: list,
+    query_labels: list,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> "object":
+    """Hard-negative mining for contrastive/embedding training: each
+    query's top-k most-similar rows whose ``label_col`` DIFFERS from
+    the query's label — the standard in-batch-negatives upgrade
+    (dense-retrieval pipelines mine these offline exactly like this).
+
+    Same distributed shape as :func:`knn_bruteforce` (queries +
+    labels broadcast, per-batch dense sims, bounded tree merge); the
+    label exclusion is a vectorized mask on the similarity matrix
+    before the top-k prune, so same-label rows can never surface.
+    """
+    q_ref = ray.put(_normalize(np.asarray(query_vectors, dtype=np.float64)))
+    qids_np = np.asarray(query_ids, dtype=np.int64)
+    qlab_np = np.asarray(query_labels, dtype=np.int64)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        labs = batch[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        mat = _normalize(_arrow_matrix(batch[vec_col]))
+        sims = _gemm_t(q, mat)  # (Q, B)
+        sims[qlab_np[:, None] == labs[None, :]] = -2.0  # cos floor -1
+        qi, ni, sc = _topk_per_query(sims, ids, k)
+        keep = sc > -1.5  # drop masked fillers (all-same-label batch)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_np[qi[keep]], pa.int64()),
+                "neighbor_id": pa.array(ni[keep], pa.int64()),
+                "cosine": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        batch_topk, batch_format="pyarrow", batch_size=4096
+    )
+    return _merge_topk(cand, k)
 
 
 def knn_lsh(
