@@ -2301,6 +2301,85 @@ def _q_dedup_embedding(sf_dir: str):
     return out[["query_id", "neighbor_id"]].reset_index(drop=True)
 
 
+def _q_skew_join(sf_dir: str):
+    """Skew-aware hash join over an induced hot key: every 5th event
+    lands on key 0 (~20% of the fact mass — the one-domain-dominates
+    crawl shape), the rest spread over 997 keys. skew_join detects the
+    heavy hitter from per-batch local tops, broadcasts its build row,
+    and shuffles only the cold mass. Output: exact per-class rollup
+    (hot vs cold) of joined rows; oracle = the plain JOIN + CASE
+    rollup — the skew split is pure routing, so results are identical
+    whichever path a key takes."""
+    from pdf_extractor_ray.functions.relational import skew_join
+
+    ev = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        k = np.where(uid % 5 == 0, 0, uid % 997).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    big = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def mk_dim(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(ids, pa.int64()),
+                "w": pa.array(ids * 3 + 1, pa.int64()),
+            }
+        )
+
+    dim = (
+        ray.data.range(997)
+        .map_batches(mk_dim, batch_format="pyarrow")
+        .materialize()
+    )
+
+    joined = skew_join(big, dim, on="k", hot_permille=50)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"k_class": pd.Series(dtype="object"),
+                 "n_rows": pd.Series(dtype="int64"),
+                 "sum_w": pd.Series(dtype="int64"),
+                 "sum_event": pd.Series(dtype="int64")}
+            )
+        batch = batch.assign(
+            k_class=np.where(batch["k"] == 0, "hot", "cold")
+        )
+        g = batch.groupby("k_class", as_index=False).agg(
+            n_rows=("k", "size"),
+            sum_w=("w", "sum"),
+            sum_event=("event_id", "sum"),
+        )
+        return g
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k_class": [group["k_class"].iloc[0]],
+                "n_rows": np.int64(group["n_rows"].sum()),
+                "sum_w": np.int64(group["sum_w"].sum()),
+                "sum_event": np.int64(group["sum_event"].sum()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("k_class")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def _q_hard_negatives(sf_dir: str):
     """Hard-negative mining for contrastive embedding training (the
     offline step of every dense-retrieval pipeline): for each of the
@@ -7510,6 +7589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe": _q_knn_ivf_fullprobe,
         "knn_lsh": _q_knn_lsh,
         "hard_negatives": _q_hard_negatives,
+        "skew_join_events": _q_skew_join,
         "domain_curation": _q_domain_curation,
         "ann_recall": _q_ann_recall,
         "knn_ivf": _q_knn_ivf,
@@ -8374,6 +8454,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'text' AS element_type, count(*) AS n FROM documents
             ) t
+        """,
+        # skew_join_events: plain JOIN replay — the hot/cold split is
+        # routing only, invisible to the result.
+        "skew_join_events": """
+            WITH f AS (
+                SELECT event_id,
+                       CASE WHEN user_id % 5 = 0 THEN 0
+                            ELSE user_id % 997 END AS k
+                FROM events),
+            dim AS (
+                SELECT CAST(unnest(range(997)) AS BIGINT) AS k),
+            dimw AS (SELECT k, k * 3 + 1 AS w FROM dim),
+            j AS (SELECT f.event_id, f.k, d.w
+                  FROM f JOIN dimw d USING(k))
+            SELECT CASE WHEN k = 0 THEN 'hot' ELSE 'cold' END AS k_class,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(w) AS BIGINT) AS sum_w,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event
+            FROM j GROUP BY 1
         """,
         # hard_negatives: cosine cross join restricted to different
         # labels; self is excluded automatically (same label).

@@ -45,6 +45,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 __all__ = [
     "broadcast_join",
+    "skew_join",
     "range_join_broadcast",
     "range_join_partitioned",
     "pricing_summary",
@@ -95,6 +96,166 @@ def broadcast_join(
         return batch.merge(ray.get(ref), on=on, how=how)
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def skew_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    hot_permille: int = 10,
+    top_per_batch: int = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Inner hash join that handles HOT KEYS explicitly — the classic
+    skew-join split every shuffle engine implements (detect heavy
+    hitters, broadcast their build rows map-side, shuffle only the
+    cold mass). A single hot key (one domain with 20% of the crawl,
+    one null-ish default id) otherwise lands its entire row mass in
+    one reduce task and stalls the stage.
+
+    Three phases:
+
+      1. DETECT (one narrow pass over ``big``): each batch emits its
+         local top-``top_per_batch`` key counts; a coarse groupby sums
+         them and the driver keeps keys whose count reaches
+         ``hot_permille``/1000 of the total. Detection is heuristic on
+         purpose — a genuinely hot key appears in nearly every batch's
+         local top, and the SPLIT AFFECTS ONLY ROUTING: the joined
+         output is identical whichever side of the threshold a key
+         lands on (tested), so partial detection can never corrupt the
+         join.
+      2. HOT path: the small side's rows for hot keys (bounded —
+         |hot| x rows-per-key on the build side; one row per key for
+         FK joins) broadcast via ``ray.put``, probed per batch — the
+         hot row mass NEVER shuffles.
+      3. COLD path: both sides hash-bucketed on the key and cogrouped
+         once (the standard bucket-join exchange).
+
+    The driver holds the hot-key list and its build rows, never data
+    proportional to ``big``. Both inputs are consumed twice (detect +
+    route on ``big``, filter + route on ``small``): pass materialized
+    or cheap-to-recompute datasets.
+    """
+
+    # -------- phase 1: heavy-hitter detection
+    def batch_meta(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch[on].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        if len(vals) > top_per_batch:
+            keep = np.argsort(-counts)[:top_per_batch]
+            vals, counts = vals[keep], counts[keep]
+        t = pa.table(
+            {
+                on: pa.array(vals),
+                "_cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+        return t
+
+    tops = (
+        coalesce_for_exchange(
+            big.map_batches(batch_meta, batch_format="pyarrow")
+        )
+        .groupby(on)
+        .sum("_cnt")
+        .to_pandas()  # bounded: <= top_per_batch x n_batches keys,
+        # pre-summed per key by the exchange
+    )
+    total = big.count()
+    threshold = max(1, total * hot_permille // 1000)
+    cnt_col = "sum(_cnt)" if "sum(_cnt)" in tops.columns else "_cnt"
+    hot_keys = set(tops.loc[tops[cnt_col] >= threshold, on].tolist())
+
+    # -------- phase 2: hot path (broadcast build rows, no shuffle)
+    def _arrow_types(ds: ray.data.Dataset) -> dict:
+        sch = ds.schema()
+        base = sch.base_schema
+        if isinstance(base, pa.Schema):
+            return {c: base.field(c).type for c in base.names}
+        # pandas-block schema: numpy dtypes
+        return {
+            c: pa.from_numpy_dtype(t)
+            for c, t in zip(base.names, base.types)
+        }
+
+    big_types = _arrow_types(big)
+    small_types = _arrow_types(small)
+    big_cols = list(big_types)
+    small_cols = list(small_types)
+    all_types = big_types | small_types
+    all_cols = big_cols + [c for c in small_cols if c not in big_cols]
+
+    if hot_keys:
+        hot_arr = pa.array(list(hot_keys), type=all_types[on])
+        hot_small = (
+            small.map_batches(
+                lambda b: b.filter(pc.is_in(b[on], value_set=hot_arr)),
+                batch_format="pyarrow",
+            ).to_pandas()
+        )  # bounded: build rows of the few hot keys
+    else:
+        hot_arr = None
+        hot_small = pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in small_cols}
+        )
+    hot_ref = ray.put(hot_small)
+
+    def probe_hot(batch: pa.Table) -> pd.DataFrame:
+        if hot_arr is None:
+            mask = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        else:
+            mask = pc.is_in(batch[on], value_set=hot_arr)
+        sub = batch.filter(mask).to_pandas()
+        return sub.merge(ray.get(hot_ref), on=on, how="inner")
+
+    hot_join = big.map_batches(probe_hot, batch_format="pyarrow")
+
+    # -------- phase 3: cold path (bucket cogroup)
+    def route_cold(side: int, cols_here: list):
+        def tag(batch: pa.Table) -> pa.Table:
+            if hot_arr is not None:
+                keep = pc.invert(pc.is_in(batch[on], value_set=hot_arr))
+                batch = batch.filter(keep)
+            out = {}
+            for c in all_cols:
+                out[c] = (
+                    batch[c]
+                    if c in cols_here
+                    else pa.nulls(batch.num_rows, type=all_types[c])
+                )
+            out["_side"] = pa.array(
+                np.full(batch.num_rows, side, dtype=np.int64)
+            )
+            out["_bucket"] = pa.array(
+                bucket_ids(batch[on], n_buckets), pa.int64()
+            )
+            return pa.table(out)
+
+        return tag
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        b = group[group["_side"] == 1][big_cols]
+        s = group[group["_side"] == 0][
+            [c for c in small_cols]
+        ]
+        return b.merge(s, on=on, how="inner")
+
+    cold_join = (
+        coalesce_for_exchange(
+            big.map_batches(
+                route_cold(1, big_cols), batch_format="pyarrow"
+            ).union(
+                small.map_batches(
+                    route_cold(0, small_cols), batch_format="pyarrow"
+                )
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    return hot_join.union(cold_join)
 
 
 def range_join_broadcast(
