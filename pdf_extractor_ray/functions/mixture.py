@@ -131,27 +131,41 @@ def select_mixture(
     smallest by ``(md5(str(id)), id)`` within each key — where quotas
     come from :func:`temperature_quotas` over the per-key counts.
 
-    Input is consumed three times (cell histogram, boundary refine,
-    filter); pass a cheap-to-recompute or materialized dataset.
+    The input is consumed once: a prep pass stamps each row's md5
+    salt and cell (the only interpreted per-row step) and
+    materializes; the histogram, boundary-refine and filter passes
+    reuse the stamped columns instead of re-hashing.
     ``n_cells`` must be a power of 16 divisor of the hex space
     (16, 256, 4096, 65536): the cell is the first ``log16(n_cells)``
     hex chars of the salt, so cell order IS salt-prefix order.
     """
     hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}[n_cells]
 
-    def cells_of(ids) -> tuple[list[str], np.ndarray]:
-        hexes = _salt_hex(ids)
-        return hexes, np.array(
+    # prep once: the md5 salt is an interpreted per-row hashlib call
+    # (the one non-vectorizable step — the oracle pins md5 exactly),
+    # so compute it in a SINGLE pass and let the histogram, boundary
+    # and filter passes reuse the materialized columns instead of
+    # re-hashing three times
+    def prep(batch: pa.Table) -> pa.Table:
+        hexes = _salt_hex(batch[id_col].to_pylist())
+        cell = np.array(
             [int(h[:hex_chars], 16) for h in hexes], dtype=np.int64
         )
+        return batch.append_column(
+            "_salt_hex", pa.array(hexes, pa.string())
+        ).append_column("_cell", pa.array(cell, pa.int64()))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     # pass 1: per-(key, cell) counts, partial-agg in the batch
     def hist(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        _, cell = cells_of(batch[id_col].to_pylist())
         df = pd.DataFrame(
-            {"k": batch[key_col].to_pylist(), "c": cell}
+            {
+                "k": batch[key_col].to_pylist(),
+                "c": batch["_cell"].to_numpy(zero_copy_only=False),
+            }
         )
         g = df.groupby(["k", "c"], as_index=False).size()
         return pa.table(
@@ -196,18 +210,17 @@ def select_mixture(
     probe = {k: c for k, c in boundary_cell.items() if k in need_in_boundary}
 
     def in_boundary(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
-        hexes, cell = cells_of(ids)
-        mask = np.zeros(len(ids), dtype=bool)
+        cell = batch["_cell"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(keys), dtype=bool)
         for k, c in probe.items():
             mask |= (keys == k) & (cell == c)
-        sel = np.flatnonzero(mask)
+        sub = batch.filter(pa.array(mask))
         return pa.table(
             {
-                key_col: pa.array([keys[j] for j in sel], pa.string()),
-                "salt_hex": pa.array([hexes[j] for j in sel]),
-                id_col: pa.array([ids[j] for j in sel]),
+                key_col: sub[key_col],
+                "salt_hex": sub["_salt_hex"],
+                id_col: sub[id_col],
             }
         )
 
@@ -224,12 +237,13 @@ def select_mixture(
     # pass 3: pure per-row filter (vectorized per distinct key — the
     # key set is the mix's source list, a handful of values)
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
-        hexes, cell = cells_of(ids)
-        hex_arr = np.asarray(hexes, dtype=object)
-        id_arr = np.asarray(ids, dtype=np.int64)
-        mask = np.zeros(len(ids), dtype=bool)
+        cell = batch["_cell"].to_numpy(zero_copy_only=False)
+        hex_arr = np.asarray(batch["_salt_hex"].to_pylist(), dtype=object)
+        id_arr = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        mask = np.zeros(len(keys), dtype=bool)
         for k in set(keys.tolist()):
             b = boundary_cell.get(k, -1)
             km = keys == k
@@ -242,6 +256,8 @@ def select_mixture(
                     & (cell == b)
                     & ((hex_arr < ch) | ((hex_arr == ch) & (id_arr <= cid)))
                 )
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask)).drop_columns(
+            ["_salt_hex", "_cell"]
+        )
 
     return ds.map_batches(keep, batch_format="pyarrow")
