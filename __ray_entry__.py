@@ -6740,6 +6740,122 @@ c0 AS (SELECT min(id) AS id FROM q)"""
     )
 
 
+def _q_graph_ann(sf_dir: str):
+    """Graph-based ANN (NSW/HNSW-family greedy beam search) with a
+    fully engine-replayable trajectory: bucketed kNN graph build +
+    3 synchronous beam rounds (ef=8) from the lowest-id entry, every
+    distance an exact int64 over centi-quantized vectors with id
+    tie-breaks — so even the SEARCH WALK is SQL-oracle-checked, not
+    just recall-tested. Recall quality is separately pinned by pytest
+    against brute force."""
+    from pdf_extractor_ray.functions.graphann import (
+        nsw_build_edges,
+        nsw_search,
+    )
+
+    emb = ray.data.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    edges = nsw_build_edges(emb, n_cells=16, m=4).materialize()
+    ids, mat = _load_query_vectors(sf_dir, 5)
+    return nsw_search(
+        emb, edges, mat, ids, ef=8, rounds=3, k=5
+    )
+
+
+def _nsw_sql(
+    rounds: int = 3,
+    ef: int = 8,
+    k: int = 5,
+    m: int = 4,
+    n_cells: int = 16,
+    n_queries: int = 5,
+) -> str:
+    """Chained-CTE replay of the NSW build + beam search; every CTE
+    referenced twice is MATERIALIZED (the `hits` lesson — DuckDB
+    would otherwise inline the beam chain exponentially)."""
+    head = f"""WITH x AS (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(range(len(embedding))) AS i
+    FROM embeddings),
+q AS MATERIALIZED (
+    SELECT vec_id AS id, i,
+           CAST(floor(CAST(v AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qv
+    FROM x),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM q),
+cent AS (
+    SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
+    FROM nodes ORDER BY id LIMIT {n_cells}),
+cd AS (
+    SELECT a.id, c.cidx,
+           sum((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+    FROM q a
+    JOIN cent c ON TRUE
+    JOIN q b ON b.id = c.id AND b.i = a.i
+    GROUP BY a.id, c.cidx),
+cells AS MATERIALIZED (
+    SELECT id, cidx FROM (
+        SELECT id, cidx,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY d2, cidx) AS rn
+        FROM cd) WHERE rn = 1),
+pd AS (
+    SELECT a.id AS src, b.id AS dst,
+           sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+    FROM cells a
+    JOIN cells b ON a.cidx = b.cidx AND a.id <> b.id
+    JOIN q qa ON qa.id = a.id
+    JOIN q qb ON qb.id = b.id AND qb.i = qa.i
+    GROUP BY a.id, b.id),
+edges AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rn
+        FROM pd) WHERE rn <= {m}
+    UNION ALL
+    SELECT a.id AS src, b.id AS dst
+    FROM cent a JOIN cent b ON a.id <> b.id),
+qs AS (SELECT id AS qid FROM nodes ORDER BY id LIMIT {n_queries}),
+qd AS MATERIALIZED (
+    SELECT qs.qid, qa.id,
+           sum((qa.qv - qq.qv) * (qa.qv - qq.qv)) AS d2
+    FROM qs
+    JOIN q qq ON qq.id = qs.qid
+    JOIN q qa ON qa.i = qq.i
+    GROUP BY qs.qid, qa.id),
+e0 AS (SELECT min(id) AS node FROM nodes),
+b0 AS MATERIALIZED (
+    SELECT qid, (SELECT node FROM e0) AS node FROM qs)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+    SELECT qid, node FROM b{r - 1}
+    UNION
+    SELECT b.qid, e.dst AS node
+    FROM b{r - 1} b JOIN edges e ON e.src = b.node),
+b{r} AS MATERIALIZED (
+    SELECT qid, node FROM (
+        SELECT c.qid, c.node,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY qd.d2, c.node) AS rn
+        FROM c{r} c
+        JOIN qd ON qd.qid = c.qid AND qd.id = c.node)
+    WHERE rn <= {ef})"""
+        )
+    tail = f"""SELECT qid AS query_id, node AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT b.qid, b.node,
+           row_number() OVER (PARTITION BY b.qid
+                              ORDER BY qd.d2, b.node) AS rn
+    FROM b{rounds} b
+    JOIN qd ON qd.qid = b.qid AND qd.id = b.node)
+WHERE rn <= {k} ORDER BY query_id, rank"""
+    return ",\n".join(parts) + "\n" + tail
+
+
 def _q_bpe_piece_hist(sf_dir: str):
     """The distributed half of BPE tokenizer training: the corpus's
     pre-tokenization piece histogram (functions/tokenizer.py). Pieces
@@ -7791,6 +7907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
         "kcenter_coreset": _q_kcenter,
+        "graph_ann": _q_graph_ann,
         "strip_tokenize_chain": _q_strip_tokenize_chain,
         "pagerank": _q_pagerank,
         "pagerank_indexed": _q_pagerank_indexed,
@@ -11335,6 +11452,7 @@ SELECT vec_id, cluster FROM (
             GROUP BY a.i, b.i
         """,
         "kcenter_coreset": _kcenter_sql(6),
+        "graph_ann": _nsw_sql(rounds=3, ef=8, k=5, m=4),
         "token_chunks": """
             WITH w AS (
                 SELECT doc_id,
