@@ -1927,6 +1927,68 @@ def _q_fim_chunks(sf_dir: str):
     return fim.map_batches(rollup, batch_format="pyarrow")
 
 
+def _q_span_corrupt(sf_dir: str):
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4, the
+    UL2/T5 pretraining objective) over the 512-token chunk stream:
+    pinned deterministic geometry (3-token span every 20 positions,
+    ~15% corruption), sentinels 32100+j; inputs collapse each span to
+    its sentinel, targets emit sentinel-prefixed spans. Pure per-row
+    map. The oracle replays both sequences with position arithmetic
+    (inputs keyed by original position, targets by span-linearized
+    key) and pins each side's md5."""
+    import re as _re
+
+    from pdf_extractor_ray.functions.fim import span_corrupt
+    from pdf_extractor_ray.functions.packing import token_stream_chunks
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        ids_out = []
+        dids = batch["doc_id"].to_pylist()
+        for d, t in zip(dids, batch["text"].to_pylist()):
+            nw = len(_re.findall(r"\S+", t or ""))
+            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(ids_out, pa.list_(pa.int32())),
+            }
+        )
+
+    chunks = token_stream_chunks(
+        docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
+    )
+    sc = span_corrupt(chunks, span_len=3, stride=20)
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        fi = [
+            hashlib.md5(
+                ",".join(str(int(t)) for t in ids).encode()
+            ).hexdigest()
+            for ids in batch["inputs"].to_pylist()
+        ]
+        ft = [
+            hashlib.md5(
+                ",".join(str(int(t)) for t in ids).encode()
+            ).hexdigest()
+            for ids in batch["targets"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "chunk_id": batch["chunk_id"],
+                "n_inputs": batch["n_inputs"],
+                "n_targets": batch["n_targets"],
+                "inputs_md5": pa.array(fi, pa.string()),
+                "targets_md5": pa.array(ft, pa.string()),
+            }
+        )
+
+    return sc.map_batches(rollup, batch_format="pyarrow")
+
+
 def _q_tokenize_chunks(sf_dir: str):
     """The REAL training-data export tail: BPE-encode every document
     with the actor-pool stage (vendored ranks table; a real cl100k
@@ -7904,6 +7966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": _q_token_chunks,
         "bin_export": _q_bin_export,
         "fim_chunks": _q_fim_chunks,
+        "span_corrupt": _q_span_corrupt,
         "tokenize_chunks": _q_tokenize_chunks,
         "embedding_gram": _q_embedding_gram,
         "kcenter_coreset": _q_kcenter,
@@ -11576,6 +11639,60 @@ SELECT vec_id, cluster FROM (
             FROM toks t JOIN f USING(chunk_id)
             GROUP BY t.chunk_id, f.fim
             ORDER BY t.chunk_id
+        """,
+        # span_corrupt: inputs keyed by original position (sentinel
+        # sits at its span's start — corrupted positions vacate the
+        # range, so keys stay unique); targets by span-linearized key
+        # j*(span_len+1) + offset.
+        "span_corrupt": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ \\t\\n\\r\\f\\x0b]+')) AS nw
+                FROM documents),
+            o AS (
+                SELECT doc_id, nw,
+                       sum(nw) OVER (ORDER BY doc_id) - nw AS off
+                FROM w),
+            tok AS (
+                SELECT doc_id, off, unnest(range(nw)) AS j FROM o),
+            c AS (
+                SELECT (off + j) // 512 AS chunk_id,
+                       (off + j) % 512 AS jj,
+                       (doc_id * 31 + j) % 32000 AS tid
+                FROM tok),
+            n AS (SELECT chunk_id, count(*) AS n
+                  FROM c GROUP BY chunk_id),
+            spans AS (
+                SELECT chunk_id,
+                       CAST(unnest(range((n - 1) // 20 + 1)) AS BIGINT)
+                           AS sp
+                FROM n),
+            inp AS (
+                SELECT chunk_id, jj AS k, tid FROM c WHERE jj % 20 >= 3
+                UNION ALL
+                SELECT chunk_id, sp * 20 AS k, 32100 + sp AS tid
+                FROM spans),
+            tgt AS (
+                SELECT chunk_id, sp * 4 AS k, 32100 + sp AS tid
+                FROM spans
+                UNION ALL
+                SELECT chunk_id,
+                       (jj // 20) * 4 + 1 + (jj % 20) AS k, tid
+                FROM c WHERE jj % 20 < 3),
+            ia AS (
+                SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_inputs,
+                       md5(string_agg(CAST(tid AS VARCHAR), ','
+                                      ORDER BY k)) AS inputs_md5
+                FROM inp GROUP BY chunk_id),
+            ta AS (
+                SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_targets,
+                       md5(string_agg(CAST(tid AS VARCHAR), ','
+                                      ORDER BY k)) AS targets_md5
+                FROM tgt GROUP BY chunk_id)
+            SELECT chunk_id, n_inputs, n_targets, inputs_md5,
+                   targets_md5
+            FROM ia JOIN ta USING(chunk_id) ORDER BY chunk_id
         """,
         # robots gate: the oracle rebuilds the expected allow/deny
         # decision from the synthetic rule (host parity selects the

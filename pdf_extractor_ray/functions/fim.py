@@ -35,7 +35,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["fim_transform"]
+__all__ = ["fim_transform", "span_corrupt"]
 
 
 def fim_transform(
@@ -93,6 +93,90 @@ def fim_transform(
                 ),
                 "ids": pa.array(
                     [x.tolist() for x in out_ids], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    return chunks.map_batches(apply, batch_format="pyarrow")
+
+
+def span_corrupt(
+    chunks: ray.data.Dataset,
+    span_len: int = 3,
+    stride: int = 20,
+    sentinel_base: int = 32100,
+    chunk_col: str = "chunk_id",
+    ids_col: str = "ids",
+) -> ray.data.Dataset:
+    """T5-style span corruption (Raffel et al. 2020 section 3.1.4):
+    replace regular token spans with sentinel ids and emit the removed
+    spans, sentinel-prefixed, as the target sequence — the
+    encoder-decoder pretraining objective every T5/UL2-family model
+    trains on. The published sampler draws span positions from a
+    Poisson; the engine contract here pins a deterministic layout —
+    span ``j`` covers positions ``[j*stride, j*stride + span_len)`` —
+    so two engines (and the SQL oracle) agree bit for bit, with the
+    same ~15%% corruption rate at the default ``3/20`` geometry.
+
+    Output per chunk: (chunk_id, n_inputs, n_targets,
+    inputs: list<int32>, targets: list<int32>), where inputs =
+    uncorrupted tokens with each span collapsed to ``sentinel_base +
+    j`` and targets = ``[sentinel_0] span_0 [sentinel_1] span_1 ...``.
+    Pure per-row map, no exchange; composes with token_stream_chunks
+    upstream and the uint16 bin export downstream (sentinels stay
+    below 65536 for vocab + 256 spans)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cids = batch[chunk_col].to_pylist()
+        out_in, out_tg = [], []
+        for arr in batch[ids_col].to_pylist():
+            t = np.asarray(arr, dtype=np.int32)
+            n = len(t)
+            inputs, targets = [], []
+            pos = 0
+            j = 0
+            while pos < n:
+                span_start = j * stride
+                if span_start >= n:
+                    inputs.append(t[pos:])
+                    break
+                # copy up to the span, then collapse the span
+                if pos < span_start:
+                    inputs.append(t[pos:span_start])
+                span_end = min(span_start + span_len, n)
+                if span_end > span_start:
+                    sent = np.int32(sentinel_base + j)
+                    inputs.append(np.array([sent], dtype=np.int32))
+                    targets.append(np.array([sent], dtype=np.int32))
+                    targets.append(t[span_start:span_end])
+                pos = span_end
+                j += 1
+            ii = (
+                np.concatenate(inputs)
+                if inputs
+                else np.empty(0, dtype=np.int32)
+            )
+            tt = (
+                np.concatenate(targets)
+                if targets
+                else np.empty(0, dtype=np.int32)
+            )
+            out_in.append(ii)
+            out_tg.append(tt)
+        return pa.table(
+            {
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_inputs": pa.array(
+                    [len(x) for x in out_in], pa.int64()
+                ),
+                "n_targets": pa.array(
+                    [len(x) for x in out_tg], pa.int64()
+                ),
+                "inputs": pa.array(
+                    [x.tolist() for x in out_in], pa.list_(pa.int32())
+                ),
+                "targets": pa.array(
+                    [x.tolist() for x in out_tg], pa.list_(pa.int32())
                 ),
             }
         )
