@@ -6251,6 +6251,73 @@ def _q_mixture_select(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _q_kfold_split(sf_dir: str):
+    """Exactly balanced stratified k-fold assignment (cross-validation
+    splits want exact balance, not hash-approximate): within each
+    language, rank by (md5(id), id) modulo 5 — computed WITHOUT a
+    sort via the per-(stratum, salt-cell) count histogram + one
+    cogroup exchange (functions/mixture.py::kfold_assign). Output:
+    per-(lang, fold) count + membership md5; the oracle replays the
+    row_number window modulo k."""
+    from pdf_extractor_ray.functions.mixture import kfold_assign
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang"]
+    )
+    folded = kfold_assign(docs, k=5, strata_col="lang", id_col="doc_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["lang", "fold"])["doc_id"]
+            .agg(list)
+            .rename("ids")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "fold": pa.array(g["fold"], pa.int64()),
+                "ids": pa.array(g["ids"], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(i for lst in group["ids"] for i in lst)
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "fold": np.int64(group["fold"].iloc[0]),
+                "n_rows": np.int64(len(ids)),
+                "ids_md5": [
+                    hashlib.md5(
+                        ",".join(str(i) for i in ids).encode()
+                    ).hexdigest()
+                ],
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lf = [
+            f"{l}|{f}"
+            for l, f in zip(
+                batch["lang"].to_pylist(),
+                batch["fold"].to_numpy(zero_copy_only=False),
+            )
+        ]
+        return batch.append_column("_lf", pa.array(lf, pa.string()))
+
+    return (
+        folded.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_lf")
+        .map_groups(
+            lambda g: merge(g.drop(columns=["_lf"])),
+            batch_format="pandas",
+        )
+    )
+
+
 def _q_pagerank(sf_dir: str):
     """Link-graph PageRank over a deterministic synthetic web graph
     (3 out-links per doc via fixed affine maps mod N, self-loops and
@@ -7985,6 +8052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "mixture_select": _q_mixture_select,
         "bitext_mine": _q_bitext_mine,
+        "kfold_split": _q_kfold_split,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "image_decode": _q_image_decode,
@@ -9353,6 +9421,21 @@ SELECT vec_id, cluster FROM (
                                   ORDER BY margin DESC, xid, yid) AS rank
                        FROM m)
             SELECT src_id, tgt_id, rank FROM r WHERE rank <= 20
+        """,
+        # kfold_split: row_number window modulo k, exact balance.
+        "kfold_split": """
+            WITH r AS (
+                SELECT lang, doc_id,
+                       (row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) - 1) % 5 AS fold
+                FROM documents)
+            SELECT lang, CAST(fold AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id)) AS ids_md5
+            FROM r GROUP BY lang, fold
         """,
         # mixture_select: temperature (alpha=0.5) quota apportionment
         # in exact integer arithmetic (the one sqrt is IEEE correctly

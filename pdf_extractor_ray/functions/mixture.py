@@ -63,6 +63,7 @@ from pdf_extractor_ray.functions.common import coalesce_for_exchange
 __all__ = [
     "temperature_quotas",
     "select_mixture",
+    "kfold_assign",
 ]
 
 
@@ -261,3 +262,97 @@ def select_mixture(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def kfold_assign(
+    ds: ray.data.Dataset,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_cells: int = 4096,
+) -> ray.data.Dataset:
+    """EXACTLY balanced stratified k-fold assignment: within each
+    stratum, row rank by ``(md5(str(id)), id)`` modulo ``k`` — so fold
+    sizes per stratum differ by at most 1 (cross-validation and eval
+    splits want exact balance, not hash-approximate), and membership
+    is partition/run-invariant and SQL-replayable
+    (``row_number() OVER (PARTITION BY stratum ORDER BY md5(id), id)``).
+
+    Distributed shape: the exact global rank needs no sort — a
+    per-(stratum, salt-cell) count histogram (driver-held, bounded)
+    yields each cell's exclusive prefix offset; one cogroup exchange
+    keyed by (stratum, cell) then ranks each cell's few rows locally
+    (cell size ~ n/stratum/4096) and adds the offset. Output: the
+    input rows plus a ``fold`` int64 column.
+    """
+    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}[n_cells]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hexes = _salt_hex(batch[id_col].to_pylist())
+        cell = np.array(
+            [int(h[:hex_chars], 16) for h in hexes], dtype=np.int64
+        )
+        return batch.append_column(
+            "_salt_hex", pa.array(hexes, pa.string())
+        ).append_column("_cell", pa.array(cell, pa.int64()))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "s": batch[strata_col].to_pylist(),
+                "c": batch["_cell"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["s", "c"], as_index=False).size()
+        return pa.table(
+            {
+                "s": pa.array(g["s"], pa.string()),
+                "c": pa.array(g["c"], pa.int64()),
+                "cnt": pa.array(g["size"], pa.int64()),
+            }
+        )
+
+    def merge_cells(group):
+        return group.groupby(["s", "c"], as_index=False)["cnt"].sum()
+
+    cells = (
+        coalesce_for_exchange(ds.map_batches(hist, batch_format="pyarrow"))
+        .groupby("s")
+        .map_groups(merge_cells, batch_format="pandas")
+        .to_pandas()  # bounded: n_strata x n_cells
+    )
+    cells = cells.sort_values(["s", "c"])
+    cells["off"] = cells.groupby("s")["cnt"].cumsum() - cells["cnt"]
+    offsets = {
+        (r["s"], int(r["c"])): int(r["off"]) for _, r in cells.iterrows()
+    }
+
+    def rank_group(group):
+        import pandas as pd
+
+        s = group[strata_col].iloc[0]
+        c = int(group["_cell"].iloc[0])
+        g = group.sort_values(["_salt_hex", id_col]).reset_index(drop=True)
+        ranks = offsets[(s, c)] + np.arange(len(g), dtype=np.int64)
+        g["fold"] = ranks % k
+        return g.drop(columns=["_salt_hex", "_cell", "_sc"])
+
+    def tag_sc(batch: pa.Table) -> pa.Table:
+        sc = [
+            f"{s}|{c}"
+            for s, c in zip(
+                batch[strata_col].to_pylist(),
+                batch["_cell"].to_numpy(zero_copy_only=False),
+            )
+        ]
+        return batch.append_column("_sc", pa.array(sc, pa.string()))
+
+    return (
+        ds.map_batches(tag_sc, batch_format="pyarrow")
+        .groupby("_sc")
+        .map_groups(rank_group, batch_format="pandas")
+    )

@@ -148,3 +148,64 @@ class TestSelectMixture:
             ray.data.from_pandas(frame), 0, key_col="key", id_col="doc_id"
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestKFold:
+    def test_exact_balance_and_reference(self, ray_session, frame=None):
+        import hashlib
+
+        import ray.data
+
+        from pdf_extractor_ray.functions.mixture import kfold_assign
+
+        rng = np.random.RandomState(13)
+        keys = ["a"] * 101 + ["b"] * 57 + ["c"] * 4
+        ids = rng.permutation(5000)[: len(keys)].astype(np.int64)
+        df = pd.DataFrame({"doc_id": ids, "lang": keys})
+        out = (
+            kfold_assign(
+                ray.data.from_pandas(df).repartition(7),
+                k=4,
+                strata_col="lang",
+                id_col="doc_id",
+            )
+            .to_pandas()
+        )
+        # exact balance per stratum: fold sizes differ by at most 1
+        for s, g in out.groupby("lang"):
+            sizes = g.groupby("fold").size()
+            assert sizes.max() - sizes.min() <= 1, (s, dict(sizes))
+        # reference: serial (md5, id) rank % k
+        ref = df.copy()
+        ref["_salt"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in ref["doc_id"]
+        ]
+        ref = ref.sort_values(["lang", "_salt", "doc_id"])
+        ref["fold"] = ref.groupby("lang").cumcount() % 4
+        m = out.merge(
+            ref[["doc_id", "fold"]], on="doc_id", suffixes=("", "_ref")
+        )
+        assert (m["fold"] == m["fold_ref"]).all()
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.functions.mixture import kfold_assign
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(300, dtype=np.int64),
+             "lang": ["x", "y", "z"] * 100}
+        )
+        a = (
+            kfold_assign(ray.data.from_pandas(df).repartition(2), k=3)
+            .to_pandas()
+            .sort_values("doc_id")["fold"]
+            .tolist()
+        )
+        b = (
+            kfold_assign(ray.data.from_pandas(df).repartition(17), k=3)
+            .to_pandas()
+            .sort_values("doc_id")["fold"]
+            .tolist()
+        )
+        assert a == b
