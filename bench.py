@@ -161,6 +161,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "bin_export",
             "fim_chunks",
             "kcenter_coreset",
+            "graph_ann",
+            "skew_join_events",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()
