@@ -1791,6 +1791,33 @@ def _chunks_with_md5(chunks: ray.data.Dataset) -> ray.data.Dataset:
     return chunks.map_batches(fp, batch_format="pyarrow")
 
 
+def _synthetic_token_ids(text_col: str = "text"):
+    """Batch fn: doc d contributes token (d*31 + j) % 32000 per word
+    j of ``text_col`` — the SQL-derivable synthetic token stream the
+    tokenizer-tail gate queries share. Vectorized: word counts via
+    C-speed str.split (same count as the \\S+ regex), ids via one
+    numpy arange per doc instead of a Python modulo loop (measured
+    the dominant wall of bin_export/fim_chunks at sf0.1)."""
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_pylist()
+        ids_out = [
+            ((d * 31 + np.arange(len((t or "").split()), dtype=np.int64))
+             % 32000).astype(np.int32)
+            for d, t in zip(dids, batch[text_col].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "ids": pa.array(
+                    [x.tolist() for x in ids_out], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    return to_ids
+
+
 def _q_token_chunks(sf_dir: str):
     """GPT-style concat-and-split over a SQL-derivable token stream:
     doc d contributes one token (d*31 + j) % 32000 per word j, the
@@ -1805,20 +1832,7 @@ def _q_token_chunks(sf_dir: str):
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
-    def to_ids(batch: pa.Table) -> pa.Table:
-        import re as _re
-
-        ids_out = []
-        dids = batch["doc_id"].to_pylist()
-        for d, t in zip(dids, batch["text"].to_pylist()):
-            nw = len(_re.findall(r"\S+", t or ""))
-            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
-        return pa.table(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "ids": pa.array(ids_out, pa.list_(pa.int32())),
-            }
-        )
+    to_ids = _synthetic_token_ids()
 
     chunks = token_stream_chunks(
         docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
@@ -1837,8 +1851,6 @@ def _q_bin_export(sf_dir: str):
     of the on-disk byte stream's hex, idx_md5 the decoded offset
     triples. The oracle rebuilds both fingerprints from the chunk CTE
     (uint16 LE = low-byte hex then high-byte hex per token)."""
-    import re as _re
-
     from pdf_extractor_ray.functions.binexport import (
         export_token_bin_shards,
         read_token_bin_manifest,
@@ -1849,18 +1861,7 @@ def _q_bin_export(sf_dir: str):
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
-    def to_ids(batch: pa.Table) -> pa.Table:
-        ids_out = []
-        dids = batch["doc_id"].to_pylist()
-        for d, t in zip(dids, batch["text"].to_pylist()):
-            nw = len(_re.findall(r"\S+", t or ""))
-            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
-        return pa.table(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "ids": pa.array(ids_out, pa.list_(pa.int32())),
-            }
-        )
+    to_ids = _synthetic_token_ids()
 
     chunks = token_stream_chunks(
         docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
@@ -1881,8 +1882,6 @@ def _q_fim_chunks(sf_dir: str):
     exchange. ids_md5 pins the exact transformed token order; the
     oracle replays the permutation with position CASE arithmetic plus
     three sentinel UNION rows per transformed chunk."""
-    import re as _re
-
     from pdf_extractor_ray.functions.fim import fim_transform
     from pdf_extractor_ray.functions.packing import token_stream_chunks
 
@@ -1890,18 +1889,7 @@ def _q_fim_chunks(sf_dir: str):
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
-    def to_ids(batch: pa.Table) -> pa.Table:
-        ids_out = []
-        dids = batch["doc_id"].to_pylist()
-        for d, t in zip(dids, batch["text"].to_pylist()):
-            nw = len(_re.findall(r"\S+", t or ""))
-            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
-        return pa.table(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "ids": pa.array(ids_out, pa.list_(pa.int32())),
-            }
-        )
+    to_ids = _synthetic_token_ids()
 
     chunks = token_stream_chunks(
         docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
@@ -1936,8 +1924,6 @@ def _q_span_corrupt(sf_dir: str):
     map. The oracle replays both sequences with position arithmetic
     (inputs keyed by original position, targets by span-linearized
     key) and pins each side's md5."""
-    import re as _re
-
     from pdf_extractor_ray.functions.fim import span_corrupt
     from pdf_extractor_ray.functions.packing import token_stream_chunks
 
@@ -1945,18 +1931,7 @@ def _q_span_corrupt(sf_dir: str):
         _t(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
-    def to_ids(batch: pa.Table) -> pa.Table:
-        ids_out = []
-        dids = batch["doc_id"].to_pylist()
-        for d, t in zip(dids, batch["text"].to_pylist()):
-            nw = len(_re.findall(r"\S+", t or ""))
-            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
-        return pa.table(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "ids": pa.array(ids_out, pa.list_(pa.int32())),
-            }
-        )
+    to_ids = _synthetic_token_ids()
 
     chunks = token_stream_chunks(
         docs.map_batches(to_ids, batch_format="pyarrow"), chunk_len=512
@@ -6771,20 +6746,7 @@ def _q_strip_tokenize_chain(sf_dir: str):
 
     stripped = strip_dup_spans(_docs_with_dups(sf_dir), n=5)
 
-    def to_ids(batch: pa.Table) -> pa.Table:
-        import re as _re
-
-        ids_out = []
-        dids = batch["doc_id"].to_pylist()
-        for d, t in zip(dids, batch["kept_text"].to_pylist()):
-            nw = len(_re.findall(r"\S+", t or ""))
-            ids_out.append([(d * 31 + j) % 32000 for j in range(nw)])
-        return pa.table(
-            {
-                "doc_id": pa.array(dids, pa.int64()),
-                "ids": pa.array(ids_out, pa.list_(pa.int32())),
-            }
-        )
+    to_ids = _synthetic_token_ids("kept_text")
 
     chunks = token_stream_chunks(
         stripped.map_batches(to_ids, batch_format="pyarrow"), chunk_len=256
