@@ -2176,6 +2176,21 @@ def _q_strip_spans_min30(sf_dir: str):
     return _q_strip_spans_min(sf_dir, 30)
 
 
+def _q_jaccard_join(sf_dir: str):
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family): all pairs with word-3-gram Jaccard >=
+    0.6 over documents + injected exact copies. Unlike the MinHash
+    leg this candidate generation is LOSSLESS (a qualifying pair must
+    share a prefix token), so the oracle — the exact-Jaccard cross
+    join — checks COMPLETENESS, not just precision."""
+    from pdf_extractor_ray.functions.dedup import jaccard_join_prefix
+
+    out = jaccard_join_prefix(_docs_with_dups(sf_dir), threshold_pm=600)
+    return out.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Pairwise exact 3-gram Jaccard within each source group."""
     from pdf_extractor_ray.functions.dedup import ngram_jaccard
@@ -7780,6 +7795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash": _q_incremental_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
+        "jaccard_join": _q_jaccard_join,
         "dup_ngram_spans": _q_dup_ngram_spans,
         "strip_dup_spans": _q_strip_dup_spans,
         "strip_spans_min8": _q_strip_spans_min8,
@@ -11116,6 +11132,33 @@ SELECT vec_id, cluster FROM (
             )
             SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM sz GROUP BY size
+        """,
+        # jaccard_join: the exact-Jaccard cross join over docs +
+        # injected copies — completeness check for the lossless
+        # prefix-filter candidate generation.
+        "jaccard_join": f"""
+            WITH d AS ({_DUP_SQL}),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1]
+                                          || ' ' || words[i+2])
+                         END) AS sh
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\\S+')
+                                 AS words
+                      FROM d)
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b FROM p WHERE j >= 0.6
         """,
         "dedup_ngram": """
             WITH s AS (

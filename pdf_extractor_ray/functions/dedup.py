@@ -70,6 +70,7 @@ __all__ = [
     "simhash_dedup_pairs",
     "hash64_pairs",
     "ngram_jaccard",
+    "jaccard_join_prefix",
     "dup_ngram_span_stats",
     "scd2_history",
 ]
@@ -1725,4 +1726,209 @@ def scd2_history(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def jaccard_join_prefix(
+    ds: ray.data.Dataset,
+    threshold_pm: int = 600,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    n_buckets: int = 256,
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    all pairs with word-``shingle_k``-gram Jaccard >=
+    ``threshold_pm``/1000. Unlike the MinHash-LSH candidate path
+    (probabilistic: a pair can miss every band), prefix filtering is
+    LOSSLESS — if ``|a n b| / |a u b| >= t`` the two prefixes must
+    share a token — so this is the exact-at-scale dedup join.
+
+    Shape (each exchange narrow, no driver materialization):
+
+      1. tokenize: per-doc DISTINCT shingle hashes + set size
+      2. global document frequency per token (bucketed count exchange)
+      3. df attach (token-bucket cogroup)
+      4. per-doc prefix (doc-bucket group): tokens sorted by
+         (df ASC, token) — rarest first, the order that minimizes
+         candidates — keep ``n - ceil(t*n) + 1``
+      5. candidate pairs (token-bucket group): docs sharing a prefix
+         token, with the size filter ``t * |big| <= 1000 * |small|``
+         (Jaccard >= t forces the length ratio), pre-deduped in-bucket
+      6. global pair dedup + the shared exact-Jaccard verification
+         (:func:`_verify_candidates` — same machinery as MinHash)
+
+    Prefix tokens are rare by construction (sorted by df), so step 5's
+    per-token candidate blowup is bounded by the rare-token df, not
+    the corpus.
+    """
+    t_pm = int(threshold_pm)
+
+    def tok(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = _batch_shingle_hashes(batch[text_col].to_pylist(), shingle_k)
+        out_doc, out_tok, out_size = [], [], []
+        for d, h in zip(ids, hs):
+            u = np.unique(h.astype(np.int64))
+            out_doc.append(np.full(len(u), d, dtype=np.int64))
+            out_tok.append(u)
+            out_size.append(np.full(len(u), len(u), dtype=np.int64))
+        if out_doc:
+            doc = np.concatenate(out_doc)
+            tokv = np.concatenate(out_tok)
+            size = np.concatenate(out_size)
+        else:
+            doc = tokv = size = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(doc, pa.int64()),
+                "token": pa.array(tokv, pa.int64()),
+                "size": pa.array(size, pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    # 2. global df per token (partial counts in-batch, one exchange)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t, c = np.unique(
+            batch["token"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "token": pa.array(t, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+                "_tb": pa.array(bucket_ids(t, n_buckets), pa.int64()),
+            }
+        )
+
+    def df_merge(group):
+        g = group.groupby("token", as_index=False)["c"].sum()
+        return g.rename(columns={"c": "df"})
+
+    dfs = (
+        coalesce_for_exchange(
+            toks.map_batches(df_partial, batch_format="pyarrow")
+        )
+        .groupby("_tb")
+        .map_groups(df_merge, batch_format="pandas")
+    )
+
+    # 3. attach df: token-bucket cogroup of token rows + df rows
+    def tag_tok(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_tb",
+            pa.array(
+                bucket_ids(batch["token"], n_buckets), pa.int64()
+            ),
+        ).append_column(
+            "df", pa.array(np.full(batch.num_rows, -1), pa.int64())
+        )
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc": pa.array(np.full(n, -1), pa.int64()),
+                "token": batch["token"],
+                "size": pa.array(np.full(n, -1), pa.int64()),
+                "_tb": pa.array(
+                    bucket_ids(batch["token"], n_buckets), pa.int64()
+                ),
+                "df": batch["df"],
+            }
+        )
+
+    def attach(group):
+        d = group[group["doc"] == -1][["token", "df"]]
+        t = group[group["doc"] != -1][["doc", "token", "size"]]
+        return t.merge(d, on="token", how="left")
+
+    with_df = (
+        coalesce_for_exchange(
+            toks.map_batches(tag_tok, batch_format="pyarrow").union(
+                dfs.map_batches(tag_df, batch_format="pyarrow")
+            )
+        )
+        .groupby("_tb")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    # 4. per-doc prefix (doc-bucket exchange)
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_db",
+            pa.array(bucket_ids(batch["doc"], n_buckets), pa.int64()),
+        )
+
+    def prefix(group):
+        import pandas as pd
+
+        outs = []
+        for d, g in group.groupby("doc"):
+            n = int(g["size"].iloc[0])
+            p = n - (t_pm * n + 999) // 1000 + 1
+            g = g.sort_values(["df", "token"]).head(max(p, 0))
+            outs.append(g[["doc", "token", "size"]])
+        if not outs:
+            return pd.DataFrame(
+                {"doc": [], "token": [], "size": []}
+            ).astype(np.int64)
+        return pd.concat(outs, ignore_index=True)
+
+    prefixes = (
+        with_df.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(prefix, batch_format="pandas")
+    )
+
+    # 5. candidate pairs per prefix token (token-bucket exchange):
+    # in-bucket self-merge on the token, id-ordered, size-ratio filter
+    def cand_pairs(group):
+        g = group[["doc", "token", "size"]]
+        m = g.merge(g, on="token", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        small = np.minimum(m["size_a"], m["size_b"])
+        big = np.maximum(m["size_a"], m["size_b"])
+        m = m[t_pm * big <= 1000 * small]
+        return m[["doc_a", "doc_b"]].drop_duplicates()
+
+    cand = (
+        prefixes.map_batches(
+            lambda b: b.append_column(
+                "_tb",
+                pa.array(bucket_ids(b["token"], n_buckets), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_tb")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+
+    # 6. global pair dedup + shared exact verification
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["doc_a"].to_numpy(zero_copy_only=False) * 1_000_003
+            + batch["doc_b"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column(
+            "_pb", pa.array(key % n_buckets, pa.int64())
+        )
+
+    def pair_dd(group):
+        return group.drop_duplicates(subset=["doc_a", "doc_b"]).drop(
+            columns=["_pb"]
+        )
+
+    cand = (
+        cand.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(pair_dd, batch_format="pandas")
+    )
+    return _verify_candidates(
+        cand, ds, text_col, id_col, t_pm / 1000.0, shingle_k, verify,
+        n_buckets, 50_000,
     )
