@@ -4855,6 +4855,101 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(docs, "stream hash join", k=10)
 
 
+def _q_bm25_ndcg(sf_dir: str):
+    """Retrieval-quality evaluation: exact-integer nDCG@10 of the
+    BM25 run ('stream hash join') against graded gains
+    min(3, occurrences of the token 'hash') — the standard
+    graded-relevance metric with PRECOMPUTED milli-discounts inlined
+    as literals on both engines (no runtime log anywhere), so the
+    oracle replays DCG, ideal DCG, and the permille ratio bit for
+    bit."""
+    from pdf_extractor_ray.functions.ireval import ndcg_at_k
+    from pdf_extractor_ray.functions.textstats import bm25_topk
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    run = bm25_topk(docs, "stream hash join", k=10).to_pandas()  # k rows
+
+    import re as _re
+
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def gain(batch: pa.Table) -> pa.Table:
+        g = [
+            min(3, tok_re.findall((t or "").lower()).count("hash"))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "gain": pa.array(g, pa.int64()),
+            }
+        )
+
+    gains = docs.map_batches(gain, batch_format="pyarrow")
+    return ndcg_at_k(run, gains, k=10)
+
+
+def _bm25_ndcg_sql() -> str:
+    from pdf_extractor_ray.functions.ireval import discount_milli
+
+    disc_rows = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(discount_milli(10))
+    )
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                              AS term
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+               FROM w GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT sum(dl) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM w WHERE term IN ('hash', 'join', 'stream')
+               GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+                      sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)
+                             + 1.0)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl
+                                / (st.total_len / st.n_docs)))) AS score
+               FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                    CROSS JOIN st
+               GROUP BY tf.doc_id),
+        run AS (SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY floor(score * 1000 + 0.5) DESC,
+                                    doc_id) AS rnk
+                FROM sc ORDER BY rnk LIMIT 10),
+        g AS (SELECT doc_id,
+                     LEAST(3, len(list_filter(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         x -> x = 'hash'))) AS gain
+              FROM documents),
+        disc(rnk, dm) AS (VALUES {disc_rows}),
+        dcg AS (SELECT COALESCE(sum(g.gain * disc.dm), 0) AS v
+                FROM run JOIN disc USING (rnk)
+                LEFT JOIN g USING (doc_id)),
+        ideal AS (SELECT gain,
+                         row_number() OVER (ORDER BY gain DESC,
+                                            doc_id) AS rnk
+                  FROM g ORDER BY rnk LIMIT 10),
+        idcg AS (SELECT COALESCE(sum(ideal.gain * disc.dm), 0) AS v
+                 FROM ideal JOIN disc USING (rnk))
+        SELECT CAST(dcg.v AS BIGINT) AS dcg_milli,
+               CAST(idcg.v AS BIGINT) AS idcg_milli,
+               CAST(CASE WHEN idcg.v > 0
+                         THEN 1000000 * dcg.v // idcg.v
+                         ELSE 0 END AS BIGINT) AS ndcg_pm
+        FROM dcg, idcg
+    """
+
+
 def _q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 leg ('stream hash join', top-10) fused
     with an embedding leg (exact cosine top-10 for the lowest-vec_id
@@ -7831,6 +7926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "token_budget": _q_token_budget,
         "bm25": _q_bm25,
+        "bm25_ndcg": _q_bm25_ndcg,
         "hybrid_rrf": _q_hybrid_rrf,
         "script_stats": _q_script_stats,
         "shuffle_export": _q_shuffle_export,
@@ -12845,6 +12941,7 @@ SELECT vec_id, cluster FROM (
             SELECT doc_id, CAST(floor(score * 1000 + 0.5) AS BIGINT) AS score_m
             FROM sc ORDER BY score_m DESC, doc_id LIMIT 10
         """,
+        "bm25_ndcg": _bm25_ndcg_sql(),
         # RRF hybrid fusion: the bm25 CTE stack above + a single-query
         # exact-cosine leg, fused with integer micro-unit reciprocal
         # ranks (1_000_000 // (60 + rank)) — pure integer arithmetic
