@@ -5906,6 +5906,46 @@ def _q_decontaminate(sf_dir: str):
     return contamination_flags(corpus, benchmark, n=8)
 
 
+def _q_decontaminate_strip(sf_dir: str):
+    """Contamination REMOVAL (cut the overlapping span, keep the
+    document): every word position covered by an 8-gram shared with
+    the eval set (docs 0..19) is cut; benchmark docs and their
+    injected copies end up gutted, innocents pass untouched. One
+    shuffle-free pass over the broadcast hash set; the oracle expands
+    hit positions to covered intervals and rebuilds each kept_text
+    md5 with list arithmetic."""
+    from pdf_extractor_ray.functions.decontaminate import (
+        strip_contaminated_spans,
+    )
+
+    corpus = _docs_with_dups(sf_dir)
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < 20))
+
+    benchmark = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(bench_only, batch_format="pyarrow")
+    out = strip_contaminated_spans(corpus, benchmark, n=8)
+
+    def roll(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8", "replace")).hexdigest()
+            for t in batch["kept_text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": batch["n_words"],
+                "n_removed": batch["n_removed"],
+                "kept_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    return out.map_batches(roll, batch_format="pyarrow")
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping-window chunking (pretraining/RAG prep): per-chunk
     word counts + fingerprints, value-checked per chunk."""
@@ -8057,6 +8097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "chunk_documents": _q_chunk_documents,
         "decontaminate": _q_decontaminate,
+        "decontaminate_strip": _q_decontaminate_strip,
         "gopher_quality": _q_gopher_quality,
         "readability": _q_readability,
         "sentences": _q_sentences,
@@ -8690,6 +8731,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM d LEFT JOIN h USING (doc_id)
+        """,
+        # decontaminate_strip: hit positions -> covered intervals
+        # ([i, i+8) per hit, DISTINCT union) -> kept words by
+        # anti-join, re-joined in position order.
+        "decontaminate_strip": f"""
+            WITH d AS ({_DUP_SQL}),
+            bw AS (
+              SELECT regexp_extract_all(text, '\\S+') AS ws
+              FROM documents WHERE doc_id < 20
+            ),
+            bg AS (
+              SELECT DISTINCT
+                     md5(array_to_string(list_slice(ws, i + 1, i + 8), ' '))
+                         AS g
+              FROM bw, UNNEST(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+            ),
+            dw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                   FROM d),
+            hit AS (
+              SELECT doc_id, i
+              FROM dw, UNNEST(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+              WHERE md5(array_to_string(list_slice(ws, i + 1, i + 8), ' '))
+                    IN (SELECT g FROM bg)
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, i + k AS j
+              FROM hit, UNNEST(range(0, 8)) AS t2(k)
+            ),
+            poss AS (SELECT doc_id, ws, j
+                     FROM dw, UNNEST(range(0, len(ws))) AS t(j)),
+            kept AS (
+              SELECT p.doc_id, p.ws[p.j + 1] AS w, p.j
+              FROM poss p LEFT JOIN cov c
+                ON c.doc_id = p.doc_id AND c.j = p.j
+              WHERE c.j IS NULL
+            ),
+            ka AS (
+              SELECT doc_id,
+                     md5(string_agg(w, ' ' ORDER BY j)) AS kept_md5
+              FROM kept GROUP BY doc_id
+            ),
+            nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+                   FROM cov GROUP BY doc_id)
+            SELECT dw.doc_id,
+                   CAST(len(dw.ws) AS BIGINT) AS n_words,
+                   COALESCE(nr.n_removed, 0) AS n_removed,
+                   COALESCE(ka.kept_md5, md5('')) AS kept_md5
+            FROM dw LEFT JOIN nr USING (doc_id)
+                    LEFT JOIN ka USING (doc_id)
         """,
         # Chunking: starts at word indices 0, stride, 2*stride, ...
         # (stride = 40 - 10 = 30); list_slice is 1-based inclusive.

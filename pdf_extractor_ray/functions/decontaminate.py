@@ -26,7 +26,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["benchmark_ngram_hashes", "contamination_flags"]
+__all__ = [
+    "benchmark_ngram_hashes",
+    "contamination_flags",
+    "strip_contaminated_spans",
+]
 
 _WORD_RE = re.compile(r"\S+")
 
@@ -89,3 +93,79 @@ def contamination_flags(
         )
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def strip_contaminated_spans(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Contamination REMOVAL: cut every word position covered by a
+    word n-gram that appears in the benchmark set, keep the rest —
+    the "remove the span, keep the document" policy (the flag-only
+    :func:`contamination_flags` wastes the whole document when one
+    quoted benchmark sentence contaminates it; published
+    decontamination pipelines cut the overlapping span instead).
+
+    Same distributed shape as the flag check: the benchmark hash set
+    broadcasts once, and the removal is ONE shuffle-free
+    ``map_batches`` pass — per document, hit positions fold into an
+    interval-union mask ([p, p+n) per hit) via the +1/-1 diff-array
+    trick shared with ``dedup.strip_dup_spans``, and survivors
+    re-join with single spaces (original casing — the module's
+    convention, so the md5-per-gram SQL oracle replays everything).
+
+    Output: (id_col, n_words, n_removed, kept_text).
+    """
+    import numpy as np
+
+    bench_ref = benchmark_ngram_hashes(benchmark, n, text_col)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        out_id, out_nw, out_rm, out_txt = [], [], [], []
+        for doc_id, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = _WORD_RE.findall(t or "")
+            m = len(words)
+            ps = np.array(
+                [
+                    i
+                    for i in range(max(m - n + 1, 0))
+                    if hashlib.md5(
+                        " ".join(words[i : i + n]).encode(
+                            "utf-8", "replace"
+                        )
+                    ).hexdigest()
+                    in bench
+                ],
+                dtype=np.int64,
+            )
+            if m == 0 or len(ps) == 0:
+                out_id.append(doc_id)
+                out_nw.append(m)
+                out_rm.append(0)
+                out_txt.append(" ".join(words))
+                continue
+            diff = np.zeros(m + n + 1, dtype=np.int64)
+            np.add.at(diff, ps, 1)
+            np.add.at(diff, ps + n, -1)
+            mask = np.cumsum(diff[:m]) > 0
+            kept = [w for w, dead in zip(words, mask) if not dead]
+            out_id.append(doc_id)
+            out_nw.append(m)
+            out_rm.append(int(mask.sum()))
+            out_txt.append(" ".join(kept))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "n_words": pa.array(out_nw, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "kept_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow")
