@@ -2226,6 +2226,115 @@ def _q_dup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def _q_cluster_safe_split(sf_dir: str):
+    """Leakage-safe train/test split keyed on the NEAR-DUP CLUSTER
+    (the code-model-paper rule: a near-duplicate of a test document
+    must not reach train, which a doc-keyed hash split cannot
+    guarantee): split = md5 hash of the connected-component cluster
+    id (own id for singletons), so every near-dup cluster moves as a
+    unit. One doc-bucket cogroup attaches cluster ids; the split is a
+    pure per-row hash after that. Output per split: doc count,
+    distinct key count, membership md5."""
+    from pdf_extractor_ray.functions.dedup import minhash_dedup_pairs
+    from pdf_extractor_ray.functions.graph import connected_components
+
+    docs = _docs_with_dups(sf_dir)
+    clusters = connected_components(
+        minhash_dedup_pairs(docs, threshold=0.8)
+    )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(ids % 64, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": pa.array(np.full(len(ids), -1), pa.int64()),
+            }
+        )
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(ids % 64, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": batch["cluster_id"].cast(pa.int64()),
+            }
+        )
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("key", ascending=False)  # cluster rows first
+        g = g.drop_duplicates(subset=["doc_id"], keep="first")
+        key = np.where(g["key"] < 0, g["doc_id"], g["key"])
+        split = [
+            "test"
+            if int(
+                hashlib.md5(str(int(k)).encode()).hexdigest()[:8], 16
+            )
+            % 10
+            < 2
+            else "train"
+            for k in key
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "key": key.astype(np.int64),
+                "split": split,
+            }
+        )
+
+    assigned = (
+        docs.map_batches(
+            lambda b: tag_doc(b.select(["doc_id"])),
+            batch_format="pyarrow",
+        )
+        .union(
+            clusters.map_batches(tag_cluster, batch_format="pyarrow")
+        )
+        .groupby("_b")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("split")
+            .agg(ids=("doc_id", list), keys=("key", lambda s: list(set(s))))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "split": pa.array(g["split"], pa.string()),
+                "ids": pa.array(g["ids"], pa.list_(pa.int64())),
+                "keys": pa.array(g["keys"], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(i for lst in group["ids"] for i in lst)
+        keys = set(k for lst in group["keys"] for k in lst)
+        return pd.DataFrame(
+            {
+                "split": [group["split"].iloc[0]],
+                "n_docs": np.int64(len(ids)),
+                "n_keys": np.int64(len(keys)),
+                "ids_md5": [
+                    hashlib.md5(
+                        ",".join(str(i) for i in ids).encode()
+                    ).hexdigest()
+                ],
+            }
+        )
+
+    return (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _q_dup_clusters_indexed(sf_dir: str):
     """Same clusters and oracle as `dup_clusters`, with the
     label-propagation running on the actor-sharded adjacency index —
@@ -7936,6 +8045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_spans_min8": _q_strip_spans_min8,
         "strip_spans_min30": _q_strip_spans_min30,
         "dup_clusters": _q_dup_clusters,
+        "cluster_safe_split": _q_cluster_safe_split,
         "dup_clusters_indexed": _q_dup_clusters_indexed,
         "cluster_size_hist": _q_cluster_size_hist,
         "cosine_pairs": _q_cosine_pairs,
@@ -11303,6 +11413,30 @@ SELECT vec_id, cluster FROM (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(cluster_id AS BIGINT) AS cluster_id
             FROM clusters
+        """,
+        # cluster_safe_split: COALESCE to own id for singletons, then
+        # the standard md5-percent hash on the CLUSTER key.
+        "cluster_safe_split": f"""
+            WITH RECURSIVE {_CLUSTER_CTES},
+            splitkey AS (
+                SELECT d.doc_id,
+                       COALESCE(c.cluster_id, d.doc_id) AS key
+                FROM d LEFT JOIN clusters c USING (doc_id)
+            ),
+            splitass AS (
+                SELECT doc_id, key,
+                       CASE WHEN ('0x' || substring(
+                                md5(CAST(key AS VARCHAR)), 1, 8))::UBIGINT
+                                % 10 < 2
+                            THEN 'test' ELSE 'train' END AS split
+                FROM splitkey
+            )
+            SELECT split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id)) AS ids_md5
+            FROM splitass GROUP BY split
         """,
         "dedup_survivors": f"""
             WITH RECURSIVE {_CLUSTER_CTES}
