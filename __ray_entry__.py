@@ -9678,13 +9678,13 @@ SELECT vec_id, cluster FROM (
                             PARTITION BY xid
                             ORDER BY cos DESC, yid) AS rn
                         FROM s),
-                 ax AS (SELECT xid, sum(cos) / 4 AS a
+                 ax AS (SELECT xid, avg(cos) AS a
                         FROM fx WHERE rn <= 4 GROUP BY xid),
                  fy AS (SELECT *, row_number() OVER (
                             PARTITION BY yid
                             ORDER BY cos DESC, xid) AS rn
                         FROM s),
-                 ay AS (SELECT yid, sum(cos) / 4 AS a
+                 ay AS (SELECT yid, avg(cos) AS a
                         FROM fy WHERE rn <= 4 GROUP BY yid),
                  m AS (SELECT f.xid, f.yid,
                               f.cos / ((ax.a + ay.a) / 2) AS margin
@@ -9734,10 +9734,31 @@ SELECT vec_id, cluster FROM (
                                (SELECT B FROM b) - sum(q0) OVER ()
                                    AS extra
                         FROM base),
+                 quota0 AS (SELECT lang, n_docs, wt, rk,
+                                   q0 + CASE WHEN rk <= extra
+                                             THEN 1 ELSE 0 END AS q
+                            FROM ex),
+                 -- cap q_i <= n_i, then redistribute the overflow
+                 -- greedily in (rem DESC, lang) order to sources with
+                 -- headroom: granted = min(room, max(0, OF - cumroom))
+                 -- (the engine's temperature_quotas contract)
+                 capd AS (SELECT lang, n_docs, wt, rk,
+                                 LEAST(q, n_docs) AS qc,
+                                 GREATEST(q - n_docs, 0) AS over,
+                                 n_docs - LEAST(q, n_docs) AS room
+                          FROM quota0),
+                 ov AS (SELECT sum(over) AS overflow FROM capd),
+                 redis AS (SELECT *,
+                                  COALESCE(sum(room) OVER (
+                                      ORDER BY rk
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cumroom
+                           FROM capd),
                  quota AS (SELECT lang, n_docs, wt,
-                                  q0 + CASE WHEN rk <= extra
-                                            THEN 1 ELSE 0 END AS q
-                           FROM ex),
+                                  qc + LEAST(room,
+                                       GREATEST(overflow - cumroom, 0))
+                                      AS q
+                           FROM redis, ov),
                  sel AS (SELECT d.lang, d.doc_id,
                                 row_number() OVER (
                                     PARTITION BY d.lang

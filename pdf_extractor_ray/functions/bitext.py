@@ -90,14 +90,16 @@ def bitext_margin_pairs(
     kk = min(k, len(y_ids_np))
 
     # pass B first (its result is an input to pass C): per-y average
-    # similarity to y's top-k in X — driver holds |Y| x k rows only
+    # similarity to y's top-k in X — driver holds |Y| x k rows only.
+    # k here is the FULL k (y's neighbors live in X, so the bound is
+    # min(k, |X|), which the per-batch top-k realizes naturally).
     bwd = knn_bruteforce(
-        x_ds, y_mat, list(y_ids_np), k=kk, vec_col=vec_col, id_col=id_col
+        x_ds, y_mat, list(y_ids_np), k=k, vec_col=vec_col, id_col=id_col
     )
-    # sum/k in doc-id order: plain float sum over k<=8 values
-    avg_y = (
-        bwd.groupby("query_id")["cosine"].sum() / float(kk)
-    )  # indexed by y id
+    # true average over the neighbors actually available: group size
+    # is min(k, |X|) by construction, so .mean() == sum / min(k, |X|)
+    # — the same divisor the SQL oracle's avg(cos) computes.
+    avg_y = bwd.groupby("query_id")["cosine"].mean()  # indexed by y id
     avg_y_map = {int(q): float(v) for q, v in avg_y.items()}
     avg_y_vec = np.array(
         [avg_y_map.get(int(y), 0.0) for y in y_ids_np], dtype=np.float64

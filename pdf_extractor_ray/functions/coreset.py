@@ -79,6 +79,10 @@ def kcenter_select(
 
     out = [(0, center_id)]
     for r in range(1, k):
+        # early-stop guard lives below: once every remaining point is
+        # coincident with a chosen center (round max mind == 0) the
+        # farthest-first trajectory is exhausted — continuing would
+        # re-select the lowest-id point forever (duplicate centers).
         cq = center_q  # captured by value for this round's closures
 
         def update(batch: pa.Table) -> pa.Table:
@@ -122,6 +126,8 @@ def kcenter_select(
         cands = cands.sort_values(
             ["mind", "id"], ascending=[False, True]
         ).iloc[0]
+        if int(cands["mind"]) == 0:
+            break  # k >= distinct points: no farther point exists
         center_id = int(cands["id"])
         center_q = np.asarray(cands["q"], dtype=np.int64)
         out.append((r, center_id))

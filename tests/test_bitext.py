@@ -111,3 +111,40 @@ class TestBitextMargin:
             _mk_ds(ray_session, x_ids, x_mat, 4), y_ids, y_mat, k=4, top_n=10
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSmallSides:
+    """ADVICE r4: divisor convention when a side has fewer than k rows.
+
+    Pinned convention: both neighbor averages are TRUE averages over the
+    neighbors actually available — forward sum / min(k, |Y|), backward
+    sum / min(k, |X|) — matching the oracle's ``avg(cos)``.
+    """
+
+    def test_y_smaller_than_k(self, ray_session):
+        rng = np.random.RandomState(21)
+        y_mat = rng.randn(2, 8)  # |Y| = 2 < k = 4
+        x_mat = rng.randn(30, 8)
+        x_ids = np.arange(100, 130, dtype=np.int64)
+        y_ids = np.array([900, 901], dtype=np.int64)
+        got = bitext_margin_pairs(
+            _mk_ds(ray_session, x_ids, x_mat, 3), y_ids, y_mat, k=4, top_n=8
+        )
+        want = _reference_margin(x_ids, x_mat, y_ids, y_mat, k=4, top_n=8)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_x_smaller_than_k(self, ray_session):
+        rng = np.random.RandomState(22)
+        y_mat = rng.randn(25, 8)
+        x_mat = rng.randn(3, 8)  # |X| = 3 < k = 4
+        x_ids = np.array([7, 8, 9], dtype=np.int64)
+        y_ids = np.arange(500, 525, dtype=np.int64)
+        got = bitext_margin_pairs(
+            _mk_ds(ray_session, x_ids, x_mat, 2), y_ids, y_mat, k=4, top_n=6
+        )
+        want = _reference_margin(x_ids, x_mat, y_ids, y_mat, k=4, top_n=6)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )

@@ -57,3 +57,29 @@ class TestKCenter:
         a = kcenter_select(_mk(ray_session, ids, mat, parts=1), k=5)
         b = kcenter_select(_mk(ray_session, ids, mat, parts=13), k=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestKExceedsPoints:
+    """ADVICE r4: k past the number of distinct points must early-stop,
+    never emit duplicate center_ids."""
+
+    def test_k_larger_than_n(self, ray_session):
+        rng = np.random.RandomState(9)
+        ids = np.arange(6, dtype=np.int64)
+        mat = rng.randn(6, 4)
+        got = kcenter_select(_mk(ray_session, ids, mat, parts=2), k=10)
+        assert len(got) == 6
+        assert got["center_id"].is_unique
+        assert list(got["rank"]) == list(range(6))
+
+    def test_duplicate_points_early_stop(self, ray_session):
+        # 3 distinct locations, each duplicated — farthest-first is
+        # exhausted after 3 picks even though n = 6 and k = 5
+        mat = np.array(
+            [[0.0, 0.0], [0.0, 0.0], [10.0, 0.0],
+             [10.0, 0.0], [0.0, 10.0], [0.0, 10.0]]
+        )
+        ids = np.arange(6, dtype=np.int64)
+        got = kcenter_select(_mk(ray_session, ids, mat, parts=3), k=5)
+        assert len(got) == 3
+        assert got["center_id"].is_unique

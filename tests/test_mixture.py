@@ -209,3 +209,49 @@ class TestKFold:
             .tolist()
         )
         assert a == b
+
+
+class TestOracleCapParity:
+    """ADVICE r4: the mixture_select SQL oracle must replay the quota
+    cap q_i <= n_i and the overflow redistribution — exercised here on
+    a mix skewed enough that a sqrt-boosted tiny source's quota
+    exceeds its size (the case the sf gate mixes never hit)."""
+
+    def test_oracle_matches_engine_on_skewed_mix(
+        self, ray_session, tmp_path
+    ):
+        import duckdb
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        import __ray_entry__ as entrymod
+
+        # {en: 10000, zz: 1}: B = 2*10001//5 = 4000,
+        # w_en = 100000, w_zz = 1000 -> q_zz ~ 39 >> 1 doc: cap fires
+        rng = np.random.RandomState(31)
+        ids = rng.permutation(50_000)[:10_001].astype(np.int64)
+        langs = ["en"] * 10_000 + ["zz"]
+        tbl = pa.table({"doc_id": ids, "lang": langs})
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        got = entrymod.queries()["mixture_select"](str(tmp_path))
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path / 'documents.parquet'}'"
+        )
+        want = con.sql(entrymod.oracle_sql()["mixture_select"]).df()
+
+        got = got.sort_values("lang").reset_index(drop=True)
+        want = want.sort_values("lang").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns) or set(
+            got.columns
+        ) == set(want.columns)
+        want = want[got.columns]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the cap itself: zz kept at most its 1 doc, budget still met
+        zz = got[got["lang"] == "zz"].iloc[0]
+        assert zz["quota"] == 1 and zz["n_selected"] == 1
+        assert got["quota"].sum() == 2 * 10_001 // 5
