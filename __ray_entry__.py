@@ -7879,11 +7879,15 @@ def _q_late_lines_priority(sf_dir: str):
 
 def _q_nation_pair_volume(sf_dir: str):
     """TPC-H Q7: revenue from a supplier nation to a DIFFERENT
-    customer nation per ship year (1995-1996). Three chained big-big
-    cogroups (orderkey -> custkey -> suppkey), partials pre-aggregated
-    on the next key at every stage; only the 25-row nation table is
-    broadcast."""
-    from pdf_extractor_ray.functions.tpch_extra import cross_nation_volume
+    customer nation per ship year (1995-1996). Sharded-lookup engine
+    (join_indexed.py): orders/customer/supplier partitioned across
+    lookup shard actors, ONE streaming lineitem pass with two batched
+    RPC waves, zero sort exchanges for the joins (the cogroup twin
+    `tpch_extra.cross_nation_volume` is pytest-pinned equal; r4 A/B:
+    8.65 s cogroup / 7.2 s native join / ~1.9 s this path)."""
+    from pdf_extractor_ray.functions.join_indexed import (
+        cross_nation_volume_indexed as cross_nation_volume,
+    )
 
     li = _rp(
         _t(sf_dir, "lineitem"),
@@ -7906,9 +7910,15 @@ def _q_nation_pair_volume(sf_dir: str):
 def _q_market_share(sf_dir: str):
     """TPC-H Q8 shape: ASIA-market PROMO-part revenue split per order
     year into NATION_2's share vs total (exact integer cents for both
-    — the division is the reader's). Four chained big-big cogroups
-    (partkey, orderkey, custkey, suppkey); part is never broadcast."""
-    from pdf_extractor_ray.functions.tpch_extra import market_share
+    — the division is the reader's). Sharded-lookup engine
+    (join_indexed.py): part/orders/customer/supplier partitioned
+    across lookup shard actors — part is never broadcast — ONE
+    streaming lineitem pass, two RPC waves, zero join sort exchanges
+    (cogroup twin `tpch_extra.market_share` pytest-pinned equal; r4
+    A/B: 7.4 s cogroup / ~1.4 s this path)."""
+    from pdf_extractor_ray.functions.join_indexed import (
+        market_share_indexed as market_share,
+    )
 
     li = _rp(
         _t(sf_dir, "lineitem"),
