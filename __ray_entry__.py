@@ -6308,6 +6308,77 @@ def _q_training_chain(sf_dir: str):
     )
 
 
+def _pretrain_input(sf_dir: str) -> ray.data.Dataset:
+    """The flagship-chain corpus: documents plus an injected EXACT
+    copy of every 10th doc (id +1_000_000 — food for the exact-dedup
+    stage) plus an injected NEAR copy of every 7th doc (id +2_000_000,
+    one appended word — survives exact dedup, lands in a MinHash
+    cluster whenever its 3-gram Jaccard >= 0.8, i.e. docs of >= 10
+    words). Mirrored exactly by the oracle's UNION ALL stack."""
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dups = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(dups["doc_id"], 1_000_000),
+                "text": dups["text"],
+                "lang": dups["lang"],
+            }
+        )
+
+    def near_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        near = batch.filter(pa.array(ids % 7 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(near["doc_id"], 2_000_000),
+                "text": pc.binary_join_element_wise(
+                    near["text"], pa.scalar("graftpad"), " "
+                ),
+                "lang": near["lang"],
+            }
+        )
+
+    return docs.union(
+        docs.map_batches(dup_rows, batch_format="pyarrow"),
+        docs.map_batches(near_rows, batch_format="pyarrow"),
+    )
+
+
+def _q_pretrain_corpus(sf_dir: str):
+    """THE flagship end-to-end pretraining-data composite
+    (functions/pretrain.py::pretrain_corpus_chain): Gopher gate ->
+    exact dedup -> MinHash cluster survivors -> contamination SPAN
+    removal vs the eval set (docs 0..19) -> temperature (alpha=0.5)
+    mixture selection at a 40%% budget -> synthetic-id tokenize ->
+    global 512-token chunks -> uint16-LE .bin/.idx shard export with
+    byte-exact read-back audit. The 4-row manifest (bin_md5/idx_md5
+    per shard) pins the ENTIRE chain: the oracle replays all seven
+    stages in one CTE stack (recursive Jaccard-cluster closure,
+    8-gram interval strip, capped largest-remainder quotas, prefix-sum
+    chunk assembly, hex fingerprints)."""
+    from pdf_extractor_ray.functions.pretrain import pretrain_corpus_chain
+
+    corpus = _pretrain_input(sf_dir)
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < 20))
+
+    benchmark = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(bench_only, batch_format="pyarrow")
+
+    out_dir = os.path.join(
+        "/tmp/graft_pretrain", os.path.basename(sf_dir.rstrip("/"))
+    )
+    return pretrain_corpus_chain(corpus, benchmark, out_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-language rebalancing sample (deterministic hash membership,
     shuffle-free) — per-stratum keep rates, rolled up per lang."""
@@ -8231,6 +8302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "sequence_pack": _q_sequence_pack,
         "training_chain": _q_training_chain,
+        "pretrain_corpus": _q_pretrain_corpus,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,
@@ -12022,6 +12094,218 @@ SELECT vec_id, cluster FROM (
                 SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens,
                        md5(string_agg(hx, '' ORDER BY pos)) AS bin_md5
                 FROM h GROUP BY shard)
+            SELECT CAST(shard AS BIGINT) AS shard, n_chunks, n_tokens,
+                   bin_md5, idx_md5
+            FROM binagg JOIN idxagg USING(shard)
+            ORDER BY shard
+        """,
+        # pretrain_corpus: the WHOLE seven-stage flagship chain in one
+        # CTE stack — gopher gate, exact dedup, recursive
+        # Jaccard-cluster closure (MinHash survivors), 8-gram
+        # contamination interval strip, capped largest-remainder
+        # temperature quotas + (md5(id), id) rank selection, kept-word
+        # token stream, 512-token chunk/4-shard hex fingerprints.
+        "pretrain_corpus": """
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang FROM documents
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, text || ' graftpad', lang
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            gs AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       length(regexp_replace(text, '\\s', '', 'g'))
+                           AS word_chars,
+                       len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+                           AS n_alpha,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '\\S')) AS lines,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                           '\\b(?:the|be|to|of|and|that|have|with)\\b')))
+                           AS n_stop
+                FROM d
+            ),
+            gq AS (
+                SELECT doc_id FROM gs
+                WHERE (n_words BETWEEN 50 AND 100000)
+                  AND (CASE WHEN n_words > 0
+                            THEN word_chars / CAST(n_words AS DOUBLE)
+                            ELSE 0 END) BETWEEN 3.0 AND 10.0
+                  AND (CASE WHEN n_words > 0
+                            THEN n_alpha / CAST(n_words AS DOUBLE)
+                            ELSE 0 END) >= 0.80
+                  AND (CASE WHEN len(lines) > 0
+                            THEN 1.0 - len(list_distinct(lines))
+                                       / CAST(len(lines) AS DOUBLE)
+                            ELSE 0 END) <= 0.30
+                  AND n_stop >= 1
+            ),
+            gd AS (SELECT d.* FROM d JOIN gq USING (doc_id)),
+            x AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                    FROM gd) WHERE rn = 1
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(words) < 3
+                              THEN [array_to_string(words, ' ')]
+                              ELSE list_transform(range(1, len(words)-1),
+                                     i -> words[i] || ' ' || words[i+1]
+                                          || ' ' || words[i+2])
+                         END) AS sset
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\\S+')
+                                 AS words
+                      FROM x)
+            ),
+            pr AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sset, b.sset))::DOUBLE /
+                       len(list_distinct(list_concat(a.sset, b.sset)))
+                           AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ),
+            e AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr WHERE j >= 0.8
+                UNION
+                SELECT doc_b, doc_a FROM pr WHERE j >= 0.8
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            clusters AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ),
+            surv AS (
+                SELECT x.* FROM x
+                WHERE doc_id NOT IN (SELECT doc_id FROM clusters
+                                     WHERE doc_id != cluster_id)
+            ),
+            bw AS (SELECT regexp_extract_all(text, '\\S+') AS ws
+                   FROM documents WHERE doc_id < 20),
+            bg AS (SELECT DISTINCT
+                          md5(array_to_string(
+                              list_slice(ws, i + 1, i + 8), ' ')) AS g
+                   FROM bw, UNNEST(range(0, greatest(len(ws) - 7, 0)))
+                       AS t(i)),
+            dw AS (SELECT doc_id, lang,
+                          regexp_extract_all(text, '\\S+') AS ws
+                   FROM surv),
+            hit AS (
+                SELECT doc_id, i
+                FROM dw, UNNEST(range(0, greatest(len(ws) - 7, 0)))
+                    AS t(i)
+                WHERE md5(array_to_string(
+                          list_slice(ws, i + 1, i + 8), ' '))
+                      IN (SELECT g FROM bg)
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, i + k AS jpos
+                FROM hit, UNNEST(range(0, 8)) AS t2(k)
+            ),
+            poss AS (SELECT doc_id, ws, j
+                     FROM dw, UNNEST(range(0, len(ws))) AS t(j)),
+            keptw AS (
+                SELECT p.doc_id, p.ws[p.j + 1] AS w, p.j,
+                       row_number() OVER (PARTITION BY p.doc_id
+                                          ORDER BY p.j) - 1 AS jj
+                FROM poss p LEFT JOIN cov c
+                  ON c.doc_id = p.doc_id AND c.jpos = p.j
+                WHERE c.jpos IS NULL
+            ),
+            cnt AS (SELECT lang, count(*) AS n_docs
+                    FROM surv GROUP BY lang),
+            tot AS (SELECT sum(n_docs) AS N FROM cnt),
+            wq AS (SELECT lang, n_docs,
+                          CAST(floor(sqrt(n_docs * 1000000.0))
+                               AS BIGINT) AS wt
+                   FROM cnt),
+            wsum AS (SELECT sum(wt) AS W FROM wq),
+            bb AS (SELECT CAST(2 * N // 5 AS BIGINT) AS B FROM tot),
+            base AS (SELECT lang, n_docs, wt,
+                            B * wt // W AS q0, B * wt % W AS rem
+                     FROM wq, wsum, bb),
+            ex AS (SELECT *,
+                          row_number() OVER (ORDER BY rem DESC,
+                                             lang) AS rk,
+                          (SELECT B FROM bb) - sum(q0) OVER () AS extra
+                   FROM base),
+            quota0 AS (SELECT lang, n_docs, wt, rk,
+                              q0 + CASE WHEN rk <= extra
+                                        THEN 1 ELSE 0 END AS q
+                       FROM ex),
+            capd AS (SELECT lang, n_docs, wt, rk,
+                            LEAST(q, n_docs) AS qc,
+                            GREATEST(q - n_docs, 0) AS over,
+                            n_docs - LEAST(q, n_docs) AS room
+                     FROM quota0),
+            ov AS (SELECT sum(over) AS overflow FROM capd),
+            redis AS (SELECT *,
+                             COALESCE(sum(room) OVER (
+                                 ORDER BY rk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cumroom
+                      FROM capd),
+            quota AS (SELECT lang,
+                             qc + LEAST(room,
+                                  GREATEST(overflow - cumroom, 0)) AS q
+                      FROM redis, ov),
+            selr AS (SELECT s2.doc_id, s2.lang,
+                            row_number() OVER (
+                                PARTITION BY s2.lang
+                                ORDER BY md5(CAST(s2.doc_id AS VARCHAR)),
+                                         s2.doc_id) AS rn
+                     FROM surv s2),
+            sel AS (SELECT selr.doc_id
+                    FROM selr JOIN quota USING (lang)
+                    WHERE selr.rn <= quota.q),
+            nw AS (SELECT sel.doc_id, COALESCE(k.c, 0) AS nwords
+                   FROM sel LEFT JOIN (SELECT doc_id, count(*) AS c
+                                       FROM keptw GROUP BY doc_id) k
+                       USING (doc_id)),
+            o AS (SELECT doc_id, nwords,
+                         sum(nwords) OVER (ORDER BY doc_id) - nwords
+                             AS off
+                  FROM nw),
+            ctok AS (
+                SELECT (o.off + k.jj) // 512 AS chunk_id,
+                       o.off + k.jj AS pos,
+                       (k.doc_id * 31 + k.jj) % 32000 AS tid
+                FROM o JOIN keptw k USING (doc_id)
+            ),
+            h AS (SELECT chunk_id % 4 AS shard, chunk_id, pos,
+                         lpad(lower(to_hex(tid % 256)), 2, '0') ||
+                         lpad(lower(to_hex(tid // 256)), 2, '0') AS hx
+                  FROM ctok),
+            per_chunk AS (SELECT shard, chunk_id, count(*) AS n
+                          FROM h GROUP BY shard, chunk_id),
+            idx AS (SELECT shard, chunk_id, n,
+                           sum(n) OVER (PARTITION BY shard
+                                        ORDER BY chunk_id) - n AS off
+                    FROM per_chunk),
+            idxagg AS (SELECT shard, CAST(count(*) AS BIGINT)
+                              AS n_chunks,
+                              md5(string_agg(chunk_id || ':' || off
+                                             || ':' || n,
+                                             ',' ORDER BY chunk_id))
+                                  AS idx_md5
+                       FROM idx GROUP BY shard),
+            binagg AS (SELECT shard, CAST(count(*) AS BIGINT)
+                              AS n_tokens,
+                              md5(string_agg(hx, '' ORDER BY pos))
+                                  AS bin_md5
+                       FROM h GROUP BY shard)
             SELECT CAST(shard AS BIGINT) AS shard, n_chunks, n_tokens,
                    bin_md5, idx_md5
             FROM binagg JOIN idxagg USING(shard)

@@ -147,7 +147,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "image_decode",
             "audio_features",
             "video_frames",
+            # graph family benches on the actor-sharded indexed
+            # engines (the cogroup twins remain gate-only
+            # oracle-diversity variants — r4 verdict "What's wrong #3")
             "pagerank_indexed",
+            "hits_indexed",
+            "triangles_indexed",
             "cosine_pairs",
             "random_walks",
             "kmeans_lloyd",

@@ -101,6 +101,7 @@ def strip_contaminated_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Contamination REMOVAL: cut every word position covered by a
     word n-gram that appears in the benchmark set, keep the rest —
@@ -159,7 +160,7 @@ def strip_contaminated_spans(
             out_nw.append(m)
             out_rm.append(int(mask.sum()))
             out_txt.append(" ".join(kept))
-        return pa.table(
+        out = pa.table(
             {
                 id_col: pa.array(out_id, pa.int64()),
                 "n_words": pa.array(out_nw, pa.int64()),
@@ -167,5 +168,10 @@ def strip_contaminated_spans(
                 "kept_text": pa.array(out_txt, pa.string()),
             }
         )
+        # pass-through columns (e.g. lang for a downstream mixture
+        # stage) — row order is preserved, so a direct append is exact
+        for c in carry_cols:
+            out = out.append_column(c, batch[c])
+        return out
 
     return ds.map_batches(cut, batch_format="pyarrow")
