@@ -6308,6 +6308,51 @@ def _q_training_chain(sf_dir: str):
     )
 
 
+def _q_suffix_dup_spans(sf_dir: str):
+    """EXACT any-length >= 50-token duplicated-substring spans (Lee
+    et al. 2022 semantics) via `dedup.exact_dup_spans` — the fixed
+    L=50 window-coverage form that is provably EQUAL to suffix-array
+    coverage (see its docstring theorem), NOT the r4 5-gram +
+    run-length proxy. The input plants both divergence cases: a
+    CHIMERA doc (first-30 + last-30 words of a source doc — each
+    block duplicated, no 50-token substring duplicated; the 5-gram
+    proxy cuts its 60-word run, this operator correctly emits
+    nothing) and a TRUE 60-word duplicated block (both agree). The
+    oracle replays coverage with literal 50-word-gram string equality
+    and gaps-and-islands interval assembly."""
+    from pdf_extractor_ray.functions.dedup import exact_dup_spans
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def planted(batch: pa.Table) -> pa.Table:
+        out_i, out_t = [], []
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ws = (t or "").split()
+            if len(ws) < 61:
+                continue
+            if i % 13 == 0:  # chimera: blocks from two places
+                out_i.append(i + 3_000_000)
+                out_t.append(
+                    " ".join(ws[:30]) + " " + " ".join(ws[-30:])
+                )
+            if i % 11 == 0:  # true long duplicate
+                out_i.append(i + 4_000_000)
+                out_t.append(" ".join(ws[:60]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(planted, batch_format="pyarrow"))
+    return exact_dup_spans(corpus, min_len=50)
+
+
 def _pretrain_input(sf_dir: str) -> ray.data.Dataset:
     """The flagship-chain corpus: documents plus an injected EXACT
     copy of every 10th doc (id +1_000_000 — food for the exact-dedup
@@ -8303,6 +8348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "training_chain": _q_training_chain,
         "pretrain_corpus": _q_pretrain_corpus,
+        "suffix_dup_spans": _q_suffix_dup_spans,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,
@@ -12098,6 +12144,53 @@ SELECT vec_id, cluster FROM (
                    bin_md5, idx_md5
             FROM binagg JOIN idxagg USING(shard)
             ORDER BY shard
+        """,
+        # suffix_dup_spans: exact >= 50-token duplicated-substring
+        # coverage — literal 50-word-gram equality (the window form
+        # provably equal to suffix-array coverage), gaps-and-islands
+        # maximal intervals. Chimera plants (first30+last30) must
+        # produce NO rows; true 60-word plants produce [0, 60) spans
+        # in both the source and the planted doc.
+        "suffix_dup_spans": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       array_to_string(list_slice(ws, 1, 30), ' ')
+                       || ' ' ||
+                       array_to_string(
+                           list_slice(ws, len(ws) - 29, len(ws)), ' ')
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, '\\S+') AS ws
+                      FROM documents)
+                WHERE doc_id % 13 = 0 AND len(ws) >= 61
+                UNION ALL
+                SELECT doc_id + 4000000,
+                       array_to_string(list_slice(ws, 1, 60), ' ')
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, '\\S+') AS ws
+                      FROM documents)
+                WHERE doc_id % 11 = 0 AND len(ws) >= 61
+            ),
+            w AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '\\S+') AS ws
+                  FROM d),
+            g AS (SELECT doc_id, i AS pos,
+                         array_to_string(
+                             list_slice(ws, i + 1, i + 50), ' ') AS gram
+                  FROM w, UNNEST(range(0, greatest(len(ws) - 49, 0)))
+                      AS t(i)),
+            t AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            st AS (SELECT g.doc_id, g.pos FROM g JOIN t USING (gram)),
+            cov AS (SELECT DISTINCT doc_id, pos + k AS j
+                    FROM st, UNNEST(range(0, 50)) AS t2(k)),
+            isl AS (SELECT doc_id, j,
+                           j - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY j) AS grp
+                    FROM cov)
+            SELECT doc_id, CAST(min(j) AS BIGINT) AS span_start,
+                   CAST(count(*) AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, grp
         """,
         # pretrain_corpus: the WHOLE seven-stage flagship chain in one
         # CTE stack — gopher gate, exact dedup, recursive

@@ -72,6 +72,7 @@ __all__ = [
     "ngram_jaccard",
     "jaccard_join_prefix",
     "dup_ngram_span_stats",
+    "exact_dup_spans",
     "scd2_history",
 ]
 
@@ -448,6 +449,148 @@ def dup_ngram_span_stats(
     )
     return partials.groupby("doc_bucket").map_groups(
         per_doc_bucket, batch_format="pandas"
+    )
+
+
+def exact_dup_spans(
+    ds: ray.data.Dataset,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT any-length >= ``min_len`` duplicated-substring spans —
+    the detection step of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") with their 50-token rule,
+    emitted as per-doc maximal intervals (doc_id, span_start,
+    span_len) over the lowercased word sequence.
+
+    Why no suffix array: Lee et al. build one to find all substrings
+    of length >= L that occur twice. For the COVERAGE semantics their
+    removal step actually uses, a fixed window at k = L is exact:
+
+      a position p lies inside SOME corpus-duplicated substring of
+      length >= L  <=>  some L-window containing p is duplicated.
+
+      (=>) a duplicated substring s ∋ p with |s| >= L contains an
+      L-window around p — pick start clamp(p-L+1, a, a+|s|-L) for s
+      at [a, a+|s|) — and every window inside a duplicated substring
+      is itself duplicated. (<=) a duplicated L-window IS a
+      duplicated substring of length L >= L containing p.
+
+    So hashing every L-word window (the vectorized sliding-window
+    polynomial kernel, `_batch_ngram_hashes`) and unioning duplicated
+    window intervals produces EXACTLY the positions a suffix-array
+    pass would mark — in two bucketed exchanges instead of a
+    distributed suffix sort. This is NOT the round-4
+    ``strip_dup_spans(n=5, min_span_words=50)`` proxy, which marks
+    positions covered by duplicated *5*-grams and then keeps runs of
+    >= 50: two adjacent 30-word blocks duplicated from DIFFERENT
+    sources chain into a 60-run the proxy cuts even though no
+    50-token substring is duplicated anywhere (the planted-chimera
+    pytest + the `suffix_dup_spans` oracle pin this divergence).
+
+    Removal form: ``strip_dup_spans(ds, n=min_len)`` (min_span_words
+    left 0) cuts exactly these intervals and rebuilds kept_text.
+
+    Scale shape: exchange 1 ships one row per L-window position into
+    a coarse hash-bucket groupby that keeps duplicated positions;
+    exchange 2 cogroups the survivors per doc bucket and folds them
+    into maximal intervals with the +1/-1 diff-array union. Driver
+    holds nothing corpus-proportional. Window hashes are 63-bit
+    polynomial values — collisions (~1e-5 at 16M distinct windows)
+    can only over-mark, the same contract as the n-gram family.
+    """
+    n = int(min_len)
+    if n_buckets is None:
+        n_buckets = 8 * _coalesce_width()
+    doc_buckets = 2 * _coalesce_width()
+
+    def emit_positions(batch: pa.Table) -> pa.Table:
+        ids_out, hs_out, pos_out = [], [], []
+        per_doc = _batch_ngram_hashes(batch[text_col].to_pylist(), n)
+        texts = batch[text_col].to_pylist()
+        for i, t, hs64 in zip(
+            batch[id_col].to_pylist(), texts, per_doc
+        ):
+            # _batch_ngram_hashes hashes the WHOLE word sequence when
+            # the doc is shorter than n — such a "window" is not a
+            # length->=-L substring, so skip those docs entirely
+            if len(hs64) == 0 or len(
+                _WORD_RE.findall((t or "").lower())
+            ) < n:
+                continue
+            hs = hs64.view(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            hs_out.append(hs)
+            pos_out.append(np.arange(len(hs), dtype=np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        hs_np = np.concatenate(hs_out)
+        return pa.table(
+            {
+                "bucket": pa.array(hs_np % n_buckets),
+                "h": pa.array(hs_np),
+                id_col: pa.array(np.concatenate(ids_out)),
+                "pos": pa.array(np.concatenate(pos_out)),
+            }
+        )
+
+    def dup_positions(group):
+        h = group["h"].to_numpy()
+        _, hinv, tot = np.unique(h, return_inverse=True, return_counts=True)
+        keep = tot[hinv] > 1
+        ids = group[id_col].to_numpy()[keep]
+        return pa.table(
+            {
+                "_bucket": pa.array(ids % doc_buckets),
+                id_col: pa.array(ids),
+                "pos": pa.array(group["pos"].to_numpy()[keep]),
+            }
+        )
+
+    def runs(group):
+        import pandas as pd
+
+        out_id, out_s, out_l = [], [], []
+        for i, g in group.groupby(id_col):
+            ps = np.sort(g["pos"].to_numpy())
+            # interval union over [p, p+n): maximal islands via the
+            # +1/-1 diff array, sized by the largest endpoint
+            m = int(ps[-1]) + n
+            diff = np.zeros(m + 1, dtype=np.int64)
+            np.add.at(diff, ps, 1)
+            np.add.at(diff, ps + n, -1)
+            mask = np.cumsum(diff[:m]) > 0
+            mm = np.diff(np.concatenate(([0], mask.astype(np.int8), [0])))
+            starts = np.flatnonzero(mm == 1)
+            ends = np.flatnonzero(mm == -1)
+            out_id.extend([int(i)] * len(starts))
+            out_s.extend(starts.tolist())
+            out_l.extend((ends - starts).tolist())
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "span_start": pd.Series(out_s, dtype="int64"),
+                "span_len": pd.Series(out_l, dtype="int64"),
+            }
+        )
+
+    positions = coalesce_for_exchange(
+        ds.map_batches(emit_positions, batch_format="pyarrow")
+    )
+    dups = positions.groupby("bucket").map_groups(
+        dup_positions, batch_format="pandas"
+    )
+    return coalesce_for_exchange(dups).groupby("_bucket").map_groups(
+        runs, batch_format="pandas"
     )
 
 
