@@ -6308,6 +6308,56 @@ def _q_training_chain(sf_dir: str):
     )
 
 
+def _q_unigram_train(sf_dir: str):
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training
+    — the standard BPE alternative. Deterministic integer Viterbi-EM
+    over the candidate-piece lattice (kernel/unigram.py): scores
+    compare by exact big-int cross-multiplication, ties to (fewer
+    pieces, lex-smallest sequence); the corpus contributes ONE
+    streaming distinct-piece histogram pass (the train_bpe
+    reduction). Rows-only gate (EM is not SQL-expressible); pytest
+    pins distributed == serial == a hand-computed lattice. Output:
+    the final (piece_id, piece, cnt) vocabulary in rank order."""
+    from pdf_extractor_ray.functions.tokenizer import train_unigram
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    model = train_unigram(
+        docs, vocab_size=2000, n_em=2, max_piece_len=6, seed_size=50_000
+    )
+    items = sorted(
+        model.counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    return pd.DataFrame(
+        {
+            "piece_id": np.arange(len(items), dtype=np.int64),
+            "piece": [p for p, _ in items],
+            "cnt": np.array([c for _, c in items], dtype=np.int64),
+        }
+    )
+
+
+def _q_unigram_tokens(sf_dir: str):
+    """Distributed Viterbi encoding under the trained UnigramModel:
+    per-doc (n_pieces, pieces_md5) where the md5 fingerprints the
+    exact piece-id sequence. Actor-pool stage — the model broadcasts
+    once, segmentations cache per distinct pre-token inside each
+    actor. Rows-only gate + pytest distributed == serial pin."""
+    from pdf_extractor_ray.functions.tokenizer import (
+        train_unigram,
+        unigram_encode_corpus,
+    )
+
+    docs = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    model = train_unigram(
+        docs, vocab_size=2000, n_em=2, max_piece_len=6, seed_size=50_000
+    )
+    return unigram_encode_corpus(docs, model)
+
+
 def _q_suffix_dup_spans(sf_dir: str):
     """EXACT any-length >= 50-token duplicated-substring spans (Lee
     et al. 2022 semantics) via `dedup.exact_dup_spans` — the fixed
@@ -8349,6 +8399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_chain": _q_training_chain,
         "pretrain_corpus": _q_pretrain_corpus,
         "suffix_dup_spans": _q_suffix_dup_spans,
+        "unigram_train": _q_unigram_train,
+        "unigram_tokens": _q_unigram_tokens,
         "stratified_sample": _q_stratified_sample,
         "pdf_stream_fallback": _q_pdf_stream_fallback,
         "camelot_search": _q_camelot_search,

@@ -39,7 +39,13 @@ from pdf_extractor_ray.kernel.bpe import (
     train_from_histogram,
 )
 
-__all__ = ["piece_histogram", "train_bpe", "encode_corpus"]
+__all__ = [
+    "piece_histogram",
+    "train_bpe",
+    "encode_corpus",
+    "train_unigram",
+    "unigram_encode_corpus",
+]
 
 
 class _EncodeBatch:
@@ -193,3 +199,120 @@ def train_bpe(
             )
     ranks = train_from_histogram(hist, vocab_size)
     return BPEEncoder(ranks, pattern=pattern)
+
+
+def train_unigram(
+    ds: ray.data.Dataset,
+    vocab_size: int,
+    text_col: str = "text",
+    pattern: str = CL100K_PATTERN,
+    min_count: int = 1,
+    n_em: int = 2,
+    max_piece_len: int = 8,
+    seed_size: int = 100_000,
+):
+    """Distributed Unigram-LM (SentencePiece-style) training: the SAME
+    bounded-histogram reduction as :func:`train_bpe` — the corpus
+    contributes one streaming distinct-piece histogram pass — feeding
+    the deterministic integer Viterbi-EM loop
+    (kernel/unigram.py::train_unigram_from_histogram). Returns a
+    ready :class:`~pdf_extractor_ray.kernel.unigram.UnigramModel`.
+    Driver state = the (min_count-pruned) histogram; corpus-size
+    independent by Heaps' law, the identical scale argument as BPE."""
+    from pdf_extractor_ray.kernel.unigram import (
+        train_unigram_from_histogram,
+    )
+
+    hist: dict[str, int] = {}
+    for batch in piece_histogram(
+        ds, text_col=text_col, pattern=pattern, min_count=min_count
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for piece, cnt in zip(
+            batch["piece"].to_pylist(), batch["cnt"].to_pylist()
+        ):
+            hist[piece] = hist.get(piece, 0) + int(cnt)
+    return train_unigram_from_histogram(
+        hist,
+        vocab_size,
+        n_em=n_em,
+        max_piece_len=max_piece_len,
+        seed_size=seed_size,
+    )
+
+
+class _UnigramEncodeBatch:
+    """Actor-pool Viterbi encoding stage: the model (bounded piece
+    table) ships once via ray.put and deserializes ONCE per actor in
+    ``__init__``; per batch, each DISTINCT pre-tokenized piece is
+    segmented once (an in-actor cache — Zipf makes the hit rate high)
+    and per-doc outputs are assembled from the cache."""
+
+    def __init__(self, model_ref, pattern: str):
+        import regex as _regex
+
+        self.model = ray.get(model_ref)
+        self.pat = _regex.compile(pattern)
+        self.cache: dict[str, list[int]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids_out, np_out, md5_out = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks: list[int] = []
+            for w in self.pat.findall(t or ""):
+                got = self.cache.get(w)
+                if got is None:
+                    got = self.model.encode_ids(w)
+                    self.cache[w] = got
+                toks.extend(got)
+            ids_out.append(doc_id)
+            np_out.append(len(toks))
+            md5_out.append(
+                hashlib.md5(
+                    ",".join(map(str, toks)).encode()
+                ).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_pieces": pa.array(np_out, pa.int64()),
+                "pieces_md5": pa.array(md5_out, pa.string()),
+            }
+        )
+
+
+def unigram_encode_corpus(
+    ds: ray.data.Dataset,
+    model,
+    text_col: str = "text",
+    pattern: str = CL100K_PATTERN,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Distributed Viterbi encoding under a trained
+    :class:`UnigramModel`: (doc_id, n_pieces, pieces_md5) per doc,
+    where pieces_md5 fingerprints the exact id sequence. The model is
+    broadcast once; tokenization is the only per-row Python step and
+    segmentations are cached per distinct piece inside each actor."""
+    model_ref = ray.put(model)
+    if text_col != "text":
+        ds = ds.select_columns(["doc_id", text_col]).rename_columns(
+            {text_col: "text"}
+        )
+    # leave >= 1 CPU for the upstream read/repartition tasks — an
+    # actor pool equal to the whole cluster deadlocks the stream
+    # (observed at the 4-CPU pytest session)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    concurrency = max(1, min(concurrency, ncpu - 1))
+    return ds.map_batches(
+        _UnigramEncodeBatch,
+        fn_constructor_args=(model_ref, pattern),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=512,
+    )
