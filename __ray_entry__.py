@@ -7272,7 +7272,7 @@ def _q_graph_ann(sf_dir: str):
     emb = ray.data.read_parquet(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
-    edges = nsw_build_edges(emb, n_cells=16, m=4).materialize()
+    edges = nsw_build_edges(emb, n_cells=16, m=4, mx=2).materialize()
     ids, mat = _load_query_vectors(sf_dir, 5)
     return nsw_search(
         emb, edges, mat, ids, ef=8, rounds=3, k=5
@@ -7284,6 +7284,8 @@ def _nsw_sql(
     ef: int = 8,
     k: int = 5,
     m: int = 4,
+    mx: int = 0,
+    n_link_cells: int = 1,
     n_cells: int = 16,
     n_queries: int = 5,
 ) -> str:
@@ -7323,12 +7325,32 @@ pd AS (
     JOIN q qa ON qa.id = a.id
     JOIN q qb ON qb.id = b.id AND qb.i = qa.i
     GROUP BY a.id, b.id),
+cells2 AS MATERIALIZED (
+    SELECT id, cidx FROM (
+        SELECT id, cidx,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY d2, cidx) AS rn
+        FROM cd) WHERE rn BETWEEN 2 AND {1 + n_link_cells}),
+pdx AS (
+    SELECT a.id AS src, a.cidx AS vcell, b.id AS dst,
+           sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+    FROM cells2 a
+    JOIN cells b ON a.cidx = b.cidx AND a.id <> b.id
+    JOIN q qa ON qa.id = a.id
+    JOIN q qb ON qb.id = b.id AND qb.i = qa.i
+    GROUP BY a.id, a.cidx, b.id),
 edges AS MATERIALIZED (
     SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src
                                   ORDER BY d2, dst) AS rn
         FROM pd) WHERE rn <= {m}
+    UNION ALL
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src, vcell
+                                  ORDER BY d2, dst) AS rn
+        FROM pdx) WHERE rn <= {mx}
     UNION ALL
     SELECT a.id AS src, b.id AS dst
     FROM cent a JOIN cent b ON a.id <> b.id),
@@ -12124,7 +12146,7 @@ SELECT vec_id, cluster FROM (
             GROUP BY a.i, b.i
         """,
         "kcenter_coreset": _kcenter_sql(6),
-        "graph_ann": _nsw_sql(rounds=3, ef=8, k=5, m=4),
+        "graph_ann": _nsw_sql(rounds=3, ef=8, k=5, m=4, mx=2),
         "token_chunks": """
             WITH w AS (
                 SELECT doc_id,

@@ -67,11 +67,26 @@ def nsw_build_edges(
     ds: ray.data.Dataset,
     n_cells: int = 16,
     m: int = 4,
+    mx: int = 0,
+    n_link_cells: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> ray.data.Dataset:
     """Bucketed neighborhood graph: (src, dst) int64 edge rows, each
-    src linked to its ``m`` nearest in-cell neighbors."""
+    src linked to its ``m`` nearest in-cell neighbors, plus — when
+    ``mx > 0`` — its ``mx`` nearest nodes in EACH of its
+    ``n_link_cells`` next-nearest cells (the cross-cell boundary
+    edges real HNSW recall needs: a query near a Voronoi boundary can
+    hop straight into an adjacent cell instead of detouring through
+    the centroid hub; a 10-NN set can straddle 3+ Voronoi cells when
+    cells are smaller than the data's true clusters, hence more than
+    one linked foreign cell). Both edge kinds ride ONE cell cogroup
+    exchange: every node lands in its own cell's group as a RESIDENT
+    and in each linked foreign cell's group as a VISITOR; residents
+    interlink, visitors link to residents. Deterministic: foreign
+    cells = next-smallest centroid distances (ties to the lower cell
+    index), links tie to the lower id — the SQL oracle replays both
+    edge sets."""
     # centroids: the n_cells lowest-id vectors — per-block minima, then
     # a driver-side head (bounded: n_blocks x n_cells candidate rows)
     def block_low(batch: pa.Table) -> pa.Table:
@@ -85,41 +100,92 @@ def nsw_build_edges(
     cent_q = _quantize(np.asarray([np.asarray(v) for v in cand[vec_col]]))
     cent_ref = ray.put(cent_q)
 
+    n_vis = max(0, min(n_link_cells, n_cells - 1)) if mx > 0 else 0
+
     def assign(batch: pa.Table) -> pa.Table:
         q = _quantize(_arrow_matrix(batch[vec_col]))
         d2 = _pair_d2(q, ray.get(cent_ref))
-        # argmin with lower-cell tie: argmin takes the first minimum
-        cell = d2.argmin(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "q": pa.array(q.tolist(), pa.list_(pa.int64())),
-                "cell": pa.array(cell, pa.int64()),
-            }
-        )
+        # stable argsort: ties fall to the lower cell index; column 0
+        # is the home cell, columns 1..n_vis the linked foreign cells
+        near = np.argsort(d2, axis=1, kind="stable")[
+            :, : 1 + n_vis
+        ].astype(np.int64)
+        n = len(near)
+        qlist = pa.array(q.tolist(), pa.list_(pa.int64()))
+        ids = batch[id_col]
+        parts = [
+            pa.table(
+                {
+                    id_col: ids,
+                    "q": qlist,
+                    "key": pa.array(near[:, 0], pa.int64()),
+                    "role": pa.array(np.zeros(n, np.int8)),
+                }
+            )
+        ]
+        for v in range(1, 1 + n_vis):
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "q": qlist,
+                        "key": pa.array(near[:, v], pa.int64()),
+                        "role": pa.array(np.ones(n, np.int8)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def link(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy(dtype=np.int64)
-        q = np.asarray(list(group["q"]), dtype=np.int64)
+        res = group[group["role"] == 0]
+        ids = res[id_col].to_numpy(dtype=np.int64)
+        q = np.asarray(list(res["q"]), dtype=np.int64)
         order = np.argsort(ids)
         ids, q = ids[order], q[order]
+        frames = []
         d2 = _pair_d2(q, q)
         np.fill_diagonal(d2, np.iinfo(np.int64).max)  # no self loops
         mm = min(m, len(ids) - 1)
-        if mm <= 0:
+        if mm > 0:
+            # per-row top-mm by (d2 asc, id asc): ids ascending makes
+            # the stable lexsort tie-break = lower id first
+            nn = np.lexsort(
+                (np.broadcast_to(ids, d2.shape), d2), axis=1
+            )[:, :mm]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": np.repeat(ids, mm),
+                        "dst": ids[nn.reshape(-1)],
+                    }
+                )
+            )
+        vis = group[group["role"] == 1]
+        mmx = min(mx, len(ids))
+        if len(vis) and mmx > 0 and len(ids):
+            vids = vis[id_col].to_numpy(dtype=np.int64)
+            vq = np.asarray(list(vis["q"]), dtype=np.int64)
+            vorder = np.argsort(vids)
+            vids, vq = vids[vorder], vq[vorder]
+            d2x = _pair_d2(vq, q)
+            nnx = np.lexsort(
+                (np.broadcast_to(ids, d2x.shape), d2x), axis=1
+            )[:, :mmx]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": np.repeat(vids, mmx),
+                        "dst": ids[nnx.reshape(-1)],
+                    }
+                )
+            )
+        if not frames:
             return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
-        # per-row top-mm by (d2 asc, id asc): ids ascending makes the
-        # stable lexsort tie-break = lower id first
-        nn = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[
-            :, :mm
-        ]
-        src = np.repeat(ids, mm)
-        dst = ids[nn.reshape(-1)]
-        return pd.DataFrame({"src": src, "dst": dst})
+        return pd.concat(frames, ignore_index=True)
 
     local = (
         ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cell")
+        .groupby("key")
         .map_groups(link, batch_format="pandas")
     )
     # hub layer: the centroid NODES fully interlinked (each centroid
