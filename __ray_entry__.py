@@ -6358,6 +6358,40 @@ def _q_unigram_tokens(sf_dir: str):
     return unigram_encode_corpus(docs, model)
 
 
+def _q_pretrain_corpus_bpe(sf_dir: str):
+    """The flagship seven-stage chain with the REAL tokenizer: stage
+    6 swaps the SQL-derivable synthetic ids for the actual BPE engine
+    (kernel/bpe.py, vendored trained table) running as the
+    tokenizer.encode_corpus actor pool — proving the chain composes
+    with a genuine model-ready tokenize stage, shards still
+    byte-audited by re-reading the files. Rows-only at the gate (the
+    BPE merge loop is not SQL-expressible; the synthetic-id twin
+    `pretrain_corpus` hash-checks every other stage, and BPE encoding
+    itself is pytest-pinned distributed == serial elsewhere)."""
+    from pdf_extractor_ray.functions.pretrain import pretrain_corpus_chain
+    from pdf_extractor_ray.functions.tokenizer import encode_corpus
+
+    corpus = _pretrain_input(sf_dir)
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < 20))
+
+    benchmark = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(bench_only, batch_format="pyarrow")
+
+    out_dir = os.path.join(
+        "/tmp/graft_pretrain_bpe", os.path.basename(sf_dir.rstrip("/"))
+    )
+    return pretrain_corpus_chain(
+        corpus,
+        benchmark,
+        out_dir,
+        tokenize_ds=lambda sel: encode_corpus(sel, text_col="kept_text"),
+    )
+
+
 def _q_suffix_dup_spans(sf_dir: str):
     """EXACT any-length >= 50-token duplicated-substring spans (Lee
     et al. 2022 semantics) via `dedup.exact_dup_spans` — the fixed
@@ -8420,6 +8454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "training_chain": _q_training_chain,
         "pretrain_corpus": _q_pretrain_corpus,
+        "pretrain_corpus_bpe": _q_pretrain_corpus_bpe,
         "suffix_dup_spans": _q_suffix_dup_spans,
         "unigram_train": _q_unigram_train,
         "unigram_tokens": _q_unigram_tokens,

@@ -168,6 +168,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "kcenter_coreset",
             "graph_ann",
             "skew_join_events",
+            # round-5 additions: the flagship seven-stage composite
+            # and the exact any-length substring-dedup spans
+            "pretrain_corpus",
+            "suffix_dup_spans",
         )
         if not os.environ.get("BENCH_SKIP_QUERIES")
         else ()

@@ -171,6 +171,7 @@ def pretrain_corpus_chain(
     budget_num: int = 2,
     budget_den: int = 5,
     token_fn=None,
+    tokenize_ds=None,
     collect_stats: list | None = None,
 ) -> pd.DataFrame:
     """Run the full curation chain; returns the shard manifest
@@ -249,12 +250,17 @@ def pretrain_corpus_chain(
         stripped, budget, key_col=key_col, id_col=id_col
     )
 
-    # 6. tokenize kept_text -> global fixed-length chunks
-    to_ids = token_fn or _synthetic_token_fn("kept_text")
-    chunks = token_stream_chunks(
-        sel.map_batches(to_ids, batch_format="pyarrow"),
-        chunk_len=chunk_len,
-    )
+    # 6. tokenize kept_text -> global fixed-length chunks.
+    # ``tokenize_ds`` (Dataset -> Dataset[doc_id, ids]) plugs in an
+    # actor-pool tokenizer (e.g. the real BPE engine via
+    # tokenizer.encode_corpus); the default is the SQL-derivable
+    # synthetic scheme so the gate oracle replays the whole chain.
+    if tokenize_ds is not None:
+        ids_ds = tokenize_ds(sel)
+    else:
+        to_ids = token_fn or _synthetic_token_fn("kept_text")
+        ids_ds = sel.map_batches(to_ids, batch_format="pyarrow")
+    chunks = token_stream_chunks(ids_ds, chunk_len=chunk_len)
 
     # 7. binary shard export + byte-exact read-back audit
     shards = export_token_bin_shards(chunks, out_dir, n_shards=n_shards)
