@@ -1079,6 +1079,63 @@ def minhash_band_table(
     return ds.map_batches(to_bands, batch_format="pyarrow")
 
 
+@ray.remote
+class _BandShard:
+    """Owns one hash range of the LSH band space. Scan tasks push
+    their pre-partitioned (band, band_hash, doc_id) slices as raw
+    numpy arrays (no per-row Python); ``emit_pairs`` concatenates,
+    lexsorts LOCALLY (C speed) and run-detects colliding groups —
+    the sort-based shuffle's work without its machinery, the same
+    direct-push lesson as the graph index builders."""
+
+    def __init__(self, max_bucket: int) -> None:
+        self.max_bucket = max_bucket
+        self.bands: list = []
+        self.hashes: list = []
+        self.ids: list = []
+
+    def add(self, band, h, ids) -> int:
+        self.bands.append(np.asarray(band))
+        self.hashes.append(np.asarray(h))
+        self.ids.append(np.asarray(ids, np.int64))
+        return len(ids)
+
+    def emit_pairs(self) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+        if not self.ids:
+            return empty
+        band = np.concatenate(self.bands)
+        h = np.concatenate(self.hashes)
+        ids = np.concatenate(self.ids)
+        order = np.lexsort((ids, h, band))
+        band, h, ids = band[order], h[order], ids[order]
+        new = np.ones(len(h), bool)
+        new[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+        grp = np.cumsum(new) - 1
+        counts = np.bincount(grp)
+        multi = np.flatnonzero(counts >= 2)
+        if len(multi) == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        seen: set[tuple] = set()
+        for g in multi:
+            s = int(starts[g])
+            sub = ids[s : s + int(counts[g])][: self.max_bucket]
+            seen.update(itertools.combinations(sub.tolist(), 2))
+        out = sorted(seen)
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in out], pa.int64()),
+                "doc_b": pa.array([p[1] for p in out], pa.int64()),
+            }
+        )
+
+
 def minhash_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -1086,6 +1143,8 @@ def minhash_candidates(
     n_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    route: str = "push",
+    n_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via LSH banding.
 
@@ -1094,6 +1153,15 @@ def minhash_candidates(
     ``truncated`` column) — a hot bucket at corpus scale means a
     degenerate shingle (boilerplate); salt or drop it rather than
     exploding O(n^2) pairs.
+
+    ``route="push"`` (default) ships the band rows ONCE, batched,
+    straight into hash-sharded ``_BandShard`` actors that lexsort
+    locally — identical pairs, none of Ray's sort machinery (the
+    band stream is 16 rows/doc and the sort was 3x the signature
+    cost at 1M docs; A/B in BASELINE.md). ``route="sort"`` keeps the
+    coarse-bucket groupby form. Either way a pair can appear once
+    per colliding band; callers dedupe the (small) candidate set
+    (`_dedupe_pairs_bucketed` / the verified output).
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1104,18 +1172,47 @@ def minhash_candidates(
             "bucket", pa.array((hashes % 128).astype("int64"))
         )
 
-    def pairs(group):  # pandas group: one hash bucket of band rows
-        import pandas as pd
-
+    def pairs(group: pa.Table) -> pa.Table:
+        # one hash bucket of band rows. A corpus bucket is dominated
+        # by SINGLETON (band, band_hash) groups — the old pandas
+        # groupby iterated every one of them in Python (~15M group
+        # visits at 1M docs), which was 70%+ of the whole MinHash
+        # stage. Vectorized: lexsort + run detection finds the few
+        # multi-member groups; the Python pair loop now touches ONLY
+        # groups that actually collide.
+        band = group["band"].to_numpy(zero_copy_only=False)
+        h = group["band_hash"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(h) == 0:
+            return empty
+        order = np.lexsort((ids, h, band))
+        band, h, ids = band[order], h[order], ids[order]
+        new = np.ones(len(h), bool)
+        new[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+        grp = np.cumsum(new) - 1
+        counts = np.bincount(grp)
+        multi = np.flatnonzero(counts >= 2)
+        if len(multi) == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         seen: set[tuple] = set()
-        for (_, _), sub in group.groupby(["band", "band_hash"]):
-            ids = sorted(sub["doc_id"].tolist())[:max_bucket]
-            seen.update(itertools.combinations(ids, 2))
-        if not seen:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        for g in multi:
+            s = int(starts[g])
+            sub = ids[s : s + int(counts[g])][:max_bucket]
+            # ids are ascending within the run (lexsort minor key)
+            seen.update(itertools.combinations(sub.tolist(), 2))
         out = sorted(seen)
-        return pd.DataFrame(
-            {"doc_a": [p[0] for p in out], "doc_b": [p[1] for p in out]}
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in out], pa.int64()),
+                "doc_b": pa.array([p[1] for p in out], pa.int64()),
+            }
         )
 
     # The shuffle key is a COARSE bucket (128 of them), not the raw
@@ -1125,13 +1222,47 @@ def minhash_candidates(
     # groups. Cross-bucket duplicate pairs (same pair from bands in
     # different buckets) are possible; callers dedupe the (small)
     # verified output.
-    bands = minhash_band_table(
-        ds, text_col, id_col, n_bands, shingle_k
-    ).map_batches(add_bucket, batch_format="pyarrow")
+    bands_raw = minhash_band_table(ds, text_col, id_col, n_bands, shingle_k)
+    if route == "push":
+        if n_shards is None:
+            try:
+                n_shards = max(
+                    4, int(ray.cluster_resources().get("CPU", 8)) // 2
+                )
+            except Exception:
+                n_shards = 8
+        S = n_shards
+        shards = [_BandShard.remote(max_bucket) for _ in range(S)]
+
+        def push(batch: pa.Table) -> pa.Table:
+            band = batch["band"].to_numpy(zero_copy_only=False)
+            h = batch["band_hash"].to_numpy(zero_copy_only=False)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            own = (h.astype(np.uint64) % np.uint64(S)).astype(np.int64)
+            refs = []
+            for s in range(S):
+                m = own == s
+                if m.any():
+                    refs.append(
+                        shards[s].add.remote(band[m], h[m], ids[m])
+                    )
+            ray.get(refs)  # backpressure: scans can't outrun shards
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+        bands_raw.map_batches(push, batch_format="pyarrow").count()
+        out = ray.data.from_arrow_refs(
+            [s.emit_pairs.remote() for s in shards]
+        ).materialize()
+        for s in shards:
+            ray.kill(s)
+        return out
+    if route != "sort":
+        raise ValueError(f"unknown route: {route!r}")
+    bands = bands_raw.map_batches(add_bucket, batch_format="pyarrow")
     return (
         bands.repartition(_coalesce_width(), shuffle=False)
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
